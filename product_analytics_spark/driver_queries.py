@@ -1,0 +1,853 @@
+"""Driver-facing query inventory (SURVEY.md §2 "driver query key" column).
+
+Each query key maps a reference operator (file:line cited on the
+builder) onto the driver's TPC-H-ish tables, paired with an ANSI-SQL
+oracle that DuckDB runs over the same parquet (dialect notes inline:
+dayofweek offset, date_diff arg order, regexp_matches).
+
+Every computed column is aliased identically in the Spark builder and
+the oracle — the driver's comparator sorts columns by name before
+hashing values.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from product_analytics_spark.catalog import read_parquet
+from product_analytics_spark.functions import cleaning, dates, scoring
+from product_analytics_spark.operators import dedup, incremental, similarity, text, windows
+
+# Deterministic parameters (SURVEY.md §7.4: no CURRENT_DATE anywhere).
+AS_OF = dt.date(2001, 12, 31)          # orders span 1995..2001-08
+EVENTS_CUT = dt.datetime(2024, 1, 20)  # events span 2024-01-01..01-30
+WATERMARK_DEFAULT = dt.datetime(1900, 1, 1)
+TOPK_K = 10
+SESSION_GAP_MIN = 30
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _money(c) -> F.Column:
+    """Exact money arithmetic: cast 2-dp doubles to DECIMAL(18,2)
+    before SUMming. Double summation is order-dependent (different
+    partition/merge orders flip the last bit, and ROUND(x, 2) then
+    flips a whole cent) — decimal sums are exact and deterministic on
+    any cluster size. The oracle casts identically."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
+
+# --------------------------------------------------------------------- q01
+
+def q01_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1+P1: source scan + explicit projection/rename (reference:
+    orders_cleaned.sql:19-44's 25-col SELECT list). Column pruning
+    reaches the parquet scan — only 6 of 6 needed columns are read."""
+    return _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderstatus").alias("order_status"),
+        F.col("o_totalprice").alias("order_total"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("o_orderpriority").alias("order_priority"),
+    )
+
+
+Q01_SQL = """
+SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+       o_orderstatus AS order_status, o_totalprice AS order_total,
+       CAST(o_orderdate AS TIMESTAMP) AS order_date, o_orderpriority AS order_priority
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------- q02
+
+def q02_filter_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P4+P5: compound predicate filter (reference: dim_customer.sql:56-58
+    ``customer_id IS NOT NULL AND order_status != 'CANCELLED' AND
+    is_valid_order``). Predicates push down to the parquet reader."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.filter(F.col("o_custkey").isNotNull())
+        .filter(F.col("o_orderstatus") != "F")
+        .filter(F.col("o_totalprice") > 1000.0)
+        .select(
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_custkey").alias("customer_id"),
+            F.col("o_totalprice").alias("order_total"),
+        )
+    )
+
+
+Q02_SQL = """
+SELECT o_orderkey AS order_id, o_custkey AS customer_id, o_totalprice AS order_total
+FROM orders
+WHERE o_custkey IS NOT NULL AND o_orderstatus != 'F' AND o_totalprice > 1000.0
+"""
+
+
+# --------------------------------------------------------------------- q03
+
+def q03_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1+P2: CDC latest-record dedup (reference: customers_latest.sql:33-38,
+    orders_cleaned.sql:47-50) on events — latest event per user_id,
+    ordered by (ts, event_id) desc. Uses the max_by aggregation form
+    (map-side combinable: shuffles |users| rows, not |events|)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    return dedup.latest_by_key(e, "user_id", order_by=("ts", "event_id")).select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+Q03_SQL = """
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+FROM (
+  SELECT user_id, event_id, ts, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------- q04
+
+#: Controlled vocabularies in the style of orders_cleaned.sql:77-161.
+STATUS_VOCAB = {"OPEN": ["O"], "FULFILLED": ["F"], "PENDING": ["P"]}
+PRIORITY_VOCAB = {
+    "HIGH": ["1-URGENT", "2-HIGH"],
+    "MEDIUM": ["3-MEDIUM"],
+    "LOW": ["4-NOT SPECIFIED", "5-LOW"],
+}
+
+
+def q04_case_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1+F2: UPPER(TRIM())-normalized controlled-vocabulary mapping
+    with default fallback (reference: orders_cleaned.sql:77-121 status/
+    payment/shipping vocab maps)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.select(
+        F.col("o_orderkey").alias("order_id"),
+        cleaning.canonicalize(F.col("o_orderstatus"), STATUS_VOCAB, "UNKNOWN").alias("order_status"),
+        cleaning.canonicalize(F.col("o_orderpriority"), PRIORITY_VOCAB, "OTHER").alias("priority_class"),
+    )
+
+
+Q04_SQL = """
+SELECT o_orderkey AS order_id,
+  CASE WHEN upper(trim(o_orderstatus)) IN ('O') THEN 'OPEN'
+       WHEN upper(trim(o_orderstatus)) IN ('F') THEN 'FULFILLED'
+       WHEN upper(trim(o_orderstatus)) IN ('P') THEN 'PENDING'
+       ELSE 'UNKNOWN' END AS order_status,
+  CASE WHEN upper(trim(o_orderpriority)) IN ('1-URGENT','2-HIGH') THEN 'HIGH'
+       WHEN upper(trim(o_orderpriority)) IN ('3-MEDIUM') THEN 'MEDIUM'
+       WHEN upper(trim(o_orderpriority)) IN ('4-NOT SPECIFIED','5-LOW') THEN 'LOW'
+       ELSE 'OTHER' END AS priority_class
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------- q05
+
+def q05_financial_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13+F14: financial clamping with business caps (reference:
+    orders_cleaned.sql:127-149: NULL/negative->0, total cap 50000,
+    tax <= 20% of total, discount <= total) + derived net revenue
+    (:198). Pure projection — folds into the scan stage."""
+    l = _t(spark, sf_dir, "lineitem")
+    gross = cleaning.clamp_money(F.col("l_extendedprice"), 0.0, 50000.0)
+    tax_raw = F.col("l_extendedprice") * F.col("l_tax")
+    disc_raw = F.col("l_extendedprice") * F.col("l_discount")
+    out = l.select(
+        F.col("l_orderkey").alias("order_id"),
+        F.col("l_linenumber").alias("line_number"),
+        F.col("l_extendedprice"),
+        F.col("l_tax"),
+        F.col("l_discount"),
+        gross.alias("gross_amount"),
+    )
+    gross_dbl = F.col("gross_amount").cast("double")
+    out = out.withColumn("tax_amount", cleaning.clamp_money(tax_raw, 0.0, gross_dbl * 0.2))
+    out = out.withColumn("discount_amount", cleaning.clamp_money(disc_raw, 0.0, gross_dbl))
+    return out.withColumn(
+        "net_revenue", (F.col("gross_amount") - F.col("discount_amount")).cast("decimal(18,2)")
+    ).select("order_id", "line_number", "gross_amount", "tax_amount", "discount_amount", "net_revenue")
+
+
+# Money outputs go double -> DECIMAL(18,6) -> DECIMAL(18,2): engine-stable
+# rounding (see functions/cleaning.py:round_money).
+Q05_SQL = """
+WITH g AS (
+  SELECT l_orderkey AS order_id, l_linenumber AS line_number,
+    CASE WHEN l_extendedprice IS NULL OR l_extendedprice < 0 THEN CAST(0 AS DECIMAL(18,2))
+         WHEN l_extendedprice > 50000 THEN round(CAST(50000.0 AS DECIMAL(18,6)), 2)
+         ELSE round(CAST(l_extendedprice AS DECIMAL(18,6)), 2) END AS gross_amount,
+    l_extendedprice * l_tax AS tax_raw,
+    l_extendedprice * l_discount AS disc_raw
+  FROM lineitem
+)
+SELECT order_id, line_number, gross_amount,
+  CASE WHEN tax_raw IS NULL OR tax_raw < 0 THEN CAST(0 AS DECIMAL(18,2))
+       WHEN tax_raw > CAST(gross_amount AS DOUBLE) * 0.2
+         THEN round(CAST(CAST(gross_amount AS DOUBLE) * 0.2 AS DECIMAL(18,6)), 2)
+       ELSE round(CAST(tax_raw AS DECIMAL(18,6)), 2) END AS tax_amount,
+  CASE WHEN disc_raw IS NULL OR disc_raw < 0 THEN CAST(0 AS DECIMAL(18,2))
+       WHEN disc_raw > CAST(gross_amount AS DOUBLE)
+         THEN round(CAST(CAST(gross_amount AS DOUBLE) AS DECIMAL(18,6)), 2)
+       ELSE round(CAST(disc_raw AS DECIMAL(18,6)), 2) END AS discount_amount,
+  CAST(gross_amount - (CASE WHEN disc_raw IS NULL OR disc_raw < 0 THEN CAST(0 AS DECIMAL(18,2))
+       WHEN disc_raw > CAST(gross_amount AS DOUBLE)
+         THEN round(CAST(CAST(gross_amount AS DOUBLE) AS DECIMAL(18,6)), 2)
+       ELSE round(CAST(disc_raw AS DECIMAL(18,6)), 2) END) AS DECIMAL(18,2)) AS net_revenue
+FROM g
+"""
+
+
+# --------------------------------------------------------------------- q06
+
+NAME_RE = r"^Customer#[0-9]{9}$"
+
+
+def q06_string_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3-F6: regex validation, regex-replace digit count, NULL/empty
+    completeness, NULL-propagating concat (reference:
+    customers_latest.sql:84,98-121)."""
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.concat(F.trim(F.col("c_name")), F.lit(" "), F.trim(F.col("c_mktsegment"))).alias("name_segment"),
+        F.col("c_name").rlike(NAME_RE).alias("is_valid_name"),
+        F.length(F.regexp_replace(F.col("c_name"), "[^0-9]", "")).alias("name_digits"),
+        (F.col("c_mktsegment").isNotNull() & (F.trim(F.col("c_mktsegment")) != "")).alias("has_segment"),
+    )
+
+
+Q06_SQL = """
+SELECT c_custkey AS customer_id,
+  trim(c_name) || ' ' || trim(c_mktsegment) AS name_segment,
+  regexp_matches(c_name, '^Customer#[0-9]{9}$') AS is_valid_name,
+  length(regexp_replace(c_name, '[^0-9]', '', 'g')) AS name_digits,
+  (c_mktsegment IS NOT NULL AND trim(c_mktsegment) != '') AS has_segment
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------- q07
+
+def q07_date_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F7-F9: date-part extraction, day-name CASE, weekend flag, season
+    and holiday bucketing (reference: orders_cleaned.sql:201-221,331-347).
+    Note DuckDB dayofweek is 0=Sunday -> oracle adds 1."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    enriched = dates.enrich_dates(o, "o_orderdate", prefix="order")
+    return enriched.select(
+        F.col("o_orderkey").alias("order_id"),
+        "order_year", "order_month", "order_day", "order_hour", "order_dow",
+        "order_day_name", "order_is_weekend", "order_season", "order_holiday_period",
+    )
+
+
+Q07_SQL = """
+SELECT o_orderkey AS order_id,
+  year(o_orderdate) AS order_year,
+  month(o_orderdate) AS order_month,
+  day(o_orderdate) AS order_day,
+  hour(o_orderdate) AS order_hour,
+  dayofweek(o_orderdate) + 1 AS order_dow,
+  CASE dayofweek(o_orderdate) + 1
+    WHEN 1 THEN 'Sunday' WHEN 2 THEN 'Monday' WHEN 3 THEN 'Tuesday'
+    WHEN 4 THEN 'Wednesday' WHEN 5 THEN 'Thursday' WHEN 6 THEN 'Friday'
+    WHEN 7 THEN 'Saturday' END AS order_day_name,
+  dayofweek(o_orderdate) + 1 IN (1, 7) AS order_is_weekend,
+  CASE WHEN month(o_orderdate) IN (12,1,2) THEN 'Winter'
+       WHEN month(o_orderdate) IN (3,4,5) THEN 'Spring'
+       WHEN month(o_orderdate) IN (6,7,8) THEN 'Summer'
+       ELSE 'Fall' END AS order_season,
+  CASE WHEN month(o_orderdate)=11 AND day(o_orderdate) BETWEEN 22 AND 28 THEN 'Black Friday Week'
+       WHEN month(o_orderdate)=12 AND day(o_orderdate) BETWEEN 1 AND 26 THEN 'Christmas Season'
+       WHEN (month(o_orderdate)=12 AND day(o_orderdate)>=27) OR (month(o_orderdate)=1 AND day(o_orderdate)<=2) THEN 'New Year'
+       WHEN month(o_orderdate)=2 AND day(o_orderdate) BETWEEN 10 AND 16 THEN 'Valentines'
+       WHEN month(o_orderdate)=5 AND day(o_orderdate) BETWEEN 8 AND 14 THEN 'Mothers Day'
+       WHEN month(o_orderdate)=7 AND day(o_orderdate) BETWEEN 1 AND 7 THEN 'Independence Day'
+       ELSE 'Regular' END AS order_holiday_period
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------- q08
+
+def q08_datediff_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F10: DATEDIFF metrics (reference: orders_cleaned.sql:224-228
+    delivery_days) — per order: days from order to first/last shipment.
+    DuckDB's date_diff takes (part, start, end) — args flipped vs Spark.
+    """
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    l = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    j = l.join(o, l.l_orderkey == o.o_orderkey, "inner")
+    d = j.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).alias("ship_days"),
+    )
+    return d.groupBy("order_id").agg(
+        F.min("ship_days").alias("first_ship_days"),
+        F.max("ship_days").alias("last_ship_days"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+Q08_SQL = """
+SELECT o_orderkey AS order_id,
+  min(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS first_ship_days,
+  max(date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE))) AS last_ship_days,
+  count(*) AS n_lines
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderkey
+"""
+
+
+# --------------------------------------------------------------------- q09
+
+def q09_left_join_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J1: validation LEFT join (reference: orders_cleaned.sql:372-373;
+    validity rule :308-314 — customer exists AND not soft-deleted;
+    stand-in rule: account balance non-negative). The customer side is
+    broadcast — no shuffle of the fact table."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    j = o.join(F.broadcast(c), o.o_custkey == c.c_custkey, "left")
+    return j.select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_totalprice").alias("order_total"),
+        (F.col("c_custkey").isNotNull() & (F.col("c_acctbal") >= 0)).alias("is_valid_order"),
+    )
+
+
+Q09_SQL = """
+SELECT o_orderkey AS order_id, o_custkey AS customer_id,
+       o_totalprice AS order_total,
+       (c_custkey IS NOT NULL AND c_acctbal >= 0) AS is_valid_order
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+"""
+
+
+# --------------------------------------------------------------------- q10
+
+def q10_group_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1-A6: single-pass grouped multi-aggregate (reference:
+    dim_customer.sql:33-59: 14 aggregates incl. conditional distinct
+    counts and date-trunc distinct). One hash-agg shuffle; all
+    aggregates share it."""
+    o = _t(spark, sf_dir, "orders")
+    zero = F.lit(0).cast("decimal(18,2)")
+    return o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.countDistinct("o_orderkey").alias("lifetime_orders"),
+        F.sum(_money("o_totalprice")).alias("lifetime_value"),
+        cleaning.round_money(F.sum(_money("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_order_value"),
+        F.min("o_orderdate").alias("first_order_date"),
+        F.max("o_orderdate").alias("last_order_date"),
+        F.countDistinct(F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey"))).alias("fulfilled_orders"),
+        F.sum(F.when(F.col("o_orderstatus") == "F", _money("o_totalprice")).otherwise(zero)).alias("fulfilled_revenue"),
+        F.countDistinct(F.date_trunc("month", F.col("o_orderdate"))).alias("active_months"),
+    )
+
+
+Q10_SQL = """
+SELECT o_custkey AS customer_id,
+  count(DISTINCT o_orderkey) AS lifetime_orders,
+  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS lifetime_value,
+  round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DECIMAL(18,6)), 2) AS avg_order_value,
+  CAST(min(o_orderdate) AS TIMESTAMP) AS first_order_date,
+  CAST(max(o_orderdate) AS TIMESTAMP) AS last_order_date,
+  count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) AS fulfilled_orders,
+  sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2))
+           ELSE CAST(0 AS DECIMAL(18,2)) END) AS fulfilled_revenue,
+  count(DISTINCT date_trunc('month', o_orderdate)) AS active_months
+FROM orders GROUP BY o_custkey
+"""
+
+
+# --------------------------------------------------------------------- q11
+
+def q11_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7+F12+F18: RFM scoring with injected as_of (reference:
+    dim_customer.sql:51 days_since_last_order; :173-198 RFM CASE
+    ladders; :81-86 customer tier). as_of = 2001-12-31 (deterministic,
+    SURVEY §7.4)."""
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
+        F.countDistinct("o_orderkey").alias("lifetime_orders"),
+        F.sum(_money("o_totalprice")).alias("lifetime_value"),
+        F.max("o_orderdate").alias("last_order_date"),
+    )
+    m = m.withColumn("recency_days", F.datediff(dates.as_of_lit(AS_OF), F.col("last_order_date")))
+    s = scoring.rfm_scores(F.col("recency_days"), F.col("lifetime_orders"), F.col("lifetime_value"))
+    return m.select(
+        "customer_id", "lifetime_orders", "lifetime_value", "recency_days",
+        s["recency_score"].alias("recency_score"),
+        s["frequency_score"].alias("frequency_score"),
+        s["monetary_score"].alias("monetary_score"),
+        scoring.customer_tier(F.col("lifetime_value"), F.col("lifetime_orders")).alias("customer_tier"),
+    )
+
+
+Q11_SQL = """
+WITH m AS (
+  SELECT o_custkey AS customer_id,
+    count(DISTINCT o_orderkey) AS lifetime_orders,
+    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS lifetime_value,
+    date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-12-31') AS recency_days
+  FROM orders GROUP BY o_custkey
+)
+SELECT customer_id, lifetime_orders, lifetime_value, recency_days,
+  CASE WHEN recency_days <= 30 THEN 5 WHEN recency_days <= 90 THEN 4
+       WHEN recency_days <= 180 THEN 3 WHEN recency_days <= 365 THEN 2 ELSE 1 END AS recency_score,
+  CASE WHEN lifetime_orders >= 20 THEN 5 WHEN lifetime_orders >= 10 THEN 4
+       WHEN lifetime_orders >= 5 THEN 3 WHEN lifetime_orders >= 2 THEN 2 ELSE 1 END AS frequency_score,
+  CASE WHEN lifetime_value >= 5000 THEN 5 WHEN lifetime_value >= 2000 THEN 4
+       WHEN lifetime_value >= 500 THEN 3 WHEN lifetime_value >= 100 THEN 2 ELSE 1 END AS monetary_score,
+  CASE WHEN lifetime_value >= 10000 AND lifetime_orders >= 20 THEN 'PLATINUM'
+       WHEN lifetime_value >= 5000 AND lifetime_orders >= 10 THEN 'GOLD'
+       WHEN lifetime_value >= 1000 AND lifetime_orders >= 5 THEN 'SILVER'
+       ELSE 'BRONZE' END AS customer_tier
+FROM m
+"""
+
+
+# --------------------------------------------------------------------- q12
+
+def q12_multi_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2+J3+F16: multi-way dimension assembly with COALESCE defaults
+    (reference: dim_customer.sql:210-214 4-way LEFT join; :149-161
+    metric defaults). Dims (nation, region) broadcast; the metrics
+    join shuffles on customer_id only."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    o = _t(spark, sf_dir, "orders")
+    m = o.groupBy(F.col("o_custkey")).agg(
+        F.countDistinct("o_orderkey").alias("_orders"),
+        F.sum(_money("o_totalprice")).alias("_value"),
+    )
+    geo = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left").select(
+        "n_nationkey", F.col("n_name").alias("nation"), F.col("r_name").alias("region_name")
+    )
+    j = (
+        c.join(F.broadcast(geo), c.c_nationkey == geo.n_nationkey, "left")
+        .join(m, c.c_custkey == m.o_custkey, "left")
+    )
+    return j.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        "nation",
+        "region_name",
+        F.coalesce(F.col("_orders"), F.lit(0)).alias("lifetime_orders"),
+        F.coalesce(F.col("_value"), F.lit(0).cast("decimal(18,2)")).alias("lifetime_value"),
+        F.col("c_mktsegment").alias("market_segment"),
+    )
+
+
+Q12_SQL = """
+WITH m AS (
+  SELECT o_custkey, count(DISTINCT o_orderkey) AS _orders,
+         sum(CAST(o_totalprice AS DECIMAL(18,2))) AS _value
+  FROM orders GROUP BY o_custkey
+)
+SELECT c_custkey AS customer_id, c_name AS customer_name,
+       n_name AS nation, r_name AS region_name,
+       coalesce(_orders, 0) AS lifetime_orders,
+       coalesce(_value, CAST(0 AS DECIMAL(18,2))) AS lifetime_value,
+       c_mktsegment AS market_segment
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+LEFT JOIN m ON c_custkey = m.o_custkey
+"""
+
+
+# --------------------------------------------------------------------- q13
+
+def q13_watermark_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P6+A8: incremental high-watermark predicate (reference:
+    customers_latest.sql:41-49: ``_cdc_timestamp > (SELECT COALESCE(
+    MAX(last_updated_at), fallback) FROM {{this}})``). Prior snapshot
+    simulated as events before EVENTS_CUT; the scalar is collected on
+    the driver and injected as a pushed-down literal predicate."""
+    e = _t(spark, sf_dir, "events")
+    prev = e.filter(F.col("ts") < F.lit(EVENTS_CUT))
+    wm = incremental.high_watermark(prev, "ts", WATERMARK_DEFAULT)
+    return incremental.watermark_filter(e, "ts", wm).select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    )
+
+
+Q13_SQL = """
+SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value
+FROM events
+WHERE ts > (
+  SELECT coalesce(max(ts), TIMESTAMP '1900-01-01')
+  FROM events WHERE ts < TIMESTAMP '2024-01-20'
+)
+"""
+
+
+# --------------------------------------------------------------------- q14
+
+def q14_first_seen_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9 de-correlated: first-seen backfill across incremental runs
+    (reference: orders_cleaned.sql:350-360, customers_latest.sql:123-140).
+    Prior snapshot = per-user min(ts) before EVENTS_CUT; batch = the
+    latest state per user at/after the cut; first_seen_at falls back
+    to the batch row's own first appearance for brand-new users."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    prev_snapshot = (
+        e.filter(F.col("ts") < F.lit(EVENTS_CUT))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_seen_at"))
+    )
+    batch_state = (
+        e.filter(F.col("ts") >= F.lit(EVENTS_CUT))
+        .groupBy("user_id")
+        .agg(F.max("ts").alias("last_ts"), F.min("ts").alias("ts"))
+    )
+    backfilled = incremental.first_seen_backfill(batch_state, prev_snapshot, "user_id", "ts")
+    return backfilled.select("user_id", "last_ts", "first_seen_at")
+
+
+Q14_SQL = """
+WITH prev AS (
+  SELECT user_id, min(ts) AS prior_first FROM events
+  WHERE ts < TIMESTAMP '2024-01-20' GROUP BY user_id
+),
+batch AS (
+  SELECT user_id, max(ts) AS last_ts, min(ts) AS batch_first FROM events
+  WHERE ts >= TIMESTAMP '2024-01-20' GROUP BY user_id
+)
+SELECT b.user_id, CAST(b.last_ts AS TIMESTAMP) AS last_ts, CAST(coalesce(p.prior_first, b.batch_first) AS TIMESTAMP) AS first_seen_at
+FROM batch b LEFT JOIN prev p ON b.user_id = p.user_id
+"""
+
+
+# --------------------------------------------------------------------- q15
+
+def q15_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: weighted data-quality score from boolean completeness flags
+    (reference: dim_customer.sql:118-122 — weights .4/.3/.3)."""
+    c = _t(spark, sf_dir, "customer")
+    has_name = cleaning.non_empty("c_name")
+    has_seg = cleaning.non_empty("c_mktsegment")
+    pos_bal = F.col("c_acctbal") > 0
+    return c.select(
+        F.col("c_custkey").alias("customer_id"),
+        has_name.alias("has_name"),
+        has_seg.alias("has_segment"),
+        pos_bal.alias("has_positive_balance"),
+        scoring.weighted_quality_score([(has_name, 0.4), (has_seg, 0.3), (pos_bal, 0.3)]).alias(
+            "quality_score"
+        ),
+    )
+
+
+Q15_SQL = """
+SELECT c_custkey AS customer_id,
+  (c_name IS NOT NULL AND trim(c_name) != '') AS has_name,
+  (c_mktsegment IS NOT NULL AND trim(c_mktsegment) != '') AS has_segment,
+  (c_acctbal > 0) AS has_positive_balance,
+  round(CAST(c_name IS NOT NULL AND trim(c_name) != '' AS INT) * CAST(0.4 AS DOUBLE)
+      + CAST(c_mktsegment IS NOT NULL AND trim(c_mktsegment) != '' AS INT) * CAST(0.3 AS DOUBLE)
+      + CAST(c_acctbal > 0 AS INT) * CAST(0.3 AS DOUBLE), 2) AS quality_score
+FROM customer
+"""
+
+
+# --------------------------------------------------------------------- q16
+
+def q16_geo_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19: geographic mapping (reference: dim_customer.sql:63-73
+    country -> business region CASE) via the real region/nation dims +
+    a vocabulary CASE on region name. Both dims broadcast."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    geo = n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey, "left")
+    j = c.join(F.broadcast(geo), c.c_nationkey == geo.n_nationkey, "left")
+    business_region = (
+        F.when(F.col("r_name") == "AMERICA", "North America")
+        .when(F.col("r_name") == "EUROPE", "Europe")
+        .when(F.col("r_name").isin("ASIA", "MIDDLE EAST"), "Asia Pacific")
+        .otherwise("Other")
+    )
+    return j.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("n_name").alias("nation"),
+        F.col("r_name").alias("region_name"),
+        business_region.alias("business_region"),
+    )
+
+
+Q16_SQL = """
+SELECT c_custkey AS customer_id, n_name AS nation, r_name AS region_name,
+  CASE WHEN r_name = 'AMERICA' THEN 'North America'
+       WHEN r_name = 'EUROPE' THEN 'Europe'
+       WHEN r_name IN ('ASIA', 'MIDDLE EAST') THEN 'Asia Pacific'
+       ELSE 'Other' END AS business_region
+FROM customer
+LEFT JOIN nation ON c_nationkey = n_nationkey
+LEFT JOIN region ON n_regionkey = r_regionkey
+"""
+
+
+# --------------------------------------------------------------------- q17
+
+def q17_incremental_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: merge/upsert semantics (reference: incremental_strategy=
+    'merge' + unique_key, customers_latest.sql:3-6) as anti-join+union:
+    prior snapshot = latest event per user before the cut; batch =
+    latest at/after the cut; merged = prev rows whose key is absent
+    from the batch + all batch rows."""
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    prev = dedup.latest_by_key(
+        e.filter(F.col("ts") < F.lit(EVENTS_CUT)), "user_id", order_by=("ts", "event_id")
+    )
+    batch = dedup.latest_by_key(
+        e.filter(F.col("ts") >= F.lit(EVENTS_CUT)), "user_id", order_by=("ts", "event_id")
+    )
+    return incremental.merge_upsert(prev, batch, "user_id").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+
+
+Q17_SQL = """
+WITH prev AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE ts < TIMESTAMP '2024-01-20') WHERE rn = 1
+),
+batch AS (
+  SELECT user_id, event_id, ts, event_type, value FROM (
+    SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn
+    FROM events WHERE ts >= TIMESTAMP '2024-01-20') WHERE rn = 1
+)
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM prev
+WHERE user_id NOT IN (SELECT user_id FROM batch)
+UNION ALL
+SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts, event_type, value FROM batch
+"""
+
+
+# --------------------------------------------------------------------- q18
+
+def q18_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5: semi-structured column access — parse events.props JSON to a
+    typed struct, extract + aggregate. from_json is a codegen'd
+    built-in (no UDF)."""
+    e = _t(spark, sf_dir, "events")
+    parsed = e.withColumn("_p", F.from_json(F.col("props"), "k INT"))
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg(F.col("_p.k")), 4).alias("avg_k"),
+        F.max(F.col("_p.k")).alias("max_k"),
+    )
+
+
+Q18_SQL = """
+SELECT event_type, count(*) AS n_events,
+       round(avg(CAST(json_extract(props, '$.k') AS INT)), 4) AS avg_k,
+       max(CAST(json_extract(props, '$.k') AS INT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+# --------------------------------------------------------------------- q19
+
+def q19_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: exact text dedup keeping the lowest doc_id per text
+    (min_by hash aggregate — see operators/dedup.py; at 100 TB the
+    groupBy key would be fingerprint(text), 8 bytes, not the text)."""
+    d = _t(spark, sf_dir, "documents")
+    out = dedup.exact_dedup(d, "text", keep_min="doc_id")
+    return out.select("doc_id", "text", "lang", "source", "n_chars")
+
+
+Q19_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM (
+  SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) rn FROM documents
+) WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------- q20
+
+def q20_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2: MinHash+LSH near-duplicate pairs (rows-only check —
+    approximate by design; deterministic via fixed xxhash64 salts).
+    See operators/text.py:minhash_near_dup_pairs for the scale notes."""
+    d = _t(spark, sf_dir, "documents")
+    return text.minhash_near_dup_pairs(d, threshold=0.5)
+
+
+# --------------------------------------------------------------------- q21
+
+PROBE_VEC_ID = 0
+
+
+def q21_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3: brute-force cosine top-k against a probe vector (the
+    embedding of vec_id=0). zip_with/aggregate array math (JVM-side) +
+    TakeOrderedAndProject (distributed top-k, no global sort)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == PROBE_VEC_ID).select("embedding").first()[0]
+    others = emb.filter(F.col("vec_id") != PROBE_VEC_ID)
+    return similarity.cosine_topk(others, probe, k=TOPK_K)
+
+
+Q21_SQL = f"""
+WITH probe AS (
+  SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = {PROBE_VEC_ID}
+)
+SELECT vec_id,
+       round(list_dot_product(CAST(embedding AS DOUBLE[]), p)
+             / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+                * sqrt(list_dot_product(p, p))), 4) AS cosine_sim
+FROM embeddings, probe
+WHERE vec_id != {PROBE_VEC_ID}
+ORDER BY list_dot_product(CAST(embedding AS DOUBLE[]), p)
+         / (sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])))
+            * sqrt(list_dot_product(p, p))) DESC, vec_id
+LIMIT {TOPK_K}
+"""
+
+
+# --------------------------------------------------------------------- q22
+
+def q22_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: text statistics rollup per language — token counts via
+    split, char counts, averages. All built-in string/array functions.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = text.token_count(F.col("text"))
+    per_doc = d.select("lang", toks.alias("n_tokens"), F.length("text").alias("n_chars_calc"))
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        F.round(F.avg("n_chars_calc"), 4).alias("avg_chars"),
+    )
+
+
+Q22_SQL = """
+SELECT lang, count(*) AS n_docs,
+  sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+  round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens,
+  round(avg(length(text)), 4) AS avg_chars
+FROM documents GROUP BY lang
+"""
+
+
+# --------------------------------------------------------------------- q23
+
+def q23_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] gap-based sessionization (SURVEY §2.9): lag + gap flag +
+    running sum; single shuffle serves both window passes. Streaming
+    twin: F.session_window in streaming/."""
+    e = _t(spark, sf_dir, "events")
+    return windows.session_metrics(e, gap_minutes=SESSION_GAP_MIN)
+
+
+Q23_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts, value,
+    CASE WHEN lag(ts) OVER w IS NULL
+           OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+sess AS (
+  SELECT user_id, ts, value,
+    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+)
+SELECT user_id, session_id, CAST(min(ts) AS TIMESTAMP) AS session_start, CAST(max(ts) AS TIMESTAMP) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM sess GROUP BY user_id, session_id
+"""
+
+
+# --------------------------------------------------------------------- q24
+
+def q24_tumbling_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] tumbling event-time window aggregation (F.window is
+    epoch-aligned -> equals date_trunc('hour')). Streaming twin:
+    readStream + withWatermark + the same window in streaming/."""
+    e = _t(spark, sf_dir, "events")
+    return windows.tumbling_window_agg(e, duration="1 hour", group_cols=("event_type",))
+
+
+Q24_SQL = """
+SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS window_start, event_type,
+       count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+# ----------------------------------------------------------------- registry
+
+QUERIES = {
+    "q01_scan_project": q01_scan_project,
+    "q02_filter_predicates": q02_filter_predicates,
+    "q03_dedup_latest": q03_dedup_latest,
+    "q04_case_canonicalize": q04_case_canonicalize,
+    "q05_financial_clamp": q05_financial_clamp,
+    "q06_string_validate": q06_string_validate,
+    "q07_date_enrich": q07_date_enrich,
+    "q08_datediff_metrics": q08_datediff_metrics,
+    "q09_left_join_validate": q09_left_join_validate,
+    "q10_group_metrics": q10_group_metrics,
+    "q11_rfm_scores": q11_rfm_scores,
+    "q12_multi_join_dim": q12_multi_join_dim,
+    "q13_watermark_filter": q13_watermark_filter,
+    "q14_first_seen_backfill": q14_first_seen_backfill,
+    "q15_quality_score": q15_quality_score,
+    "q16_geo_mapping": q16_geo_mapping,
+    "q17_incremental_merge": q17_incremental_merge,
+    "q18_json_extract": q18_json_extract,
+    "q19_exact_dedup": q19_exact_dedup,
+    "q20_fuzzy_dedup": q20_fuzzy_dedup,
+    "q21_similarity_topk": q21_similarity_topk,
+    "q22_text_stats": q22_text_stats,
+    "q23_sessionize": q23_sessionize,
+    "q24_tumbling_window_agg": q24_tumbling_window_agg,
+}
+
+ORACLES = {
+    "q01_scan_project": Q01_SQL,
+    "q02_filter_predicates": Q02_SQL,
+    "q03_dedup_latest": Q03_SQL,
+    "q04_case_canonicalize": Q04_SQL,
+    "q05_financial_clamp": Q05_SQL,
+    "q06_string_validate": Q06_SQL,
+    "q07_date_enrich": Q07_SQL,
+    "q08_datediff_metrics": Q08_SQL,
+    "q09_left_join_validate": Q09_SQL,
+    "q10_group_metrics": Q10_SQL,
+    "q11_rfm_scores": Q11_SQL,
+    "q12_multi_join_dim": Q12_SQL,
+    "q13_watermark_filter": Q13_SQL,
+    "q14_first_seen_backfill": Q14_SQL,
+    "q15_quality_score": Q15_SQL,
+    "q16_geo_mapping": Q16_SQL,
+    "q17_incremental_merge": Q17_SQL,
+    # q20_fuzzy_dedup: approximate op, rows-only check (SURVEY §7.4)
+    "q18_json_extract": Q18_SQL,
+    "q19_exact_dedup": Q19_SQL,
+    "q21_similarity_topk": Q21_SQL,
+    "q22_text_stats": Q22_SQL,
+    "q23_sessionize": Q23_SQL,
+    "q24_tumbling_window_agg": Q24_SQL,
+}

@@ -1,0 +1,201 @@
+"""Text-analysis & near-duplicate operators over a documents table.
+
+[EXTENSION] operators (SURVEY.md §2.11 X2/X4): token statistics,
+quality scoring, language-ID heuristic, document fingerprinting, and
+MinHash/SimHash near-dup detection. Everything is built-in expression
+work (split/transform/aggregate/hash) — no Python UDFs — so the hot
+path is JVM-side at any scale. Hashes use Spark's builtin xxhash64
+with fixed integer salts: deterministic across runs and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+TOKEN_SPLIT_RE = r"\s+"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokenization of trimmed text."""
+    return F.split(F.trim(text), TOKEN_SPLIT_RE)
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """n-gram word shingles as strings — the MinHash input set.
+
+    Built from slice+concat over the token array via ``transform`` on
+    an index sequence; stays entirely in codegen.
+    """
+    toks = tokens(text)
+    count = F.greatest(F.size(toks) - F.lit(n - 1), F.lit(0))
+    idx = F.sequence(F.lit(1), count)  # 1-based for slice()
+    return F.when(count > 0, F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))).otherwise(
+        F.array(F.trim(text))
+    )
+
+
+def _salted_hash(salt: int):
+    # Single-arg lambda: F.transform treats a 2-arg lambda as
+    # (element, array_index), which would clobber the salt.
+    return lambda s: F.xxhash64(F.lit(salt), s)
+
+
+def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
+    """MinHash signature: per salt i, min over shingles of
+    xxhash64(salt_i, shingle). Deterministic; array<long> output.
+
+    array_min over a transform — linear in shingle count, no shuffle.
+    """
+    sig = [F.array_min(F.transform(shingles, _salted_hash(i))) for i in range(num_hashes)]
+    return F.array(*sig)
+
+
+def minhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Pipeline (each document is hashed ONCE):
+      1. shingle -> xxhash64 each shingle to a long (one string hash
+         per shingle — the only string work in the whole operator);
+      2. 32 salted re-hashes of those longs -> array_min = MinHash
+         signature (cheap long arithmetic, stays in codegen);
+      3. band the signature, posexplode to (band_idx, band_hash)
+         rows, self-join on them -> candidate pairs (ONE join on
+         8-byte keys — not documents, not 8 separate band joins);
+      4. verify: signature agreement rate >= threshold.
+
+    The signature relation is persisted before the self-join so both
+    join branches reuse it instead of re-shingling the corpus.
+
+    Scale: at 100 TB the signature table is ~num_hashes*8 bytes/doc
+    (persist -> or write to a table and reuse across runs). The
+    band-hash shuffle moves bands*16 bytes/doc. Exact-duplicate
+    mega-buckets are the classic skew risk — AQE skew-join splitting
+    plus a bucket-size cap handle it. Returns (id_a, id_b,
+    est_jaccard) with id_a < id_b.
+    """
+    rows_per_band = num_hashes // bands
+    shingle_hashes = F.transform(word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
+    hashed = df.select(F.col(id_col), shingle_hashes.alias("_sh"))
+    sig_cols = [
+        F.array_min(F.transform(F.col("_sh"), _salted_hash(i))) for i in range(num_hashes)
+    ]
+    sig = hashed.select(F.col(id_col), F.array(*sig_cols).alias("sig"))
+    band_hashes = F.array(
+        *[
+            F.xxhash64(F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select(
+        F.col(id_col), F.col("sig"), F.posexplode(band_hashes).alias("band_idx", "bh")
+    ).persist()
+    left = banded.select(
+        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band_idx", "bh"
+    )
+    right = banded.select(
+        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band_idx", "bh"
+    )
+    cand = (
+        left.join(right, ["band_idx", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sig_a", "sig_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    agree = F.size(
+        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1)
+    )
+    out = cand.withColumn(
+        "est_jaccard", F.round(agree / F.size("sig_a").cast("double"), 4)
+    ).filter(F.col("est_jaccard") >= threshold)
+    return out.select("id_a", "id_b", "est_jaccard")
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash over whitespace tokens.
+
+    Classic bitwise-majority construction needs per-bit vote counts;
+    expressed as: for each bit, sign of sum over tokens of
+    (bit set ? +1 : -1), using xxhash64(token) as the token hash.
+    Returns the packed long. Near-dup test = hamming distance <= k
+    (see :func:`hamming64`).
+    """
+    toks = tokens(text)
+
+    def _vote(bit: int):
+        return lambda acc, t: acc + F.when(
+            F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, 1
+        ).otherwise(-1)
+
+    bit_exprs = []
+    for i in range(bits):
+        vote = F.aggregate(toks, F.lit(0), _vote(i))
+        bit_exprs.append(
+            F.when(vote > 0, F.lit(1).cast("long") * F.lit(2 ** i if i < 63 else -(2 ** 63))).otherwise(
+                F.lit(0).cast("long")
+            )
+        )
+    out = bit_exprs[0]
+    for e in bit_exprs[1:]:
+        out = out + e
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def fingerprint(text: Column) -> Column:
+    """64-bit content fingerprint of normalized text (lowercased,
+    whitespace-collapsed) — the cheap exact-dup key. Hash first, then
+    shuffle 8-byte keys instead of documents (see operators/dedup.py).
+    """
+    norm = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.xxhash64(norm)
+
+
+def text_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality columns: token count, char count, mean token
+    length, punctuation ratio, stopword ratio, all-caps ratio."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in", "is")])
+    n_stop = F.size(F.filter(toks, lambda w: F.array_contains(stop, F.lower(w))))
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("n_chars_calc", n_chars)
+        .withColumn(
+            "mean_token_len",
+            F.round(F.when(n_tok > 0, (F.length(F.regexp_replace(t, r"\s+", ""))) / n_tok).otherwise(0.0), 4),
+        )
+        .withColumn(
+            "punct_ratio",
+            F.round(
+                F.when(n_chars > 0, F.length(F.regexp_replace(t, r"[^.,;:!?]", "")) / n_chars).otherwise(0.0), 4
+            ),
+        )
+        .withColumn("stopword_ratio", F.round(F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0), 4))
+    )
+
+
+def ngram_jaccard(a: Column, b: Column, n: int = 3) -> Column:
+    """Exact n-gram Jaccard similarity between two text columns —
+    the verification step after LSH candidate generation."""
+    sa, sb = F.array_distinct(word_shingles(a, n)), F.array_distinct(word_shingles(b, n))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0))

@@ -1,0 +1,55 @@
+"""SparkSession factory.
+
+One place to encode the execution-model choices that matter at 100 TB:
+AQE (runtime re-plan, skew-join splitting, partition coalescing),
+a UTC session timezone (determinism), Arrow for any Python exchange,
+and a shuffle-partition count sized to the local harness (the driver
+runs local[N]; on a real cluster this is overridden to ~2-3x total
+cores via --conf).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+
+def get_spark(
+    app_name: str = "product_analytics_spark",
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    Scale notes: every config here is also correct on a 1000-executor
+    cluster except ``master`` and ``driver.memory``, which a cluster
+    submit overrides. AQE handles skew joins and post-shuffle
+    coalescing at any scale; broadcast threshold is left at default
+    (10 MB) because dimension tables (region/nation/customer at
+    typical star-schema ratios) stay under it and AQE upgrades joins
+    to broadcast at runtime when a side turns out small.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.aggregatePushdown", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+    )
+    # Respect an existing master (e.g. a real cluster submit); default local.
+    if not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
