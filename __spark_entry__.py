@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query key (q20 omitted: approximate
-    MinHash/LSH op → rows-only check)."""
+    """DuckDB oracle SQL per query key (q20/q25 omitted: MinHash /
+    SimHash values depend on xxhash64, which DuckDB cannot reproduce
+    → rows-only checks; both are deterministic via fixed salts)."""
     return dict(driver_queries.ORACLES)

@@ -19,7 +19,14 @@ from pyspark.sql import functions as F
 
 from product_analytics_spark.catalog import read_parquet
 from product_analytics_spark.functions import cleaning, dates, scoring
-from product_analytics_spark.operators import dedup, incremental, similarity, text, windows
+from product_analytics_spark.operators import (
+    dedup,
+    incremental,
+    multimodal,
+    similarity,
+    text,
+    windows,
+)
 
 # Deterministic parameters (SURVEY.md §7.4: no CURRENT_DATE anywhere).
 AS_OF = dt.date(2001, 12, 31)          # orders span 1995..2001-08
@@ -796,6 +803,290 @@ FROM events GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------- q25
+
+def q25_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 variant: SimHash near-dup pairs with chunked-pigeonhole
+    blocking (rows-only check — SimHash values depend on xxhash64,
+    which the DuckDB oracle cannot reproduce; determinism is
+    guaranteed by fixed salts). See operators/text.py:
+    simhash_near_dup_pairs for the 100 TB notes."""
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    return text.simhash_near_dup_pairs(d, hamming_max=8)
+
+
+# --------------------------------------------------------------------- q26
+
+NGRAM_JACCARD_THRESHOLD = 0.4
+
+
+def q26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 variant: exact word-3-gram Jaccard near-dup pairs, blocked
+    on (lang, first token) so candidate generation is an equi-join,
+    never a cross join. Fully deterministic → full DuckDB oracle.
+    At 100 TB the block key comes from an LSH band (q20/q25); the
+    exact-Jaccard verify step here is the same either way."""
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    toks = text.tokens(F.col("text"))
+    # Shingles are xxhash64'd to 8-byte keys before the pairwise join:
+    # the shuffle moves longs instead of strings and the per-pair
+    # intersect/union compares longs (64-bit collisions are ~1e-19 at
+    # this cardinality, so hash-set Jaccard == string-set Jaccard).
+    shingle_hashes = F.transform(text.word_shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
+    sh = (
+        d.select(
+            F.col("doc_id"),
+            F.col("lang"),
+            toks.alias("_t"),
+            F.array_distinct(shingle_hashes).alias("_s"),
+        )
+        .filter(F.size("_t") >= 3)
+        .select("doc_id", "lang", F.col("_t")[0].alias("_blk"), "_s")
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), "lang", "_blk", F.col("_s").alias("_sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), "lang", "_blk", F.col("_s").alias("_sb"))
+    pairs = a.join(b, ["lang", "_blk"]).filter(F.col("id_a") < F.col("id_b"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size(F.array_union("_sa", "_sb"))
+    j = F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0))
+    out = pairs.withColumn("jaccard", F.round(j, 4)).filter(
+        F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD
+    )
+    return out.select("id_a", "id_b", "jaccard")
+
+
+Q26_SQL = f"""
+WITH sh AS (
+  SELECT doc_id, lang, t[1] AS blk,
+         list_distinct(list_transform(generate_series(1, len(t)-2),
+                                      i -> array_to_string(t[i:i+2], ' '))) AS s
+  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') t FROM documents)
+  WHERE len(t) >= 3
+)
+SELECT id_a, id_b, jaccard FROM (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         round(len(list_intersect(a.s, b.s))
+               / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) AS jaccard
+  FROM sh a JOIN sh b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+) WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}
+"""
+
+
+# --------------------------------------------------------------------- q27
+
+NEAR_DUP_PAIRS_K = 20
+
+
+def q27_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2/X3: embedding-cosine near-dup candidates — top-k most
+    similar pairs within coarse blocks (label = the IVF-cell stand-in;
+    see operators/similarity.py:embedding_near_dup_pairs). Norms
+    precomputed per side; equi-join on the block id, never O(n²)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, block_col="label", k=NEAR_DUP_PAIRS_K)
+
+
+Q27_SQL = f"""
+WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS sim
+  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(sim, 4) AS cosine_sim
+FROM pairs ORDER BY sim DESC, id_a, id_b LIMIT {NEAR_DUP_PAIRS_K}
+"""
+
+
+# --------------------------------------------------------------------- q28
+
+def q28_lsh_bucket_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path: ANN top-k restricted to the probe's
+    sign-random-projection bucket (16 fixed Rademacher hyperplanes →
+    plan-time literals; deterministic, so the oracle reproduces the
+    exact bucketing arithmetic). At 100 TB the table is written
+    partitioned by lsh_bucket → bucket scan is partition-pruned."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == PROBE_VEC_ID).select("embedding").first()[0]
+    others = emb.filter(F.col("vec_id") != PROBE_VEC_ID)
+    return similarity.cosine_topk_lsh(
+        others, probe, similarity.DEFAULT_PLANES, k=TOPK_K
+    )
+
+
+def _q28_sql() -> str:
+    planes_sql = ",".join(
+        "[" + ",".join(repr(x) for x in p) + "]::DOUBLE[]" for p in similarity.DEFAULT_PLANES
+    )
+    bucket_expr = " + ".join(
+        f"(CASE WHEN list_dot_product(e, pl[{i + 1}]) > 0 THEN {2 ** i} ELSE 0 END)"
+        for i in range(len(similarity.DEFAULT_PLANES))
+    )
+    return f"""
+WITH pl_t AS (SELECT [{planes_sql}] AS pl),
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) e, {bucket_expr} AS bucket
+      FROM embeddings, pl_t),
+probe AS (SELECT e AS p, bucket AS pb FROM v WHERE vec_id = {PROBE_VEC_ID})
+SELECT vec_id,
+       round(list_dot_product(e, p)
+             / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(p, p))), 4) AS cosine_sim
+FROM v, probe
+WHERE vec_id != {PROBE_VEC_ID} AND bucket = pb
+ORDER BY list_dot_product(e, p)
+         / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(p, p))) DESC, vec_id
+LIMIT {TOPK_K}
+"""
+
+
+# --------------------------------------------------------------------- q29
+
+def q29_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: marker-token language-ID heuristic — confusion matrix of
+    (labelled lang, predicted lang). Scoring is pure array expression
+    work (lower/filter/array_contains); argmax with alphabetical-first
+    tie-break, 'und' when no marker hits."""
+    d = _t(spark, sf_dir, "documents")
+    pred = text.language_id(F.col("text"))
+    return (
+        d.select("lang", pred.alias("pred_lang"))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def _q29_sql() -> str:
+    score_cols = []
+    for lang, markers in sorted(text.LANG_MARKERS.items()):
+        lst = ",".join(f"'{m}'" for m in markers)
+        score_cols.append(f"len(list_filter(toks, w -> list_contains([{lst}], w))) AS s_{lang}")
+    langs = sorted(text.LANG_MARKERS)
+    g = "greatest(" + ",".join(f"s_{lang}" for lang in langs) + ")"
+    case = " ".join(f"WHEN s_{lang} = {g} THEN '{lang}'" for lang in langs)
+    return f"""
+WITH t AS (
+  SELECT lang, list_transform(regexp_split_to_array(trim(text), '\\s+'), w -> lower(w)) toks
+  FROM documents
+),
+s AS (SELECT lang, {", ".join(score_cols)} FROM t),
+p AS (SELECT lang, CASE WHEN {g} = 0 THEN 'und' {case} END AS pred_lang FROM s)
+SELECT lang, pred_lang, count(*) AS n_docs FROM p GROUP BY lang, pred_lang
+"""
+
+
+# --------------------------------------------------------------------- q30
+
+def q30_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X4: per-document quality scoring — token/char stats, punct &
+    stopword ratios (operators/text.py:text_quality_flags), BPE-style
+    pre-token count, and a weighted keep/drop score. The score is
+    recomputed from the 4-dp-rounded ratios so Spark and the oracle
+    combine identical inputs (no float drift)."""
+    d = _t(spark, sf_dir, "documents")
+    flagged = text.text_quality_flags(d)
+    q = F.round(
+        F.lit(0.4) * F.least(F.col("stopword_ratio") * 5, F.lit(1.0))
+        + F.lit(0.3) * F.when(F.col("n_tokens").between(10, 1000), 1.0).otherwise(0.0)
+        + F.lit(0.3) * (F.lit(1.0) - F.least(F.col("punct_ratio") * 10, F.lit(1.0))),
+        4,
+    )
+    return flagged.select(
+        "doc_id",
+        "n_tokens",
+        text.bpe_ish_tokens(F.col("text")).alias("_bpe"),
+        "mean_token_len",
+        "punct_ratio",
+        "stopword_ratio",
+        q.alias("quality_score"),
+        (q >= 0.5).alias("keep"),
+    ).withColumn("n_bpe_tokens", F.size("_bpe")).drop("_bpe")
+
+
+Q30_SQL = r"""
+WITH base AS (
+  SELECT doc_id, text,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '\s+', '', 'g')) AS n_nonspace,
+         length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS n_punct,
+         len(list_filter(regexp_split_to_array(trim(text), '\s+'),
+             w -> list_contains(['the','a','of','and','to','in','is'], lower(w)))) AS n_stop,
+         len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpe_tokens
+  FROM documents
+),
+ratios AS (
+  SELECT doc_id, n_tokens, n_bpe_tokens,
+         round(CASE WHEN n_tokens > 0 THEN n_nonspace / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4) AS mean_token_len,
+         round(CASE WHEN n_chars > 0 THEN n_punct / CAST(n_chars AS DOUBLE) ELSE 0.0 END, 4) AS punct_ratio,
+         round(CASE WHEN n_tokens > 0 THEN n_stop / CAST(n_tokens AS DOUBLE) ELSE 0.0 END, 4) AS stopword_ratio
+  FROM base
+)
+SELECT doc_id, n_tokens, mean_token_len, punct_ratio, stopword_ratio,
+       round(0.4 * least(stopword_ratio * 5, 1.0)
+             + 0.3 * (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+             + 0.3 * (1.0 - least(punct_ratio * 10, 1.0)), 4) AS quality_score,
+       (round(0.4 * least(stopword_ratio * 5, 1.0)
+              + 0.3 * (CASE WHEN n_tokens BETWEEN 10 AND 1000 THEN 1.0 ELSE 0.0 END)
+              + 0.3 * (1.0 - least(punct_ratio * 10, 1.0)), 4) >= 0.5) AS keep,
+       n_bpe_tokens
+FROM ratios
+"""
+
+
+# --------------------------------------------------------------------- q31
+
+def q31_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1/X4: content-fingerprint dedup groups — xxhash64 of
+    normalized text (lowercase, whitespace-collapsed) is the 8-byte
+    group key, so the shuffle moves hashes, not documents. Output is
+    hash-free (keep_id / counts), which is exactly why it has a full
+    oracle: DuckDB groups by the normalized string itself and must
+    land on identical groups."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.groupBy(text.fingerprint(F.col("text")).alias("_fp"))
+        .agg(
+            F.min("doc_id").alias("keep_id"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select("keep_id", "n_docs", "total_chars")
+    )
+
+
+Q31_SQL = r"""
+SELECT min(doc_id) AS keep_id, count(*) AS n_docs, sum(n_chars) AS total_chars
+FROM documents
+GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+"""
+
+
+# --------------------------------------------------------------------- q32
+
+MEDIA_CHUNK_BYTES = 256
+
+
+def q32_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing e2e: documents.text wrapped as an opaque
+    binary payload + typed metadata struct, then Arrow-batched
+    mapInPandas feature extraction (operators/multimodal.py; decode
+    itself is stubbed — deterministic byte-moment fake). The oracle
+    checks the deterministic outputs (sizes/chunking/status); the
+    checksum & fake feature vector are covered by unit tests."""
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_payload(d, "doc_id", "text")
+    feats = multimodal.extract_features(media, chunk_bytes=MEDIA_CHUNK_BYTES)
+    return feats.select("media_id", "n_bytes", "n_chunks", "status")
+
+
+Q32_SQL = f"""
+SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
+       CAST(ceil(length(text) / {MEDIA_CHUNK_BYTES}.0) AS INT) AS n_chunks,
+       'ok' AS status
+FROM documents
+"""
+
+
 # ----------------------------------------------------------------- registry
 
 QUERIES = {
@@ -823,6 +1114,14 @@ QUERIES = {
     "q22_text_stats": q22_text_stats,
     "q23_sessionize": q23_sessionize,
     "q24_tumbling_window_agg": q24_tumbling_window_agg,
+    "q25_simhash_near_dup": q25_simhash_near_dup,
+    "q26_ngram_jaccard_pairs": q26_ngram_jaccard_pairs,
+    "q27_embedding_near_dup": q27_embedding_near_dup,
+    "q28_lsh_bucket_topk": q28_lsh_bucket_topk,
+    "q29_language_id": q29_language_id,
+    "q30_text_quality": q30_text_quality,
+    "q31_fingerprint_groups": q31_fingerprint_groups,
+    "q32_multimodal_features": q32_multimodal_features,
 }
 
 ORACLES = {
@@ -850,4 +1149,12 @@ ORACLES = {
     "q22_text_stats": Q22_SQL,
     "q23_sessionize": Q23_SQL,
     "q24_tumbling_window_agg": Q24_SQL,
+    # q25 omitted: SimHash pairs depend on xxhash64 → rows-only check.
+    "q26_ngram_jaccard_pairs": Q26_SQL,
+    "q27_embedding_near_dup": Q27_SQL,
+    "q28_lsh_bucket_topk": _q28_sql(),
+    "q29_language_id": _q29_sql(),
+    "q30_text_quality": Q30_SQL,
+    "q31_fingerprint_groups": Q31_SQL,
+    "q32_multimodal_features": Q32_SQL,
 }

@@ -58,6 +58,63 @@ def cosine_topk(
     return out.select(id_col, sim_out.alias("cosine_sim"))
 
 
+def _lcg_rademacher_planes(n_planes: int, dim: int, seed: int = 0x5DEECE66D) -> list[list[float]]:
+    """Deterministic ±1 hyperplanes from a fixed 64-bit LCG seed —
+    reproducible across runs, drivers, and cluster sizes (no RNG state
+    at execution time; the planes are plan-time literals)."""
+    s = seed
+    planes: list[list[float]] = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            row.append(1.0 if (s >> 33) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+#: Default LSH hyperplanes for 64-dim embeddings (16 buckets).
+DEFAULT_PLANES = _lcg_rademacher_planes(4, 64)
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    block_col: str = "label",
+    k: int = 20,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sim_scale: int = 4,
+) -> DataFrame:
+    """Top-k most-similar embedding pairs within coarse blocks —
+    embedding-cosine near-dup candidate generation.
+
+    ``block_col`` plays the IVF-cell role: pairs are only scored
+    inside a block, so the join is an equi-join on the cell id instead
+    of an O(n²) cross join. At 100 TB the cell id comes from a coarse
+    quantizer (k-means assignment or LSH bucket) written as a
+    partition column; here the driver table's ``label`` stands in.
+    Norms are computed once per side before the join (8 bytes/row)
+    rather than per pair. Returns (id_a, id_b, cosine_sim) ordered by
+    similarity, deterministic (id_a, id_b) tie-break.
+    """
+    v = df.select(
+        F.col(id_col),
+        F.col(block_col).alias("_blk"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).withColumn("_n", l2_norm(F.col("_v")))
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("_blk"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("_blk"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    sim = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    scored = pairs.withColumn("_sim", sim)
+    top = scored.orderBy(F.desc("_sim"), "id_a", "id_b").limit(k)
+    return top.select("id_a", "id_b", F.round(F.col("_sim"), sim_scale).alias("cosine_sim"))
+
+
 def random_projection_buckets(
     df: DataFrame,
     planes: Sequence[Sequence[float]],

@@ -126,35 +126,129 @@ def minhash_near_dup_pairs(
 def simhash(text: Column, bits: int = 64) -> Column:
     """64-bit SimHash over whitespace tokens.
 
-    Classic bitwise-majority construction needs per-bit vote counts;
-    expressed as: for each bit, sign of sum over tokens of
-    (bit set ? +1 : -1), using xxhash64(token) as the token hash.
-    Returns the packed long. Near-dup test = hamming distance <= k
-    (see :func:`hamming64`).
+    Classic bitwise-majority construction: per bit, the sign of the
+    sum over tokens of (bit set ? +1 : -1), with xxhash64(token) as
+    the token hash. Single-pass formulation: each token is hashed
+    ONCE, one ``aggregate`` walks the hash array carrying a
+    ``bits``-wide vote vector (``zip_with`` add), then the votes are
+    packed into the result long — O(tokens·bits) long-arithmetic in
+    one codegen stage, not ``bits`` separate array traversals.
+    Near-dup test = hamming distance <= k (see :func:`hamming64`).
     """
-    toks = tokens(text)
-
-    def _vote(bit: int):
-        return lambda acc, t: acc + F.when(
-            F.shiftright(F.xxhash64(t), bit).bitwiseAND(F.lit(1)) == 1, 1
-        ).otherwise(-1)
-
-    bit_exprs = []
-    for i in range(bits):
-        vote = F.aggregate(toks, F.lit(0), _vote(i))
-        bit_exprs.append(
-            F.when(vote > 0, F.lit(1).cast("long") * F.lit(2 ** i if i < 63 else -(2 ** 63))).otherwise(
-                F.lit(0).cast("long")
-            )
-        )
-    out = bit_exprs[0]
-    for e in bit_exprs[1:]:
-        out = out + e
-    return out
+    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    # masks[i] = 1<<i as a signed long (bit 63 → long-min); h & masks[i]
+    # tests bit i without any per-element shift-by-column.
+    masks = F.array(
+        *[F.lit(2**i if i < bits - 1 else -(2 ** (bits - 1))).cast("long") for i in range(bits)]
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return packed
 
 
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hamming_max: int = 8,
+    n_chunks: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs via SimHash + chunked-pigeonhole blocking.
+
+    Each document gets a 64-bit SimHash; the hash is split into
+    ``n_chunks`` 16-bit chunks. Any pair within Hamming distance
+    ``hamming_max`` < 2*n_chunks must agree on at least one chunk
+    (pigeonhole), so candidate generation is an equi-join on
+    (chunk_idx, chunk_value) — 10-byte keys — never an all-pairs
+    cross join. Verification is one XOR+bit_count per candidate.
+
+    Scale: the simhash relation is ~16 bytes/doc; the chunk shuffle
+    moves n_chunks rows/doc of 10-byte keys. Identical-hash
+    mega-buckets (exact dups) are the skew risk — same mitigation as
+    MinHash banding: AQE skew-join + pre-aggregating exact dups by
+    fingerprint before the pairwise stage. Returns (id_a, id_b,
+    hamming) with id_a < id_b.
+    """
+    bits_per = 64 // n_chunks
+    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    chunks = F.array(
+        *[
+            F.shiftrightunsigned(F.col("sh"), i * bits_per).bitwiseAND(F.lit((1 << bits_per) - 1))
+            for i in range(n_chunks)
+        ]
+    )
+    chunked = sh.select(
+        F.col(id_col), F.col("sh"), F.posexplode(chunks).alias("chunk_idx", "cv")
+    ).persist()
+    left = chunked.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "chunk_idx", "cv")
+    right = chunked.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "chunk_idx", "cv")
+    cand = (
+        left.join(right, ["chunk_idx", "cv"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    out = cand.withColumn("hamming", hamming64(F.col("sh_a"), F.col("sh_b")).cast("int"))
+    return out.filter(F.col("hamming") <= hamming_max).select("id_a", "id_b", "hamming")
+
+
+# Marker vocabularies for the n-gram/stopword language-ID heuristic.
+# Deterministic scoring: score(lang) = # tokens in marker set; argmax
+# with alphabetical tie-break (ordered dict order below).
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht", "mit", "ein"),
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "les", "des", "un", "est"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2", "you3", "wo3", "ta1"),
+}
+
+
+def language_scores(text: Column) -> dict[str, Column]:
+    """Per-language marker-token counts (the language-ID signal)."""
+    toks = F.transform(tokens(text), lambda w: F.lower(w))
+    out = {}
+    for lang, markers in LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        out[lang] = F.size(F.filter(toks, lambda w: F.array_contains(marker_arr, w)))
+    return out
+
+
+def language_id(text: Column) -> Column:
+    """Predicted language: argmax marker score, alphabetical-first
+    tie-break (stable across engines); 'und' (undetermined) when no
+    marker matches at all."""
+    scores = language_scores(text)
+    best = F.greatest(*scores.values())
+    pred = F.lit("und")
+    # Iterate in reverse-alphabetical order so the earliest language
+    # wins ties (each F.when overrides the previous on equality).
+    for lang in sorted(scores, reverse=True):
+        pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
+    return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def bpe_ish_tokens(text: Column) -> Column:
+    """BPE-style pre-tokenization: letter runs, digit runs, and single
+    punctuation marks (the GPT-2 pre-tokenizer shape, minus byte-level
+    merges). regexp_extract_all is a codegen'd built-in."""
+    return F.regexp_extract_all(text, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
 
 
 def fingerprint(text: Column) -> Column:
