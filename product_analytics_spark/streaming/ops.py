@@ -1,0 +1,242 @@
+"""Structured Streaming operators.
+
+Each function mirrors a batch operator (cited) so a user can swap
+``spark.read`` for ``stream_table`` and keep the same semantics:
+
+- tumbling/session window aggs ↔ operators/windows.py (q23/q24)
+- streaming CDC latest-record dedup ↔ operators/dedup.py:latest_by_key
+  (reference models/silver/customers/customers_latest.sql:33-38)
+- foreach_batch_merge ↔ operators/incremental.py:merge_upsert
+  (reference dbt ``incremental_strategy='merge'``,
+  customers_latest.sql:3-6)
+
+Scale notes: streaming state lives in the state store keyed by the
+group key — same partitioning discipline as batch shuffles. Watermarks
+bound state size; ``dropDuplicatesWithinWatermark`` keeps only keys
+younger than the watermark, which is the streaming analog of the
+incremental high-watermark predicate (SURVEY.md §2.2 P6).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def stream_table(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType,
+    fmt: str = "parquet",
+    max_files_per_trigger: int | None = None,
+) -> DataFrame:
+    """File-source stream over a table directory (new files are the
+    micro-batches — the standard landing-zone ingestion pattern).
+    Schema must be supplied: streaming sources do not infer."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.load(path)
+
+
+def tumbling_window_agg_stream(
+    stream: DataFrame,
+    ts_col: str = "ts",
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    group_cols: tuple[str, ...] = ("event_type",),
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of operators/windows.py:tumbling_window_agg —
+    same output columns; watermark bounds late data AND state size."""
+    win = F.window(F.col(ts_col), duration)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(win.alias("w"), *group_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), *group_cols, "n_events", "total_value")
+    )
+
+
+def session_window_agg_stream(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of operators/windows.py:session_metrics using
+    the native ``session_window`` (gap-merged, watermark-closed).
+    Batch q23 assigns integer session ids; the streaming form keys
+    sessions by their (start, end) window instead — same grouping."""
+    win = F.session_window(F.col(ts_col), gap)
+    return (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.col(user_col), win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum(value_col), 2).alias("total_value"),
+        )
+        .select(
+            user_col,
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def cdc_latest_stream(
+    stream: DataFrame,
+    key_cols: tuple[str, ...],
+    ts_col: str = "_cdc_timestamp",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming CDC dedup: keep the first-seen row per key within the
+    watermark horizon (state auto-expires — bounded memory at any
+    scale). Note the semantic difference from batch latest_by_key:
+    a stream can only keep FIRST-seen per key incrementally; to get
+    latest-record semantics, pair with ``foreach_batch_merge`` so each
+    micro-batch's rows upsert over older snapshot rows (reference
+    customers_latest.sql:33-38 + :3-6 is exactly this pairing)."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
+
+
+_SESSION_STATE_SCHEMA = "start timestamp, end timestamp, n long, total double"
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_start", T.TimestampType()),
+        T.StructField("session_end", T.TimestampType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def sessionize_stateful(
+    stream: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    gap_minutes: int = 30,
+    timeout_minutes: int = 60,
+) -> DataFrame:
+    """Custom stateful sessionizer via ``applyInPandasWithState`` —
+    the escape hatch for session logic ``session_window`` can't
+    express (e.g. value-dependent gaps, per-user caps). State per user
+    = current open session (start/end/count/total); a processing-time
+    timeout flushes sessions for idle users. Emits CLOSED sessions.
+
+    Scale: state is one small row per active user, partitioned by the
+    group key across executors; Arrow batches the per-group pandas
+    calls. This is the (b)-tier implementation path from the build
+    brief — Pandas-UDF-backed state — used only where built-ins can't
+    express the semantics."""
+    gap_s = gap_minutes * 60
+
+    def _fn(
+        key: tuple[Any, ...], pdfs: Iterator, state: GroupState
+    ) -> Iterator:
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs)).sort_values(ts_col)
+        closed = []
+        if state.hasTimedOut:
+            if state.exists:
+                s, e, n, tot = state.get
+                closed.append((key[0], s, e, n, round(tot, 2)))
+                state.remove()
+        else:
+            cur = list(state.get) if state.exists else None
+            for ts, val in zip(rows[ts_col], rows[value_col]):
+                ts = ts.to_pydatetime()
+                if cur is None:
+                    cur = [ts, ts, 0, 0.0]
+                elif (ts - cur[1]).total_seconds() > gap_s:
+                    closed.append((key[0], cur[0], cur[1], cur[2], round(cur[3], 2)))
+                    cur = [ts, ts, 0, 0.0]
+                cur[1] = ts
+                cur[2] += 1
+                cur[3] += float(val)
+            if cur is not None:
+                state.update(tuple(cur))
+                state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start", "session_end", "n_events", "total_value"],
+        )
+
+    return stream.groupBy(user_col).applyInPandasWithState(
+        _fn,
+        outputStructType=_SESSION_OUT_SCHEMA,
+        stateStructType=_SESSION_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )
+
+
+def foreach_batch_merge(
+    stream: DataFrame,
+    merge_fn: Callable[[DataFrame, int], None],
+    checkpoint_dir: str,
+) -> "DataFrame.writeStream":
+    """Merge sink: each micro-batch is upserted into the snapshot via
+    the batch merge operator (operators/incremental.py:merge_upsert) —
+    the Structured Streaming form of dbt incremental materialization.
+    Caller supplies ``merge_fn(batch_df, batch_id)`` and starts the
+    returned writer."""
+    return (
+        stream.writeStream.foreachBatch(merge_fn)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("update")
+    )
+
+
+def run_available_now(
+    stream: DataFrame, sink_name: str, output_mode: str = "update", timeout_s: float = 300.0
+) -> None:
+    """Test/backfill helper: process everything currently available
+    into an in-memory table (``spark.table(sink_name)``), then stop —
+    batch-equivalent execution of the streaming plan.
+
+    A stateless availableNow query terminates by itself. A stateful
+    plan with a processing-time timeout does NOT: the engine keeps
+    scheduling (empty) micro-batches forever to fire pending timeouts,
+    so both ``awaitTermination()`` and ``processAllAvailable()`` block
+    indefinitely. We instead poll until at least one trigger has
+    committed and the source reports no unprocessed data — the
+    batch-equivalent point — then stop."""
+    import time
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_s
+        while q.isActive and time.time() < deadline:
+            status = q.status
+            if (
+                q.lastProgress is not None
+                and not status["isDataAvailable"]
+                and not status["isTriggerActive"]
+            ):
+                break
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    q.awaitTermination()

@@ -1,0 +1,173 @@
+"""Structured Streaming twins: each streaming operator must agree
+with its batch counterpart when run over the same (fully available)
+input via trigger(availableNow) — batch-equivalence is the core
+correctness property of Structured Streaming plans."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from product_analytics_spark import streaming as st
+from product_analytics_spark.catalog import read_parquet
+from product_analytics_spark.operators import windows
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _few_shuffle_partitions(spark):
+    """Micro-batch latency in these tests is dominated by per-partition
+    state-store task overhead; 2 partitions keeps semantics and cuts
+    wall-clock ~5x on the tiny test inputs."""
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    yield
+    spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    """Events re-written as micros-timestamp parquet files in a dir —
+    the landing-zone layout a file-source stream ingests."""
+    out = str(tmp_path_factory.mktemp("events_land"))
+    read_parquet(spark, f"{SF_SMALL}/events.parquet").repartition(4).write.mode(
+        "overwrite"
+    ).parquet(out)
+    return out
+
+
+@pytest.fixture(scope="module")
+def events_schema(spark, events_dir):
+    return spark.read.parquet(events_dir).schema
+
+
+def _stream(spark, events_dir, events_schema):
+    return st.stream_table(spark, events_dir, events_schema)
+
+
+class TestTumblingStream:
+    def test_matches_batch_tumbling_agg(self, spark, events_dir, events_schema):
+        stream = st.tumbling_window_agg_stream(
+            _stream(spark, events_dir, events_schema), duration="1 hour", watermark="2 hours"
+        )
+        st.run_available_now(stream, "tumbling_sink", output_mode="complete")
+        got = {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in spark.table("tumbling_sink").collect()
+        }
+        batch = windows.tumbling_window_agg(
+            spark.read.parquet(events_dir), duration="1 hour", group_cols=("event_type",)
+        )
+        want = {
+            (r.window_start, r.event_type): (r.n_events, r.total_value)
+            for r in batch.collect()
+        }
+        assert got == want
+
+
+class TestSessionWindowStream:
+    def test_matches_batch_session_bounds(self, spark, events_dir, events_schema):
+        stream = st.session_window_agg_stream(
+            _stream(spark, events_dir, events_schema), gap="30 minutes", watermark="2 hours"
+        )
+        st.run_available_now(stream, "session_sink", output_mode="complete")
+        got = {
+            (r.user_id, r.session_start): (r.n_events, r.total_value)
+            for r in spark.table("session_sink").collect()
+        }
+        batch = windows.session_metrics(spark.read.parquet(events_dir), gap_minutes=30)
+        want = {
+            (r.user_id, r.session_start): (r.n_events, r.total_value)
+            for r in batch.collect()
+        }
+        assert got == want
+
+
+class TestCdcLatestStream:
+    def test_drops_duplicate_keys_within_watermark(self, spark, tmp_path):
+        base = dt.datetime(2024, 1, 1, 12, 0, 0)
+        rows = [
+            (1, base, "a"),
+            (1, base + dt.timedelta(minutes=1), "b"),   # dup key 1 → dropped
+            (2, base + dt.timedelta(minutes=2), "c"),
+            (2, base + dt.timedelta(minutes=3), "d"),   # dup key 2 → dropped
+            (3, base + dt.timedelta(minutes=4), "e"),
+        ]
+        src = str(tmp_path / "cdc")
+        spark.createDataFrame(
+            rows, "customer_id long, _cdc_timestamp timestamp, payload string"
+        ).coalesce(1).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = st.cdc_latest_stream(
+            st.stream_table(spark, src, schema), key_cols=("customer_id",)
+        )
+        st.run_available_now(stream, "cdc_sink", output_mode="append")
+        out = spark.table("cdc_sink").collect()
+        assert sorted(r.customer_id for r in out) == [1, 2, 3]
+        assert len(out) == 3
+
+
+class TestStatefulSessionizer:
+    def test_emits_closed_sessions_matching_batch(self, spark, tmp_path):
+        base = dt.datetime(2024, 1, 1, 0, 0, 0)
+        rows = []
+        # user 7: two sessions separated by a 2-hour gap; the second
+        # session stays open (never emitted) — only the first closes.
+        for m in (0, 5, 10):
+            rows.append((7, base + dt.timedelta(minutes=m), 1.0))
+        rows.append((7, base + dt.timedelta(hours=3), 9.0))
+        # user 8: one open session only → nothing emitted.
+        rows.append((8, base, 2.0))
+        src = str(tmp_path / "sess")
+        spark.createDataFrame(rows, "user_id long, ts timestamp, value double").coalesce(
+            1
+        ).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+        stream = st.sessionize_stateful(
+            st.stream_table(spark, src, schema), gap_minutes=30
+        )
+        st.run_available_now(stream, "stateful_sink", output_mode="append")
+        out = spark.table("stateful_sink").collect()
+        assert len(out) == 1
+        (s,) = out
+        assert s.user_id == 7
+        assert s.session_start == base
+        assert s.session_end == base + dt.timedelta(minutes=10)
+        assert s.n_events == 3
+        assert s.total_value == 3.0
+
+
+class TestForeachBatchMerge:
+    def test_micro_batches_merge_into_snapshot(self, spark, tmp_path):
+        from product_analytics_spark.operators.incremental import merge_upsert
+
+        base = dt.datetime(2024, 1, 1)
+        src = str(tmp_path / "batches")
+        spark.createDataFrame(
+            [(1, base, "v1"), (2, base, "v1")],
+            "id long, ts timestamp, v string",
+        ).coalesce(1).write.parquet(src)
+        schema = spark.read.parquet(src).schema
+
+        snapshots = {"cur": spark.createDataFrame([], schema)}
+
+        def merge(batch_df, batch_id):
+            snapshots["cur"] = merge_upsert(snapshots["cur"], batch_df, key=["id"])
+            snapshots["cur"].count()  # materialize within the batch
+
+        writer = st.foreach_batch_merge(
+            st.stream_table(spark, src, schema), merge, str(tmp_path / "ckpt")
+        )
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        # second wave: update id=2, insert id=3
+        spark.createDataFrame(
+            [(2, base + dt.timedelta(hours=1), "v2"), (3, base, "v1")],
+            "id long, ts timestamp, v string",
+        ).coalesce(1).write.mode("append").parquet(src)
+        q = writer.trigger(availableNow=True).start()
+        q.awaitTermination()
+        got = {(r.id, r.v) for r in snapshots["cur"].collect()}
+        assert got == {(1, "v1"), (2, "v2"), (3, "v1")}
