@@ -842,6 +842,10 @@ def q26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("_t") >= 3)
         .select("doc_id", "lang", F.col("_t")[0].alias("_blk"), "_s")
+        # Persisted so the self-join's two branches reuse one pass of
+        # tokenize+shingle+hash instead of recomputing it per side
+        # (at 100 TB this relation is written to a signatures table).
+        .persist()
     )
     a = sh.select(F.col("doc_id").alias("id_a"), "lang", "_blk", F.col("_s").alias("_sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), "lang", "_blk", F.col("_s").alias("_sb"))
@@ -947,9 +951,8 @@ def q29_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     work (lower/filter/array_contains); argmax with alphabetical-first
     tie-break, 'und' when no marker hits."""
     d = _t(spark, sf_dir, "documents")
-    pred = text.language_id(F.col("text"))
     return (
-        d.select("lang", pred.alias("pred_lang"))
+        text.with_language_id(d, "text", "pred_lang")
         .groupBy("lang", "pred_lang")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )

@@ -233,7 +233,13 @@ def language_scores(text: Column) -> dict[str, Column]:
 def language_id(text: Column) -> Column:
     """Predicted language: argmax marker score, alphabetical-first
     tie-break (stable across engines); 'und' (undetermined) when no
-    marker matches at all."""
+    marker matches at all.
+
+    Single-Column form: the tokenize+score subtree is textually
+    duplicated across the when-branches, so prefer
+    ``with_language_id`` (staged projections, each score computed
+    once) anywhere the input is a DataFrame — ~20x less expression
+    work per row."""
     scores = language_scores(text)
     best = F.greatest(*scores.values())
     pred = F.lit("und")
@@ -242,6 +248,37 @@ def language_id(text: Column) -> Column:
     for lang in sorted(scores, reverse=True):
         pred = F.when(scores[lang] == best, F.lit(lang)).otherwise(pred)
     return F.when(best > 0, pred).otherwise(F.lit("und"))
+
+
+def with_language_id(
+    df: DataFrame, text_col: str = "text", out_col: str = "pred_lang"
+) -> DataFrame:
+    """DataFrame form of ``language_id`` staged through real
+    projections: tokens once, then one score column per language, then
+    the argmax over those columns. CollapseProject keeps the stages
+    separate (the aliased token array / scores are non-cheap and
+    referenced multiple times), so each subtree evaluates once per row
+    instead of once per when-branch — same result, far less CPU."""
+    langs = sorted(LANG_MARKERS)
+    toks = F.transform(tokens(F.col(text_col)), lambda w: F.lower(w))
+    staged = df.withColumn("_lid_toks", toks)
+    score_cols = []
+    for lang in langs:
+        marker_arr = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        score_cols.append(
+            F.size(
+                F.filter(F.col("_lid_toks"), lambda w: F.array_contains(marker_arr, w))
+            ).alias(f"_lid_s_{lang}")
+        )
+    staged = staged.select("*", *score_cols)
+    best = F.greatest(*[F.col(f"_lid_s_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in sorted(langs, reverse=True):
+        pred = F.when(F.col(f"_lid_s_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best > 0, pred).otherwise(F.lit("und"))
+    return staged.withColumn(out_col, pred).drop(
+        "_lid_toks", *[f"_lid_s_{lang}" for lang in langs]
+    )
 
 
 def bpe_ish_tokens(text: Column) -> Column:
