@@ -76,8 +76,19 @@ class SnapshotStore:
         ``cluster_by`` is the ZORDER analog (S7): range-partition +
         sort-within-partitions on the cluster keys before writing, so
         parquet min/max stats give data skipping on those columns.
+
+        Partitioned writes first hash-repartition on the partition
+        columns so each hive partition directory is written by one
+        task (one well-sized file per directory instead of
+        tasks x partitions small files), then sort within by the
+        cluster keys for row-group stat skipping inside each
+        partition.
         """
-        if cluster_by:
+        if partition_by:
+            df = df.repartition(*partition_by).sortWithinPartitions(
+                *partition_by, *cluster_by
+            )
+        elif cluster_by:
             df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
         tmp = self.path(f"_tmp_{name}_{uuid.uuid4().hex[:8]}")
         writer = df.write.mode("overwrite")
