@@ -1092,6 +1092,250 @@ FROM documents
 
 # ----------------------------------------------------------------- registry
 
+# --------------------------------------------------------------------- q33
+
+def q33_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface grouping sets (SURVEY §2.5 notes the reference
+    has none — the engine provides them): ROLLUP over
+    (l_returnflag, l_linestatus) with subtotal and grand-total rows.
+    Catalyst expands grouping sets map-side; same single partial-agg
+    shuffle as a flat groupBy."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(_money("l_quantity")).alias("sum_qty"),
+        F.sum(_money("l_extendedprice")).alias("sum_price"),
+    )
+
+
+Q33_SQL = """
+SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
+       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+# --------------------------------------------------------------------- q34
+
+TOPK_PER_GROUP = 3
+
+
+def q34_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface ranked top-k per group (generic form of W1's
+    window machinery): highest-value orders per priority class.
+    row_number with a deterministic (totalprice DESC, orderkey ASC)
+    tie-break; one shuffle on the group key, rank computed
+    in-partition."""
+    o = _t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank_in_priority", F.row_number().over(w))
+        .filter(F.col("rank_in_priority") <= TOPK_PER_GROUP)
+        .select(
+            F.col("o_orderpriority").alias("order_priority"),
+            F.col("rank_in_priority"),
+            F.col("o_orderkey").alias("order_id"),
+            F.col("o_totalprice").alias("order_total"),
+        )
+    )
+
+
+Q34_SQL = f"""
+SELECT o_orderpriority AS order_priority, rn AS rank_in_priority,
+       o_orderkey AS order_id, o_totalprice AS order_total
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+  FROM orders
+) WHERE rn <= {TOPK_PER_GROUP}
+"""
+
+
+# --------------------------------------------------------------------- q35
+
+def q35_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface backward as-of join (operators/joins.py): each
+    event picks up the latest signup event of the same user at or
+    before its timestamp — the state-at-time-of-event join Spark has
+    no primitive for. Union+window form: ONE shuffle on user_id, no
+    range-join row explosion (see joins.py scale notes)."""
+    from product_analytics_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts", "event_type")
+    signups = e.filter(F.col("event_type") == "signup").select(
+        "user_id", "ts", "event_id"
+    )
+    joined = asof_join(
+        e,
+        signups,
+        key_cols=("user_id",),
+        left_ts="ts",
+        right_ts="ts",
+        value_cols=("event_id",),
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.col("ts_asof").alias("signup_ts"),
+        F.col("event_id_asof").alias("signup_event_id"),
+    )
+
+
+Q35_SQL = """
+WITH e AS (SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events),
+s AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, max(event_id) AS sev
+      FROM events WHERE event_type = 'signup' GROUP BY 1, 2)
+SELECT e.event_id, e.user_id, e.ts, s.ts AS signup_ts, s.sev AS signup_event_id
+FROM e ASOF LEFT JOIN s ON e.user_id = s.user_id AND e.ts >= s.ts
+"""
+
+
+# --------------------------------------------------------------------- q36
+
+def q36_sliding_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """[EXT] sliding event-time windows (1 h window, 15 min slide —
+    SURVEY §2.9): each event lands in 4 overlapping windows.
+    F.window expands the windows map-side; one partial-agg shuffle on
+    the window key, same as tumbling (q24)."""
+    e = _t(spark, sf_dir, "events")
+    win = F.window(F.col("ts"), "1 hour", "15 minutes")
+    return (
+        e.groupBy(win.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+Q36_SQL = """
+WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, value FROM events),
+k AS (SELECT unnest([0, 1, 2, 3]) AS k),
+w AS (SELECT time_bucket(INTERVAL 15 MINUTE, ts) - to_minutes(15 * k) AS window_start,
+             ts, value
+      FROM e, k)
+SELECT window_start, count(*) AS n_events, round(sum(value), 2) AS total_value
+FROM w WHERE ts < window_start + INTERVAL 60 MINUTE
+GROUP BY window_start
+"""
+
+
+# --------------------------------------------------------------------- q37
+
+def q37_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface set operations (SURVEY §2.7: none in the
+    reference — the engine provides INTERSECT/EXCEPT/UNION via the
+    DataFrame API): customers who ordered in both 1995 and 1996,
+    minus those with any fulfilled ('F') 1996 order. Distinct set
+    semantics; each branch prunes to one scan column."""
+    o = _t(spark, sf_dir, "orders")
+    y95 = o.filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("customer_id")
+    )
+    y96 = o.filter(F.year("o_orderdate") == 1996).select(
+        F.col("o_custkey").alias("customer_id")
+    )
+    f96 = o.filter(
+        (F.year("o_orderdate") == 1996) & (F.col("o_orderstatus") == "F")
+    ).select(F.col("o_custkey").alias("customer_id"))
+    return y95.intersect(y96).subtract(f96)
+
+
+Q37_SQL = """
+SELECT o_custkey AS customer_id FROM orders WHERE year(o_orderdate) = 1995
+INTERSECT
+SELECT o_custkey AS customer_id FROM orders WHERE year(o_orderdate) = 1996
+EXCEPT
+SELECT o_custkey AS customer_id FROM orders
+WHERE year(o_orderdate) = 1996 AND o_orderstatus = 'F'
+"""
+
+
+# --------------------------------------------------------------------- q38
+
+def q38_pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface pivot (wide conditional aggregation): order
+    counts by priority x status with an explicit pivot value list —
+    the explicit list keeps the plan a single-pass hash-agg (no
+    values-discovery pre-scan) at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    p = (
+        o.groupBy(F.col("o_orderpriority").alias("order_priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return p.select(
+        "order_priority",
+        F.coalesce(F.col("F"), F.lit(0)).alias("n_fulfilled"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("n_open"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("n_pending"),
+    )
+
+
+Q38_SQL = """
+SELECT o_orderpriority AS order_priority,
+       count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_fulfilled,
+       count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+       count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+FROM orders GROUP BY o_orderpriority
+"""
+
+
+# --------------------------------------------------------------------- q39
+
+def q39_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X3 scale path #2: IVF ANN top-k — coarse-quantizer cell
+    assignment (argmin distance to a fixed 8-centroid codebook,
+    computed as argmax of 2*v.c - ||c||^2), then brute-force cosine
+    only inside the probe's cell. At 100 TB the table is written
+    partitioned by ivf_cell -> probe lookups are partition-pruned
+    scans of ~1/8 of the data (operators/similarity.py:cosine_topk_ivf
+    for the nprobe recall dial)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == PROBE_VEC_ID).select("embedding").first()[0]
+    others = emb.filter(F.col("vec_id") != PROBE_VEC_ID)
+    return similarity.cosine_topk_ivf(
+        others, probe, similarity.DEFAULT_CENTROIDS, k=TOPK_K, n_probe_cells=1
+    )
+
+
+def _q39_sql() -> str:
+    cents = similarity.DEFAULT_CENTROIDS
+    lits = ["[" + ",".join(repr(x) for x in c) + "]::DOUBLE[]" for c in cents]
+    scores = ", ".join(
+        f"(2.0*list_dot_product(e, {lits[i]}) - {sum(x * x for x in cents[i])!r}) AS s_{i}"
+        for i in range(len(cents))
+    )
+    g = "greatest(" + ",".join(f"s_{i}" for i in range(len(cents))) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN s_{i} = g THEN {i}" for i in range(len(cents)))
+        + " END"
+    )
+    return f"""
+WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT vec_id, e, {scores} FROM v),
+c AS (SELECT vec_id, e, {case} AS cell
+      FROM (SELECT *, {g} AS g FROM s)),
+probe AS (SELECT e AS p, cell AS pcell FROM c WHERE vec_id = {PROBE_VEC_ID})
+SELECT vec_id,
+       round(list_dot_product(e, p)
+             / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(p, p))), 4) AS cosine_sim
+FROM c, probe
+WHERE vec_id != {PROBE_VEC_ID} AND cell = pcell
+ORDER BY list_dot_product(e, p)
+         / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(p, p))) DESC, vec_id
+LIMIT {TOPK_K}
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_predicates": q02_filter_predicates,
@@ -1125,6 +1369,13 @@ QUERIES = {
     "q30_text_quality": q30_text_quality,
     "q31_fingerprint_groups": q31_fingerprint_groups,
     "q32_multimodal_features": q32_multimodal_features,
+    "q33_rollup_agg": q33_rollup_agg,
+    "q34_topk_per_group": q34_topk_per_group,
+    "q35_asof_join": q35_asof_join,
+    "q36_sliding_window_agg": q36_sliding_window_agg,
+    "q37_set_ops": q37_set_ops,
+    "q38_pivot_counts": q38_pivot_counts,
+    "q39_ivf_ann_topk": q39_ivf_ann_topk,
 }
 
 ORACLES = {
@@ -1160,4 +1411,11 @@ ORACLES = {
     "q30_text_quality": Q30_SQL,
     "q31_fingerprint_groups": Q31_SQL,
     "q32_multimodal_features": Q32_SQL,
+    "q33_rollup_agg": Q33_SQL,
+    "q34_topk_per_group": Q34_SQL,
+    "q35_asof_join": Q35_SQL,
+    "q36_sliding_window_agg": Q36_SQL,
+    "q37_set_ops": Q37_SQL,
+    "q38_pivot_counts": Q38_SQL,
+    "q39_ivf_ann_topk": _q39_sql(),
 }

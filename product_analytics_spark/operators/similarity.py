@@ -160,3 +160,86 @@ def cosine_topk_lsh(
     bucketed = random_projection_buckets(df, planes, vec_col)
     cand = bucketed.filter(F.col("lsh_bucket") == probe_bucket)
     return cosine_topk(cand, probe, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def _lcg_uniform_centroids(
+    n_cells: int, dim: int, seed: int = 0x9E3779B9
+) -> list[list[float]]:
+    """Deterministic pseudo-random centroids in [-1, 1]^dim from a
+    fixed 64-bit LCG — the coarse-quantizer codebook. In production
+    the codebook comes from a k-means fit persisted with the table;
+    a fixed codebook keeps the operator (and its oracle) reproducible
+    across engines with zero runtime RNG state."""
+    s = seed
+    cents: list[list[float]] = []
+    for _ in range(n_cells):
+        row = []
+        for _ in range(dim):
+            s = (s * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+            # 21 high bits -> uniform in [0,1) -> [-1,1)
+            row.append(round(((s >> 43) / float(1 << 21)) * 2.0 - 1.0, 6))
+        cents.append(row)
+    return cents
+
+
+#: Default IVF codebook for 64-dim embeddings (8 coarse cells).
+DEFAULT_CENTROIDS = _lcg_uniform_centroids(8, 64)
+
+
+def ivf_cell(
+    vec: Column, centroids: Sequence[Sequence[float]]
+) -> Column:
+    """Coarse-quantizer cell id: argmin over centroids of squared
+    euclidean distance, computed as argmax of (2*v.c - ||c||^2) so the
+    per-centroid work is one dot product (||v||^2 is constant across
+    cells and drops out). Lowest cell id wins ties. All plan-time
+    literals + codegen'd array math — no shuffle, no UDF."""
+    scores = []
+    for c in centroids:
+        c_norm_sq = sum(x * x for x in c)
+        scores.append(2.0 * dot(vec, _probe_lit(c)) - F.lit(float(c_norm_sq)))
+    best = F.greatest(*scores)
+    cell = F.lit(len(centroids) - 1)
+    for i in range(len(centroids) - 2, -1, -1):
+        cell = F.when(scores[i] == best, F.lit(i)).otherwise(cell)
+    return cell
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]] = DEFAULT_CENTROIDS,
+    vec_col: str = "embedding",
+    cell_col: str = "ivf_cell",
+) -> DataFrame:
+    """Materialize the IVF cell id column. At 100 TB the table is
+    written partitioned by this column (the inverted file), so probe
+    lookups become partition-pruned scans of ~1/n_cells of the data —
+    same pruning mechanism as the LSH-bucket path, but with a
+    data-adapted codebook instead of data-oblivious hyperplanes."""
+    return df.withColumn(
+        cell_col, ivf_cell(F.col(vec_col).cast("array<double>"), centroids)
+    )
+
+
+def cosine_topk_ivf(
+    df: DataFrame,
+    probe: Sequence[float],
+    centroids: Sequence[Sequence[float]] = DEFAULT_CENTROIDS,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_probe_cells: int = 1,
+) -> DataFrame:
+    """IVF ANN top-k: scan only the ``n_probe_cells`` cells whose
+    centroids are closest to the probe, brute-force cosine inside.
+    ``n_probe_cells`` is the recall/cost dial (nprobe in FAISS terms).
+    """
+    def score(c: Sequence[float]) -> float:
+        c_norm_sq = sum(x * x for x in c)
+        return 2.0 * sum(float(a) * float(b) for a, b in zip(probe, c)) - c_norm_sq
+
+    ranked = sorted(range(len(centroids)), key=lambda i: (-score(centroids[i]), i))
+    probe_cells = ranked[:n_probe_cells]
+    assigned = ivf_assign(df, centroids, vec_col)
+    cand = assigned.filter(F.col("ivf_cell").isin(probe_cells))
+    return cosine_topk(cand, probe, k=k, vec_col=vec_col, id_col=id_col)

@@ -1,0 +1,95 @@
+"""Unit tests for the as-of join and IVF ANN operators (q35/q39)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from product_analytics_spark.operators import similarity
+from product_analytics_spark.operators.joins import asof_join
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 12, minute)
+
+
+class TestAsofJoin:
+    def _run(self, spark, left_rows, right_rows):
+        left = spark.createDataFrame(left_rows, "k long, ts timestamp, lv string")
+        right = spark.createDataFrame(right_rows, "k long, ts timestamp, rv string")
+        out = asof_join(
+            left, right, key_cols=("k",), left_ts="ts", right_ts="ts",
+            value_cols=("rv",),
+        )
+        return {(r.k, r.ts): (r.ts_asof, r.rv_asof) for r in out.collect()}
+
+    def test_backward_pick_and_no_match_nulls(self, spark):
+        got = self._run(
+            spark,
+            [(1, _ts(0), "early"), (1, _ts(30), "late"), (2, _ts(30), "other")],
+            [(1, _ts(10), "a"), (1, _ts(20), "b")],
+        )
+        assert got[(1, _ts(0))] == (None, None)          # nothing at-or-before
+        assert got[(1, _ts(30))] == (_ts(20), "b")       # latest preceding
+        assert got[(2, _ts(30))] == (None, None)         # key never on right
+
+    def test_equal_timestamp_is_inclusive(self, spark):
+        got = self._run(
+            spark,
+            [(1, _ts(10), "x")],
+            [(1, _ts(10), "same-instant")],
+        )
+        assert got[(1, _ts(10))] == (_ts(10), "same-instant")
+
+    def test_right_duplicates_same_ts_deterministic(self, spark):
+        # Two right rows at the identical (key, ts): max value tuple wins.
+        got = self._run(
+            spark,
+            [(1, _ts(10), "x")],
+            [(1, _ts(5), "aaa"), (1, _ts(5), "zzz")],
+        )
+        assert got[(1, _ts(10))] == (_ts(5), "zzz")
+
+    def test_left_row_count_preserved(self, spark):
+        left = [(1, _ts(i), f"l{i}") for i in range(10)]
+        right = [(1, _ts(3), "r")]
+        assert len(self._run(spark, left, right)) == 10
+
+
+class TestIvfAnn:
+    def test_cells_in_range_and_deterministic(self, spark):
+        from tests.conftest import SF_SMALL
+        from product_analytics_spark.catalog import read_parquet
+
+        emb = read_parquet(spark, f"{SF_SMALL}/embeddings.parquet")
+        assigned = similarity.ivf_assign(emb)
+        cells = [r.ivf_cell for r in assigned.select("ivf_cell").collect()]
+        n = len(similarity.DEFAULT_CENTROIDS)
+        assert all(0 <= c < n for c in cells)
+        again = [r.ivf_cell for r in similarity.ivf_assign(emb).select("ivf_cell").collect()]
+        assert cells == again
+
+    def test_full_nprobe_equals_brute_force(self, spark):
+        from tests.conftest import SF_SMALL
+        from product_analytics_spark.catalog import read_parquet
+
+        emb = read_parquet(spark, f"{SF_SMALL}/embeddings.parquet")
+        probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        others = emb.filter(F.col("vec_id") != 0)
+        n = len(similarity.DEFAULT_CENTROIDS)
+        ivf_all = similarity.cosine_topk_ivf(others, probe, k=5, n_probe_cells=n)
+        brute = similarity.cosine_topk(others, probe, k=5)
+        assert [tuple(r) for r in ivf_all.collect()] == [tuple(r) for r in brute.collect()]
+
+    def test_nprobe_one_is_subset_of_brute_force_candidates(self, spark):
+        from tests.conftest import SF_SMALL
+        from product_analytics_spark.catalog import read_parquet
+
+        emb = read_parquet(spark, f"{SF_SMALL}/embeddings.parquet")
+        probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        others = emb.filter(F.col("vec_id") != 0)
+        got = similarity.cosine_topk_ivf(others, probe, k=5, n_probe_cells=1).collect()
+        assert 0 < len(got) <= 5
+        sims = [r.cosine_sim for r in got]
+        assert sims == sorted(sims, reverse=True)
