@@ -148,17 +148,28 @@ def cosine_topk_lsh(
     n_probe_buckets: int = 1,
 ) -> DataFrame:
     """Approximate top-k: restrict the brute-force scan to the probe's
-    LSH bucket (multi-probe = nearby buckets by Hamming distance would
-    widen recall; v1 scans the exact bucket only)."""
-    import math
+    LSH bucket, plus ``n_probe_buckets - 1`` multi-probe buckets.
 
+    Multi-probe order is the standard margin heuristic: the next-best
+    buckets are the ones reached by flipping the hyperplane bit whose
+    projection magnitude is smallest (the probe sits closest to that
+    boundary, so true neighbors most likely fell just across it).
+    Buckets are plan-time literals -> the scan is an ``isin`` filter,
+    partition-pruned when the table is written partitioned by bucket.
+    """
+    margins = []  # (|projection|, plane index)
     probe_bucket = 0
     for i, plane in enumerate(planes):
         d = sum(float(a) * float(b) for a, b in zip(probe, plane))
         if d > 0:
             probe_bucket += 2**i
+        margins.append((abs(d), i))
+    margins.sort()
+    buckets = [probe_bucket]
+    for _, i in margins[: max(0, n_probe_buckets - 1)]:
+        buckets.append(probe_bucket ^ (2**i))
     bucketed = random_projection_buckets(df, planes, vec_col)
-    cand = bucketed.filter(F.col("lsh_bucket") == probe_bucket)
+    cand = bucketed.filter(F.col("lsh_bucket").isin(buckets))
     return cosine_topk(cand, probe, k=k, vec_col=vec_col, id_col=id_col)
 
 

@@ -93,3 +93,27 @@ class TestIvfAnn:
         assert 0 < len(got) <= 5
         sims = [r.cosine_sim for r in got]
         assert sims == sorted(sims, reverse=True)
+
+
+class TestMultiProbeLsh:
+    def test_more_probes_never_lose_recall(self, spark):
+        from tests.conftest import SF_SMALL
+        from product_analytics_spark.catalog import read_parquet
+
+        emb = read_parquet(spark, f"{SF_SMALL}/embeddings.parquet")
+        probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+        others = emb.filter(F.col("vec_id") != 0)
+        brute = {r.vec_id for r in similarity.cosine_topk(others, probe, k=10).collect()}
+
+        def recall(nprobe):
+            got = {
+                r.vec_id
+                for r in similarity.cosine_topk_lsh(
+                    others, probe, similarity.DEFAULT_PLANES, k=10,
+                    n_probe_buckets=nprobe,
+                ).collect()
+            }
+            return len(got & brute)
+
+        r1, r4 = recall(1), recall(4)
+        assert r1 <= r4 <= 10
