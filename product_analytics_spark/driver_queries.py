@@ -50,6 +50,19 @@ def _money(c) -> F.Column:
     return col.cast("decimal(18,2)")
 
 
+def _money_out(c: F.Column) -> F.Column:
+    """Final cast for money OUTPUT columns: DECIMAL -> DOUBLE.
+
+    Internal sums stay decimal (exact, order-independent); the output
+    is double because the driver's comparator sees pandas values, and
+    DuckDB converts DECIMAL to float64 there while Spark keeps Decimal
+    objects — Decimal('0.00') vs 0.0 hash-differ despite equal values
+    (the round-1 failure mode for q05/q10/q11/q12/q33). Casting the
+    SAME exact decimal to double on both sides is deterministic: IEEE
+    nearest-double of an identical value is identical bits."""
+    return c.cast("double")
+
+
 # --------------------------------------------------------------------- q01
 
 def q01_scan_project(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -182,14 +195,24 @@ def q05_financial_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
     gross_dbl = F.col("gross_amount").cast("double")
     out = out.withColumn("tax_amount", cleaning.clamp_money(tax_raw, 0.0, gross_dbl * 0.2))
     out = out.withColumn("discount_amount", cleaning.clamp_money(disc_raw, 0.0, gross_dbl))
-    return out.withColumn(
+    out = out.withColumn(
         "net_revenue", (F.col("gross_amount") - F.col("discount_amount")).cast("decimal(18,2)")
-    ).select("order_id", "line_number", "gross_amount", "tax_amount", "discount_amount", "net_revenue")
+    )
+    return out.select(
+        "order_id",
+        "line_number",
+        _money_out(F.col("gross_amount")).alias("gross_amount"),
+        _money_out(F.col("tax_amount")).alias("tax_amount"),
+        _money_out(F.col("discount_amount")).alias("discount_amount"),
+        _money_out(F.col("net_revenue")).alias("net_revenue"),
+    )
 
 
-# Money outputs go double -> DECIMAL(18,6) -> DECIMAL(18,2): engine-stable
-# rounding (see functions/cleaning.py:round_money).
+# Money values go double -> DECIMAL(18,6) -> DECIMAL(18,2): engine-stable
+# rounding (see functions/cleaning.py:round_money); outputs are cast
+# DECIMAL -> DOUBLE on both sides (see _money_out).
 Q05_SQL = """
+WITH inner_q AS (
 WITH g AS (
   SELECT l_orderkey AS order_id, l_linenumber AS line_number,
     CASE WHEN l_extendedprice IS NULL OR l_extendedprice < 0 THEN CAST(0 AS DECIMAL(18,2))
@@ -213,6 +236,13 @@ SELECT order_id, line_number, gross_amount,
          THEN round(CAST(CAST(gross_amount AS DOUBLE) AS DECIMAL(18,6)), 2)
        ELSE round(CAST(disc_raw AS DECIMAL(18,6)), 2) END) AS DECIMAL(18,2)) AS net_revenue
 FROM g
+)
+SELECT order_id, line_number,
+       CAST(gross_amount AS DOUBLE) AS gross_amount,
+       CAST(tax_amount AS DOUBLE) AS tax_amount,
+       CAST(discount_amount AS DOUBLE) AS discount_amount,
+       CAST(net_revenue AS DOUBLE) AS net_revenue
+FROM inner_q
 """
 
 
@@ -355,12 +385,16 @@ def q10_group_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     zero = F.lit(0).cast("decimal(18,2)")
     return o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
         F.countDistinct("o_orderkey").alias("lifetime_orders"),
-        F.sum(_money("o_totalprice")).alias("lifetime_value"),
-        cleaning.round_money(F.sum(_money("o_totalprice")).cast("double") / F.count(F.lit(1))).alias("avg_order_value"),
+        _money_out(F.sum(_money("o_totalprice"))).alias("lifetime_value"),
+        _money_out(
+            cleaning.round_money(F.sum(_money("o_totalprice")).cast("double") / F.count(F.lit(1)))
+        ).alias("avg_order_value"),
         F.min("o_orderdate").alias("first_order_date"),
         F.max("o_orderdate").alias("last_order_date"),
         F.countDistinct(F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey"))).alias("fulfilled_orders"),
-        F.sum(F.when(F.col("o_orderstatus") == "F", _money("o_totalprice")).otherwise(zero)).alias("fulfilled_revenue"),
+        _money_out(
+            F.sum(F.when(F.col("o_orderstatus") == "F", _money("o_totalprice")).otherwise(zero))
+        ).alias("fulfilled_revenue"),
         F.countDistinct(F.date_trunc("month", F.col("o_orderdate"))).alias("active_months"),
     )
 
@@ -368,13 +402,13 @@ def q10_group_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q10_SQL = """
 SELECT o_custkey AS customer_id,
   count(DISTINCT o_orderkey) AS lifetime_orders,
-  sum(CAST(o_totalprice AS DECIMAL(18,2))) AS lifetime_value,
-  round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DECIMAL(18,6)), 2) AS avg_order_value,
+  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_value,
+  CAST(round(CAST(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS DECIMAL(18,6)), 2) AS DOUBLE) AS avg_order_value,
   CAST(min(o_orderdate) AS TIMESTAMP) AS first_order_date,
   CAST(max(o_orderdate) AS TIMESTAMP) AS last_order_date,
   count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN o_orderkey END) AS fulfilled_orders,
-  sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2))
-           ELSE CAST(0 AS DECIMAL(18,2)) END) AS fulfilled_revenue,
+  CAST(sum(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2))
+           ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS fulfilled_revenue,
   count(DISTINCT date_trunc('month', o_orderdate)) AS active_months
 FROM orders GROUP BY o_custkey
 """
@@ -390,7 +424,7 @@ def q11_rfm_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     m = o.groupBy(F.col("o_custkey").alias("customer_id")).agg(
         F.countDistinct("o_orderkey").alias("lifetime_orders"),
-        F.sum(_money("o_totalprice")).alias("lifetime_value"),
+        _money_out(F.sum(_money("o_totalprice"))).alias("lifetime_value"),
         F.max("o_orderdate").alias("last_order_date"),
     )
     m = m.withColumn("recency_days", F.datediff(dates.as_of_lit(AS_OF), F.col("last_order_date")))
@@ -408,7 +442,7 @@ Q11_SQL = """
 WITH m AS (
   SELECT o_custkey AS customer_id,
     count(DISTINCT o_orderkey) AS lifetime_orders,
-    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS lifetime_value,
+    CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_value,
     date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2001-12-31') AS recency_days
   FROM orders GROUP BY o_custkey
 )
@@ -455,7 +489,7 @@ def q12_multi_join_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation",
         "region_name",
         F.coalesce(F.col("_orders"), F.lit(0)).alias("lifetime_orders"),
-        F.coalesce(F.col("_value"), F.lit(0).cast("decimal(18,2)")).alias("lifetime_value"),
+        _money_out(F.coalesce(F.col("_value"), F.lit(0).cast("decimal(18,2)"))).alias("lifetime_value"),
         F.col("c_mktsegment").alias("market_segment"),
     )
 
@@ -469,7 +503,7 @@ WITH m AS (
 SELECT c_custkey AS customer_id, c_name AS customer_name,
        n_name AS nation, r_name AS region_name,
        coalesce(_orders, 0) AS lifetime_orders,
-       coalesce(_value, CAST(0 AS DECIMAL(18,2))) AS lifetime_value,
+       CAST(coalesce(_value, CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS lifetime_value,
        c_mktsegment AS market_segment
 FROM customer
 LEFT JOIN nation ON c_nationkey = n_nationkey
@@ -750,7 +784,7 @@ def q22_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q22_SQL = """
 SELECT lang, count(*) AS n_docs,
-  sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS total_tokens,
+  CAST(sum(len(regexp_split_to_array(trim(text), '\\s+'))) AS BIGINT) AS total_tokens,
   round(avg(len(regexp_split_to_array(trim(text), '\\s+'))), 4) AS avg_tokens,
   round(avg(length(text)), 4) AS avg_chars
 FROM documents GROUP BY lang
@@ -769,7 +803,7 @@ def q23_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 Q23_SQL = f"""
 WITH flagged AS (
-  SELECT user_id, ts, value,
+  SELECT user_id, ts, event_id, value,
     CASE WHEN lag(ts) OVER w IS NULL
            OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS is_new
   FROM events
@@ -777,7 +811,8 @@ WITH flagged AS (
 ),
 sess AS (
   SELECT user_id, ts, value,
-    sum(is_new) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS session_id
+    CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
   FROM flagged
 )
 SELECT user_id, session_id, CAST(min(ts) AS TIMESTAMP) AS session_start, CAST(max(ts) AS TIMESTAMP) AS session_end,
@@ -1058,7 +1093,8 @@ def q31_fingerprint_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 Q31_SQL = r"""
-SELECT min(doc_id) AS keep_id, count(*) AS n_docs, sum(n_chars) AS total_chars
+SELECT min(doc_id) AS keep_id, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
 """
@@ -1103,15 +1139,15 @@ def q33_rollup_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem")
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(_money("l_quantity")).alias("sum_qty"),
-        F.sum(_money("l_extendedprice")).alias("sum_price"),
+        _money_out(F.sum(_money("l_quantity"))).alias("sum_qty"),
+        _money_out(F.sum(_money("l_extendedprice"))).alias("sum_price"),
     )
 
 
 Q33_SQL = """
 SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
-       sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_price
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
 FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
 """
 

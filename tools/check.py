@@ -3,7 +3,24 @@
 Runs every ``queries()`` entry from ``__spark_entry__.py`` at a given
 scale factor, runs the matching ``oracle_sql()`` in DuckDB over the
 same parquet tables, and compares row count, column names, and
-order-insensitive values (float tolerance). Usage:
+REPRESENTATION-SENSITIVE values, mirroring the driver's comparator:
+both results go through pandas (``sdf.toPandas()`` /
+``duckdb_result.df()``) and cells compare on their exact string form.
+This is what the driver's value hash sees — and it is why round 1
+shipped 8 locally-green queries the driver failed:
+
+  * DuckDB ``.df()`` converts DECIMAL(p,s) to float64 while Spark
+    returns ``Decimal`` objects, so ``Decimal('0.00')`` vs ``0.0``
+    hash-differ even though the values are equal.  => final money
+    columns must be DOUBLE on BOTH sides (compute in decimal for
+    exactness, cast the output).
+  * DuckDB ``sum(int)`` is HUGEINT -> float64 in pandas ('123.0' vs
+    Spark's '123').  => wrap oracle integer sums in CAST(.. AS BIGINT).
+
+Integer *width* drift (int32 vs int64) is invisible after pandas
+(both int64), matching the driver (q08 passed with exactly that).
+
+Usage:
 
     python tools/check.py [sf_dir] [query_key ...]
 """
@@ -17,6 +34,7 @@ import time
 sys.path.insert(0, "/root/repo")
 
 import duckdb
+import pandas as pd
 
 TABLES = (
     "region", "nation", "customer", "supplier", "part",
@@ -27,22 +45,29 @@ TABLES = (
 def _norm_cell(v):
     if v is None:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
-    if isinstance(v, (list, tuple)):
-        return tuple(_norm_cell(x) for x in v)
-    if hasattr(v, "isoformat"):
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if v is pd.NaT:
+        return None
+    if isinstance(v, pd.Timestamp):
+        if v.tzinfo is not None:
+            v = v.tz_convert("UTC").tz_localize(None)
         return v.isoformat()
-    return v
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(_norm_cell(x) for x in v)
+    # str() is the driver-faithful form: Decimal('1.50') -> '1.50'
+    # differs from float 1.5 -> '1.5' — that drift is a real failure.
+    return f"{type(v).__name__ if type(v).__name__ in ('Decimal',) else ''}{v}"
 
 
-def _normalize(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
-    out.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
-    return out
+def _frame_form(df: pd.DataFrame):
+    names = sorted(df.columns)
+    rows = [
+        tuple(_norm_cell(v) for v in row)
+        for row in df[names].itertuples(index=False, name=None)
+    ]
+    rows.sort(key=lambda t: tuple((x is None, str(x)) for x in t))
+    return names, rows
 
 
 def main() -> int:
@@ -68,36 +93,37 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
-            s_cols = sdf.columns
-            s_rows = [tuple(r) for r in sdf.collect()]
+            s_pd = sdf.toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
         if name not in oracles:
-            print(f"ok?  {name}: rows-only check, {len(s_rows)} rows "
+            print(f"ok?  {name}: rows-only check, {len(s_pd)} rows "
                   f"({time.time()-t0:.1f}s)")
-            if len(s_rows) == 0:
+            if len(s_pd) == 0:
                 print(f"WARN {name}: zero rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [d[0] for d in res.description]
-            d_rows = res.fetchall()
+            d_pd = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
         problems = []
-        if sorted(s_cols) != sorted(d_cols):
-            problems.append(f"cols spark={sorted(s_cols)} oracle={sorted(d_cols)}")
+        s_names, s_rows = _frame_form(s_pd)
+        d_names, d_rows = _frame_form(d_pd)
+        if s_names != d_names:
+            problems.append(f"cols spark={s_names} oracle={d_names}")
         if len(s_rows) != len(d_rows):
             problems.append(f"rowcount spark={len(s_rows)} oracle={len(d_rows)}")
-        if not problems:
-            sn, dn = _normalize(s_rows, s_cols), _normalize(d_rows, d_cols)
-            if sn != dn:
-                diff = [(a, b) for a, b in zip(sn, dn) if a != b][:3]
-                problems.append(f"values differ, first diffs: {diff}")
+        if not problems and s_rows != d_rows:
+            diff = [(a, b) for a, b in zip(s_rows, d_rows) if a != b][:3]
+            problems.append(
+                f"values differ (spark dtypes={dict(s_pd.dtypes.astype(str))}, "
+                f"oracle dtypes={dict(d_pd.dtypes.astype(str))}), "
+                f"first diffs: {diff}"
+            )
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures.append(name)
