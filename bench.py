@@ -16,6 +16,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+from product_analytics_spark import cache
 from product_analytics_spark.driver_queries import QUERIES
 from product_analytics_spark.session import get_spark
 
@@ -34,6 +35,9 @@ def main() -> None:
         t0 = time.time()
         fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         times[name] = round(time.time() - t0, 3)
+        # Release operator-persisted intermediates (MinHash signatures
+        # etc.) so the sweep doesn't accumulate cached relations.
+        cache.clear_all()
 
     total = round(sum(times.values()), 3)
     print(

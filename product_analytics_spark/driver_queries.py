@@ -726,11 +726,79 @@ SELECT doc_id, text, lang, source, n_chars FROM (
 # --------------------------------------------------------------------- q20
 
 def q20_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2: MinHash+LSH near-duplicate pairs (rows-only check —
-    approximate by design; deterministic via fixed xxhash64 salts).
-    See operators/text.py:minhash_near_dup_pairs for the scale notes."""
-    d = _t(spark, sf_dir, "documents")
+    """X2: MinHash+LSH near-duplicate pairs. Fully oracle-checked:
+    the portable hasher (md5 -> 60-bit -> affine salts mod 2^31-1) is
+    reproduced bit-for-bit by the DuckDB SQL in _q20_sql(). See
+    operators/text.py:minhash_near_dup_pairs for the scale notes.
+
+    The repartition spreads the CPU-heavy shingle+signature stage
+    across all cores — the documents table arrives as one small
+    parquet split locally, which would otherwise serialize the whole
+    hash pipeline on a single task (at 100 TB the scan has thousands
+    of splits and the repartition is a no-op cost-wise)."""
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
     return text.minhash_near_dup_pairs(d, threshold=0.5)
+
+
+def _hash60_sql(e: str) -> str:
+    """DuckDB expression for text.portable_hash60: positional parse of
+    the first 15 hex chars of md5(e) into a non-negative BIGINT."""
+    return (
+        "CAST(list_sum(list_transform(generate_series(1,15), i -> "
+        f"CAST(strpos('0123456789abcdef', substring(md5({e}), i, 1)) - 1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << (4*(15-i))))) AS BIGINT)"
+    )
+
+
+def _q20_sql(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
+    """Oracle for q20: the same MinHash+LSH pipeline in DuckDB SQL.
+
+    Naive per-document formulation (explode shingles, 32 aggregate
+    mins, band UNION ALL) — output-identical to the Spark operator
+    because every hash is the same integer on both engines."""
+    p = text.P31
+    a_s, b_s = text.minhash_salts(num_hashes)
+    rpb = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(({a_s[i]} * hv + {b_s[i]}) % {p}) AS s{i}" for i in range(num_hashes)
+    )
+
+    def band_expr(b: int) -> str:
+        acc = f"CAST({b} AS BIGINT)"
+        for r in range(rpb):
+            acc = f"(({acc}) * {text.BAND_FOLD_A} + s{b * rpb + r}) % {p}"
+        return acc
+
+    bands_sql = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, {band_expr(b)} AS bh FROM sig" for b in range(bands)
+    )
+    agree = " + ".join(
+        f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, trim(text) AS tt
+  FROM documents
+),
+shl AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+    THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+    ELSE [tt] END) AS s
+  FROM tok
+),
+h AS (SELECT doc_id, {_hash60_sql('s')} % {p} AS hv FROM shl),
+sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, est_jaccard FROM (
+  SELECT id_a, id_b, round(({agree}) / {float(num_hashes)}, 4) AS est_jaccard
+  FROM cand JOIN sig sa ON cand.id_a = sa.doc_id JOIN sig sb ON cand.id_b = sb.doc_id
+) WHERE est_jaccard >= {threshold}
+"""
 
 
 # --------------------------------------------------------------------- q21
@@ -842,12 +910,51 @@ FROM events GROUP BY 1, 2
 
 def q25_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2 variant: SimHash near-dup pairs with chunked-pigeonhole
-    blocking (rows-only check — SimHash values depend on xxhash64,
-    which the DuckDB oracle cannot reproduce; determinism is
-    guaranteed by fixed salts). See operators/text.py:
+    blocking. Fully oracle-checked: the portable 60-bit token hash
+    (md5-based) and the bitwise-majority simhash are reproduced
+    exactly by the DuckDB SQL in _q25_sql(). See operators/text.py:
     simhash_near_dup_pairs for the 100 TB notes."""
     d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
     return text.simhash_near_dup_pairs(d, hamming_max=8)
+
+
+def _q25_sql(bits: int = 60, n_chunks: int = 4, hamming_max: int = 8) -> str:
+    """Oracle for q25: portable SimHash + chunk blocking in DuckDB.
+
+    votes: per bit j, sum over tokens of +-1 on bit j of the portable
+    60-bit token hash; packed: set bit j where the vote is positive;
+    chunks: 4x15-bit slices; candidates: equi-join on (chunk_idx,
+    value); verify: bit_count(xor) <= hamming_max."""
+    bits_per = bits // n_chunks
+    mask = (1 << bits_per) - 1
+    votes = ", ".join(
+        f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS v{j}" for j in range(bits)
+    )
+    packed = " + ".join(
+        f"(CASE WHEN v{j} > 0 THEN (CAST(1 AS BIGINT) << {j}) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(bits)
+    )
+    chunks_sql = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {c} AS chunk_idx, (sh >> {c * bits_per}) & {mask} AS cv FROM sh"
+        for c in range(n_chunks)
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS w FROM documents
+),
+th AS (SELECT doc_id, {_hash60_sql('w')} AS h FROM tok),
+votes AS (SELECT doc_id, {votes} FROM th GROUP BY doc_id),
+sh AS (SELECT doc_id, {packed} AS sh FROM votes),
+chunks AS ({chunks_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM chunks a JOIN chunks b ON a.chunk_idx = b.chunk_idx AND a.cv = b.cv
+  WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(sa.sh, sb.sh)) AS INT) AS hamming
+FROM cand JOIN sh sa ON cand.id_a = sa.doc_id JOIN sh sb ON cand.id_b = sb.doc_id
+WHERE bit_count(xor(sa.sh, sb.sh)) <= {hamming_max}
+"""
 
 
 # --------------------------------------------------------------------- q26
@@ -877,11 +984,14 @@ def q26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.size("_t") >= 3)
         .select("doc_id", "lang", F.col("_t")[0].alias("_blk"), "_s")
-        # Persisted so the self-join's two branches reuse one pass of
-        # tokenize+shingle+hash instead of recomputing it per side
-        # (at 100 TB this relation is written to a signatures table).
-        .persist()
     )
+    # Persisted so the self-join's two branches reuse one pass of
+    # tokenize+shingle+hash instead of recomputing it per side
+    # (at 100 TB this relation is written to a signatures table);
+    # registered with the cache module so sweep runners release it.
+    from product_analytics_spark import cache as _cache
+
+    sh = _cache.persist(sh)
     a = sh.select(F.col("doc_id").alias("id_a"), "lang", "_blk", F.col("_s").alias("_sa"))
     b = sh.select(F.col("doc_id").alias("id_b"), "lang", "_blk", F.col("_s").alias("_sb"))
     pairs = a.join(b, ["lang", "_blk"]).filter(F.col("id_a") < F.col("id_b"))
@@ -1432,14 +1542,14 @@ ORACLES = {
     "q15_quality_score": Q15_SQL,
     "q16_geo_mapping": Q16_SQL,
     "q17_incremental_merge": Q17_SQL,
-    # q20_fuzzy_dedup: approximate op, rows-only check (SURVEY §7.4)
     "q18_json_extract": Q18_SQL,
     "q19_exact_dedup": Q19_SQL,
+    "q20_fuzzy_dedup": _q20_sql(),
     "q21_similarity_topk": Q21_SQL,
     "q22_text_stats": Q22_SQL,
     "q23_sessionize": Q23_SQL,
     "q24_tumbling_window_agg": Q24_SQL,
-    # q25 omitted: SimHash pairs depend on xxhash64 → rows-only check.
+    "q25_simhash_near_dup": _q25_sql(),
     "q26_ngram_jaccard_pairs": Q26_SQL,
     "q27_embedding_near_dup": Q27_SQL,
     "q28_lsh_bucket_topk": _q28_sql(),

@@ -13,7 +13,39 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from product_analytics_spark import cache
+
 TOKEN_SPLIT_RE = r"\s+"
+
+# --------------------------------------------------- portable hashing
+# The near-dup operators need hashes that a *different* engine (the
+# DuckDB oracle) can reproduce bit-for-bit. xxhash64 is Spark-only;
+# md5 is universal. So: hash each shingle/token ONCE with md5, parse
+# the first 15 hex chars to a non-negative 60-bit long (both engines
+# can), and derive every salted variant with integer affine transforms
+# mod a Mersenne prime — pure 64-bit arithmetic that cannot overflow
+# (operands < 2^31, products < 2^62) and is identical everywhere.
+
+P31 = 2_147_483_647  # 2^31 - 1, Mersenne prime: the salted-hash field
+BAND_FOLD_A = 1_000_003  # fold multiplier for band hashes (< 2^20)
+
+
+def portable_hash60(c: Column) -> Column:
+    """Engine-portable 60-bit hash: first 15 hex chars of md5 as a
+    non-negative long. DuckDB equivalent: positional hex parse of
+    ``substring(md5(x), 1, 15)`` (see driver_queries._hash60_sql)."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+
+def minhash_salts(num_hashes: int = 32) -> tuple[list[int], list[int]]:
+    """Deterministic affine salt pairs (a_i, b_i) in [1, P31).
+
+    Fixed arithmetic progression constants (Knuth multiplicative /
+    odd step) — no RNG, so the Spark side and the oracle-SQL generator
+    derive the identical table from this one function."""
+    a = [((i * 2_654_435_761 + 12_345) % (P31 - 1)) + 1 for i in range(num_hashes)]
+    b = [(i * 40_503 + 7) % P31 for i in range(num_hashes)]
+    return a, b
 
 
 def tokens(text: Column) -> Column:
@@ -63,83 +95,117 @@ def minhash_near_dup_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     threshold: float = 0.5,
+    hasher: str = "portable",
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
-    Pipeline (each document is hashed ONCE):
-      1. shingle -> xxhash64 each shingle to a long (one string hash
-         per shingle — the only string work in the whole operator);
-      2. 32 salted re-hashes of those longs -> array_min = MinHash
-         signature (cheap long arithmetic, stays in codegen);
-      3. band the signature, posexplode to (band_idx, band_hash)
-         rows, self-join on them -> candidate pairs (ONE join on
-         8-byte keys — not documents, not 8 separate band joins);
-      4. verify: signature agreement rate >= threshold.
+    Pipeline (each document's shingles are string-hashed ONCE):
+      1. shingle -> hash each shingle to a long (``portable``: md5 ->
+         60-bit -> mod P31, reproducible in the DuckDB oracle;
+         ``xxhash64``: Spark-native, marginally cheaper);
+      2. ``num_hashes`` salted variants of those longs -> array_min =
+         MinHash signature. Portable salting is an affine transform
+         (a_i*h + b_i) mod P31 — pure long arithmetic in codegen,
+         cheaper than re-hashing, identical in any engine;
+      3. band the signature -> posexplode to (band_idx, band_hash)
+         rows -> self-join on them. The join payload is ONLY
+         (id, band_idx, band_hash) — signatures are NOT carried
+         through the shuffle (the round-1 version dragged two
+         32-long arrays through the join; re-joining the narrow
+         signature relation after pair-dedup is strictly less data);
+      4. verify: signature agreement rate >= threshold, computed by
+         re-joining the persisted signature relation per side.
 
-    The signature relation is persisted before the self-join so both
-    join branches reuse it instead of re-shingling the corpus.
+    The signature relation is persisted (registered with
+    product_analytics_spark.cache so sweep runners release it) — the
+    band explode and both verify joins reuse one shingling pass.
 
-    Scale: at 100 TB the signature table is ~num_hashes*8 bytes/doc
-    (persist -> or write to a table and reuse across runs). The
-    band-hash shuffle moves bands*16 bytes/doc. Exact-duplicate
-    mega-buckets are the classic skew risk — AQE skew-join splitting
-    plus a bucket-size cap handle it. Returns (id_a, id_b,
+    Scale: at 100 TB the signature table is ~num_hashes*8 bytes/doc —
+    write it to a table and reuse across runs. The band-hash shuffle
+    moves bands*(8+8+4) bytes/doc. Exact-duplicate mega-buckets are
+    the classic skew risk — AQE skew-join splitting plus pre-grouping
+    exact dups by fingerprint bound bucket size. Returns (id_a, id_b,
     est_jaccard) with id_a < id_b.
     """
     rows_per_band = num_hashes // bands
-    shingle_hashes = F.transform(word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s))
-    hashed = df.select(F.col(id_col), shingle_hashes.alias("_sh"))
-    sig_cols = [
-        F.array_min(F.transform(F.col("_sh"), _salted_hash(i))) for i in range(num_hashes)
-    ]
-    sig = hashed.select(F.col(id_col), F.array(*sig_cols).alias("sig"))
-    band_hashes = F.array(
-        *[
-            F.xxhash64(F.lit(b), *[F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)])
-            for b in range(bands)
+    shingles = word_shingles(F.col(text_col), shingle_n)
+    if hasher == "portable":
+        shingle_hashes = F.transform(shingles, lambda s: portable_hash60(s) % F.lit(P31))
+        salts_a, salts_b = minhash_salts(num_hashes)
+
+        def _affine(a: int, b: int):
+            # Closure factory: F.transform treats extra lambda params
+            # (even defaulted ones) as the (element, index) signature.
+            return lambda x: (F.lit(a) * x + F.lit(b)) % F.lit(P31)
+
+        sig_cols = [
+            F.array_min(F.transform(F.col("_sh"), _affine(a, b))).alias(f"s{i}")
+            for i, (a, b) in enumerate(zip(salts_a, salts_b))
         ]
-    )
+    elif hasher == "xxhash64":
+        shingle_hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+        sig_cols = [
+            F.array_min(F.transform(F.col("_sh"), _salted_hash(i))).alias(f"s{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"unknown hasher: {hasher}")
+    hashed = df.select(F.col(id_col), shingle_hashes.alias("_sh"))
+    sig = cache.persist(hashed.select(F.col(id_col), *sig_cols))
+
+    def band_hash(b: int) -> Column:
+        cols = [F.col(f"s{b * rows_per_band + r}") for r in range(rows_per_band)]
+        if hasher == "portable":
+            acc: Column = F.lit(b).cast("long")
+            for c in cols:
+                acc = (acc * F.lit(BAND_FOLD_A) + c) % F.lit(P31)
+            return acc
+        return F.xxhash64(F.lit(b), *cols)
+
     banded = sig.select(
-        F.col(id_col), F.col("sig"), F.posexplode(band_hashes).alias("band_idx", "bh")
-    ).persist()
-    left = banded.select(
-        F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"), "band_idx", "bh"
-    )
-    right = banded.select(
-        F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"), "band_idx", "bh"
+        F.col(id_col), F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias("band_idx", "bh")
     )
     cand = (
-        left.join(right, ["band_idx", "bh"])
+        banded.select(F.col(id_col).alias("id_a"), "band_idx", "bh")
+        .join(banded.select(F.col(id_col).alias("id_b"), "band_idx", "bh"), ["band_idx", "bh"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sig_a", "sig_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    agree = F.size(
-        F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")), lambda v: v == 1)
+    sig_a = sig.select(F.col(id_col).alias("id_a"), *[F.col(f"s{i}").alias(f"sa{i}") for i in range(num_hashes)])
+    sig_b = sig.select(F.col(id_col).alias("id_b"), *[F.col(f"s{i}").alias(f"sb{i}") for i in range(num_hashes)])
+    verified = cand.join(sig_a, "id_a").join(sig_b, "id_b")
+    agree = sum(
+        (F.col(f"sa{i}") == F.col(f"sb{i}")).cast("int") for i in range(num_hashes)
     )
-    out = cand.withColumn(
-        "est_jaccard", F.round(agree / F.size("sig_a").cast("double"), 4)
+    out = verified.withColumn(
+        "est_jaccard", F.round(agree / F.lit(float(num_hashes)), 4)
     ).filter(F.col("est_jaccard") >= threshold)
     return out.select("id_a", "id_b", "est_jaccard")
 
 
-def simhash(text: Column, bits: int = 64) -> Column:
-    """64-bit SimHash over whitespace tokens.
+def simhash(text: Column, bits: int = 64, hasher: str = "xxhash64") -> Column:
+    """SimHash over whitespace tokens (default 64-bit).
 
     Classic bitwise-majority construction: per bit, the sign of the
-    sum over tokens of (bit set ? +1 : -1), with xxhash64(token) as
-    the token hash. Single-pass formulation: each token is hashed
+    sum over tokens of (bit set ? +1 : -1). Token hash is xxhash64
+    (Spark-native) or the portable md5-based 60-bit hash (``hasher=
+    "portable"`` — pass ``bits=60`` with it; reproducible in the
+    DuckDB oracle). Single-pass formulation: each token is hashed
     ONCE, one ``aggregate`` walks the hash array carrying a
     ``bits``-wide vote vector (``zip_with`` add), then the votes are
     packed into the result long — O(tokens·bits) long-arithmetic in
     one codegen stage, not ``bits`` separate array traversals.
     Near-dup test = hamming distance <= k (see :func:`hamming64`).
     """
-    hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
+    if hasher == "portable":
+        hashes = F.transform(tokens(text), lambda t: portable_hash60(t))
+    else:
+        hashes = F.transform(tokens(text), lambda t: F.xxhash64(t))
     # masks[i] = 1<<i as a signed long (bit 63 → long-min); h & masks[i]
     # tests bit i without any per-element shift-by-column.
     masks = F.array(
-        *[F.lit(2**i if i < bits - 1 else -(2 ** (bits - 1))).cast("long") for i in range(bits)]
+        *[F.lit(2**i if i < 63 else -(2**63)).cast("long") for i in range(bits)]
     )
     votes = F.aggregate(
         hashes,
@@ -168,15 +234,20 @@ def simhash_near_dup_pairs(
     id_col: str = "doc_id",
     hamming_max: int = 8,
     n_chunks: int = 4,
+    hasher: str = "portable",
 ) -> DataFrame:
     """Near-duplicate pairs via SimHash + chunked-pigeonhole blocking.
 
-    Each document gets a 64-bit SimHash; the hash is split into
-    ``n_chunks`` 16-bit chunks. Any pair within Hamming distance
-    ``hamming_max`` < 2*n_chunks must agree on at least one chunk
-    (pigeonhole), so candidate generation is an equi-join on
-    (chunk_idx, chunk_value) — 10-byte keys — never an all-pairs
-    cross join. Verification is one XOR+bit_count per candidate.
+    Each document gets a SimHash (60-bit for the default portable
+    hasher — oracle-reproducible; 64-bit for xxhash64); the hash is
+    split into ``n_chunks`` equal chunks. A pair within Hamming
+    distance <= n_chunks-1 is *guaranteed* to agree on a chunk
+    (pigeonhole); larger distances up to ``hamming_max`` are found
+    best-effort (high recall in practice: flips cluster rarely).
+    Candidate generation is an equi-join on (chunk_idx, chunk_value)
+    — 10-byte keys — never an all-pairs cross join. Verification is
+    one XOR+bit_count per candidate. Both sides of the oracle mirror
+    this blocking exactly, so recall characteristics are identical.
 
     Scale: the simhash relation is ~16 bytes/doc; the chunk shuffle
     moves n_chunks rows/doc of 10-byte keys. Identical-hash
@@ -185,17 +256,18 @@ def simhash_near_dup_pairs(
     fingerprint before the pairwise stage. Returns (id_a, id_b,
     hamming) with id_a < id_b.
     """
-    bits_per = 64 // n_chunks
-    sh = df.select(F.col(id_col), simhash(F.col(text_col)).alias("sh"))
+    bits = 60 if hasher == "portable" else 64
+    bits_per = bits // n_chunks
+    sh = df.select(F.col(id_col), simhash(F.col(text_col), bits=bits, hasher=hasher).alias("sh"))
     chunks = F.array(
         *[
             F.shiftrightunsigned(F.col("sh"), i * bits_per).bitwiseAND(F.lit((1 << bits_per) - 1))
             for i in range(n_chunks)
         ]
     )
-    chunked = sh.select(
-        F.col(id_col), F.col("sh"), F.posexplode(chunks).alias("chunk_idx", "cv")
-    ).persist()
+    chunked = cache.persist(
+        sh.select(F.col(id_col), F.col("sh"), F.posexplode(chunks).alias("chunk_idx", "cv"))
+    )
     left = chunked.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"), "chunk_idx", "cv")
     right = chunked.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"), "chunk_idx", "cv")
     cand = (

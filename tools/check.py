@@ -75,6 +75,7 @@ def main() -> int:
     only = set(sys.argv[2:])
 
     import __spark_entry__ as entry_mod
+    from product_analytics_spark import cache
     from product_analytics_spark.session import get_spark
 
     spark = get_spark("check")
@@ -98,6 +99,8 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
             continue
+        finally:
+            cache.clear_all()
         if name not in oracles:
             print(f"ok?  {name}: rows-only check, {len(s_pd)} rows "
                   f"({time.time()-t0:.1f}s)")
