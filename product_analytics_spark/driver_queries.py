@@ -963,60 +963,63 @@ NGRAM_JACCARD_THRESHOLD = 0.4
 
 
 def q26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X2 variant: exact word-3-gram Jaccard near-dup pairs, blocked
-    on (lang, first token) so candidate generation is an equi-join,
-    never a cross join. Fully deterministic → full DuckDB oracle.
-    At 100 TB the block key comes from an LSH band (q20/q25); the
-    exact-Jaccard verify step here is the same either way."""
+    """X2 variant: exact word-3-gram Jaccard near-dup pairs with
+    MinHash-band candidate blocking (operators/text.py:
+    jaccard_near_dup_pairs). Round 1 blocked on (lang, first token) —
+    a content-derived key whose biggest block ("the") grows linearly
+    with the corpus, making the within-block join quadratic and
+    skewed. Band-hash buckets only collect genuinely similar docs, so
+    bucket size tracks duplicate-cluster size, not corpus size. The
+    banding and the exact-Jaccard verify are reproduced bit-for-bit
+    by the DuckDB oracle (portable md5-based hashing)."""
     d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
-    toks = text.tokens(F.col("text"))
-    # Shingles are xxhash64'd to 8-byte keys before the pairwise join:
-    # the shuffle moves longs instead of strings and the per-pair
-    # intersect/union compares longs (64-bit collisions are ~1e-19 at
-    # this cardinality, so hash-set Jaccard == string-set Jaccard).
-    shingle_hashes = F.transform(text.word_shingles(F.col("text"), 3), lambda s: F.xxhash64(s))
-    sh = (
-        d.select(
-            F.col("doc_id"),
-            F.col("lang"),
-            toks.alias("_t"),
-            F.array_distinct(shingle_hashes).alias("_s"),
-        )
-        .filter(F.size("_t") >= 3)
-        .select("doc_id", "lang", F.col("_t")[0].alias("_blk"), "_s")
+    return text.jaccard_near_dup_pairs(d, threshold=NGRAM_JACCARD_THRESHOLD)
+
+
+def _q26_sql(num_hashes: int = 32, bands: int = 16) -> str:
+    """Oracle for q26: identical MinHash banding for candidates, then
+    exact Jaccard over the distinct 60-bit shingle-hash sets."""
+    p = text.P31
+    a_s, b_s = text.minhash_salts(num_hashes)
+    rpb = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(({a_s[i]} * (h60 % {p}) + {b_s[i]}) % {p}) AS s{i}" for i in range(num_hashes)
     )
-    # Persisted so the self-join's two branches reuse one pass of
-    # tokenize+shingle+hash instead of recomputing it per side
-    # (at 100 TB this relation is written to a signatures table);
-    # registered with the cache module so sweep runners release it.
-    from product_analytics_spark import cache as _cache
 
-    sh = _cache.persist(sh)
-    a = sh.select(F.col("doc_id").alias("id_a"), "lang", "_blk", F.col("_s").alias("_sa"))
-    b = sh.select(F.col("doc_id").alias("id_b"), "lang", "_blk", F.col("_s").alias("_sb"))
-    pairs = a.join(b, ["lang", "_blk"]).filter(F.col("id_a") < F.col("id_b"))
-    inter = F.size(F.array_intersect("_sa", "_sb"))
-    union = F.size(F.array_union("_sa", "_sb"))
-    j = F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0))
-    out = pairs.withColumn("jaccard", F.round(j, 4)).filter(
-        F.col("jaccard") >= NGRAM_JACCARD_THRESHOLD
+    def band_expr(b: int) -> str:
+        acc = f"CAST({b} AS BIGINT)"
+        for r in range(rpb):
+            acc = f"(({acc}) * {text.BAND_FOLD_A} + s{b * rpb + r}) % {p}"
+        return acc
+
+    bands_sql = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, {band_expr(b)} AS bh FROM sig" for b in range(bands)
     )
-    return out.select("id_a", "id_b", "jaccard")
-
-
-Q26_SQL = f"""
-WITH sh AS (
-  SELECT doc_id, lang, t[1] AS blk,
-         list_distinct(list_transform(generate_series(1, len(t)-2),
-                                      i -> array_to_string(t[i:i+2], ' '))) AS s
-  FROM (SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') t FROM documents)
-  WHERE len(t) >= 3
+    return f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, trim(text) AS tt
+  FROM documents
+),
+shl AS (
+  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
+    THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
+    ELSE [tt] END) AS s
+  FROM tok
+),
+h AS (SELECT doc_id, {_hash60_sql('s')} AS h60 FROM shl),
+sets AS (SELECT doc_id, list(DISTINCT h60) AS hs FROM h GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
 )
 SELECT id_a, id_b, jaccard FROM (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         round(len(list_intersect(a.s, b.s))
-               / CAST(len(list_distinct(list_concat(a.s, b.s))) AS DOUBLE), 4) AS jaccard
-  FROM sh a JOIN sh b ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+  SELECT id_a, id_b,
+         round(len(list_intersect(sa.hs, sb.hs))
+               / CAST(len(list_distinct(list_concat(sa.hs, sb.hs))) AS DOUBLE), 4) AS jaccard
+  FROM cand JOIN sets sa ON cand.id_a = sa.doc_id JOIN sets sb ON cand.id_b = sb.doc_id
 ) WHERE jaccard >= {NGRAM_JACCARD_THRESHOLD}
 """
 
@@ -1026,22 +1029,65 @@ SELECT id_a, id_b, jaccard FROM (
 NEAR_DUP_PAIRS_K = 20
 
 
+NEAR_DUP_CAP_PER_CELL = 256
+
+
 def q27_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X2/X3: embedding-cosine near-dup candidates — top-k most
-    similar pairs within coarse blocks (label = the IVF-cell stand-in;
-    see operators/similarity.py:embedding_near_dup_pairs). Norms
-    precomputed per side; equi-join on the block id, never O(n²)."""
+    similar pairs blocked by IVF cell (32-cell codebook) with a
+    deterministic per-cell cap. Round 1 blocked on ``label``, which is
+    quadratic-per-block at scale (block count fixed by the domain);
+    IVF cell count is an operator dial, so per-cell pair work stays
+    bounded as the corpus grows. See
+    operators/similarity.py:embedding_near_dup_pairs_ivf. (No
+    repartition needed: the heavy within-cell pair stage runs after
+    the window/join shuffle on the cell key, which already spreads it
+    across cores; the codebook scoring folds into the scan.)"""
     emb = _t(spark, sf_dir, "embeddings")
-    return similarity.embedding_near_dup_pairs(emb, block_col="label", k=NEAR_DUP_PAIRS_K)
+    return similarity.embedding_near_dup_pairs_ivf(
+        emb,
+        centroids=similarity.CENTROIDS_FINE,
+        k=NEAR_DUP_PAIRS_K,
+        cap_per_cell=NEAR_DUP_CAP_PER_CELL,
+    )
 
 
-Q27_SQL = f"""
-WITH v AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) e FROM embeddings),
+def _ivf_cell_ctes(cents) -> str:
+    """Shared oracle fragment: CTEs ``v``(vec_id, e) -> ``cw``(vec_id,
+    e, cell) reproducing operators/similarity.py:ivf_cell — argmax of
+    2*v.c - ||c||^2 over plan-time centroid literals, lowest cell id
+    on ties."""
+    lits = ["[" + ",".join(repr(x) for x in c) + "]::DOUBLE[]" for c in cents]
+    scores = ", ".join(
+        f"(2.0*list_dot_product(e, {lits[i]}) - {sum(x * x for x in cents[i])!r}) AS s_{i}"
+        for i in range(len(cents))
+    )
+    g = "greatest(" + ",".join(f"s_{i}" for i in range(len(cents))) + ")"
+    case = (
+        "CASE "
+        + " ".join(f"WHEN s_{i} = g THEN {i}" for i in range(len(cents)))
+        + " END"
+    )
+    return f"""
+v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+s AS (SELECT vec_id, e, {scores} FROM v),
+cw AS (SELECT vec_id, e, {case} AS cell
+       FROM (SELECT *, {g} AS g FROM s))"""
+
+
+def _q27_sql() -> str:
+    return f"""
+WITH {_ivf_cell_ctes(similarity.CENTROIDS_FINE)},
+capped AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn FROM cw
+  ) WHERE rn <= {NEAR_DUP_CAP_PER_CELL}
+),
 pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          list_dot_product(a.e, b.e)
            / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS sim
-  FROM v a JOIN v b ON a.label = b.label AND a.vec_id < b.vec_id
+  FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round(sim, 4) AS cosine_sim
 FROM pairs ORDER BY sim DESC, id_a, id_b LIMIT {NEAR_DUP_PAIRS_K}
@@ -1453,28 +1499,13 @@ def q39_ivf_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q39_sql() -> str:
-    cents = similarity.DEFAULT_CENTROIDS
-    lits = ["[" + ",".join(repr(x) for x in c) + "]::DOUBLE[]" for c in cents]
-    scores = ", ".join(
-        f"(2.0*list_dot_product(e, {lits[i]}) - {sum(x * x for x in cents[i])!r}) AS s_{i}"
-        for i in range(len(cents))
-    )
-    g = "greatest(" + ",".join(f"s_{i}" for i in range(len(cents))) + ")"
-    case = (
-        "CASE "
-        + " ".join(f"WHEN s_{i} = g THEN {i}" for i in range(len(cents)))
-        + " END"
-    )
     return f"""
-WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-s AS (SELECT vec_id, e, {scores} FROM v),
-c AS (SELECT vec_id, e, {case} AS cell
-      FROM (SELECT *, {g} AS g FROM s)),
-probe AS (SELECT e AS p, cell AS pcell FROM c WHERE vec_id = {PROBE_VEC_ID})
+WITH {_ivf_cell_ctes(similarity.DEFAULT_CENTROIDS)},
+probe AS (SELECT e AS p, cell AS pcell FROM cw WHERE vec_id = {PROBE_VEC_ID})
 SELECT vec_id,
        round(list_dot_product(e, p)
              / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(p, p))), 4) AS cosine_sim
-FROM c, probe
+FROM cw, probe
 WHERE vec_id != {PROBE_VEC_ID} AND cell = pcell
 ORDER BY list_dot_product(e, p)
          / (sqrt(list_dot_product(e, e)) * sqrt(list_dot_product(p, p))) DESC, vec_id
@@ -1550,8 +1581,8 @@ ORACLES = {
     "q23_sessionize": Q23_SQL,
     "q24_tumbling_window_agg": Q24_SQL,
     "q25_simhash_near_dup": _q25_sql(),
-    "q26_ngram_jaccard_pairs": Q26_SQL,
-    "q27_embedding_near_dup": Q27_SQL,
+    "q26_ngram_jaccard_pairs": _q26_sql(),
+    "q27_embedding_near_dup": _q27_sql(),
     "q28_lsh_bucket_topk": _q28_sql(),
     "q29_language_id": _q29_sql(),
     "q30_text_quality": Q30_SQL,

@@ -115,6 +115,63 @@ def embedding_near_dup_pairs(
     return top.select("id_a", "id_b", F.round(F.col("_sim"), sim_scale).alias("cosine_sim"))
 
 
+def embedding_near_dup_pairs_ivf(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]] | None = None,
+    k: int = 20,
+    cap_per_cell: int | None = None,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sim_scale: int = 4,
+) -> DataFrame:
+    """Top-k most-similar embedding pairs blocked by IVF cell — the
+    scale-correct form of :func:`embedding_near_dup_pairs`.
+
+    Blocking on a semantic column (label) is an anti-pattern at scale:
+    block count is fixed by the domain, so each block grows linearly
+    with the data and the within-block all-pairs join grows
+    quadratically. IVF cells invert that: the codebook size is an
+    operator dial (n_cells scales with the corpus), so per-cell
+    population — and therefore per-cell pair work — stays bounded.
+    ``cap_per_cell`` adds a hard deterministic bound: rank vectors
+    within each cell by id and drop overflow (at 100 TB: cap ~4x the
+    expected cell size; overflow only fires on pathological codebook
+    mismatch). Both the cell arithmetic and the cap are plain
+    expressions, reproduced exactly by the DuckDB oracle.
+
+    Returns (id_a, id_b, cosine_sim) ordered by similarity with a
+    deterministic (id_a, id_b) tie-break.
+    """
+    cents = centroids if centroids is not None else CENTROIDS_FINE
+    assigned = ivf_assign(df, cents, vec_col, cell_col="_blk")
+    v = assigned.select(
+        F.col(id_col),
+        F.col("_blk"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    if cap_per_cell is not None:
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("_blk").orderBy(F.col(id_col))
+        v = (
+            v.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= cap_per_cell)
+            .drop("_rn")
+        )
+    v = v.withColumn("_n", l2_norm(F.col("_v")))
+    a = v.select(
+        F.col(id_col).alias("id_a"), F.col("_blk"), F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = v.select(
+        F.col(id_col).alias("id_b"), F.col("_blk"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
+    sim = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    scored = pairs.withColumn("_sim", sim)
+    top = scored.orderBy(F.desc("_sim"), "id_a", "id_b").limit(k)
+    return top.select("id_a", "id_b", F.round(F.col("_sim"), sim_scale).alias("cosine_sim"))
+
+
 def random_projection_buckets(
     df: DataFrame,
     planes: Sequence[Sequence[float]],
@@ -196,6 +253,11 @@ def _lcg_uniform_centroids(
 #: Default IVF codebook for 64-dim embeddings (8 coarse cells).
 DEFAULT_CENTROIDS = _lcg_uniform_centroids(8, 64)
 
+#: Finer 32-cell codebook — the near-dup blocking key (smaller blocks
+#: bound the within-block O(b²) pair work; at 100 TB n_cells grows
+#: with the corpus so the per-block pair count stays constant).
+CENTROIDS_FINE = _lcg_uniform_centroids(32, 64)
+
 
 def ivf_cell(
     vec: Column, centroids: Sequence[Sequence[float]]
@@ -204,7 +266,13 @@ def ivf_cell(
     euclidean distance, computed as argmax of (2*v.c - ||c||^2) so the
     per-centroid work is one dot product (||v||^2 is constant across
     cells and drops out). Lowest cell id wins ties. All plan-time
-    literals + codegen'd array math — no shuffle, no UDF."""
+    literals + codegen'd array math — no shuffle, no UDF.
+
+    Single-Column form: each score subtree is textually repeated in
+    ``greatest`` and again per when-branch — fine for a handful of
+    centroids, quadratic plan blow-up for big codebooks. Prefer
+    :func:`ivf_assign` (staged projections, each score computed once)
+    anywhere the input is a DataFrame."""
     scores = []
     for c in centroids:
         c_norm_sq = sum(x * x for x in c)
@@ -226,9 +294,30 @@ def ivf_assign(
     written partitioned by this column (the inverted file), so probe
     lookups become partition-pruned scans of ~1/n_cells of the data —
     same pruning mechanism as the LSH-bucket path, but with a
-    data-adapted codebook instead of data-oblivious hyperplanes."""
-    return df.withColumn(
-        cell_col, ivf_cell(F.col(vec_col).cast("array<double>"), centroids)
+    data-adapted codebook instead of data-oblivious hyperplanes.
+
+    Staged-projection formulation (same cure as text.with_language_id):
+    one projection computes each centroid score ONCE as a real column,
+    the next computes argmax over those columns. The naive
+    single-expression form re-evaluates every 64-element dot product
+    ~3x (greatest + each when-branch) — with a 32-cell codebook that
+    is a ~100x expression blow-up that stalls codegen for tens of
+    seconds. Measured: 24s -> sub-second plan+run at sf0.1."""
+    n = len(centroids)
+    staged = df.withColumn("_ivf_v", F.col(vec_col).cast("array<double>"))
+    score_cols = []
+    for i, c in enumerate(centroids):
+        c_norm_sq = float(sum(x * x for x in c))
+        score_cols.append(
+            (2.0 * dot(F.col("_ivf_v"), _probe_lit(c)) - F.lit(c_norm_sq)).alias(f"_ivf_s_{i}")
+        )
+    staged = staged.select("*", *score_cols)
+    best = F.greatest(*[F.col(f"_ivf_s_{i}") for i in range(n)])
+    cell = F.lit(n - 1)
+    for i in range(n - 2, -1, -1):
+        cell = F.when(F.col(f"_ivf_s_{i}") == best, F.lit(i)).otherwise(cell)
+    return staged.withColumn(cell_col, cell).drop(
+        "_ivf_v", *[f"_ivf_s_{i}" for i in range(n)]
     )
 
 

@@ -184,6 +184,82 @@ def minhash_near_dup_pairs(
     return out.select("id_a", "id_b", "est_jaccard")
 
 
+def jaccard_near_dup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.4,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs with MinHash-band candidate blocking.
+
+    Round 1 blocked the pairwise join on (lang, first token) — at
+    100x data the "the"-block is both skewed and quadratic, because a
+    content-derived semantic key has a fixed vocabulary. Band hashes
+    invert that: a band bucket only collects documents whose MinHash
+    rows agree, so bucket population tracks *duplicate clusters*, not
+    corpus size — the skew bound is the size of the largest true
+    near-dup cluster (exact dups can be pre-grouped to cap even that).
+
+    Two-stage pipeline sharing ONE shingle-hash pass (persisted):
+      1. candidates: 16-band x 2-row MinHash banding over the portable
+         salted hashes. Recall for true jaccard j is 1-(1-j^2)^16:
+         ~0.94 at j=0.4, ~0.99 at j=0.5 — and the DuckDB oracle
+         reproduces the identical banding, so both engines see the
+         exact same candidate set.
+      2. verify: exact Jaccard over the distinct 60-bit shingle-hash
+         sets (array_intersect/array_union on longs — the shuffle
+         moves 8-byte hashes, never shingle strings; 60-bit collisions
+         are ~1e-13 at document scale).
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    """
+    rows_per_band = num_hashes // bands
+    shingles = word_shingles(F.col(text_col), shingle_n)
+    h60 = F.transform(shingles, lambda s: portable_hash60(s))
+    salts_a, salts_b = minhash_salts(num_hashes)
+
+    def _affine_mod(a: int, b: int):
+        return lambda x: (F.lit(a) * (x % F.lit(P31)) + F.lit(b)) % F.lit(P31)
+
+    sig_cols = [
+        F.array_min(F.transform(F.col("_s"), _affine_mod(a, b))).alias(f"s{i}")
+        for i, (a, b) in enumerate(zip(salts_a, salts_b))
+    ]
+    rel = cache.persist(
+        df.select(F.col(id_col), F.array_distinct(h60).alias("_s")).select(
+            F.col(id_col), F.col("_s"), *sig_cols
+        )
+    )
+
+    def band_hash(b: int) -> Column:
+        acc: Column = F.lit(b).cast("long")
+        for r in range(rows_per_band):
+            acc = (acc * F.lit(BAND_FOLD_A) + F.col(f"s{b * rows_per_band + r}")) % F.lit(P31)
+        return acc
+
+    banded = rel.select(
+        F.col(id_col), F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias("band_idx", "bh")
+    )
+    cand = (
+        banded.select(F.col(id_col).alias("id_a"), "band_idx", "bh")
+        .join(banded.select(F.col(id_col).alias("id_b"), "band_idx", "bh"), ["band_idx", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets_a = rel.select(F.col(id_col).alias("id_a"), F.col("_s").alias("_sa"))
+    sets_b = rel.select(F.col(id_col).alias("id_b"), F.col("_s").alias("_sb"))
+    verified = cand.join(sets_a, "id_a").join(sets_b, "id_b")
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size(F.array_union("_sa", "_sb"))
+    j = F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0))
+    out = verified.withColumn("jaccard", F.round(j, 4)).filter(F.col("jaccard") >= threshold)
+    return out.select("id_a", "id_b", "jaccard")
+
+
 def simhash(text: Column, bits: int = 64, hasher: str = "xxhash64") -> Column:
     """SimHash over whitespace tokens (default 64-bit).
 
