@@ -70,6 +70,22 @@ class TestIvfAnn:
         again = [r.ivf_cell for r in similarity.ivf_assign(emb).select("ivf_cell").collect()]
         assert cells == again
 
+    def test_arrow_and_expr_backends_bit_identical(self, spark):
+        from tests.conftest import SF_SMALL
+        from product_analytics_spark.catalog import read_parquet
+
+        emb = read_parquet(spark, f"{SF_SMALL}/embeddings.parquet")
+        for cents in (similarity.DEFAULT_CENTROIDS, similarity.CENTROIDS_FINE):
+            arrow = {
+                r.vec_id: r.ivf_cell
+                for r in similarity.ivf_assign(emb, cents, backend="arrow").collect()
+            }
+            expr = {
+                r.vec_id: r.ivf_cell
+                for r in similarity.ivf_assign(emb, cents, backend="expr").collect()
+            }
+            assert arrow == expr
+
     def test_full_nprobe_equals_brute_force(self, spark):
         from tests.conftest import SF_SMALL
         from product_analytics_spark.catalog import read_parquet
