@@ -37,7 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB oracle SQL per query key (q20/q25 omitted: MinHash /
-    SimHash values depend on xxhash64, which DuckDB cannot reproduce
-    → rows-only checks; both are deterministic via fixed salts)."""
+    """DuckDB oracle SQL per query key — every query has one: the
+    near-dup operators (q20/q25/q26) use engine-portable md5-based
+    hashing that the oracle reproduces bit-for-bit."""
     return dict(driver_queries.ORACLES)

@@ -13,6 +13,7 @@ hashing values.
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -1513,6 +1514,47 @@ LIMIT {TOPK_K}
 """
 
 
+# --------------------------------------------------------------------- q40
+
+#: Warehouse dir for the write-path query — inside the repo (the
+#: harness forbids writing elsewhere); tiny (one ~150-row snapshot).
+Q40_WAREHOUSE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".q40_warehouse"
+)
+
+
+def q40_snapshot_merge_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4+S6+S7 exercised ON DISK (the round-1 gap: the write path had
+    no driver-checked query): build the pre-cut snapshot, commit it
+    through the SnapshotStore pointer protocol partitioned by
+    event_type (S6) and clustered by user_id (S7 ZORDER analog), MERGE
+    the post-cut batch into it (S4), and return the snapshot as read
+    back from the committed parquet — so the oracle check covers the
+    full write->commit->read round-trip, hive partition-column
+    recovery included. Values must equal q17's in-memory merge."""
+    import shutil as _sh
+
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    _sh.rmtree(Q40_WAREHOUSE, ignore_errors=True)
+    store = SnapshotStore(spark, Q40_WAREHOUSE)
+    e = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type", "value")
+    prev = dedup.latest_by_key(
+        e.filter(F.col("ts") < F.lit(EVENTS_CUT)), "user_id", order_by=("ts", "event_id")
+    )
+    batch = dedup.latest_by_key(
+        e.filter(F.col("ts") >= F.lit(EVENTS_CUT)), "user_id", order_by=("ts", "event_id")
+    )
+    store.overwrite("users_latest", prev, partition_by=("event_type",), cluster_by=("user_id",))
+    merged = store.merge(
+        "users_latest", batch, "user_id", partition_by=("event_type",), cluster_by=("user_id",)
+    )
+    return merged.select("user_id", "event_id", "ts", "event_type", "value")
+
+
+Q40_SQL = Q17_SQL  # same merge semantics; q40 additionally round-trips disk.
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_predicates": q02_filter_predicates,
@@ -1553,6 +1595,7 @@ QUERIES = {
     "q37_set_ops": q37_set_ops,
     "q38_pivot_counts": q38_pivot_counts,
     "q39_ivf_ann_topk": q39_ivf_ann_topk,
+    "q40_snapshot_merge_write": q40_snapshot_merge_write,
 }
 
 ORACLES = {
@@ -1595,4 +1638,5 @@ ORACLES = {
     "q37_set_ops": Q37_SQL,
     "q38_pivot_counts": Q38_SQL,
     "q39_ivf_ann_topk": _q39_sql(),
+    "q40_snapshot_merge_write": Q40_SQL,
 }

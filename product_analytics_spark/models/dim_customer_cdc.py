@@ -29,7 +29,19 @@ def build_dim_customer_cdc(
     orders_cleaned: DataFrame,
     as_of: dt.date,
     as_of_ts: dt.datetime | None = None,
+    fix_region_case: bool = False,
 ) -> DataFrame:
+    """See module docstring.
+
+    ``fix_region_case``: the reference has a latent case bug in its
+    geographic mapping — customers_latest.sql:91 UPPERs country, but
+    dim_customer.sql:66-70 compares against mixed-case literals
+    ('Canada', 'Germany', 'France', 'Australia'), so those branches
+    can never match and such customers land in 'Other'; only 'USA'
+    and 'UK' ever hit. The default (False) reproduces that behavior
+    bug-for-bug — this module's contract is value parity with the
+    reference. Pass True for the evidently-intended mapping
+    (uppercased literals)."""
     as_of_lit = F.lit(as_of)
     base = customers_latest.filter(~F.col("is_deleted"))
 
@@ -72,12 +84,25 @@ def build_dim_customer_cdc(
     lv = F.col("lifetime_value")
     dslo = F.col("days_since_last_order")
 
-    region = (
-        F.when(F.col("country").isin("USA", "CANADA"), "North America")
-        .when(F.col("country").isin("UK", "GERMANY", "FRANCE"), "Europe")
-        .when(F.col("country") == "AUSTRALIA", "Asia Pacific")
-        .otherwise("Other")
-    )
+    if fix_region_case:
+        # Intended mapping: literals uppercased to match the UPPER'd
+        # country column.
+        region = (
+            F.when(F.col("country").isin("USA", "CANADA"), "North America")
+            .when(F.col("country").isin("UK", "GERMANY", "FRANCE"), "Europe")
+            .when(F.col("country") == "AUSTRALIA", "Asia Pacific")
+            .otherwise("Other")
+        )
+    else:
+        # Reference parity (dim_customer.sql:66-70 verbatim): country
+        # is already UPPER'd, so the mixed-case literals below never
+        # match — only USA and UK map; everything else is 'Other'.
+        region = (
+            F.when(F.col("country").isin("USA", "Canada"), "North America")
+            .when(F.col("country").isin("UK", "Germany", "France"), "Europe")
+            .when(F.col("country") == "Australia", "Asia Pacific")
+            .otherwise("Other")
+        )
     customer_tier = (
         F.when((lv >= 5000) & (lo >= 20), "PLATINUM")
         .when((lv >= 2000) & (lo >= 10), "GOLD")

@@ -13,8 +13,10 @@ Scale design: the classic formulations are a range join (explodes to
 O(|left| x |right per key|) before filtering) or a per-key sort-merge
 UDF. Neither survives 100 TB. The union+window form used here does:
 one shuffle on the join key, one in-partition sort, zero row
-multiplication — ``last(value, ignorenulls=True)`` carries the most
-recent right-hand state forward onto each left row. This is also the
+multiplication — a single ``last(payload_struct, ignorenulls=True)``
+carries the most recent right-hand row (timestamp + every value
+column together, so the output never mixes columns from different
+right rows) forward onto each left row. This is also the
 streaming-friendly shape (the same plan works over a keyed state
 store).
 """
@@ -50,42 +52,58 @@ def asof_join(
     keys = list(key_cols)
     vals = list(value_cols)
 
+    # Internal working columns must not clobber user columns named
+    # _ts/_is_left/etc. — uniquify against both sides' schemas.
+    taken = set(left.columns) | set(right.columns)
+
+    def _internal(base: str) -> str:
+        name = base
+        while name in taken:
+            name += "_"
+        taken.add(name)
+        return name
+
+    ts_c = _internal("_ts")
+    flag_c = _internal("_is_left")
+    pay_c = _internal("_payload")
+    vtmp_c = _internal("_v")
+
     # One right row per (key, ts): keep the max of the value tuple —
     # any deterministic rule works, it only breaks exact-ts ties.
+    # ALL carried outputs (right ts + every value col) travel in ONE
+    # struct: a single last(ignorenulls=True) then guarantees every
+    # *_asof column comes from the SAME right row. Carrying columns
+    # separately would conflate a NULL value inside the nearest right
+    # row with "no right row", silently mixing values from an older
+    # right row with the newer row's timestamp.
     r = (
-        right.groupBy(*keys, F.col(right_ts).alias("_ts"))
-        .agg(F.max(F.struct(*[F.col(c) for c in vals])).alias("_v"))
+        right.groupBy(*keys, F.col(right_ts).alias(ts_c))
+        .agg(F.max(F.struct(*[F.col(c) for c in vals])).alias(vtmp_c))
         .select(
             *keys,
-            "_ts",
-            *[F.col(f"_v.{c}").alias(f"{c}{suffix}") for c in vals],
+            ts_c,
+            F.struct(
+                F.col(ts_c).alias("ts"),
+                *[F.col(f"{vtmp_c}.{c}").alias(f"v{i}") for i, c in enumerate(vals)],
+            ).alias(pay_c),
         )
-        .withColumn("_is_left", F.lit(0))
+        .withColumn(flag_c, F.lit(0))
     )
-    l = (
-        left.withColumn("_ts", F.col(left_ts))
-        .withColumn("_is_left", F.lit(1))
-    )
-    u = l.unionByName(r, allowMissingColumns=True)
+    l = left.withColumn(ts_c, F.col(left_ts)).withColumn(flag_c, F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)  # left rows: payload NULL
 
     # Right rows sort before left rows at equal ts -> inclusive bound.
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col("_ts").asc(), F.col("_is_left").asc())
+        .orderBy(F.col(ts_c).asc(), F.col(flag_c).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = [
-        F.last(f"{c}{suffix}", ignorenulls=True).over(w).alias(f"{c}{suffix}")
-        for c in vals
-    ]
-    ts_carried = F.last(
-        F.when(F.col("_is_left") == 0, F.col("_ts")), ignorenulls=True
-    ).over(w).alias(f"{right_ts}{suffix}")
+    carried = F.last(pay_c, ignorenulls=True).over(w)
 
     filled = u.select(
         *[c for c in left.columns],
-        F.col("_is_left"),
-        ts_carried,
-        *carried,
+        F.col(flag_c),
+        carried[f"ts"].alias(f"{right_ts}{suffix}"),
+        *[carried[f"v{i}"].alias(f"{c}{suffix}") for i, c in enumerate(vals)],
     )
-    return filled.filter(F.col("_is_left") == 1).drop("_is_left")
+    return filled.filter(F.col(flag_c) == 1).drop(flag_c)

@@ -10,12 +10,28 @@ Reference mapping (SURVEY.md §2.1):
   S7 ZORDER post-hook    OPTIMIZE ... ZORDER BY (customers_latest.sql:7 etc.)
   S8 schema evolution    on_schema_change='sync_all_columns'
 
-Without delta-spark, MERGE is anti-join + unionByName and the commit
-is an atomic write-temp-then-rename swap (a parquet snapshot has no
-transaction log, so the swap is the commit point). With delta-spark
-installed, ``DeltaTable.merge`` replaces both. The ZORDER analog is
-repartitionByRange + sortWithinPartitions: same data-skipping effect
-(clustered min/max ranges per file) from OSS primitives.
+Commit protocol (no delta-spark in this container — fallback is the
+tested path): every overwrite/merge writes a fresh immutable version
+directory ``<table>/v_<uuid>/`` and then commits by atomically
+replacing the one-line pointer file ``<table>/_CURRENT`` via
+``os.replace`` (POSIX-atomic). A crash at ANY point leaves the
+pointer naming a fully-written version: before the replace, readers
+still see the old version; after, the new one. Superseded versions
+are garbage-collected on the next successful commit. This is the
+classic table-format commit (Delta/Iceberg do the same with a
+transaction log instead of a pointer file).
+
+Object-store caveat: ``os.replace`` atomicity holds on POSIX
+filesystems (local disk, NFS, HDFS via mounts). On S3-like stores
+there is no atomic rename — swap this pointer for a real table format
+(Delta/Iceberg), whose log commit plays the same role; nothing above
+this class changes. With delta-spark installed, ``DeltaTable.merge``
+replaces the anti-join merge and ``OPTIMIZE ZORDER`` replaces the
+cluster pass (HAVE_DELTA gates it).
+
+The ZORDER analog is repartitionByRange + sortWithinPartitions: same
+data-skipping effect (clustered min/max ranges per file) from OSS
+primitives.
 """
 
 from __future__ import annotations
@@ -36,15 +52,17 @@ try:  # delta-spark is optional; everything falls back to parquet.
 except Exception:  # pragma: no cover
     HAVE_DELTA = False
 
+_POINTER = "_CURRENT"
+
 
 class SnapshotStore:
     """Keyed SCD-1 snapshots in a warehouse directory, one table per
-    model, with atomic replace and merge/upsert.
+    model, with atomic pointer-commit replace and merge/upsert.
 
     At 100 TB the same interface maps onto Delta/Iceberg tables: the
-    swap becomes a transactional commit and merge becomes MERGE INTO
-    with file pruning on the unique key; nothing above this class
-    changes.
+    pointer commit becomes the table format's log commit and merge
+    becomes MERGE INTO with file pruning on the unique key; nothing
+    above this class changes.
     """
 
     def __init__(self, spark: SparkSession, warehouse_dir: str):
@@ -55,27 +73,48 @@ class SnapshotStore:
     def path(self, name: str) -> str:
         return os.path.join(self.warehouse_dir, name)
 
+    def _pointer_path(self, name: str) -> str:
+        return os.path.join(self.path(name), _POINTER)
+
+    def current_data_dir(self, name: str) -> str | None:
+        """Directory of the committed version, or None if absent.
+
+        Pointer layout if present; otherwise a plain parquet dir
+        (append-only tables, pre-existing data) is its own version.
+        """
+        table = self.path(name)
+        ptr = self._pointer_path(name)
+        if os.path.isfile(ptr):
+            with open(ptr, encoding="utf-8") as fh:
+                version = fh.read().strip()
+            vdir = os.path.join(table, version)
+            return vdir if os.path.isdir(vdir) else None
+        return table if os.path.isdir(table) else None
+
     def exists(self, name: str) -> bool:
-        return os.path.isdir(self.path(name))
+        return self.current_data_dir(name) is not None
 
     def read(self, name: str) -> DataFrame | None:
         """Prior snapshot ({{ this }}) or None on first run."""
-        if not self.exists(name):
+        data = self.current_data_dir(name)
+        if data is None:
             return None
-        return self.spark.read.parquet(self.path(name))
+        return self.spark.read.parquet(data)
 
-    def overwrite(
+    # -------------------------------------------------- commit protocol
+
+    def _write_version(
         self,
         name: str,
         df: DataFrame,
         partition_by: Sequence[str] = (),
         cluster_by: Sequence[str] = (),
-    ) -> None:
-        """Atomic full replace: write to a temp dir, swap into place.
+    ) -> str:
+        """Write a new UNCOMMITTED version directory; return its name.
 
         ``cluster_by`` is the ZORDER analog (S7): range-partition +
-        sort-within-partitions on the cluster keys before writing, so
-        parquet min/max stats give data skipping on those columns.
+        sort-within-partitions on the cluster keys, so parquet min/max
+        stats give data skipping on those columns.
 
         Partitioned writes first hash-repartition on the partition
         columns so each hive partition directory is written by one
@@ -90,26 +129,53 @@ class SnapshotStore:
             )
         elif cluster_by:
             df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
-        tmp = self.path(f"_tmp_{name}_{uuid.uuid4().hex[:8]}")
+        version = f"v_{uuid.uuid4().hex[:12]}"
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(tmp)
-        final = self.path(name)
-        if os.path.isdir(final):
-            old = self.path(f"_old_{name}_{uuid.uuid4().hex[:8]}")
-            os.rename(final, old)
-            os.rename(tmp, final)
-            shutil.rmtree(old, ignore_errors=True)
-        else:
-            os.rename(tmp, final)
+        writer.parquet(os.path.join(self.path(name), version))
+        return version
+
+    def _commit(self, name: str, version: str) -> None:
+        """Atomically point ``_CURRENT`` at ``version`` (the commit
+        point), then garbage-collect superseded versions."""
+        table = self.path(name)
+        tmp = os.path.join(table, f"_ptr_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(version)
+        os.replace(tmp, self._pointer_path(name))  # POSIX-atomic
+        for entry in os.listdir(table):
+            if entry.startswith("v_") and entry != version:
+                shutil.rmtree(os.path.join(table, entry), ignore_errors=True)
+
+    # ---------------------------------------------------------- sinks
+
+    def overwrite(
+        self,
+        name: str,
+        df: DataFrame,
+        partition_by: Sequence[str] = (),
+        cluster_by: Sequence[str] = (),
+    ) -> None:
+        """Atomic full replace: write a version dir, commit the pointer."""
+        version = self._write_version(
+            name, df, partition_by=partition_by, cluster_by=cluster_by
+        )
+        self._commit(name, version)
 
     def append(self, name: str, df: DataFrame, partition_by: Sequence[str] = ()) -> None:
-        """S5: plain append materialization."""
+        """S5: plain append materialization.
+
+        Appends land in the current committed data dir (or the plain
+        table dir on first write). Appends are NOT atomic — matching
+        dbt's default incremental behavior; use merge/overwrite for
+        transactional semantics.
+        """
+        data = self.current_data_dir(name) or self.path(name)
         writer = df.write.mode("append")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
-        writer.parquet(self.path(name))
+        writer.parquet(data)
 
     def merge(
         self,
@@ -120,10 +186,16 @@ class SnapshotStore:
         cluster_by: Sequence[str] = (),
     ) -> DataFrame:
         """S4: MERGE batch into the named snapshot on ``key``;
-        returns the merged snapshot DataFrame (freshly readable)."""
+        returns the merged snapshot DataFrame (freshly readable).
+
+        The merged relation lazily reads the OLD version's files;
+        writing the new version before the pointer commit means the
+        read and the write never race — the commit happens only after
+        the new version is fully on disk.
+        """
         prev = self.read(name)
         merged = merge_upsert(prev, batch, key)
-        # Materialize BEFORE the swap: `merged` lazily reads the old
-        # files, so compute into the temp dir first (overwrite does).
         self.overwrite(name, merged, partition_by=partition_by, cluster_by=cluster_by)
-        return self.spark.read.parquet(self.path(name))
+        out = self.read(name)
+        assert out is not None
+        return out

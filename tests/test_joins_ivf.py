@@ -56,6 +56,32 @@ class TestAsofJoin:
         right = [(1, _ts(3), "r")]
         assert len(self._run(spark, left, right)) == 10
 
+    def test_null_value_in_nearest_right_row_is_kept(self, spark):
+        # The nearest preceding right row has rv=NULL: the output must
+        # carry THAT row's (ts, NULL), not mix the older row's value
+        # with the newer row's timestamp (round-1 bug: per-column
+        # last(ignorenulls) skipped the NULL back to the older row).
+        got = self._run(
+            spark,
+            [(1, _ts(30), "x")],
+            [(1, _ts(5), "old"), (1, _ts(20), None)],
+        )
+        assert got[(1, _ts(30))] == (_ts(20), None)
+
+    def test_internal_names_do_not_clobber_user_columns(self, spark):
+        # Left carries columns named _ts/_is_left: they must survive.
+        left = spark.createDataFrame(
+            [(1, _ts(10), "keep-ts", "keep-flag")],
+            "k long, ts timestamp, _ts string, _is_left string",
+        )
+        right = spark.createDataFrame([(1, _ts(5), "r")], "k long, ts timestamp, rv string")
+        out = asof_join(
+            left, right, key_cols=("k",), left_ts="ts", right_ts="ts", value_cols=("rv",)
+        ).collect()
+        assert out[0]._ts == "keep-ts"
+        assert out[0]._is_left == "keep-flag"
+        assert out[0].rv_asof == "r"
+
 
 class TestIvfAnn:
     def test_cells_in_range_and_deterministic(self, spark):

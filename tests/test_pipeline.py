@@ -118,9 +118,32 @@ class TestPipelineInvariants:
         }
         assert with_orders <= valid_cust
 
-    def test_dim_region_mapping(self, pipeline_outputs):
+    def test_dim_region_mapping_reference_parity(self, pipeline_outputs):
+        # Default = bug-for-bug reference parity: country is UPPER'd
+        # upstream while dim_customer.sql:66-70 compares mixed-case
+        # literals, so only USA and UK ever map; CANADA/GERMANY/
+        # FRANCE/AUSTRALIA land in 'Other' exactly like the reference.
         out, _, _ = pipeline_outputs
         rows = out["dim_customer"].select("country", "region").distinct().collect()
+        for r in rows:
+            if r["country"] == "USA":
+                assert r["region"] == "North America"
+            elif r["country"] == "UK":
+                assert r["region"] == "Europe"
+            else:
+                assert r["region"] == "Other"
+
+    def test_dim_region_mapping_fixed_case(self, spark):
+        # fix_region_case=True applies the evidently-intended mapping.
+        from product_analytics_spark.models.customers_latest import build_customers_latest
+        from product_analytics_spark.models.orders_cleaned import build_orders_cleaned
+        from product_analytics_spark.models.dim_customer_cdc import build_dim_customer_cdc
+
+        customers_cdc, orders_cdc = make_cdc_frames(spark)
+        cl = build_customers_latest(customers_cdc)
+        oc = build_orders_cleaned(orders_cdc, cl)
+        dim = build_dim_customer_cdc(cl, oc, AS_OF, AS_OF_TS, fix_region_case=True)
+        rows = dim.select("country", "region").distinct().collect()
         for r in rows:
             if r["country"] in ("USA", "CANADA"):
                 assert r["region"] == "North America"

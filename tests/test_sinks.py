@@ -1,0 +1,83 @@
+"""SnapshotStore commit protocol + physical layout (S4-S7).
+
+The pointer-commit property is what makes the OSS fallback honest:
+an uncommitted version write must be invisible to readers, and the
+commit must be a single atomic pointer replace. The layout tests pin
+the S6/S7 guarantees the scale notes promise: one file per hive
+partition directory and cluster-key ordering inside each file.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from product_analytics_spark.sources.sinks import SnapshotStore
+
+
+@pytest.fixture(scope="module")
+def store(spark, tmp_path_factory):
+    return SnapshotStore(spark, str(tmp_path_factory.mktemp("sink_wh")))
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, part string, v double")
+
+
+class TestCommitProtocol:
+    def test_uncommitted_version_is_invisible(self, spark, store):
+        v1 = _df(spark, [(1, "a", 1.0), (2, "b", 2.0)])
+        store.overwrite("t1", v1)
+        # Write a new version WITHOUT committing (= crash before the
+        # pointer replace): readers must still see v1.
+        v2 = _df(spark, [(1, "a", 9.0)])
+        pending = store._write_version("t1", v2)
+        got = {(r.k, r.v) for r in store.read("t1").collect()}
+        assert got == {(1, 1.0), (2, 2.0)}
+        # Commit -> readers see v2; superseded version is GC'd.
+        store._commit("t1", pending)
+        got = {(r.k, r.v) for r in store.read("t1").collect()}
+        assert got == {(1, 9.0)}
+        versions = [
+            d for d in os.listdir(store.path("t1")) if d.startswith("v_")
+        ]
+        assert versions == [pending]
+
+    def test_merge_reads_old_version_while_writing_new(self, spark, store):
+        store.overwrite("t2", _df(spark, [(1, "a", 1.0), (2, "a", 2.0)]))
+        merged = store.merge("t2", _df(spark, [(2, "a", 20.0), (3, "a", 3.0)]), "k")
+        got = {(r.k, r.v) for r in merged.collect()}
+        assert got == {(1, 1.0), (2, 20.0), (3, 3.0)}
+
+    def test_exists_and_first_run(self, spark, store):
+        assert not store.exists("never_written")
+        assert store.read("never_written") is None
+
+
+class TestPhysicalLayout:
+    def test_one_file_per_hive_partition(self, spark, store):
+        rows = [(i, "p%d" % (i % 3), float(i)) for i in range(300)]
+        store.overwrite("t3", _df(spark, rows), partition_by=("part",), cluster_by=("k",))
+        data = store.current_data_dir("t3")
+        part_dirs = sorted(glob.glob(os.path.join(data, "part=*")))
+        assert len(part_dirs) == 3
+        for d in part_dirs:
+            files = [f for f in glob.glob(os.path.join(d, "*.parquet"))]
+            assert len(files) == 1, f"expected one file in {d}, got {files}"
+
+    def test_cluster_keys_sorted_within_files(self, spark, store):
+        rows = [(i * 37 % 500, "x", float(i)) for i in range(500)]
+        store.overwrite("t4", _df(spark, rows), partition_by=("part",), cluster_by=("k",))
+        data = store.current_data_dir("t4")
+        for f in glob.glob(os.path.join(data, "part=*", "*.parquet")):
+            ks = [r.k for r in spark.read.parquet(f).select("k").collect()]
+            assert ks == sorted(ks), f"cluster key not sorted in {f}"
+
+    def test_append_lands_in_committed_version(self, spark, store):
+        store.overwrite("t5", _df(spark, [(1, "a", 1.0)]))
+        store.append("t5", _df(spark, [(2, "a", 2.0)]))
+        got = {r.k for r in store.read("t5").collect()}
+        assert got == {1, 2}
