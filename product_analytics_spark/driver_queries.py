@@ -1555,6 +1555,207 @@ def q40_snapshot_merge_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q40_SQL = Q17_SQL  # same merge semantics; q40 additionally round-trips disk.
 
 
+# --------------------------------------------------------------------- q41
+
+def q41_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface exact percentile aggregation (SURVEY §2.5 notes
+    the reference has none): p25/p50/p75/p90 of extended price per
+    return flag. F.percentile is Spark's exact linear-interpolation
+    aggregate — same definition as DuckDB's quantile_cont, so values
+    match bit-for-bit. At 100 TB swap for approx_percentile with a
+    documented error bound (exact percentile needs a per-group sort);
+    the API shape is identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    # One percentile aggregate with an array of fractions — a single
+    # counting pass per group instead of four (4x less agg state).
+    pcts = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75, 0.9]))
+    return li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_rows"), pcts.alias("_p")
+    ).select(
+        "l_returnflag",
+        "n_rows",
+        F.col("_p")[0].alias("p25"),
+        F.col("_p")[1].alias("p50"),
+        F.col("_p")[2].alias("p75"),
+        F.col("_p")[3].alias("p90"),
+    )
+
+
+Q41_SQL = """
+SELECT l_returnflag, count(*) AS n_rows,
+       quantile_cont(l_extendedprice, 0.25) AS p25,
+       quantile_cont(l_extendedprice, 0.5) AS p50,
+       quantile_cont(l_extendedprice, 0.75) AS p75,
+       quantile_cont(l_extendedprice, 0.9) AS p90
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------- q42
+
+def q42_running_and_moving_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface analytic windows: per-customer running revenue
+    (rows unbounded preceding), 3-order moving average, and previous
+    order total (lag). Deterministic (order_date, order_id) ordering;
+    the running sum accumulates DECIMAL (exact at any partitioning)
+    and casts to double at the edge. One shuffle on customer_id
+    serves all three window functions."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    run = w.rowsBetween(Window.unboundedPreceding, 0)
+    mov = w.rowsBetween(-2, 0)
+    return o.select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("o_totalprice").alias("order_total"),
+        _money_out(F.sum(_money("o_totalprice")).over(run)).alias("running_revenue"),
+        F.round(F.avg(F.col("o_totalprice")).over(mov), 4).alias("moving_avg_3"),
+        F.lag("o_totalprice").over(w).alias("prev_order_total"),
+    )
+
+
+Q42_SQL = """
+SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+       CAST(o_orderdate AS TIMESTAMP) AS order_date,
+       o_totalprice AS order_total,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_revenue,
+       round(avg(o_totalprice)
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS moving_avg_3,
+       lag(o_totalprice)
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_order_total
+FROM orders
+"""
+
+
+# --------------------------------------------------------------------- q43
+
+def q43_cube_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface CUBE grouping sets — all four grouping
+    combinations of (priority, status) in one pass. Like ROLLUP (q33),
+    Catalyst expands grouping sets map-side: one partial-agg shuffle,
+    not four scans."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _money_out(F.sum(_money("o_totalprice"))).alias("total_revenue"),
+    )
+
+
+Q43_SQL = """
+SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue
+FROM orders GROUP BY CUBE (o_orderpriority, o_orderstatus)
+"""
+
+
+# --------------------------------------------------------------------- q44
+
+def q44_semi_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface SEMI/ANTI joins: customers who ordered in 1995
+    (left_semi) but never in 1996 (left_anti). Both join types ship
+    only the left side's rows — no right-side columns ever shuffle to
+    the output, and Spark plans them as existence joins (broadcast
+    when the key set is small)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    k95 = o.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    k96 = o.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    out = (
+        c.join(k95, c.c_custkey == k95.o_custkey, "left_semi")
+        .join(k96, F.col("c_custkey") == k96.o_custkey, "left_anti")
+    )
+    return out.select(
+        F.col("c_custkey").alias("customer_id"),
+        F.col("c_name").alias("customer_name"),
+        F.col("c_mktsegment").alias("market_segment"),
+    )
+
+
+Q44_SQL = """
+SELECT c_custkey AS customer_id, c_name AS customer_name,
+       c_mktsegment AS market_segment
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+              AND year(o.o_orderdate) = 1995)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND year(o.o_orderdate) = 1996)
+"""
+
+
+# --------------------------------------------------------------------- q45
+
+def q45_unpivot_long(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface UNPIVOT (wide -> long): melt the q38-style
+    status-count matrix back into (priority, status, n) rows.
+    DataFrame.unpivot expands map-side (one output row per id x value
+    column) — no shuffle beyond the upstream aggregate."""
+    wide = q38_pivot_counts(spark, sf_dir)
+    long = wide.unpivot(
+        ids=["order_priority"],
+        values=["n_fulfilled", "n_open", "n_pending"],
+        variableColumnName="status_bucket",
+        valueColumnName="n_orders",
+    )
+    return long
+
+
+Q45_SQL = """
+WITH wide AS (
+  SELECT o_orderpriority AS order_priority,
+         count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_fulfilled,
+         count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+         count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending
+  FROM orders GROUP BY o_orderpriority
+)
+SELECT order_priority, 'n_fulfilled' AS status_bucket, n_fulfilled AS n_orders FROM wide
+UNION ALL
+SELECT order_priority, 'n_open', n_open FROM wide
+UNION ALL
+SELECT order_priority, 'n_pending', n_pending FROM wide
+"""
+
+
+# --------------------------------------------------------------------- q46
+
+HIST_BUCKET_WIDTH = 50000.0
+HIST_MAX_BUCKET = 9
+
+
+def q46_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface fixed-width histogram: bucket order totals into
+    50k-wide bins (top bin open-ended), count + bounds per bin. Pure
+    arithmetic bucketing folds into the scan; one hash-agg shuffle of
+    |buckets| rows."""
+    o = _t(spark, sf_dir, "orders")
+    bucket = F.least(
+        F.floor(F.col("o_totalprice") / F.lit(HIST_BUCKET_WIDTH)), F.lit(HIST_MAX_BUCKET)
+    ).cast("int")
+    return (
+        o.select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_total"),
+            F.max("o_totalprice").alias("max_total"),
+        )
+    )
+
+
+Q46_SQL = f"""
+SELECT CAST(least(floor(o_totalprice / {HIST_BUCKET_WIDTH}), {HIST_MAX_BUCKET}) AS INT) AS bucket,
+       count(*) AS n_orders,
+       min(o_totalprice) AS min_total,
+       max(o_totalprice) AS max_total
+FROM orders GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_predicates": q02_filter_predicates,
@@ -1596,6 +1797,12 @@ QUERIES = {
     "q38_pivot_counts": q38_pivot_counts,
     "q39_ivf_ann_topk": q39_ivf_ann_topk,
     "q40_snapshot_merge_write": q40_snapshot_merge_write,
+    "q41_percentiles": q41_percentiles,
+    "q42_running_and_moving_agg": q42_running_and_moving_agg,
+    "q43_cube_agg": q43_cube_agg,
+    "q44_semi_anti_join": q44_semi_anti_join,
+    "q45_unpivot_long": q45_unpivot_long,
+    "q46_histogram": q46_histogram,
 }
 
 ORACLES = {
@@ -1639,4 +1846,10 @@ ORACLES = {
     "q38_pivot_counts": Q38_SQL,
     "q39_ivf_ann_topk": _q39_sql(),
     "q40_snapshot_merge_write": Q40_SQL,
+    "q41_percentiles": Q41_SQL,
+    "q42_running_and_moving_agg": Q42_SQL,
+    "q43_cube_agg": Q43_SQL,
+    "q44_semi_anti_join": Q44_SQL,
+    "q45_unpivot_long": Q45_SQL,
+    "q46_histogram": Q46_SQL,
 }
