@@ -27,8 +27,13 @@ def main() -> None:
     spark = get_spark("bench")
 
     # Warm the JVM/codegen once so per-query numbers measure the plan,
-    # not first-run JIT.
+    # not first-run JIT; likewise spin up the Arrow Python worker pool
+    # (used by q27/q32/q40) so the first Arrow query isn't charged the
+    # one-time worker fork/import cost.
     QUERIES["q01_scan_project"](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.range(32).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     times: dict[str, float] = {}
     for name, fn in QUERIES.items():

@@ -136,6 +136,7 @@ def minhash_near_dup_pairs(
     shingle_n: int = 3,
     threshold: float = 0.5,
     hasher: str = "portable",
+    pre_group_exact: bool = False,
 ) -> DataFrame:
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -163,10 +164,77 @@ def minhash_near_dup_pairs(
     Scale: at 100 TB the signature table is ~num_hashes*8 bytes/doc —
     write it to a table and reuse across runs. The band-hash shuffle
     moves bands*(8+8+4) bytes/doc. Exact-duplicate mega-buckets are
-    the classic skew risk — AQE skew-join splitting plus pre-grouping
-    exact dups by fingerprint bound bucket size. Returns (id_a, id_b,
-    est_jaccard) with id_a < id_b.
+    the classic skew risk — AQE skew-join splitting plus
+    ``pre_group_exact=True`` bound bucket size: exact duplicates are
+    grouped by md5(text) FIRST, LSH runs over one representative per
+    distinct text, and pairs are expanded back afterwards
+    (intra-group pairs at est_jaccard=1.0, cross-group pairs at the
+    representatives' estimate). Output is provably identical to the
+    naive run — identical texts have identical signatures, so they
+    always band together (est 1.0 >= any threshold) and every member
+    inherits its representative's collisions — while the band join's
+    worst bucket shrinks from the largest exact-dup cluster to the
+    largest *distinct-text* near-dup cluster (tested equal on a
+    dup-heavy corpus). Returns (id_a, id_b, est_jaccard) with
+    id_a < id_b.
     """
+    if pre_group_exact:
+        groups = cache.persist(
+            df.groupBy(F.md5(F.col(text_col)).alias("_gk")).agg(
+                F.min(id_col).alias("_rep"),
+                F.sort_array(F.collect_list(id_col)).alias("_members"),
+                F.first(text_col).alias(text_col),
+            )
+        )
+        reps = groups.select(F.col("_rep").alias(id_col), text_col)
+        rep_pairs = minhash_near_dup_pairs(
+            reps,
+            text_col=text_col,
+            id_col=id_col,
+            num_hashes=num_hashes,
+            bands=bands,
+            shingle_n=shingle_n,
+            threshold=threshold,
+            hasher=hasher,
+            pre_group_exact=False,
+        )
+        # Intra-group pairs: every (a<b) inside one exact-dup group.
+        m = F.col("_members")
+        pair_arr = F.flatten(
+            F.transform(
+                m,
+                lambda x, i: F.transform(
+                    F.slice(m, i + 2, F.size(m)),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+        intra = (
+            groups.filter(F.size(m) >= 2)
+            .select(F.explode(pair_arr).alias("_p"))
+            .select(
+                F.col("_p.a").alias("id_a"),
+                F.col("_p.b").alias("id_b"),
+                F.lit(1.0).alias("est_jaccard"),
+            )
+        )
+        # Cross-group pairs: expand representative pairs to all member
+        # combinations, re-ordering so id_a < id_b.
+        ga = groups.select(F.col("_rep").alias("id_a"), F.col("_members").alias("_ma"))
+        gb = groups.select(F.col("_rep").alias("id_b"), F.col("_members").alias("_mb"))
+        cross = (
+            rep_pairs.join(ga, "id_a")
+            .join(gb, "id_b")
+            .select(F.explode("_ma").alias("_a"), F.col("_mb"), F.col("est_jaccard"))
+            .select(F.col("_a"), F.explode("_mb").alias("_b"), F.col("est_jaccard"))
+            .select(
+                F.least("_a", "_b").alias("id_a"),
+                F.greatest("_a", "_b").alias("id_b"),
+                "est_jaccard",
+            )
+        )
+        return intra.unionByName(cross).select("id_a", "id_b", "est_jaccard")
+
     rows_per_band = num_hashes // bands
     shingles = word_shingles(F.col(text_col), shingle_n)
     if hasher == "portable":

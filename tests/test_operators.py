@@ -208,6 +208,33 @@ class TestText:
         # 4 bigrams each, 3 shared -> 3/5
         assert abs(sim - 0.6) < 1e-9
 
+    def test_minhash_pre_group_exact_output_identical(self, spark):
+        # Dup-heavy corpus: 3 distinct texts, each duplicated several
+        # times, two of them near-dups of each other. The pre-grouped
+        # run (LSH over distinct texts only, pairs expanded back) must
+        # produce the exact same pair set as the naive run.
+        words = [f"tok{i}" for i in range(30)]
+        base = " ".join(words)
+        near = " ".join(["tokX"] + words[1:])
+        far = " ".join(f"zzz{i}" for i in range(30))
+        rows = []
+        for i, text_val in [(0, base), (1, base), (2, base), (3, near), (4, near), (5, far), (6, far)]:
+            rows.append((i, text_val))
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        naive = {
+            (r.id_a, r.id_b, r.est_jaccard)
+            for r in text.minhash_near_dup_pairs(df, threshold=0.4).collect()
+        }
+        grouped = {
+            (r.id_a, r.id_b, r.est_jaccard)
+            for r in text.minhash_near_dup_pairs(
+                df, threshold=0.4, pre_group_exact=True
+            ).collect()
+        }
+        assert naive == grouped
+        # sanity: exact dups are in there at est 1.0, near-dups found
+        assert (0, 1, 1.0) in naive and (5, 6, 1.0) in naive
+
     def test_minhash_detects_near_dup(self, spark):
         words = [f"word{i}" for i in range(30)]
         base = " ".join(words)
