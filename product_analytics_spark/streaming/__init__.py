@@ -10,6 +10,7 @@ merge. This package provides those streaming forms; the batch forms in
 from product_analytics_spark.streaming.ops import (  # noqa: F401
     cdc_latest_stream,
     foreach_batch_merge,
+    interval_join_stream,
     run_available_now,
     session_window_agg_stream,
     sessionize_stateful,

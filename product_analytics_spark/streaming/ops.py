@@ -186,6 +186,45 @@ def sessionize_stateful(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    left_ts_col: str = "ts",
+    right_ts_col: str = "r_ts",
+    lookback_minutes: int = 60,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval (range) join: each left event matches
+    right events of the same key whose timestamp falls within
+    ``[left_ts - lookback, left_ts]`` — the enrichment join for
+    "recent context" features (clicks joined to impressions, events
+    to signups, spans to traces).
+
+    Requirements Structured Streaming imposes (and this helper
+    encodes): BOTH sides carry watermarks, and the join condition
+    includes the time-range bound — together they let the engine
+    evict right-side state older than
+    ``watermark + lookback``, so state is bounded at any scale.
+    The right side's key/ts columns must be pre-renamed (no shared
+    names across sides of a stream-stream join).
+
+    Batch-equivalence: the identical join condition over static
+    DataFrames gives the same rows (tested). At 100 TB the shuffle
+    is keyed on the join key like any equi-join; the range bound is
+    evaluated post-match, not as a cross product.
+    """
+    lb = F.expr(f"INTERVAL {lookback_minutes} MINUTES")
+    l = left.withWatermark(left_ts_col, watermark)
+    r = right.withWatermark(right_ts_col, watermark)
+    cond = (
+        (F.col(f"l_side.{key_col}") == F.col(f"r_side.r_{key_col}"))
+        & (F.col(f"r_side.{right_ts_col}") <= F.col(f"l_side.{left_ts_col}"))
+        & (F.col(f"r_side.{right_ts_col}") >= F.col(f"l_side.{left_ts_col}") - lb)
+    )
+    return l.alias("l_side").join(r.alias("r_side"), cond, "inner")
+
+
 def foreach_batch_merge(
     stream: DataFrame,
     merge_fn: Callable[[DataFrame, int], None],

@@ -1,0 +1,91 @@
+"""Physical-plan regression guards (SURVEY.md §4, SCALE.md).
+
+The 100 TB story rests on plan properties, not hopes: filters reach
+the parquet scan, dimension joins broadcast, CDC dedup combines
+map-side, top-k never globally sorts, and nothing ever degenerates
+into a cartesian product or a row-at-a-time Python eval. These tests
+pin those properties so a refactor that silently regresses the plan
+fails CI, not the cluster.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from product_analytics_spark import cache
+from product_analytics_spark.driver_queries import QUERIES
+from tests.conftest import SF_SMALL
+
+
+def _plan(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def plans(spark):
+    out = {}
+    for name, fn in QUERIES.items():
+        out[name] = _plan(fn(spark, SF_SMALL))
+        cache.clear_all()
+    return out
+
+
+class TestPlanProperties:
+    def test_filters_push_down_to_parquet_scan(self, plans):
+        p = plans["q02_filter_predicates"]
+        assert "PushedFilters" in p
+        assert "GreaterThan(o_totalprice,1000.0)" in p.replace(" ", "")
+
+    def test_dimension_joins_broadcast(self, plans):
+        # Fact side must not shuffle for dim joins (q09 validation
+        # join, q44 existence joins).
+        assert "BroadcastHashJoin" in plans["q09_left_join_validate"]
+        p44 = plans["q44_semi_anti_join"]
+        assert "LeftSemi" in p44 and "LeftAnti" in p44
+        assert "SortMergeJoin" not in p44
+
+    def test_cdc_dedup_combines_map_side(self, plans):
+        # max_by partial aggregation before the Exchange: the shuffle
+        # moves ~|keys| rows, not |events|.
+        assert "partial_max_by" in plans["q03_dedup_latest"]
+
+    def test_topk_has_no_global_sort(self, plans):
+        assert "TakeOrderedAndProject" in plans["q21_similarity_topk"]
+
+    def test_analytic_windows_share_one_shuffle(self, plans):
+        p = plans["q42_running_and_moving_agg"]
+        # One hash-partition Exchange feeds all three window functions.
+        assert p.count("+- Exchange") == 1
+
+    def test_grouping_sets_expand_map_side(self, plans):
+        for q in ("q33_rollup_agg", "q43_cube_agg"):
+            p = plans[q]
+            assert "Expand" in p
+            assert p.count("+- Exchange") == 1
+
+    def test_no_cartesian_products_anywhere(self, plans):
+        for name, p in plans.items():
+            assert "CartesianProduct" not in p, name
+            assert "BroadcastNestedLoopJoin" not in p, name
+
+    def test_no_row_at_a_time_python_anywhere(self, plans):
+        # Arrow-batched Python (MapInPandas / ArrowEvalPython) is the
+        # only allowed Python boundary; pickled row UDFs are banned.
+        for name, p in plans.items():
+            assert "BatchEvalPython" not in p, name
+
+    def test_python_boundary_only_where_declared(self, plans):
+        arrow_users = {
+            name for name, p in plans.items() if "MapInPandas" in p
+        }
+        assert arrow_users <= {
+            "q27_embedding_near_dup",
+            "q32_multimodal_features",
+            "q39_ivf_ann_topk",
+        }, arrow_users

@@ -139,6 +139,38 @@ class TestStatefulSessionizer:
         assert s.total_value == 3.0
 
 
+class TestIntervalJoinStream:
+    def test_matches_batch_interval_join(self, spark, events_dir, events_schema):
+        # Right side: signup events, columns renamed (stream-stream
+        # joins forbid shared names across sides).
+        def right_of(df):
+            return df.filter(F.col("event_type") == "signup").select(
+                F.col("user_id").alias("r_user_id"),
+                F.col("ts").alias("r_ts"),
+                F.col("event_id").alias("r_event_id"),
+            )
+
+        left_s = _stream(spark, events_dir, events_schema).select("event_id", "user_id", "ts")
+        right_s = right_of(_stream(spark, events_dir, events_schema))
+        joined = st.interval_join_stream(
+            left_s, right_s, key_col="user_id", lookback_minutes=120
+        ).select("event_id", "r_event_id")
+        st.run_available_now(joined, "ij_sink", output_mode="append")
+        got = {(r.event_id, r.r_event_id) for r in spark.table("ij_sink").collect()}
+
+        batch = spark.read.parquet(events_dir)
+        l = batch.select("event_id", "user_id", "ts").alias("l_side")
+        r = right_of(batch).alias("r_side")
+        cond = (
+            (F.col("l_side.user_id") == F.col("r_side.r_user_id"))
+            & (F.col("r_side.r_ts") <= F.col("l_side.ts"))
+            & (F.col("r_side.r_ts") >= F.col("l_side.ts") - F.expr("INTERVAL 120 MINUTES"))
+        )
+        want = {(r_.event_id, r_.r_event_id) for r_ in l.join(r, cond).select("event_id", "r_event_id").collect()}
+        assert got == want
+        assert len(want) > 0
+
+
 class TestForeachBatchMerge:
     def test_micro_batches_merge_into_snapshot(self, spark, tmp_path):
         from product_analytics_spark.operators.incremental import merge_upsert
