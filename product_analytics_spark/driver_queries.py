@@ -1756,6 +1756,53 @@ FROM orders GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------- q47
+
+def q47_data_quality_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dbt generic-test surface (`dbt test`) as one engine query:
+    not_null / unique / accepted_values / relationships checks over
+    the orders+customer tables, aggregated to a (check, n_violations)
+    report (see product_analytics_spark/validations.py). Each check
+    reduces distributed to one row; the relationships check is an
+    anti-join with a broadcastable parent side."""
+    from product_analytics_spark import validations as V
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    return V.quality_report(
+        {
+            "orders_custkey_not_null": V.not_null_violations(o, "o_custkey"),
+            "orders_orderkey_unique": V.unique_violations(o, "o_orderkey"),
+            "orders_status_accepted": V.accepted_values_violations(
+                o, "o_orderstatus", ["F", "O", "P"]
+            ),
+            "orders_custkey_relationship": V.relationships_violations(
+                o, "o_custkey", c, "c_custkey"
+            ),
+            "customer_custkey_unique": V.unique_violations(c, "c_custkey"),
+        }
+    )
+
+
+Q47_SQL = """
+SELECT 'orders_custkey_not_null' AS check, count(*) AS n_violations
+FROM orders WHERE o_custkey IS NULL
+UNION ALL
+SELECT 'orders_orderkey_unique', count(*) FROM (
+  SELECT o_orderkey FROM orders GROUP BY o_orderkey HAVING count(*) > 1)
+UNION ALL
+SELECT 'orders_status_accepted', count(*) FROM orders
+WHERE o_orderstatus IS NOT NULL AND o_orderstatus NOT IN ('F', 'O', 'P')
+UNION ALL
+SELECT 'orders_custkey_relationship', count(*) FROM orders o
+WHERE o.o_custkey IS NOT NULL
+  AND NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+UNION ALL
+SELECT 'customer_custkey_unique', count(*) FROM (
+  SELECT c_custkey FROM customer GROUP BY c_custkey HAVING count(*) > 1)
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_predicates": q02_filter_predicates,
@@ -1803,6 +1850,7 @@ QUERIES = {
     "q44_semi_anti_join": q44_semi_anti_join,
     "q45_unpivot_long": q45_unpivot_long,
     "q46_histogram": q46_histogram,
+    "q47_data_quality_report": q47_data_quality_report,
 }
 
 ORACLES = {
@@ -1852,4 +1900,5 @@ ORACLES = {
     "q44_semi_anti_join": Q44_SQL,
     "q45_unpivot_long": Q45_SQL,
     "q46_histogram": Q46_SQL,
+    "q47_data_quality_report": Q47_SQL,
 }

@@ -208,6 +208,23 @@ class TestText:
         # 4 bigrams each, 3 shared -> 3/5
         assert abs(sim - 0.6) < 1e-9
 
+    def test_approx_scale_variants_within_tolerance(self, spark):
+        # The 100 TB swap-ins for exact distinct-count/percentiles
+        # (SCALE.md): HLL++ and t-digest style sketches. Deterministic
+        # for a given input; must land within their error bounds.
+        from tests.conftest import SF_MED
+        from product_analytics_spark.catalog import read_parquet
+
+        o = read_parquet(spark, f"{SF_MED}/orders.parquet")
+        exact = o.select(F.countDistinct("o_custkey")).first()[0]
+        approx = o.select(F.approx_count_distinct("o_custkey", 0.02)).first()[0]
+        assert abs(approx - exact) / exact < 0.05
+        p50_exact = o.select(F.percentile("o_totalprice", 0.5)).first()[0]
+        p50_approx = o.select(
+            F.percentile_approx("o_totalprice", 0.5, 10000)
+        ).first()[0]
+        assert abs(p50_approx - p50_exact) / p50_exact < 0.01
+
     def test_minhash_pre_group_exact_output_identical(self, spark):
         # Dup-heavy corpus: 3 distinct texts, each duplicated several
         # times, two of them near-dups of each other. The pre-grouped
