@@ -21,10 +21,15 @@ from pyspark.sql import functions as F
 from product_analytics_spark.catalog import read_parquet
 from product_analytics_spark.functions import cleaning, dates, scoring
 from product_analytics_spark.operators import (
+    corpus,
     dedup,
+    graph,
     incremental,
     multimodal,
+    sampling,
+    scd,
     similarity,
+    skew,
     text,
     windows,
 )
@@ -1803,6 +1808,363 @@ SELECT 'customer_custkey_unique', count(*) FROM (
 """
 
 
+# --------------------------------------------------------------------- q48
+
+def q48_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22: SCD Type-2 history build — dbt snapshot `strategy: check`
+    semantics (the reference ships a snapshots/ directory for exactly
+    this) over the events stream: one version row per (user,
+    event_type-change), valid_from/valid_to interval bounds, NULL-open
+    current rows. Two windows over ONE shuffle on user_id
+    (operators/scd.py)."""
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    hist = scd.scd2_history(
+        e, key_cols="user_id", ts_col="ts",
+        tracked_cols="event_type", tiebreak_cols=("event_id",),
+    )
+    return hist.select(
+        "user_id", "event_type", "valid_from", "valid_to", "is_current"
+    )
+
+
+Q48_SQL = """
+WITH h AS (
+  SELECT user_id, ts, event_id, event_type,
+         lag(event_type) OVER w AS prev, row_number() OVER w AS rn
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+pts AS (SELECT * FROM h WHERE rn = 1 OR prev IS DISTINCT FROM event_type)
+SELECT user_id, event_type,
+       CAST(ts AS TIMESTAMP) AS valid_from,
+       CAST(lead(ts) OVER w2 AS TIMESTAMP) AS valid_to,
+       lead(ts) OVER w2 IS NULL AS is_current
+FROM pts
+WINDOW w2 AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+# --------------------------------------------------------------------- q49
+
+SPLIT_SEP = "\x1f"
+
+
+def _split_hash_sql(salt: str) -> str:
+    """DuckDB expression for sampling.split_bucket: the portable 60-bit
+    hash of doc_id + 0x1f + salt, mod SPLIT_BUCKETS."""
+    e = f"CAST(doc_id AS VARCHAR) || chr(31) || '{salt}'"
+    return f"({_hash60_sql(e)} % {sampling.SPLIT_BUCKETS})"
+
+
+def q49_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23: deterministic train/val/test split — membership is a pure
+    function of a portable content hash of the key (survives reruns,
+    repartitioning, engine swaps; zero shuffles for the assignment —
+    operators/sampling.py). Output: per-(split, lang) doc counts and
+    char volume."""
+    d = sampling.with_hash_split(
+        _t(spark, sf_dir, "documents"), "doc_id",
+        {"train": 0.8, "val": 0.1, "test": 0.1},
+    )
+    return d.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+Q49_SQL = f"""
+WITH b AS (
+  SELECT lang, n_chars, {_split_hash_sql('split')} AS bkt FROM documents
+),
+s AS (
+  SELECT lang, n_chars,
+         CASE WHEN bkt < 8000 THEN 'train'
+              WHEN bkt < 9000 THEN 'val' ELSE 'test' END AS split
+  FROM b
+)
+SELECT split, lang, count(*) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM s GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------- q50
+
+STRATIFIED_FRACTION = 0.2
+
+
+def q50_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X23: exact stratified sample — the ceil(0.2·|stratum|) docs with
+    the smallest portable-hash rank per language. Rank + stratum-size
+    windows share ONE shuffle on lang; the selected set is
+    content-deterministic (operators/sampling.py scale notes: the
+    hash-threshold form is the no-shuffle 100 TB default, this exact
+    form is for eval sets where stratum proportions must be exact)."""
+    d = sampling.stratified_exact_sample(
+        _t(spark, sf_dir, "documents"), "lang", "doc_id", STRATIFIED_FRACTION
+    )
+    return d.select("doc_id", "lang")
+
+
+Q50_SQL = f"""
+WITH r AS (
+  SELECT doc_id, lang,
+         row_number() OVER (
+           PARTITION BY lang
+           ORDER BY {_hash60_sql("CAST(doc_id AS VARCHAR) || chr(31) || 'stratum'")} ASC,
+                    doc_id ASC) AS rnk,
+         count(*) OVER (PARTITION BY lang) AS n
+  FROM documents
+)
+SELECT doc_id, lang FROM r WHERE rnk <= ceil(n * {STRATIFIED_FRACTION})
+"""
+
+
+# --------------------------------------------------------------------- q51
+
+VOCAB_K = 20
+
+
+def q51_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X24: tokenizer-vocabulary build — top-k tokens by corpus
+    frequency with doc-frequency. Explode stays map-side; the shuffle
+    moves |distinct tokens| partial counts; top-k is
+    TakeOrderedAndProject (operators/corpus.py)."""
+    return corpus.vocab_topk(_t(spark, sf_dir, "documents"), k=VOCAB_K)
+
+
+Q51_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+)
+SELECT token, CAST(count(*) AS BIGINT) AS n_occurrences,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM tok GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT {VOCAB_K}
+"""
+
+
+# --------------------------------------------------------------------- q52
+
+def q52_pii_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25: PII scrubbing — phone + email regex masking with an audit
+    count, pure regexp_replace chain at scan speed (operators/
+    corpus.py). The synthetic customer table carries no PII column, so
+    the query first derives a deterministic contact string (name +
+    synthetic email + synthetic phone from the key) and then masks it
+    — the oracle derives the identical string, so the masking and the
+    audit count are fully value-checked."""
+    c = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    phone = F.format_string(
+        "%02d-%03d-%03d-%04d",
+        k % 90 + 10, k % 900 + 100, (k * 7) % 900 + 100, (k * 13) % 9000 + 1000,
+    )
+    contact = F.concat_ws(
+        " ", F.col("c_name"),
+        F.concat(F.lit("<user"), k.cast("string"), F.lit("@example.com>")),
+        F.lit("tel:"), phone,
+    )
+    masked = corpus.mask_pii(
+        c.withColumn("contact", contact), {"contact": "contact_masked"}
+    )
+    return masked.select(
+        F.col("c_custkey").alias("customer_id"),
+        "contact_masked",
+        F.col("contact_masked_n_masked").alias("n_masked"),
+    )
+
+
+Q52_SQL = f"""
+WITH raw AS (
+  SELECT c_custkey,
+         c_name || ' ' || '<user' || CAST(c_custkey AS VARCHAR) || '@example.com>'
+           || ' tel: '
+           || printf('%02d-%03d-%03d-%04d',
+                     c_custkey % 90 + 10, c_custkey % 900 + 100,
+                     (c_custkey * 7) % 900 + 100, (c_custkey * 13) % 9000 + 1000)
+           AS contact
+  FROM customer
+)
+SELECT c_custkey AS customer_id,
+       regexp_replace(regexp_replace(contact, '{corpus.PHONE_RE}', '[PII]', 'g'),
+                      '{corpus.EMAIL_RE}', '[PII]', 'g') AS contact_masked,
+       CAST(len(regexp_extract_all(contact, '{corpus.PHONE_RE}'))
+            + len(regexp_extract_all(
+                regexp_replace(contact, '{corpus.PHONE_RE}', '[PII]', 'g'),
+                '{corpus.EMAIL_RE}')) AS INT) AS n_masked
+FROM raw
+"""
+
+
+# --------------------------------------------------------------------- q53
+
+CHUNK_TOKENS = 32
+CHUNK_OVERLAP = 8
+
+
+def q53_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X26: context-window chunking — fixed 32-token windows with
+    8-token overlap, final partial chunk kept. Entirely narrow
+    (sequence+posexplode+slice, zero shuffles); document-length skew
+    is bounded because every chunk slices at most 32 tokens
+    (operators/corpus.py)."""
+    return corpus.chunk_documents(
+        _t(spark, sf_dir, "documents"),
+        chunk_tokens=CHUNK_TOKENS, overlap=CHUNK_OVERLAP,
+    )
+
+
+_Q53_STEP = CHUNK_TOKENS - CHUNK_OVERLAP
+
+Q53_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+n AS (SELECT doc_id, t, len(t) AS n FROM tok),
+c AS (
+  SELECT doc_id, t, n,
+         unnest(generate_series(1,
+           1 + GREATEST(CAST(ceil((n - {CHUNK_TOKENS}) / {float(_Q53_STEP)}) AS BIGINT), 0))) AS ci
+  FROM n
+)
+SELECT doc_id, CAST(ci - 1 AS INT) AS chunk_idx,
+       array_to_string(t[(ci-1)*{_Q53_STEP} + 1 : (ci-1)*{_Q53_STEP} + {CHUNK_TOKENS}], ' ') AS chunk_text,
+       CAST(LEAST({CHUNK_TOKENS}, n - ((ci-1)*{_Q53_STEP} + 1) + 1) AS INT) AS n_tokens
+FROM c
+"""
+
+
+# --------------------------------------------------------------------- q54
+
+CONTAM_NGRAM = 8
+BENCHMARK_SOURCE = "src1"
+
+
+def q54_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27: benchmark-decontamination screen — training docs sharing
+    any 8-token shingle with a benchmark doc (here: source='src1'
+    stands in for the eval set). Left-semi join on 8-byte portable
+    shingle hashes; the benchmark hash set is eval-sized, so at scale
+    the semi join broadcasts and the screen runs at scan speed
+    (operators/corpus.py)."""
+    d = _t(spark, sf_dir, "documents")
+    bench = d.filter(F.col("source") == BENCHMARK_SOURCE)
+    train = d.filter(F.col("source") != BENCHMARK_SOURCE)
+    flagged = corpus.contamination_screen(train, bench, ngram=CONTAM_NGRAM)
+    return flagged.join(d.select("doc_id", "lang"), "doc_id").select("doc_id", "lang")
+
+
+def _q54_sql() -> str:
+    n = CONTAM_NGRAM
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t,
+         trim(text) AS tt
+  FROM documents
+),
+sh AS (
+  SELECT doc_id, source,
+         unnest(CASE WHEN len(t) >= {n}
+           THEN list_transform(generate_series(1, len(t)-{n - 1}),
+                               i -> array_to_string(t[i:i+{n - 1}], ' '))
+           ELSE [tt] END) AS s
+  FROM tok
+),
+h AS (SELECT doc_id, source, {_hash60_sql('s')} AS hv FROM sh),
+bench AS (SELECT DISTINCT hv FROM h WHERE source = '{BENCHMARK_SOURCE}')
+SELECT DISTINCT t.doc_id, d.lang
+FROM h t JOIN documents d USING (doc_id)
+WHERE t.source <> '{BENCHMARK_SOURCE}' AND t.hv IN (SELECT hv FROM bench)
+"""
+
+
+# --------------------------------------------------------------------- q55
+
+def q55_salted_skew_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28: salted two-stage aggregation — the skew remedy for hot
+    group keys (operators/skew.py: group on (key, salt) then re-merge
+    partials on key; bit-identical to the direct form because every
+    aggregate here is decomposable and the sums are DECIMAL-exact).
+    The oracle is the DIRECT single-stage aggregation — passing proves
+    the decomposition exact, not just close."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("supplier_id"),
+        _money("l_quantity").alias("qty_d"),
+        _money("l_extendedprice").alias("price_d"),
+    )
+    r = skew.salted_agg(
+        li,
+        "supplier_id",
+        {
+            "n_items": ("count", "qty_d"),
+            "sum_qty": ("sum", "qty_d"),
+            "min_price": ("min", "price_d"),
+            "max_price": ("max", "price_d"),
+        },
+        n_salts=16,
+    )
+    return r.select(
+        "supplier_id",
+        "n_items",
+        _money_out(F.col("sum_qty")).alias("sum_qty"),
+        _money_out(F.col("min_price")).alias("min_price"),
+        _money_out(F.col("max_price")).alias("max_price"),
+    )
+
+
+Q55_SQL = """
+SELECT l_suppkey AS supplier_id,
+       count(l_quantity) AS n_items,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(min(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+       CAST(max(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS max_price
+FROM lineitem GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- q56
+
+def q56_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29: near-dup pairs -> duplicate CLUSTERS via distributed
+    connected components (iterative min-label propagation,
+    operators/graph.py), then corpus canonicalization: every doc gets
+    its cluster id (min doc id of its component) and an is_canonical
+    keep-flag. The oracle resolves the same reachability with a
+    recursive CTE over the identical (portable-hash) MinHash pairs —
+    an end-to-end check of candidate generation AND transitive
+    closure."""
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    pairs = text.minhash_near_dup_pairs(d, threshold=0.5)
+    return graph.dup_clusters(d.select("doc_id"), pairs).select(
+        "doc_id", "cluster_id", "is_canonical"
+    )
+
+
+def _q56_sql() -> str:
+    return f"""
+WITH RECURSIVE pairs AS ({_q20_sql()}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION
+  SELECT id_b, id_a FROM pairs
+),
+reach(id, lab) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, min(lab) AS component FROM reach GROUP BY id)
+SELECT d.doc_id,
+       coalesce(c.component, d.doc_id) AS cluster_id,
+       coalesce(c.component, d.doc_id) = d.doc_id AS is_canonical
+FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_predicates": q02_filter_predicates,
@@ -1851,6 +2213,15 @@ QUERIES = {
     "q45_unpivot_long": q45_unpivot_long,
     "q46_histogram": q46_histogram,
     "q47_data_quality_report": q47_data_quality_report,
+    "q48_scd2_history": q48_scd2_history,
+    "q49_train_test_split": q49_train_test_split,
+    "q50_stratified_sample": q50_stratified_sample,
+    "q51_vocab_topk": q51_vocab_topk,
+    "q52_pii_mask": q52_pii_mask,
+    "q53_doc_chunking": q53_doc_chunking,
+    "q54_contamination_screen": q54_contamination_screen,
+    "q55_salted_skew_agg": q55_salted_skew_agg,
+    "q56_dup_clusters": q56_dup_clusters,
 }
 
 ORACLES = {
@@ -1901,4 +2272,13 @@ ORACLES = {
     "q45_unpivot_long": Q45_SQL,
     "q46_histogram": Q46_SQL,
     "q47_data_quality_report": Q47_SQL,
+    "q48_scd2_history": Q48_SQL,
+    "q49_train_test_split": Q49_SQL,
+    "q50_stratified_sample": Q50_SQL,
+    "q51_vocab_topk": Q51_SQL,
+    "q52_pii_mask": Q52_SQL,
+    "q53_doc_chunking": Q53_SQL,
+    "q54_contamination_screen": _q54_sql(),
+    "q55_salted_skew_agg": Q55_SQL,
+    "q56_dup_clusters": _q56_sql(),
 }

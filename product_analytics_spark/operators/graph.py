@@ -1,0 +1,124 @@
+"""Connected components over near-duplicate pair graphs.
+
+Pairwise near-dup detection (``operators.text``/``similarity``) yields
+EDGES; a training-data pipeline needs CLUSTERS — each group of mutual
+near-dups collapses to one canonical document. Pairs → clusters is
+connected components: every vertex gets the minimum doc id reachable
+through any chain of near-dup pairs.
+
+Spark mapping — iterative min-label propagation on the DataFrame API:
+
+    labels(v) = v
+    repeat:  labels(v) = min(labels(v), min over neighbors u of labels(u))
+    until no label changed
+
+Each iteration is one self-join + hash-agg (two shuffles on the same
+8-byte key). Convergence needs O(diameter) iterations; near-dup
+graphs are overwhelmingly tiny star/clique clusters (diameter ≤ ~3),
+so 5-10 rounds close virtually all components and the loop exits
+early on a converged count. ``localCheckpoint`` truncates the lineage
+each round so the plan does not grow exponentially.
+
+Scale notes (100 TB corpus → billions of edges):
+- state per round is the (vertex, label) relation — 16 bytes/vertex,
+  shuffled on vertex id; edges are re-used each round (cache them);
+- the classic worst case (one long chain) needs O(n) rounds of THIS
+  algorithm; the published fix is large-star/small-star (Kiveris et
+  al., "Connected Components in MapReduce and Beyond", SoCC'14) which
+  converges in O(log n) rounds — the hook ``max_iterations`` bounds
+  runaway chains and the function raises if not converged, which in a
+  dedup pipeline signals a pathological (and investigable) graph;
+- the convergence check is a ``first()`` on a 1-row aggregate, not a
+  collect of the labels.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 15,
+) -> DataFrame:
+    """Resolve undirected edges to components: (id, component) where
+    component is the minimum vertex id reachable from ``id``.
+
+    Only vertices appearing in ``edges`` are returned (isolated
+    documents are their own cluster by definition — callers left-join
+    and coalesce to the doc's own id).
+    """
+    # Symmetrize once; each round then needs only one join direction.
+    e = (
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+        .union(edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst")))
+        .distinct()
+    )
+    e = e.persist()
+    try:
+        labels = (
+            e.select(F.col("src").alias("id"))
+            .distinct()
+            .withColumn("component", F.col("id"))
+            .localCheckpoint(eager=True)
+        )
+
+        def label_sum(df: DataFrame) -> int:
+            # Labels only ever decrease, so the sum strictly decreases
+            # until the fixpoint — an O(1)-result convergence probe
+            # (one aggregate, no join against the previous labels).
+            # decimal(38,0) so billions of 8-byte ids cannot overflow.
+            return df.agg(
+                F.sum(F.col("component").cast("decimal(38,0)"))
+            ).first()[0]
+
+        prev = label_sum(labels)
+        for _ in range(max_iterations):
+            # Candidate labels flowing along edges this round.
+            prop = (
+                e.join(labels, e.src == labels.id)
+                .select(F.col("dst").alias("id"), F.col("component"))
+                .union(labels)
+                .groupBy("id")
+                .agg(F.min("component").alias("component"))
+            )
+            labels = prop.localCheckpoint(eager=True)
+            cur = label_sum(labels)
+            if cur == prev:
+                return labels
+            prev = cur
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} rounds — "
+            "pathological chain graph; switch to large-star/small-star"
+        )
+    finally:
+        e.unpersist()
+
+
+def dup_clusters(
+    docs: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+) -> DataFrame:
+    """Canonicalize a corpus against near-dup pairs: every document
+    gets a ``cluster_id`` (min doc id of its component; its own id if
+    un-paired) and ``is_canonical`` (true for the cluster minimum —
+    the one copy a dedup pipeline keeps).
+
+    The components relation is |paired docs| rows — tiny next to the
+    corpus — so the final join broadcasts at any scale.
+    """
+    comp = connected_components(pairs, src_col=src_col, dst_col=dst_col)
+    return (
+        docs.join(
+            F.broadcast(comp.withColumnRenamed("id", id_col)), id_col, "left"
+        )
+        .withColumn("cluster_id", F.coalesce(F.col("component"), F.col(id_col)))
+        .drop("component")
+        .withColumn("is_canonical", F.col("cluster_id") == F.col(id_col))
+    )

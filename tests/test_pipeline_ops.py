@@ -1,0 +1,247 @@
+"""Unit tests for the round-2 pipeline operators: sampling/splits,
+SCD2 history, corpus prep (vocab/chunking/PII/contamination), salted
+skew aggregation, and connected-components dup clustering. The
+DuckDB-oracle parity of q48-q56 is covered by tools/check.py; these
+pin operator semantics on controlled inputs."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from product_analytics_spark.operators import corpus, graph, sampling, scd, skew
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+class TestSampling:
+    def test_split_is_deterministic_and_partitioning_invariant(self, spark):
+        df = spark.range(2000).withColumnRenamed("id", "k")
+        a = sampling.with_hash_split(df, "k")
+        b = sampling.with_hash_split(df.repartition(7), "k")
+        assert a.orderBy("k").collect() == b.orderBy("k").collect()
+
+    def test_split_fractions_roughly_hold_and_cover_all_rows(self, spark):
+        df = spark.range(5000).withColumnRenamed("id", "k")
+        counts = dict(
+            sampling.with_hash_split(df, "k")
+            .groupBy("split").count().collect()
+        )
+        assert sum(counts.values()) == 5000
+        assert abs(counts["train"] / 5000 - 0.8) < 0.03
+        assert abs(counts["val"] / 5000 - 0.1) < 0.03
+        assert abs(counts["test"] / 5000 - 0.1) < 0.03
+
+    def test_membership_stable_under_data_growth(self, spark):
+        small = spark.range(100).withColumnRenamed("id", "k")
+        big = spark.range(1000).withColumnRenamed("id", "k")
+        s = {r.k: r.split for r in sampling.with_hash_split(small, "k").collect()}
+        b = {r.k: r.split for r in sampling.with_hash_split(big, "k").collect()}
+        assert all(b[k] == v for k, v in s.items())
+
+    def test_stratified_exact_sample_sizes(self, spark):
+        rows = [(i, "en" if i < 70 else "de") for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = sampling.stratified_exact_sample(df, "lang", "doc_id", 0.1)
+        by_lang = dict(out.groupBy("lang").count().collect())
+        assert by_lang == {"en": 7, "de": 3}
+
+    def test_stratified_per_stratum_fractions(self, spark):
+        rows = [(i, "en" if i < 50 else "de") for i in range(100)]
+        df = spark.createDataFrame(rows, "doc_id long, lang string")
+        out = sampling.stratified_exact_sample(
+            df, "lang", "doc_id", {"en": 0.2, "de": 0.0}
+        )
+        by_lang = dict(out.groupBy("lang").count().collect())
+        assert by_lang == {"en": 10}
+
+    def test_hash_sample_bounds(self, spark):
+        df = spark.range(5000).withColumnRenamed("id", "k")
+        n = sampling.hash_sample(df, "k", 0.25).count()
+        assert abs(n / 5000 - 0.25) < 0.03
+        with pytest.raises(ValueError):
+            sampling.hash_sample(df, "k", 1.5)
+
+
+class TestScd2:
+    TS = dt.datetime(2024, 1, 1)
+
+    def _hist(self, spark):
+        t = self.TS
+        rows = [
+            # user 1: A -> A (no change) -> B -> B -> A
+            (1, t, 1, "A"),
+            (1, t + dt.timedelta(hours=1), 2, "A"),
+            (1, t + dt.timedelta(hours=2), 3, "B"),
+            (1, t + dt.timedelta(hours=3), 4, "B"),
+            (1, t + dt.timedelta(hours=4), 5, "A"),
+            # user 2: single row
+            (2, t, 6, "Z"),
+        ]
+        return spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, state string"
+        )
+
+    def test_versions_and_intervals(self, spark):
+        out = scd.scd2_history(
+            self._hist(spark), "user_id", "ts", "state", tiebreak_cols=("event_id",)
+        )
+        u1 = sorted(
+            [(r.state, r.valid_from, r.valid_to, r.is_current)
+             for r in out.filter(F.col("user_id") == 1).collect()],
+            key=lambda r: r[1],
+        )
+        t = self.TS
+        assert [r[0] for r in u1] == ["A", "B", "A"]
+        # Contiguous, non-overlapping intervals; only last is open.
+        assert u1[0][2] == u1[1][1] and u1[1][2] == u1[2][1]
+        assert [r[3] for r in u1] == [False, False, True]
+        assert u1[0][1] == t and u1[2][2] is None
+
+    def test_single_row_entity_is_current(self, spark):
+        out = scd.scd2_history(
+            self._hist(spark), "user_id", "ts", "state", tiebreak_cols=("event_id",)
+        ).filter(F.col("user_id") == 2)
+        r = out.first()
+        assert r.is_current and r.valid_to is None
+
+    def test_null_safe_tracking(self, spark):
+        t = self.TS
+        rows = [(1, t, 1, None), (1, t + dt.timedelta(hours=1), 2, None),
+                (1, t + dt.timedelta(hours=2), 3, "A")]
+        df = spark.createDataFrame(
+            rows, "user_id long, ts timestamp, event_id long, state string"
+        )
+        out = scd.scd2_history(df, "user_id", "ts", "state", tiebreak_cols=("event_id",))
+        # NULL == NULL under the check strategy: 2 versions, not 3.
+        assert out.count() == 2
+
+
+class TestCorpus:
+    def test_vocab_topk_counts_and_tiebreak(self, spark):
+        df = _docs(spark, [(1, "b a a"), (2, "a b c")])
+        rows = corpus.vocab_topk(df, k=3).collect()
+        assert [(r.token, r.n_occurrences, r.n_docs) for r in rows] == [
+            ("a", 3, 2), ("b", 2, 2), ("c", 1, 1)
+        ]
+
+    def test_chunking_covers_all_tokens_with_overlap(self, spark):
+        txt = " ".join(f"t{i}" for i in range(70))
+        df = _docs(spark, [(1, txt)])
+        rows = sorted(
+            corpus.chunk_documents(df, chunk_tokens=32, overlap=8).collect(),
+            key=lambda r: r.chunk_idx,
+        )
+        # 70 tokens, step 24: starts 1, 25, 49 -> 3 chunks.
+        assert [r.chunk_idx for r in rows] == [0, 1, 2]
+        assert [r.n_tokens for r in rows] == [32, 32, 22]
+        assert rows[0].chunk_text.split()[:1] == ["t0"]
+        assert rows[1].chunk_text.split()[0] == "t24"
+        assert rows[2].chunk_text.split()[-1] == "t69"
+        # Overlap: last 8 tokens of chunk 0 == first 8 of chunk 1.
+        assert rows[0].chunk_text.split()[-8:] == rows[1].chunk_text.split()[:8]
+
+    def test_chunking_short_doc_single_chunk(self, spark):
+        df = _docs(spark, [(1, "only four tokens here")])
+        rows = corpus.chunk_documents(df, chunk_tokens=32, overlap=8).collect()
+        assert len(rows) == 1 and rows[0].n_tokens == 4
+
+    def test_chunking_rejects_bad_overlap(self, spark):
+        with pytest.raises(ValueError):
+            corpus.chunk_documents(_docs(spark, [(1, "x")]), chunk_tokens=8, overlap=8)
+
+    def test_mask_pii_phone_and_email(self, spark):
+        df = spark.createDataFrame(
+            [(1, "call 25-989-741-2988 or mail a.b@ex.com now"), (2, "clean")],
+            "id long, s string",
+        )
+        rows = {r.id: r for r in corpus.mask_pii(df, {"s": "m"}).collect()}
+        assert rows[1].m == "call [PII] or mail [PII] now"
+        assert rows[1].m_n_masked == 2
+        assert rows[2].m == "clean" and rows[2].m_n_masked == 0
+
+    def test_contamination_flags_only_overlapping_train_docs(self, spark):
+        shared = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10"
+        bench = _docs(spark, [(100, shared)])
+        train = _docs(
+            spark,
+            [(1, "prefix " + shared), (2, "totally different tokens " + " ".join(f"z{i}" for i in range(10)))],
+        )
+        flagged = [r.doc_id for r in corpus.contamination_screen(train, bench, ngram=8).collect()]
+        assert flagged == [1]
+
+
+class TestSkew:
+    def test_salted_agg_matches_direct(self, spark):
+        df = (
+            spark.range(10000)
+            .select(
+                (F.col("id") % 7).alias("k"),
+                (F.col("id") % 100).cast("decimal(18,2)").alias("v"),
+            )
+        )
+        direct = {
+            r.k: (r.n, r.s, r.mn, r.mx)
+            for r in df.groupBy("k")
+            .agg(F.count("v").alias("n"), F.sum("v").alias("s"),
+                 F.min("v").alias("mn"), F.max("v").alias("mx"))
+            .collect()
+        }
+        salted = {
+            r.k: (r.n, r.s, r.mn, r.mx)
+            for r in skew.salted_agg(
+                df, "k",
+                {"n": ("count", "v"), "s": ("sum", "v"),
+                 "mn": ("min", "v"), "mx": ("max", "v")},
+                n_salts=8,
+            ).collect()
+        }
+        assert salted == direct
+
+    def test_salted_avg(self, spark):
+        df = spark.range(100).select(
+            (F.col("id") % 3).alias("k"), F.col("id").cast("double").alias("v")
+        )
+        direct = {r.k: r.a for r in df.groupBy("k").agg(F.avg("v").alias("a")).collect()}
+        salted = {
+            r.k: r.a
+            for r in skew.salted_agg(df, "k", {"a": ("avg", "v")}, n_salts=4).collect()
+        }
+        assert salted.keys() == direct.keys()
+        for k in direct:
+            assert abs(salted[k] - direct[k]) < 1e-9
+
+    def test_rejects_unsupported_aggregate(self, spark):
+        df = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+        with pytest.raises(ValueError):
+            skew.salted_agg(df, "k", {"d": ("count_distinct", "v")})
+
+
+class TestGraph:
+    def _edges(self, spark, pairs):
+        return spark.createDataFrame(pairs, "id_a long, id_b long")
+
+    def test_chain_and_separate_component(self, spark):
+        # 1-2-3 chained; 10-11 separate.
+        e = self._edges(spark, [(2, 1), (2, 3), (10, 11)])
+        comp = {r.id: r.component for r in graph.connected_components(e).collect()}
+        assert comp == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+    def test_dup_clusters_canonical_flags(self, spark):
+        docs = spark.createDataFrame([(i,) for i in range(1, 6)], "doc_id long")
+        pairs = self._edges(spark, [(1, 3), (3, 5)])
+        out = {r.doc_id: (r.cluster_id, r.is_canonical)
+               for r in graph.dup_clusters(docs, pairs).collect()}
+        assert out == {
+            1: (1, True), 2: (2, True), 3: (1, False), 4: (4, True), 5: (1, False),
+        }
+
+    def test_non_convergence_raises(self, spark):
+        # A 6-chain needs >1 round; cap at 1 to hit the guard.
+        e = self._edges(spark, [(i, i + 1) for i in range(1, 6)])
+        with pytest.raises(RuntimeError):
+            graph.connected_components(e, max_iterations=1)

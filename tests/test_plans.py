@@ -89,3 +89,32 @@ class TestPlanProperties:
             "q32_multimodal_features",
             "q39_ivf_ann_topk",
         }, arrow_users
+
+    def test_split_assignment_adds_no_shuffle(self, plans):
+        # q49's split column is a pure per-row hash expression; the
+        # only Exchange is the final (split, lang) aggregation.
+        assert plans["q49_train_test_split"].count("+- Exchange") == 1
+
+    def test_scd2_windows_share_one_shuffle(self, plans):
+        # lag/row_number + lead both partition on user_id: ONE
+        # Exchange serves both window passes.
+        assert plans["q48_scd2_history"].count("+- Exchange") == 1
+
+    def test_stratified_sample_windows_share_one_shuffle(self, plans):
+        assert plans["q50_stratified_sample"].count("+- Exchange") == 1
+
+    def test_chunking_and_masking_are_narrow(self, plans):
+        # Chunking (sequence+posexplode+slice) and PII masking
+        # (regexp_replace chain) must stay shuffle-free.
+        assert "Exchange" not in plans["q53_doc_chunking"]
+        assert "Exchange" not in plans["q52_pii_mask"]
+
+    def test_vocab_topk_never_globally_sorts(self, plans):
+        p = plans["q51_vocab_topk"]
+        assert "TakeOrderedAndProject" in p
+        assert "Generate" in p  # explode stays in-plan, map-side
+
+    def test_salted_agg_is_two_stage(self, plans):
+        # The whole point: (key, salt) partial stage then key merge
+        # stage — exactly two Exchanges, each a hash aggregation.
+        assert plans["q55_salted_skew_agg"].count("+- Exchange") == 2
