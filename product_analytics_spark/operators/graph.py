@@ -59,10 +59,19 @@ def connected_components(
     )
     e = e.persist()
     try:
+        # Fused initialization: label(v) = min(v, min neighbor) — the
+        # identity init plus the first propagation round in ONE hash-agg
+        # (the symmetrized edge set lists every vertex as src, so this
+        # covers all vertices). Saves a full join+agg+checkpoint round;
+        # star/clique clusters (the overwhelming near-dup shape) are
+        # already converged after it.
         labels = (
-            e.select(F.col("src").alias("id"))
-            .distinct()
-            .withColumn("component", F.col("id"))
+            e.groupBy("src")
+            .agg(F.min("dst").alias("_mdst"))
+            .select(
+                F.col("src").alias("id"),
+                F.least(F.col("src"), F.col("_mdst")).alias("component"),
+            )
             .localCheckpoint(eager=True)
         )
 
