@@ -26,6 +26,7 @@ from product_analytics_spark.operators import (
     graph,
     incremental,
     multimodal,
+    product_metrics,
     sampling,
     scd,
     similarity,
@@ -2209,6 +2210,96 @@ FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
 """
 
 
+# --------------------------------------------------------------------- q57
+
+FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+FUNNEL_WINDOW_HOURS = 48
+
+
+def q57_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X30: strict-order conversion funnel signup -> view -> click ->
+    purchase, each step within 48h of the previous one. One shuffle on
+    user_id; the per-user sorted-events fold replaces the k-way
+    self-join formulation (operators/product_metrics.py)."""
+    return product_metrics.funnel_counts(
+        _t(spark, sf_dir, "events"),
+        steps=FUNNEL_STEPS,
+        max_step_gap_hours=FUNNEL_WINDOW_HOURS,
+    )
+
+
+def _q57_sql() -> str:
+    w = FUNNEL_WINDOW_HOURS
+    ctes = [
+        "e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type "
+        "FROM events)",
+        f"s1 AS (SELECT user_id, min((ts, event_id)) AS k FROM e "
+        f"WHERE event_type='{FUNNEL_STEPS[0]}' GROUP BY 1)",
+    ]
+    for i, step in enumerate(FUNNEL_STEPS[1:], start=2):
+        # Step i's match = minimum (ts, event_id) strictly after step
+        # i-1's matched tuple and within the window of its timestamp —
+        # the same greedy walk the Spark fold performs.
+        ctes.append(
+            f"s{i} AS (SELECT e.user_id, min((ts, event_id)) AS k "
+            f"FROM e JOIN s{i - 1} USING (user_id) "
+            f"WHERE event_type='{step}' AND (ts, event_id) > s{i - 1}.k "
+            f"AND ts <= s{i - 1}.k[1] + INTERVAL {w} HOUR GROUP BY 1)"
+        )
+    values = ", ".join(
+        f"({i + 1}, '{s}', (SELECT count(*) FROM s{i + 1}))"
+        for i, s in enumerate(FUNNEL_STEPS)
+    )
+    return (
+        "WITH " + ", ".join(ctes) + " SELECT step_idx, step, "
+        "CAST(n_users AS BIGINT) AS n_users "
+        f"FROM (VALUES {values}) t(step_idx, step, n_users)"
+    )
+
+
+# --------------------------------------------------------------------- q58
+
+def q58_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31: weekly cohort retention — users cohorted by first-signup
+    week, retained when purchasing in cohort week + k. One shuffle on
+    user_id computes cohort and distinct active weeks together
+    (operators/product_metrics.py)."""
+    return product_metrics.cohort_retention(
+        _t(spark, sf_dir, "events"),
+        cohort_event="signup",
+        activity_event="purchase",
+    )
+
+
+Q58_SQL = """
+WITH e AS (
+  SELECT user_id, event_type, date_trunc('week', CAST(ts AS TIMESTAMP)) AS wk
+  FROM events WHERE event_type IN ('signup', 'purchase')
+),
+f AS (
+  SELECT user_id, min(wk) FILTER (WHERE event_type='signup') AS cohort
+  FROM e GROUP BY 1
+),
+fc AS (SELECT * FROM f WHERE cohort IS NOT NULL),
+sz AS (SELECT cohort, count(*) AS n_cohort FROM fc GROUP BY 1),
+a AS (
+  SELECT DISTINCT e.user_id, fc.cohort, e.wk
+  FROM e JOIN fc USING (user_id)
+  WHERE e.event_type='purchase' AND e.wk >= fc.cohort
+),
+c AS (
+  SELECT cohort, CAST(date_diff('day', cohort, wk)/7 AS INT) AS week_offset,
+         count(*) AS n_active
+  FROM a GROUP BY 1, 2
+)
+SELECT CAST(c.cohort AS TIMESTAMP) AS cohort_week, week_offset,
+       CAST(n_active AS BIGINT) AS n_active,
+       CAST(n_cohort AS BIGINT) AS n_cohort,
+       CAST(n_active AS DOUBLE)/n_cohort AS retention_rate
+FROM c JOIN sz USING (cohort)
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_predicates": q02_filter_predicates,
@@ -2266,6 +2357,8 @@ QUERIES = {
     "q54_contamination_screen": q54_contamination_screen,
     "q55_salted_skew_agg": q55_salted_skew_agg,
     "q56_dup_clusters": q56_dup_clusters,
+    "q57_funnel_conversion": q57_funnel_conversion,
+    "q58_cohort_retention": q58_cohort_retention,
 }
 
 ORACLES = {
@@ -2325,4 +2418,6 @@ ORACLES = {
     "q54_contamination_screen": _q54_sql(),
     "q55_salted_skew_agg": Q55_SQL,
     "q56_dup_clusters": _q56_sql(),
+    "q57_funnel_conversion": _q57_sql(),
+    "q58_cohort_retention": Q58_SQL,
 }

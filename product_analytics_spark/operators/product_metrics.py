@@ -1,0 +1,191 @@
+"""Product-analytics metrics over an event stream: conversion funnels
+and cohort retention.
+
+[EXTENSION] operators (SURVEY.md §2.11 X30/X31). The reference repo is
+a *product analytics* dbt project (its models feed customer-behavior
+dashboards — reference: models/gold/customers/dim_customer.sql builds
+RFM/lifetime metrics); funnels and retention matrices are the two
+canonical event-stream metrics such a platform serves, so the engine
+provides them as first-class operators. Everything is built-in
+expression work — one shuffle on the user key does the heavy lifting
+in both.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: Sequence[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    max_step_gap_hours: int | None = None,
+) -> DataFrame:
+    """Strict-order conversion funnel: for each step k, the number of
+    users who completed steps 1..k in order, each step strictly after
+    the previously matched event (ties broken by ``tiebreak_col``) and
+    — when ``max_step_gap_hours`` is set — within that window of the
+    previous step's event.
+
+    Matching is the deterministic greedy walk over the user's events
+    sorted by (ts, tiebreak): the earliest event completing the next
+    needed step advances the funnel. This is identical to the iterated
+    min-chain definition (step k's match = minimum event after step
+    k-1's match satisfying the window), which is how the SQL oracle
+    states it.
+
+    Plan shape: ONE shuffle on the user key. Events are filtered to
+    funnel steps at the scan (predicate pushdown on ``event_col``),
+    collected per user as a sorted struct array, and folded to a depth
+    with ``F.aggregate`` — a linear JVM-side pass, no window function,
+    no per-step join. Per-step counts then aggregate |steps| rows and
+    broadcast-join the step dimension so zero-conversion steps still
+    report 0.
+
+    Scale: the per-user array holds only funnel-step events; at 100 TB
+    partition-level skew is bounded by the hottest single user, which
+    AQE's skew splitting cannot subdivide — for adversarial users
+    (bots with millions of events) pre-cap with a per-(user, step)
+    ``min_by`` pass or a date-bounded funnel window. The fold beats
+    the k-way self-join formulation by k-1 shuffles.
+
+    Returns (step_idx INT 1-based, step STRING, n_users BIGINT).
+    """
+    steps = list(steps)
+    if len(steps) < 2:
+        raise ValueError("a funnel needs at least 2 steps")
+    step_idx: Column = F.lit(None).cast("int")
+    for i, s in enumerate(reversed(steps)):
+        step_idx = F.when(F.col(event_col) == s, F.lit(len(steps) - 1 - i)).otherwise(step_idx)
+
+    seq = (
+        events.filter(F.col(event_col).isin(steps))
+        .select(
+            F.col(user_col),
+            F.struct(
+                F.col(ts_col).alias("ts"),
+                F.col(tiebreak_col).alias("tb"),
+                step_idx.alias("step"),
+            ).alias("_e"),
+        )
+        .groupBy(user_col)
+        .agg(F.sort_array(F.collect_list("_e")).alias("_seq"))
+    )
+
+    gap = (
+        F.expr(f"INTERVAL {int(max_step_gap_hours)} HOURS")
+        if max_step_gap_hours is not None
+        else None
+    )
+    init = F.struct(
+        F.lit(0).alias("depth"), F.lit("1900-01-01").cast("timestamp").alias("ts")
+    )
+
+    def advance(acc: Column, e: Column) -> Column:
+        # Sorted order guarantees e is strictly after the matched
+        # event (tiebreak_col is unique), so only the step match and
+        # the window need checking here; the oracle's (ts, tiebreak) >
+        # prev tuple comparison encodes the same order constraint.
+        matched = e["step"] == acc["depth"]
+        if gap is not None:
+            matched = matched & ((acc["depth"] == 0) | (e["ts"] <= acc["ts"] + gap))
+        return F.when(
+            matched,
+            F.struct((acc["depth"] + 1).alias("depth"), e["ts"].alias("ts")),
+        ).otherwise(acc)
+
+    depth = F.aggregate(F.col("_seq"), init, advance)["depth"]
+    reached = seq.select(
+        F.explode(
+            F.when(depth > 0, F.sequence(F.lit(1), depth)).otherwise(
+                F.array().cast("array<int>")
+            )
+        ).alias("step_idx")
+    )
+    counts = reached.groupBy("step_idx").agg(F.count(F.lit(1)).alias("_n"))
+
+    spark = events.sparkSession
+    steps_dim = spark.createDataFrame(
+        [(i + 1, s) for i, s in enumerate(steps)], "step_idx int, step string"
+    )
+    return (
+        steps_dim.join(F.broadcast(counts), "step_idx", "left")
+        .select(
+            "step_idx",
+            "step",
+            F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_users"),
+        )
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    cohort_event: str,
+    activity_event: str,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+) -> DataFrame:
+    """Weekly cohort retention matrix: users are cohorted by the week
+    of their FIRST ``cohort_event`` (e.g. signup); a cohort member is
+    retained in week-offset k if they performed ``activity_event``
+    during cohort_week + k. Activity before the cohort week is
+    ignored; users who never emit ``cohort_event`` are excluded.
+
+    Plan shape: ONE shuffle on the user key computes both the cohort
+    week (min of cohort-event weeks) and the distinct activity weeks
+    (``collect_set`` — skips non-matching rows via a NULL-producing
+    CASE, and a user's distinct weeks are at most the calendar span,
+    so the array is tiny). Exploding the set yields one row per
+    (user, active week); the (cohort, offset) aggregation then counts
+    users directly — no DISTINCT over the raw event stream. Cohort
+    sizes reuse the same per-user relation (Catalyst reuses the
+    shuffle) and broadcast into the final join at any scale because
+    |cohorts| is calendar-bounded.
+
+    Returns (cohort_week TIMESTAMP, week_offset INT, n_active BIGINT,
+    n_cohort BIGINT, retention_rate DOUBLE).
+    """
+    wk = F.date_trunc("week", F.col(ts_col))
+    g = (
+        events.filter(F.col(event_col).isin([cohort_event, activity_event]))
+        .select(F.col(user_col), F.col(event_col), wk.alias("_wk"))
+        .groupBy(user_col)
+        .agg(
+            F.min(F.when(F.col(event_col) == cohort_event, F.col("_wk"))).alias(
+                "_cohort"
+            ),
+            F.collect_set(
+                F.when(F.col(event_col) == activity_event, F.col("_wk"))
+            ).alias("_wks"),
+        )
+        .filter(F.col("_cohort").isNotNull())
+    )
+    active = (
+        g.select(F.col("_cohort"), F.explode("_wks").alias("_wk"))
+        .filter(F.col("_wk") >= F.col("_cohort"))
+    )
+    counts = active.groupBy(
+        F.col("_cohort"),
+        (F.datediff(F.col("_wk"), F.col("_cohort")) / 7).cast("int").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
+    sizes = g.groupBy("_cohort").agg(F.count(F.lit(1)).alias("n_cohort"))
+    return (
+        counts.join(F.broadcast(sizes), "_cohort")
+        .select(
+            F.col("_cohort").alias("cohort_week"),
+            "week_offset",
+            F.col("n_active").cast("bigint").alias("n_active"),
+            F.col("n_cohort").cast("bigint").alias("n_cohort"),
+            (F.col("n_active").cast("double") / F.col("n_cohort")).alias(
+                "retention_rate"
+            ),
+        )
+    )
