@@ -2300,6 +2300,172 @@ FROM c JOIN sz USING (cohort)
 """
 
 
+# --------------------------------------------------------------------- q59
+
+TFIDF_K = 3
+
+
+def q59_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32: top-3 characteristic terms per document by TF-IDF with the
+    log-free BM25-style idf — a rational function of integer counts,
+    so scores are bit-reproducible across engines (libm ln is not;
+    see operators/corpus.py:tfidf_topk)."""
+    return corpus.tfidf_topk(_t(spark, sf_dir, "documents"), k=TFIDF_K)
+
+
+Q59_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2),
+dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+s AS (
+  SELECT doc_id, token, tf, df,
+         CAST(tf AS DOUBLE)
+           * ((CAST(nd AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+              / (CAST(df AS DOUBLE) + 0.5)) AS score
+  FROM tf JOIN dfq USING (token) CROSS JOIN n
+),
+r AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY doc_id ORDER BY score DESC, token ASC) AS term_rank
+  FROM s
+)
+SELECT doc_id, CAST(term_rank AS BIGINT) AS term_rank, token,
+       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df, score
+FROM r WHERE term_rank <= {TFIDF_K}
+"""
+
+
+# --------------------------------------------------------------------- q60
+
+WSAMPLE_K = 100
+
+
+def q60_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33: priority sampling (Duffield-Lund-Thorup) — exactly k docs,
+    selection probability increasing with n_chars, fully deterministic
+    from the portable content hash. Top-k = TakeOrderedAndProject, no
+    global sort (operators/sampling.py:priority_sample)."""
+    return sampling.priority_sample(
+        _t(spark, sf_dir, "documents"), weight_col="n_chars", k=WSAMPLE_K
+    ).select("doc_id", "lang", "n_chars")
+
+
+def _q60_sql() -> str:
+    h = _hash60_sql("CAST(doc_id AS VARCHAR) || chr(31) || 'wsample'")
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents
+ORDER BY CAST({h} + 1 AS DOUBLE) / CAST(n_chars AS DOUBLE) ASC, doc_id ASC
+LIMIT {WSAMPLE_K}
+"""
+
+
+# --------------------------------------------------------------------- q61
+
+KMEANS_QUANT = 1_000_000
+
+
+def q61_kmeans_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X34: one distributed k-means update step over the embeddings —
+    nearest-centroid assignment (q39's cell arithmetic) then per-(cell,
+    dim) member means on integer-quantized values, so the sums are
+    order-independent and engine-exact (operators/similarity.py:
+    kmeans_update). One hash-agg shuffle of |cells|*|dims| partials."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.kmeans_update(
+        emb, similarity.DEFAULT_CENTROIDS, quant=KMEANS_QUANT
+    )
+
+
+def _q61_sql() -> str:
+    q = float(KMEANS_QUANT)
+    return f"""
+WITH {_ivf_cell_ctes(similarity.DEFAULT_CENTROIDS)},
+ex AS (
+  SELECT cell, i - 1 AS dim, CAST(round(e[i] * {q!r}) AS BIGINT) AS qv
+  FROM cw CROSS JOIN generate_series(1, {len(similarity.DEFAULT_CENTROIDS[0])}) t(i)
+),
+a AS (SELECT cell, dim, sum(qv) AS s, count(*) AS n FROM ex GROUP BY 1, 2)
+SELECT CAST(cell AS INT) AS cell, CAST(dim AS INT) AS dim,
+       CAST(n AS BIGINT) AS n_members,
+       CAST(s AS DOUBLE) / ({q!r} * CAST(n AS DOUBLE)) AS centroid
+FROM a
+"""
+
+
+# --------------------------------------------------------------------- q62
+
+WINSOR_LO, WINSOR_HI = 0.01, 0.99
+
+
+def q62_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35: percentile winsorization — clamp extended price to its
+    per-return-flag [p01, p99] band and report clamp counts plus the
+    winsorized sum. Bounds come from one exact-percentile pass (q41's
+    machinery), get rounded to cents (decimal, both engines half-up),
+    broadcast back, and the clamped sum stays exact via integer cents.
+    Two shuffles total: the percentile agg and the final agg; the
+    bounds join is a broadcast."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice", _money("l_extendedprice").alias("_p")
+    )
+    b = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.percentile("l_extendedprice", F.lit([WINSOR_LO, WINSOR_HI])).alias("_q")
+        )
+        .select(
+            "l_returnflag",
+            F.round(F.col("_q")[0].cast("decimal(18,6)"), 2).alias("_lo"),
+            F.round(F.col("_q")[1].cast("decimal(18,6)"), 2).alias("_hi"),
+        )
+    )
+    j = li.join(F.broadcast(b), "l_returnflag")
+    w = F.greatest(F.col("_lo"), F.least(F.col("_hi"), F.col("_p")))
+    return (
+        j.groupBy("l_returnflag")
+        .agg(
+            F.first("_lo").alias("_flo"),
+            F.first("_hi").alias("_fhi"),
+            F.count(F.when(F.col("_p") < F.col("_lo"), 1)).alias("n_low"),
+            F.count(F.when(F.col("_p") > F.col("_hi"), 1)).alias("n_high"),
+            F.sum((w * 100).cast("long")).alias("_wc"),
+        )
+        .select(
+            "l_returnflag",
+            F.col("_flo").cast("double").alias("p01"),
+            F.col("_fhi").cast("double").alias("p99"),
+            F.col("n_low").cast("bigint").alias("n_low"),
+            F.col("n_high").cast("bigint").alias("n_high"),
+            _cents_out(F.col("_wc")).alias("winsorized_sum"),
+        )
+    )
+
+
+Q62_SQL = f"""
+WITH b AS (
+  SELECT l_returnflag,
+         round(CAST(quantile_cont(l_extendedprice, {WINSOR_LO}) AS DECIMAL(18,6)), 2) AS lo,
+         round(CAST(quantile_cont(l_extendedprice, {WINSOR_HI}) AS DECIMAL(18,6)), 2) AS hi
+  FROM lineitem GROUP BY 1
+),
+j AS (
+  SELECT l.l_returnflag, CAST(l.l_extendedprice AS DECIMAL(18,2)) AS p, lo, hi
+  FROM lineitem l JOIN b USING (l_returnflag)
+)
+SELECT l_returnflag, CAST(lo AS DOUBLE) AS p01, CAST(hi AS DOUBLE) AS p99,
+       CAST(count(CASE WHEN p < lo THEN 1 END) AS BIGINT) AS n_low,
+       CAST(count(CASE WHEN p > hi THEN 1 END) AS BIGINT) AS n_high,
+       CAST(sum(CAST(greatest(lo, least(hi, p)) * 100 AS BIGINT)) AS BIGINT) / 100.0
+         AS winsorized_sum
+FROM j GROUP BY l_returnflag, lo, hi
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_predicates": q02_filter_predicates,
@@ -2359,6 +2525,10 @@ QUERIES = {
     "q56_dup_clusters": q56_dup_clusters,
     "q57_funnel_conversion": q57_funnel_conversion,
     "q58_cohort_retention": q58_cohort_retention,
+    "q59_tfidf_terms": q59_tfidf_terms,
+    "q60_weighted_sample": q60_weighted_sample,
+    "q61_kmeans_update": q61_kmeans_update,
+    "q62_winsorized_stats": q62_winsorized_stats,
 }
 
 ORACLES = {
@@ -2420,4 +2590,8 @@ ORACLES = {
     "q56_dup_clusters": _q56_sql(),
     "q57_funnel_conversion": _q57_sql(),
     "q58_cohort_retention": Q58_SQL,
+    "q59_tfidf_terms": Q59_SQL,
+    "q60_weighted_sample": _q60_sql(),
+    "q61_kmeans_update": _q61_sql(),
+    "q62_winsorized_stats": Q62_SQL,
 }

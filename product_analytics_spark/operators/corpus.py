@@ -182,3 +182,62 @@ def contamination_screen(
         .select(id_col)
         .distinct()
     )
+
+
+# ---------------------------------------------------------------- tf-idf
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k characteristic terms per document by TF-IDF-style score.
+
+    score = tf · idf with the log-free BM25-style idf
+    (N - df + 0.5) / (df + 0.5): a rational function of integer
+    counts, so the double result is one exactly-rounded division and
+    one multiply — bit-reproducible in any IEEE engine. (ln-based idf
+    is deliberately avoided: libm ln differs across engines in the
+    last ulp, which breaks cross-engine rank ties.)
+
+    Plan shape: one explode (map-side) -> (doc, token) hash-agg for tf
+    -> token hash-agg for df -> join tf-df on token -> per-doc top-k
+    window. At 100 TB the df relation is |vocab| rows (millions) —
+    broadcastable after a frequency floor; the top-k window
+    repartitions by doc id, the only row-scale shuffle after the tf
+    aggregation. Ties break on the token string ascending.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    tf = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    # Scalar N fetched driver-side (the engine's watermark-collect
+    # pattern): a crossJoin would plan a BroadcastNestedLoopJoin and a
+    # literal-key equi-join constant-folds back into one; a one-row
+    # driver scalar keeps the plan nested-loop-free. Cost is one count
+    # aggregation — the same pass any scalar-subquery plan would run.
+    n = df.select(F.countDistinct(id_col).alias("_n")).first()["_n"]
+
+    from pyspark.sql import Window
+
+    idf = (F.lit(float(n)) - F.col("df").cast("double") + F.lit(0.5)) / (
+        F.col("df").cast("double") + F.lit(0.5)
+    )
+    scored = (
+        tf.join(dfreq, "token")
+        .select(
+            F.col(id_col),
+            "token",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("df"),
+            (F.col("tf").cast("double") * idf).alias("score"),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("score"), F.asc("token"))
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w))
+        .filter(F.col("term_rank") <= k)
+        .select(id_col, "term_rank", "token", "tf", "df", "score")
+    )

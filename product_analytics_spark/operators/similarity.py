@@ -383,3 +383,50 @@ def cosine_topk_ivf(
     assigned = ivf_assign(df, centroids, vec_col)
     cand = assigned.filter(F.col("ivf_cell").isin(probe_cells))
     return cosine_topk(cand, probe, k=k, vec_col=vec_col, id_col=id_col)
+
+
+def kmeans_update(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]] = DEFAULT_CENTROIDS,
+    vec_col: str = "embedding",
+    quant: int = 1_000_000,
+) -> DataFrame:
+    """One k-means update step: assign every vector to its nearest
+    codebook centroid (``ivf_cell`` arithmetic), then recompute each
+    centroid as the member mean, per dimension. Returns
+    (cell, dim, n_members, centroid) — the new codebook in long form.
+
+    Determinism: float summation is order-dependent, and Spark's
+    aggregation order varies with partitioning — so member values are
+    quantized to exact integer units (round(v·quant) as long) first;
+    the integer sums are order-independent and the final
+    sum / (quant·n) division is one exactly-rounded IEEE op. Both
+    engines round() doubles half-away-from-zero, so the quantization
+    is portable too. The codebook error vs exact float means is
+    bounded by 1/(2·quant) per dimension — irrelevant for a coarse
+    quantizer rebuild.
+
+    Plan shape: narrow assign + posexplode, then ONE hash-agg shuffled
+    on (cell, dim) — |cells|·|dims| result rows. Partial aggregation
+    makes the shuffle move one partial sum per (cell, dim, partition),
+    not per vector: at 100 TB this is the textbook distributed k-means
+    iteration. Iterate by feeding the returned codebook back in.
+    """
+    assigned = ivf_assign(df, centroids, vec_col=vec_col, cell_col="_cell")
+    ex = assigned.select(
+        F.col("_cell").alias("cell"),
+        F.posexplode(F.col(vec_col)).alias("dim", "_v"),
+    )
+    q = F.round(F.col("_v").cast("double") * F.lit(float(quant))).cast("long")
+    agg = ex.select("cell", "dim", q.alias("_q")).groupBy("cell", "dim").agg(
+        F.sum("_q").alias("_s"), F.count(F.lit(1)).alias("n_members")
+    )
+    centroid = F.col("_s").cast("double") / (
+        F.lit(float(quant)) * F.col("n_members").cast("double")
+    )
+    return agg.select(
+        "cell",
+        "dim",
+        F.col("n_members").cast("bigint").alias("n_members"),
+        centroid.alias("centroid"),
+    )

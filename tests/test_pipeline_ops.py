@@ -245,3 +245,95 @@ class TestGraph:
         e = self._edges(spark, [(i, i + 1) for i in range(1, 6)])
         with pytest.raises(RuntimeError):
             graph.connected_components(e, max_iterations=1)
+
+
+class TestPrioritySample:
+    def _weighted(self, spark, rows):
+        return spark.createDataFrame(rows, "doc_id long, w long")
+
+    def test_exactly_k_and_partitioning_invariant(self, spark):
+        df = spark.range(500).select(
+            F.col("id").alias("doc_id"), (F.col("id") % 7 + 1).alias("w")
+        )
+        a = sampling.priority_sample(df, "w", k=50).collect()
+        b = sampling.priority_sample(df.repartition(11), "w", k=50).collect()
+        assert len(a) == 50
+        assert sorted(r.doc_id for r in a) == sorted(r.doc_id for r in b)
+
+    def test_k_at_least_n_returns_all(self, spark):
+        df = self._weighted(spark, [(i, 1) for i in range(5)])
+        out = sampling.priority_sample(df, "w", k=10)
+        assert out.count() == 5
+
+    def test_heavy_row_dominates(self, spark):
+        # One row with weight 1e15 vs 100 rows with weight 1: its
+        # priority (h+1)/1e15 <= 2^60/1e15 ~ 1.2e3 is far below the
+        # light rows' (h+1)/1 ~ uniform over [1, 2^60]. Deterministic
+        # because the hash is content-derived.
+        rows = [(i, 1) for i in range(100)] + [(999, 10**15)]
+        df = self._weighted(spark, rows)
+        winner = sampling.priority_sample(df, "w", k=1).collect()[0]
+        assert winner.doc_id == 999
+
+
+class TestTfidf:
+    def test_scores_and_ranking(self, spark):
+        docs = _docs(spark, [(1, "apple banana banana"), (2, "apple cherry")])
+        out = {
+            (r.doc_id, r.term_rank): (r.token, r.tf, r.df, r.score)
+            for r in corpus.tfidf_topk(docs, k=3).collect()
+        }
+        # N=2. idf(apple)=(2-2+0.5)/2.5=0.2, idf(banana)=idf(cherry)=1.5/1.5=1.0
+        assert out[(1, 1)] == ("banana", 2, 1, 2.0)
+        assert out[(1, 2)] == ("apple", 1, 2, 0.2)
+        assert out[(2, 1)] == ("cherry", 1, 1, 1.0)
+        assert out[(2, 2)] == ("apple", 1, 2, 0.2)
+
+    def test_tie_breaks_on_token_asc(self, spark):
+        docs = _docs(spark, [(1, "zebra alpha"), (2, "other words")])
+        out = corpus.tfidf_topk(docs, k=2).filter(F.col("doc_id") == 1).collect()
+        assert [r.token for r in sorted(out, key=lambda r: r.term_rank)] == [
+            "alpha", "zebra",
+        ]
+
+    def test_k_caps_terms_per_doc(self, spark):
+        docs = _docs(spark, [(1, "a b c d e f"), (2, "x")])
+        out = corpus.tfidf_topk(docs, k=2)
+        counts = {r.doc_id: r.n for r in
+                  out.groupBy("doc_id").agg(F.count("*").alias("n")).collect()}
+        assert counts == {1: 2, 2: 1}
+
+
+class TestKmeansUpdate:
+    def test_member_means_per_cell(self, spark):
+        from product_analytics_spark.operators import similarity
+
+        cents = [[1.0, 0.0], [0.0, 1.0]]
+        vecs = [
+            (1, [0.9, 0.1]),   # cell 0
+            (2, [0.7, 0.3]),   # cell 0
+            (3, [0.1, 0.95]),  # cell 1
+        ]
+        df = spark.createDataFrame(vecs, "doc_id long, embedding array<double>")
+        out = {
+            (r.cell, r.dim): (r.n_members, r.centroid)
+            for r in similarity.kmeans_update(df, cents).collect()
+        }
+        assert out[(0, 0)] == (2, pytest.approx(0.8))
+        assert out[(0, 1)] == (2, pytest.approx(0.2))
+        assert out[(1, 0)] == (1, pytest.approx(0.1))
+        assert out[(1, 1)] == (1, pytest.approx(0.95))
+
+    def test_partitioning_invariant_bitwise(self, spark):
+        from product_analytics_spark.operators import similarity
+
+        import random
+
+        rng = random.Random(7)
+        vecs = [(i, [rng.uniform(-1, 1) for _ in range(4)]) for i in range(200)]
+        cents = [[1.0, 0, 0, 0], [0, 1.0, 0, 0], [0, 0, 1.0, 0]]
+        df = spark.createDataFrame(vecs, "doc_id long, embedding array<double>")
+        a = sorted(map(tuple, similarity.kmeans_update(df, cents).collect()))
+        b = sorted(map(tuple,
+                       similarity.kmeans_update(df.repartition(13), cents).collect()))
+        assert a == b  # exact equality: quantized integer sums

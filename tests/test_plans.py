@@ -88,6 +88,7 @@ class TestPlanProperties:
             "q27_embedding_near_dup",
             "q32_multimodal_features",
             "q39_ivf_ann_topk",
+            "q61_kmeans_update",
         }, arrow_users
 
     def test_split_assignment_adds_no_shuffle(self, plans):
