@@ -2466,6 +2466,233 @@ FROM j GROUP BY l_returnflag, lo, hi
 """
 
 
+# --------------------------------------------------------------------- q63
+
+ATTRIB_HOURS = 36
+
+
+def q63_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36: bucketized interval join — count events landing in each
+    36-hour attribution window (one window per (event_type, day)).
+    The naive range join is a BroadcastNestedLoopJoin; interval_join
+    quantizes time into 1-day buckets, explodes each interval to the
+    2 buckets it covers, and hash-equi-joins on the bucket — each
+    (point, interval) pair meets in exactly one bucket, so no dedup
+    pass (operators/joins.py:interval_join)."""
+    from product_analytics_spark.operators import joins as joins_mod
+
+    e = _t(spark, sf_dir, "events").select("ts", "user_id", "event_id")
+    iv = (
+        _t(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("w_type"),
+            F.date_trunc("day", F.col("ts")).alias("w_start"),
+        )
+        .distinct()
+        .withColumn(
+            "w_end", F.col("w_start") + F.expr(f"INTERVAL {ATTRIB_HOURS} HOURS")
+        )
+    )
+    j = joins_mod.interval_join(e, iv, "ts", "w_start", "w_end", bucket="1 day")
+    return j.groupBy("w_type", "w_start").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+
+
+Q63_SQL = f"""
+WITH e AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, event_id FROM events
+),
+iv AS (
+  SELECT DISTINCT event_type AS w_type,
+         date_trunc('day', CAST(ts AS TIMESTAMP)) AS w_start,
+         date_trunc('day', CAST(ts AS TIMESTAMP)) + INTERVAL {ATTRIB_HOURS} HOUR AS w_end
+  FROM events
+)
+SELECT iv.w_type, iv.w_start,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+FROM iv JOIN e ON e.ts >= iv.w_start AND e.ts < iv.w_end
+GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------- q64
+
+PACK_SEQ_LEN = 512
+PACK_BUCKETS = 32
+
+
+def q64_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37: greedy-concatenation sequence packing via a two-phase
+    distributed prefix sum — per-bucket window cumsums (the only
+    full-data shuffle) + broadcast bucket offsets; the global token
+    offset and spanned training sequences are then pure arithmetic
+    (operators/corpus.py:packed_offsets)."""
+    return corpus.packed_offsets(
+        _t(spark, sf_dir, "documents"),
+        seq_len=PACK_SEQ_LEN,
+        n_buckets=PACK_BUCKETS,
+    )
+
+
+def _q64_sql() -> str:
+    h = _hash60_sql("CAST(doc_id AS VARCHAR) || chr(31) || 'pack'")
+    return f"""
+WITH t AS (
+  SELECT doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS n_tokens,
+         {h} % {PACK_BUCKETS} AS bkt, {h} AS h
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY bkt, h, doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+  FROM t
+),
+s AS (
+  SELECT doc_id, start_tok, n_tokens,
+         CAST(floor(CAST(start_tok AS DOUBLE) / {PACK_SEQ_LEN}) AS BIGINT) AS first_seq,
+         CAST(floor(CAST(start_tok + greatest(n_tokens - 1, 0) AS DOUBLE)
+                    / {PACK_SEQ_LEN}) AS BIGINT) AS last_seq
+  FROM c
+)
+SELECT doc_id, CAST(start_tok AS BIGINT) AS start_tok, n_tokens,
+       first_seq, last_seq, CAST(last_seq - first_seq + 1 AS BIGINT) AS n_seqs
+FROM s
+"""
+
+
+# --------------------------------------------------------------------- q65
+
+
+def q65_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X38: Gopher-style within-document repetition metrics
+    (dup-token fraction, top-token fraction, Simpson concentration) —
+    rational arithmetic only, so every double is one exactly-rounded
+    division and the output is engine-exact
+    (operators/corpus.py:repetition_signals)."""
+    return corpus.repetition_signals(_t(spark, sf_dir, "documents"))
+
+
+Q65_SQL = """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+pt AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+a AS (
+  SELECT doc_id, sum(c) AS n, count(*) AS d, max(c) AS top, sum(c*c) AS sq
+  FROM pt GROUP BY 1
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, CAST(d AS BIGINT) AS n_distinct,
+       (CAST(n AS DOUBLE) - CAST(d AS DOUBLE)) / CAST(n AS DOUBLE) AS dup_token_frac,
+       CAST(top AS DOUBLE) / CAST(n AS DOUBLE) AS top_token_frac,
+       CAST(sq AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS simpson
+FROM a
+"""
+
+
+# --------------------------------------------------------------------- q66
+
+MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25, "src3": 0.1}
+MIX_DEFAULT = 0.05
+
+
+def q66_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X39: source-mixture subsampling — per-source keep rates from a
+    portable-hash threshold (zero-shuffle CASE ladder; dropped rows
+    never leave the mapper). Output: surviving doc/char volume per
+    source (operators/sampling.py:mixture_sample)."""
+    kept = sampling.mixture_sample(
+        _t(spark, sf_dir, "documents"),
+        "source",
+        MIX_RATES,
+        default_rate=MIX_DEFAULT,
+    )
+    return kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+def _q66_sql() -> str:
+    cases = " ".join(
+        f"WHEN source = '{s}' THEN {int(round(r * sampling.SPLIT_BUCKETS))}"
+        for s, r in sorted(MIX_RATES.items())
+    )
+    default = int(round(MIX_DEFAULT * sampling.SPLIT_BUCKETS))
+    return f"""
+WITH b AS (
+  SELECT source, n_chars, {_split_hash_sql('mix')} AS bkt FROM documents
+),
+k AS (
+  SELECT source, n_chars FROM b
+  WHERE bkt < CASE {cases} ELSE {default} END
+)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM k GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- q67
+
+VOCAB_APPLY_K = 50
+
+
+def q67_vocab_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X40: tokenizer vocabulary application — ids from the top-50
+    corpus vocabulary (frequency desc, token asc), OOV → 0, document
+    order preserved via posexplode + (pos,id) array_sort reassembly;
+    ONE doc-keyed shuffle carrying 12-byte pairs instead of text
+    (operators/corpus.py:apply_vocab). token_ids emitted as a CSV
+    string so the comparator sees a scalar column."""
+    docs = _t(spark, sf_dir, "documents")
+    vocab = corpus.vocab_topk(docs, k=VOCAB_APPLY_K)
+    out = corpus.apply_vocab(docs, vocab)
+    return out.select(
+        "doc_id",
+        F.array_join(F.col("token_ids").cast("array<string>"), ",").alias(
+            "token_ids"
+        ),
+        "n_tokens",
+        "n_oov",
+    )
+
+
+Q67_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS arr
+  FROM documents
+),
+flat AS (
+  SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS token
+  FROM tok
+),
+v AS (
+  SELECT token, count(*) AS n_occ FROM flat GROUP BY 1
+  ORDER BY n_occ DESC, token ASC LIMIT {VOCAB_APPLY_K}
+),
+ids AS (
+  SELECT token, row_number() OVER (ORDER BY n_occ DESC, token ASC) AS id
+  FROM v
+),
+j AS (
+  SELECT f.doc_id, f.pos, coalesce(ids.id, 0) AS id
+  FROM flat f LEFT JOIN ids USING (token)
+)
+SELECT doc_id,
+       array_to_string(list(id ORDER BY pos ASC), ',') AS token_ids,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+FROM j GROUP BY doc_id
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_predicates": q02_filter_predicates,
@@ -2529,6 +2756,11 @@ QUERIES = {
     "q60_weighted_sample": q60_weighted_sample,
     "q61_kmeans_update": q61_kmeans_update,
     "q62_winsorized_stats": q62_winsorized_stats,
+    "q63_interval_join": q63_interval_join,
+    "q64_sequence_packing": q64_sequence_packing,
+    "q65_repetition_signals": q65_repetition_signals,
+    "q66_mixture_sample": q66_mixture_sample,
+    "q67_vocab_apply": q67_vocab_apply,
 }
 
 ORACLES = {
@@ -2594,4 +2826,9 @@ ORACLES = {
     "q60_weighted_sample": _q60_sql(),
     "q61_kmeans_update": _q61_sql(),
     "q62_winsorized_stats": Q62_SQL,
+    "q63_interval_join": Q63_SQL,
+    "q64_sequence_packing": _q64_sql(),
+    "q65_repetition_signals": Q65_SQL,
+    "q66_mixture_sample": _q66_sql(),
+    "q67_vocab_apply": Q67_SQL,
 }

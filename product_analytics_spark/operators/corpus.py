@@ -14,10 +14,15 @@ regexp — no Python in the hot path. Scale notes per function.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from product_analytics_spark.operators.text import portable_hash60, tokens, word_shingles
+from product_analytics_spark.operators.text import (
+    portable_hash60,
+    token_count,
+    tokens,
+    word_shingles,
+)
 
 
 # ------------------------------------------------------------- vocabulary
@@ -240,4 +245,201 @@ def tfidf_topk(
         scored.withColumn("term_rank", F.row_number().over(w))
         .filter(F.col("term_rank") <= k)
         .select(id_col, "term_rank", "token", "tf", "df", "score")
+    )
+
+
+# ------------------------------------------------------- sequence packing
+
+def packed_offsets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seq_len: int = 2048,
+    n_buckets: int = 32,
+    salt: str = "pack",
+) -> DataFrame:
+    """Greedy-concatenation sequence packing: lay every document's
+    tokens end-to-end in a deterministic global order and cut the
+    stream into fixed ``seq_len`` training sequences. Returns per doc:
+    ``start_tok`` (global token offset), ``n_tokens``, ``first_seq``,
+    ``last_seq``, ``n_seqs`` (how many sequences the doc spans).
+
+    The global order is (shuffle_bucket, h, id) where h is the
+    portable content hash — i.e. documents arrive pre-shuffled for
+    training, and the order is a pure function of content (stable
+    across runs, partitionings, and engines).
+
+    Scale design — the global running sum is a textbook two-phase
+    distributed prefix sum, NOT a single-partition window:
+
+    1. per-bucket cumulative sums: one window per shuffle_bucket
+       (ONE shuffle, 100 TB/n_buckets per partition — n_buckets
+       scales with the cluster);
+    2. per-bucket totals: tiny agg (n_buckets rows) → running bucket
+       offsets computed in a broadcast-sized window;
+    3. global offset = bucket offset + in-bucket cumsum, added
+       map-side via a broadcast join.
+
+    The only full-data shuffle is the bucket window; everything else
+    moves n_buckets rows.
+    """
+    h = portable_hash60(
+        F.concat_ws("\x1f", F.col(id_col).cast("string"), F.lit(salt))
+    )
+    base = df.select(
+        F.col(id_col),
+        (h % F.lit(n_buckets)).alias("_bkt"),
+        h.alias("_h"),
+        token_count(F.col(text_col)).cast("long").alias("n_tokens"),
+    )
+
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(F.asc("_h"), F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = base.withColumn("_cum", F.sum("n_tokens").over(w))
+
+    totals = (
+        base.groupBy("_bkt")
+        .agg(F.sum("n_tokens").alias("_tot"))
+        .withColumn(
+            "_off",
+            F.coalesce(
+                F.sum("_tot").over(
+                    Window.orderBy("_bkt").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_bkt", "_off")
+    )
+
+    out = local.join(F.broadcast(totals), "_bkt").select(
+        F.col(id_col),
+        (F.col("_off") + F.col("_cum") - F.col("n_tokens")).alias("start_tok"),
+        "n_tokens",
+    )
+    first_seq = F.floor(F.col("start_tok") / F.lit(seq_len))
+    last_tok = F.col("start_tok") + F.greatest(F.col("n_tokens") - 1, F.lit(0))
+    last_seq = F.floor(last_tok / F.lit(seq_len))
+    return out.select(
+        id_col,
+        F.col("start_tok").cast("bigint").alias("start_tok"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        first_seq.cast("bigint").alias("first_seq"),
+        last_seq.cast("bigint").alias("last_seq"),
+        (last_seq - first_seq + 1).cast("bigint").alias("n_seqs"),
+    )
+
+
+# ---------------------------------------------------- repetition signals
+
+def repetition_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Gopher-style within-document repetition metrics, computed with
+    rational arithmetic only (no log/entropy — libm transcendentals
+    differ across engines in the last ulp; every metric here is one
+    exactly-rounded integer division, bit-reproducible anywhere):
+
+    - ``n_tokens``, ``n_distinct``
+    - ``dup_token_frac``  = (n - n_distinct) / n — mass of repeats
+    - ``top_token_frac``  = count(most frequent token) / n — the
+      "fraction of chars/tokens in the most common n-gram" filter
+    - ``simpson``         = Σ c_i² / n² — concentration (1/simpson is
+      the effective vocabulary size; high = degenerate repetition)
+
+    Plan shape: explode stays map-side; ONE (doc, token) hash-agg,
+    then a per-doc hash-agg of |doc's distinct tokens| partial rows.
+    No windows, no second pass over text. At 100 TB both shuffles move
+    token *counts*, not text.
+    """
+    tok = df.select(
+        F.col(id_col), F.explode(tokens(F.lower(F.col(text_col)))).alias("token")
+    )
+    per_token = tok.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("c"))
+    n = F.sum("c")
+    agg = per_token.groupBy(id_col).agg(
+        n.cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+        F.max("c").cast("bigint").alias("_top"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("_sq"),
+    )
+    nd = F.col("n_tokens").cast("double")
+    return agg.select(
+        id_col,
+        "n_tokens",
+        "n_distinct",
+        ((nd - F.col("n_distinct").cast("double")) / nd).alias("dup_token_frac"),
+        (F.col("_top").cast("double") / nd).alias("top_token_frac"),
+        (F.col("_sq").cast("double") / (nd * nd)).alias("simpson"),
+    )
+
+
+# ------------------------------------------------------------ vocab apply
+
+def apply_vocab(
+    df: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    token_col: str = "token",
+    unk_id: int = 0,
+) -> DataFrame:
+    """Map each document's tokens to integer ids via a vocabulary
+    relation — the tokenize step of a training pipeline. Ids are
+    assigned from the vocabulary's (frequency desc, token asc) order
+    starting at 1; out-of-vocabulary tokens get ``unk_id``.
+
+    Output: (id, token_ids ARRAY<BIGINT> in document order, n_tokens,
+    n_oov).
+
+    Plan shape: posexplode (map-side) → LEFT broadcast-hash join on
+    the token string (vocabularies are ≤ a few hundred thousand rows —
+    always broadcastable) → per-doc hash-agg reassembling the array
+    with ``array_sort(collect_list(struct(pos, id)))``. ONE shuffle,
+    keyed by doc id, carrying one (pos, id) pair per token — 12
+    bytes/token instead of the text. OOV never drops a row (left
+    join + coalesce).
+    """
+    ids = vocab.select(
+        F.col(token_col).alias("_tok"),
+        F.row_number()
+        .over(
+            Window.orderBy(F.desc("n_occurrences"), F.asc(token_col))
+        )
+        .cast("long")
+        .alias("_id"),
+    )
+    tok = df.select(
+        F.col(id_col),
+        F.posexplode(tokens(F.lower(F.col(text_col)))).alias("pos", "_tok"),
+    )
+    joined = tok.join(F.broadcast(ids), "_tok", "left").select(
+        F.col(id_col),
+        "pos",
+        F.coalesce(F.col("_id"), F.lit(unk_id)).alias("_id"),
+    )
+    return (
+        joined.groupBy(id_col)
+        .agg(
+            F.array_sort(F.collect_list(F.struct("pos", "_id"))).alias("_pairs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            F.sum((F.col("_id") == unk_id).cast("long"))
+            .cast("bigint")
+            .alias("n_oov"),
+        )
+        .select(
+            id_col,
+            F.transform(F.col("_pairs"), lambda p: p.getField("_id")).alias(
+                "token_ids"
+            ),
+            "n_tokens",
+            "n_oov",
+        )
     )

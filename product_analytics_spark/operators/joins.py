@@ -107,3 +107,62 @@ def asof_join(
         *[carried[f"v{i}"].alias(f"{c}{suffix}") for i, c in enumerate(vals)],
     )
     return filled.filter(F.col(flag_c) == 1).drop(flag_c)
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket: str = "1 week",
+    broadcast_intervals: bool = False,
+) -> DataFrame:
+    """Join point rows into every interval that contains them:
+    ``start <= point_ts < end`` (half-open, the event-time convention).
+
+    Spark has no interval-join primitive for batch (stream-stream
+    interval joins exist in Structured Streaming); the naive
+    formulation is a BroadcastNestedLoopJoin — O(|points|·|intervals|)
+    comparisons — which is exactly what this operator avoids.
+
+    Two physical strategies:
+
+    - ``broadcast_intervals=True``: the interval side is dimension-
+      sized (campaign windows, maintenance windows) — broadcast it and
+      let the range predicate run map-side. Still nested-loop, but
+      |intervals| is small and bounded; zero shuffles.
+    - default (scale path): quantize time into fixed buckets. Each
+      point maps to exactly ONE bucket; each interval explodes to
+      every bucket it overlaps [floor(start), floor(end - 1ns)]. The
+      join becomes a hash equi-join on the bucket key, and the exact
+      range predicate filters within matched buckets. Each
+      (point, interval) pair can meet in at most one bucket — the
+      point's — so no post-join dedup is needed. Cost is
+      O(|points| + Σ interval_spans/bucket) shuffled rows; pick
+      ``bucket`` ≈ the median interval length so intervals explode to
+      a handful of rows each. Skewed hot buckets split via AQE.
+
+    Column hygiene: output = all point columns + all interval columns;
+    callers ensure disjoint names (join-key style).
+    """
+    exact = (F.col(point_ts) >= F.col(start_col)) & (
+        F.col(point_ts) < F.col(end_col)
+    )
+    if broadcast_intervals:
+        return points.join(F.broadcast(intervals), on=exact, how="inner")
+
+    n_buckets_expr = F.sequence(
+        F.window(F.col(start_col), bucket).getField("start"),
+        # end is exclusive: the last covered bucket is the one holding
+        # end - 1 microsecond (timestamps are microsecond-grained).
+        F.window(
+            F.col(end_col) - F.expr("INTERVAL 1 MICROSECOND"), bucket
+        ).getField("start"),
+        F.expr(f"INTERVAL {bucket}"),
+    )
+    iv = intervals.withColumn("_bucket", F.explode(n_buckets_expr))
+    pt = points.withColumn(
+        "_bucket", F.window(F.col(point_ts), bucket).getField("start")
+    )
+    return pt.join(iv, on="_bucket", how="inner").filter(exact).drop("_bucket")

@@ -186,3 +186,38 @@ def priority_sample(
         .limit(k)
         .drop("_prio")
     )
+
+
+def mixture_sample(
+    df: DataFrame,
+    stratum_col: str,
+    rates: Mapping[str, float],
+    key_col: str = "doc_id",
+    default_rate: float = 0.0,
+    salt: str = "mix",
+) -> DataFrame:
+    """Per-stratum subsampling to target mixture rates — the "source
+    mixing" step of a training-data pipeline (e.g. keep 100% of books,
+    30% of web, 5% of logs).
+
+    A row survives iff its hash bucket < rate·SPLIT_BUCKETS for its
+    stratum's rate; strata absent from ``rates`` get ``default_rate``.
+    Membership is a pure function of (key, salt) — reproducible across
+    runs, engines, and repartitioning, and independent of every other
+    hash-derived decision (split/dedup) thanks to the salt.
+
+    Plan shape: one CASE ladder over a broadcastable literal map plus
+    the portable-hash filter — entirely narrow, evaluated at the scan;
+    at 100 TB the dropped rows never leave the mapper. Rates quantize
+    to 1/SPLIT_BUCKETS (0.01%) so thresholds are exact integers and no
+    float boundary can disagree between engines.
+    """
+    bucket = split_bucket(F.col(key_col), salt=salt)
+    thresh = F.lit(int(round(default_rate * SPLIT_BUCKETS)))
+    expr = None
+    for stratum, rate in sorted(rates.items()):
+        t = int(round(rate * SPLIT_BUCKETS))
+        cond = F.col(stratum_col) == stratum
+        expr = F.when(cond, F.lit(t)) if expr is None else expr.when(cond, F.lit(t))
+    thresh = expr.otherwise(thresh) if expr is not None else thresh
+    return df.filter(bucket < thresh)

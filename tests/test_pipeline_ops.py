@@ -337,3 +337,144 @@ class TestKmeansUpdate:
         b = sorted(map(tuple,
                        similarity.kmeans_update(df.repartition(13), cents).collect()))
         assert a == b  # exact equality: quantized integer sums
+
+
+class TestIntervalJoin:
+    def _data(self, spark):
+        import datetime as dt
+
+        pts = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 1, 5)), (2, dt.datetime(2024, 1, 2, 23)),
+             (3, dt.datetime(2024, 1, 9, 0))],
+            "pid long, ts timestamp",
+        )
+        iv = spark.createDataFrame(
+            [(10, dt.datetime(2024, 1, 1), dt.datetime(2024, 1, 3)),
+             (11, dt.datetime(2024, 1, 2, 12), dt.datetime(2024, 1, 2, 23, 30)),
+             (12, dt.datetime(2024, 1, 8), dt.datetime(2024, 1, 9))],
+            "wid long, w_start timestamp, w_end timestamp",
+        )
+        return pts, iv
+
+    def test_bucketed_matches_broadcast(self, spark):
+        from product_analytics_spark.operators import joins
+
+        pts, iv = self._data(spark)
+        bucketed = sorted(
+            (r.pid, r.wid)
+            for r in joins.interval_join(pts, iv, "ts", "w_start", "w_end",
+                                         bucket="1 day").collect()
+        )
+        bcast = sorted(
+            (r.pid, r.wid)
+            for r in joins.interval_join(pts, iv, "ts", "w_start", "w_end",
+                                         broadcast_intervals=True).collect()
+        )
+        assert bucketed == bcast
+        # point 3 at exactly w_end of window 12 must be excluded
+        # (half-open), point 2 in both 10 and 11, point 1 only in 10.
+        assert bucketed == [(1, 10), (2, 10), (2, 11)]
+
+    def test_interval_spanning_many_buckets(self, spark):
+        import datetime as dt
+        from product_analytics_spark.operators import joins
+
+        pts = spark.createDataFrame(
+            [(1, dt.datetime(2024, 1, 15, 12))], "pid long, ts timestamp"
+        )
+        iv = spark.createDataFrame(
+            [(20, dt.datetime(2024, 1, 1), dt.datetime(2024, 2, 1))],
+            "wid long, w_start timestamp, w_end timestamp",
+        )
+        out = joins.interval_join(pts, iv, "ts", "w_start", "w_end", bucket="1 day")
+        # one match, not one per overlapped bucket
+        assert [(r.pid, r.wid) for r in out.collect()] == [(1, 20)]
+
+
+class TestPackedOffsets:
+    def _docs(self, spark, texts):
+        return spark.createDataFrame(
+            [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+        )
+
+    def test_offsets_are_a_permutation_prefix_sum(self, spark):
+        docs = self._docs(spark, ["a b c", "d e", "f", "g h i j"])
+        out = corpus.packed_offsets(docs, seq_len=4, n_buckets=4).collect()
+        rows = sorted(out, key=lambda r: r.start_tok)
+        # offsets tile the token stream exactly
+        expect = 0
+        for r in rows:
+            assert r.start_tok == expect
+            expect += r.n_tokens
+        assert expect == 10
+
+    def test_seq_span_arithmetic(self, spark):
+        docs = self._docs(spark, ["a b c", "d e", "f", "g h i j"])
+        for r in corpus.packed_offsets(docs, seq_len=4, n_buckets=4).collect():
+            assert r.first_seq == r.start_tok // 4
+            assert r.last_seq == (r.start_tok + r.n_tokens - 1) // 4
+            assert r.n_seqs == r.last_seq - r.first_seq + 1
+
+    def test_partitioning_invariant(self, spark):
+        docs = self._docs(spark, [f"tok{i} tok{i} x" for i in range(50)])
+        a = sorted(map(tuple, corpus.packed_offsets(docs, seq_len=8).collect()))
+        b = sorted(map(tuple,
+                       corpus.packed_offsets(docs.repartition(9), seq_len=8).collect()))
+        assert a == b
+
+
+class TestRepetitionSignals:
+    def test_metrics_exact(self, spark):
+        docs = _docs(spark, [(1, "a a a b"), (2, "x y z w")])
+        out = {r.doc_id: r for r in corpus.repetition_signals(docs).collect()}
+        r1 = out[1]
+        assert (r1.n_tokens, r1.n_distinct) == (4, 2)
+        assert r1.dup_token_frac == pytest.approx(0.5)
+        assert r1.top_token_frac == pytest.approx(0.75)
+        assert r1.simpson == pytest.approx((9 + 1) / 16)
+        r2 = out[2]
+        assert r2.dup_token_frac == 0.0
+        assert r2.top_token_frac == 0.25
+        assert r2.simpson == 0.25
+
+
+class TestMixtureSample:
+    def test_rates_roughly_hold_and_full_keep(self, spark):
+        df = spark.range(4000).select(
+            F.col("id").alias("doc_id"),
+            F.concat(F.lit("s"), (F.col("id") % 2).cast("string")).alias("source"),
+        )
+        kept = sampling.mixture_sample(df, "source", {"s0": 1.0, "s1": 0.25})
+        counts = {r.source: r.n for r in
+                  kept.groupBy("source").agg(F.count("*").alias("n")).collect()}
+        assert counts["s0"] == 2000  # rate 1.0 keeps everything
+        assert 350 < counts["s1"] < 650  # ~500
+
+    def test_default_rate_zero_drops_unlisted(self, spark):
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"), F.lit("other").alias("source")
+        )
+        assert sampling.mixture_sample(df, "source", {"s0": 1.0}).count() == 0
+
+    def test_deterministic(self, spark):
+        df = spark.range(1000).select(
+            F.col("id").alias("doc_id"), F.lit("s").alias("source")
+        )
+        a = {r.doc_id for r in sampling.mixture_sample(df, "source", {"s": 0.3}).collect()}
+        b = {r.doc_id for r in
+             sampling.mixture_sample(df.repartition(7), "source", {"s": 0.3}).collect()}
+        assert a == b
+
+
+class TestApplyVocab:
+    def test_ids_order_and_oov(self, spark):
+        docs = _docs(spark, [(1, "the cat sat"), (2, "the the dog")])
+        vocab = corpus.vocab_topk(docs, k=2)  # 'the' (3), then 'cat' ties...
+        out = {r.doc_id: r for r in corpus.apply_vocab(docs, vocab).collect()}
+        # vocab: the->1 (3 occurrences); cat->2 (tie vs dog/sat broken
+        # by token asc). doc1 = the cat sat -> [1, 2, OOV].
+        assert out[1].token_ids == [1, 2, 0]
+        assert out[1].n_oov == 1
+        # doc2 = the the dog -> [1, 1, OOV]
+        assert out[2].token_ids == [1, 1, 0]
+        assert out[2].n_oov == 1
