@@ -2693,6 +2693,91 @@ FROM j GROUP BY doc_id
 """
 
 
+# --------------------------------------------------------------------- q68
+
+PIPE_REP_MAX = 0.10
+PIPE_LANGS = ("en", "de", "fr", "es")
+PIPE_SPLITS = {"train": 0.9, "val": 0.05, "test": 0.05}
+
+
+def q68_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X41: the end-to-end training-corpus prep pipeline — language
+    filter → repetition-quality filter (X38) → exact dedup keeping the
+    lowest doc_id (X1, 8-byte fingerprint shuffle key) → deterministic
+    split assignment (X23, zero-shuffle) → per-(split, lang) volume
+    report. One declarative plan: Catalyst pushes the lang filter into
+    the scan, the quality join and dedup share doc-keyed exchanges,
+    and the split CASE ladder rides the dedup output map-side.
+
+    The comparison boundary (top_token_frac <= 0.1) is safe across
+    engines: the fraction is one exactly-rounded integer division, so
+    both engines compute the identical double."""
+    d = _t(spark, sf_dir, "documents").filter(F.col("lang").isin(*PIPE_LANGS))
+    sig = corpus.repetition_signals(d).select("doc_id", "top_token_frac")
+    kept = (
+        d.join(sig, "doc_id")
+        .filter(F.col("top_token_frac") <= F.lit(PIPE_REP_MAX))
+        .drop("top_token_frac")
+    )
+    deduped = dedup.exact_dedup(
+        kept.withColumn("_fp", text.fingerprint(F.col("text"))),
+        on="_fp",
+        keep_min="doc_id",
+    ).drop("_fp")
+    split = sampling.with_hash_split(deduped, "doc_id", PIPE_SPLITS)
+    return split.groupBy("split", "lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(text.token_count(F.col("text"))).cast("bigint").alias("total_tokens"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
+def _q68_sql() -> str:
+    langs = ", ".join(f"'{l}'" for l in PIPE_LANGS)
+    train = int(round(PIPE_SPLITS["train"] * sampling.SPLIT_BUCKETS))
+    val = train + int(round(PIPE_SPLITS["val"] * sampling.SPLIT_BUCKETS))
+    return rf"""
+WITH d AS (
+  SELECT * FROM documents WHERE lang IN ({langs})
+),
+tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+  FROM d
+),
+pt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY 1, 2),
+sig AS (
+  SELECT doc_id,
+         CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE) AS top_token_frac
+  FROM pt GROUP BY 1
+),
+kept AS (
+  SELECT d.* FROM d JOIN sig USING (doc_id)
+  WHERE sig.top_token_frac <= {PIPE_REP_MAX}
+),
+dd AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY regexp_replace(lower(trim(text)), '\s+', ' ', 'g')
+    ORDER BY doc_id ASC) AS rn
+  FROM kept
+),
+winners AS (SELECT * FROM dd WHERE rn = 1),
+s AS (
+  SELECT *, {_split_hash_sql('split')} AS bkt FROM winners
+),
+labeled AS (
+  SELECT lang, n_chars,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tokens,
+         CASE WHEN bkt < {train} THEN 'train'
+              WHEN bkt < {val} THEN 'val' ELSE 'test' END AS split
+  FROM s
+)
+SELECT split, lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM labeled GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_predicates": q02_filter_predicates,
@@ -2761,6 +2846,7 @@ QUERIES = {
     "q65_repetition_signals": q65_repetition_signals,
     "q66_mixture_sample": q66_mixture_sample,
     "q67_vocab_apply": q67_vocab_apply,
+    "q68_corpus_pipeline": q68_corpus_pipeline,
 }
 
 ORACLES = {
@@ -2831,4 +2917,5 @@ ORACLES = {
     "q65_repetition_signals": Q65_SQL,
     "q66_mixture_sample": _q66_sql(),
     "q67_vocab_apply": Q67_SQL,
+    "q68_corpus_pipeline": _q68_sql(),
 }
