@@ -44,6 +44,16 @@ def stream_table(
     return reader.load(path)
 
 
+def _watermarkable(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Watermarks require TIMESTAMP (LTZ); landing-zone parquet often
+    carries TIMESTAMP_NTZ. The engine pins the session timezone to UTC
+    (session.py), so the cast is value-identity — batch twins accept
+    NTZ directly and produce the same instants."""
+    if isinstance(stream.schema[ts_col].dataType, T.TimestampNTZType):
+        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def tumbling_window_agg_stream(
     stream: DataFrame,
     ts_col: str = "ts",
@@ -54,6 +64,7 @@ def tumbling_window_agg_stream(
 ) -> DataFrame:
     """Streaming twin of operators/windows.py:tumbling_window_agg —
     same output columns; watermark bounds late data AND state size."""
+    stream = _watermarkable(stream, ts_col)
     win = F.window(F.col(ts_col), duration)
     return (
         stream.withWatermark(ts_col, watermark)
@@ -78,6 +89,7 @@ def session_window_agg_stream(
     the native ``session_window`` (gap-merged, watermark-closed).
     Batch q23 assigns integer session ids; the streaming form keys
     sessions by their (start, end) window instead — same grouping."""
+    stream = _watermarkable(stream, ts_col)
     win = F.session_window(F.col(ts_col), gap)
     return (
         stream.withWatermark(ts_col, watermark)
@@ -109,6 +121,7 @@ def cdc_latest_stream(
     latest-record semantics, pair with ``foreach_batch_merge`` so each
     micro-batch's rows upsert over older snapshot rows (reference
     customers_latest.sql:33-38 + :3-6 is exactly this pairing)."""
+    stream = _watermarkable(stream, ts_col)
     return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(list(key_cols))
 
 
@@ -215,8 +228,8 @@ def interval_join_stream(
     evaluated post-match, not as a cross product.
     """
     lb = F.expr(f"INTERVAL {lookback_minutes} MINUTES")
-    l = left.withWatermark(left_ts_col, watermark)
-    r = right.withWatermark(right_ts_col, watermark)
+    l = _watermarkable(left, left_ts_col).withWatermark(left_ts_col, watermark)
+    r = _watermarkable(right, right_ts_col).withWatermark(right_ts_col, watermark)
     cond = (
         (F.col(f"l_side.{key_col}") == F.col(f"r_side.r_{key_col}"))
         & (F.col(f"r_side.{right_ts_col}") <= F.col(f"l_side.{left_ts_col}"))
