@@ -777,12 +777,52 @@ def _hash60_sql(e: str) -> str:
     )
 
 
+def _hex15_parse_sql(s: str) -> str:
+    """DuckDB expression parsing a 15-hex-char string (a lambda
+    variable or cheap attribute — re-referenced 15 times, so it must
+    not be an expensive expression) into a non-negative BIGINT."""
+    return (
+        "CAST(list_sum(list_transform(generate_series(1,15), i -> "
+        f"CAST(strpos('0123456789abcdef', substring({s}, i, 1)) - 1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << (4*(15-i))))) AS BIGINT)"
+    )
+
+
+def _shingle_fold_cte(ng: int, extra_cols: str = "") -> str:
+    """CTE chain tok -> th -> shl reproducing text.shingle_hashes31:
+    per-token md5 hash60 mod P31, affine-folded over ``ng``-grams
+    (h = (h_prev * BAND_FOLD_A + th[i]) % P31); documents with fewer
+    than ``ng`` tokens fall back to one hash of the trimmed text.
+    ``shl`` emits (doc_id[, extra_cols], hv). md5 runs in its own
+    list_transform so each token is digested ONCE; the hex parse
+    re-references only the 15-char lambda variable."""
+    p = text.P31
+    acc = "h[i]"
+    for r in range(1, ng):
+        acc = f"(({acc}) * {text.BAND_FOLD_A} + h[i+{r}]) % {p}"
+    cols = f"doc_id{', ' + extra_cols if extra_cols else ''}"
+    return f"""tok AS (
+  SELECT {cols}, regexp_split_to_array(trim(text), '\\s+') AS t, trim(text) AS tt
+  FROM documents
+),
+th AS (SELECT {cols},
+       list_transform(list_transform(t, x -> substring(md5(x), 1, 15)),
+                      s -> {_hex15_parse_sql('s')} % {p}) AS h,
+       len(t) AS n, tt FROM tok),
+shl AS (
+  SELECT {cols}, unnest(CASE WHEN n >= {ng}
+    THEN list_transform(generate_series(1, n - {ng - 1}), i -> {acc})
+    ELSE [{_hash60_sql('tt')} % {p}] END) AS hv
+  FROM th
+)"""
+
+
 def _q20_sql(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> str:
     """Oracle for q20: the same MinHash+LSH pipeline in DuckDB SQL.
 
-    Naive per-document formulation (explode shingles, 32 aggregate
-    mins, band UNION ALL) — output-identical to the Spark operator
-    because every hash is the same integer on both engines."""
+    Naive per-document formulation (token-fold shingle hashes, 32
+    aggregate mins, band UNION ALL) — output-identical to the Spark
+    operator because every hash is the same integer on both engines."""
     p = text.P31
     a_s, b_s = text.minhash_salts(num_hashes)
     rpb = num_hashes // bands
@@ -803,18 +843,8 @@ def _q20_sql(num_hashes: int = 32, bands: int = 8, threshold: float = 0.5) -> st
         f"(CASE WHEN sa.s{i} = sb.s{i} THEN 1 ELSE 0 END)" for i in range(num_hashes)
     )
     return f"""
-WITH tok AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, trim(text) AS tt
-  FROM documents
-),
-shl AS (
-  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
-    THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
-    ELSE [tt] END) AS s
-  FROM tok
-),
-h AS (SELECT doc_id, {_hash60_sql('s')} % {p} AS hv FROM shl),
-sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+WITH {_shingle_fold_cte(3)},
+sig AS (SELECT doc_id, {sig_cols} FROM shl GROUP BY doc_id),
 bands AS ({bands_sql}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -831,6 +861,10 @@ SELECT id_a, id_b, est_jaccard FROM (
 # --------------------------------------------------------------------- q21
 
 PROBE_VEC_ID = 0
+
+#: Dimensionality of the embeddings table (TESTDATA.md) — known at
+#: plan time, which lets pairwise operators unroll their dot products.
+EMBEDDING_DIM = 64
 
 
 def q21_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1005,12 +1039,12 @@ def q26_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q26_sql(num_hashes: int = 32, bands: int = 16) -> str:
     """Oracle for q26: identical MinHash banding for candidates, then
-    exact Jaccard over the distinct 60-bit shingle-hash sets."""
+    exact Jaccard over the distinct token-fold shingle-hash sets."""
     p = text.P31
     a_s, b_s = text.minhash_salts(num_hashes)
     rpb = num_hashes // bands
     sig_cols = ", ".join(
-        f"min(({a_s[i]} * (h60 % {p}) + {b_s[i]}) % {p}) AS s{i}" for i in range(num_hashes)
+        f"min(({a_s[i]} * hv + {b_s[i]}) % {p}) AS s{i}" for i in range(num_hashes)
     )
 
     def band_expr(b: int) -> str:
@@ -1023,19 +1057,9 @@ def _q26_sql(num_hashes: int = 32, bands: int = 16) -> str:
         f"SELECT doc_id, {b} AS band_idx, {band_expr(b)} AS bh FROM sig" for b in range(bands)
     )
     return f"""
-WITH tok AS (
-  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t, trim(text) AS tt
-  FROM documents
-),
-shl AS (
-  SELECT doc_id, unnest(CASE WHEN len(t) >= 3
-    THEN list_transform(generate_series(1, len(t)-2), i -> array_to_string(t[i:i+2], ' '))
-    ELSE [tt] END) AS s
-  FROM tok
-),
-h AS (SELECT doc_id, {_hash60_sql('s')} AS h60 FROM shl),
-sets AS (SELECT doc_id, list(DISTINCT h60) AS hs FROM h GROUP BY doc_id),
-sig AS (SELECT doc_id, {sig_cols} FROM h GROUP BY doc_id),
+WITH {_shingle_fold_cte(3)},
+sets AS (SELECT doc_id, list(DISTINCT hv) AS hs FROM shl GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig_cols} FROM shl GROUP BY doc_id),
 bands AS ({bands_sql}),
 cand AS (
   SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
@@ -1076,6 +1100,7 @@ def q27_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         centroids=similarity.CENTROIDS_FINE,
         k=NEAR_DUP_PAIRS_K,
         cap_per_cell=NEAR_DUP_CAP_PER_CELL,
+        dim=EMBEDDING_DIM,
     )
 
 
@@ -2104,26 +2129,12 @@ def q54_contamination_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q54_sql() -> str:
-    n = CONTAM_NGRAM
     return f"""
-WITH tok AS (
-  SELECT doc_id, source, regexp_split_to_array(trim(text), '\\s+') AS t,
-         trim(text) AS tt
-  FROM documents
-),
-sh AS (
-  SELECT doc_id, source,
-         unnest(CASE WHEN len(t) >= {n}
-           THEN list_transform(generate_series(1, len(t)-{n - 1}),
-                               i -> array_to_string(t[i:i+{n - 1}], ' '))
-           ELSE [tt] END) AS s
-  FROM tok
-),
-h AS (SELECT doc_id, source, {_hash60_sql('s')} AS hv FROM sh),
-bench AS (SELECT DISTINCT hv FROM h WHERE source = '{BENCHMARK_SOURCE}')
-SELECT DISTINCT t.doc_id, d.lang
-FROM h t JOIN documents d USING (doc_id)
-WHERE t.source <> '{BENCHMARK_SOURCE}' AND t.hv IN (SELECT hv FROM bench)
+WITH {_shingle_fold_cte(CONTAM_NGRAM, extra_cols="source")},
+bench AS (SELECT DISTINCT hv FROM shl WHERE source = '{BENCHMARK_SOURCE}')
+SELECT DISTINCT s.doc_id, d.lang
+FROM shl s JOIN documents d USING (doc_id)
+WHERE s.source <> '{BENCHMARK_SOURCE}' AND s.hv IN (SELECT hv FROM bench)
 """
 
 

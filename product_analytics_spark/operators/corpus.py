@@ -19,9 +19,10 @@ from pyspark.sql import functions as F
 
 from product_analytics_spark.operators.text import (
     portable_hash60,
+    shingle_fold31,
     token_count,
     tokens,
-    word_shingles,
+    with_token_hashes31,
 )
 
 
@@ -164,21 +165,29 @@ def contamination_screen(
     n-gram-overlap decontamination check used by public LLM data
     pipelines).
 
-    Plan shape: both sides explode to (doc, shingle-hash-60bit),
-    benchmark side is ``distinct()`` then a LEFT SEMI join on the
-    8-byte hash, then distinct train ids. The semi join shuffles
-    hashes (8 bytes/shingle), never text; the benchmark side of the
-    join is small (eval sets are MBs, not TBs) so AQE broadcasts it —
-    at 100 TB the screen is a broadcast-semi-join at scan speed.
-    Hash collisions (~2^-60 per pair) can only over-flag a document,
+    Plan shape: both sides explode to (doc, shingle-hash), benchmark
+    side is ``distinct()`` then a LEFT SEMI join on the 8-byte hash,
+    then distinct train ids. The semi join shuffles hashes, never
+    text; the benchmark side of the join is small (eval sets are MBs,
+    not TBs) so AQE broadcasts it — at 100 TB the screen is a
+    broadcast-semi-join at scan speed. Shingle hashes are the
+    token-fold form (text.shingle_hashes31 — one md5 per token, no
+    shingle-string building). Hash collisions (~5e-10 per
+    shingle pair in the 2^31 field) can only over-flag a document,
     never miss a true overlap.
     """
     def shingle_hashes(df: DataFrame, keep_id: bool) -> DataFrame:
+        # Explode consumers must embed the fold expression directly
+        # (see text.shingle_fold31): aliasing it first lets the
+        # optimizer inline the whole md5 pass into the Generate.
         sel = [F.col(id_col)] if keep_id else []
-        return df.select(
+        staged = with_token_hashes31(df, text_col)
+        return staged.select(
             *sel,
-            F.explode(word_shingles(F.col(text_col), ngram)).alias("_sh"),
-        ).select(*([F.col(id_col)] if keep_id else []), portable_hash60(F.col("_sh")).alias("_h"))
+            F.explode(
+                shingle_fold31(F.col("_th31"), F.col(text_col), ngram)
+            ).alias("_h"),
+        )
 
     bench_h = shingle_hashes(benchmark, keep_id=False).distinct()
     train_h = shingle_hashes(train, keep_id=True)

@@ -23,6 +23,22 @@ def dot(a: Column, b: Column) -> Column:
     )
 
 
+def dot_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Dot product unrolled over a known dimensionality.
+
+    Bit-equal to :func:`dot` (left-deep adds in the same sequential
+    order, seeded with the fold's 0.0 so even signed-zero agrees) but
+    pure scalar codegen — no per-row intermediate array from
+    ``zip_with`` and no higher-order-function lambda dispatch. Use in
+    pairwise hot loops (candidate pairs scale superlinearly in rows);
+    ``dot`` remains the generic form when dim isn't known at plan
+    time."""
+    acc = F.lit(0.0)
+    for i in range(dim):
+        acc = acc + a.getItem(i) * b.getItem(i)
+    return acc
+
+
 def l2_norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
@@ -123,6 +139,7 @@ def embedding_near_dup_pairs_ivf(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     sim_scale: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Top-k most-similar embedding pairs blocked by IVF cell — the
     scale-correct form of :func:`embedding_near_dup_pairs`.
@@ -166,7 +183,14 @@ def embedding_near_dup_pairs_ivf(
         F.col(id_col).alias("id_b"), F.col("_blk"), F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
     )
     pairs = a.join(b, "_blk").filter(F.col("id_a") < F.col("id_b"))
-    sim = dot(F.col("_va"), F.col("_vb")) / (F.col("_na") * F.col("_nb"))
+    # The pair stage is the hot loop (|pairs| >> |rows|): a known dim
+    # swaps the zip_with/aggregate dot for the unrolled scalar form.
+    pair_dot = (
+        dot_unrolled(F.col("_va"), F.col("_vb"), dim)
+        if dim is not None
+        else dot(F.col("_va"), F.col("_vb"))
+    )
+    sim = pair_dot / (F.col("_na") * F.col("_nb"))
     scored = pairs.withColumn("_sim", sim)
     top = scored.orderBy(F.desc("_sim"), "id_a", "id_b").limit(k)
     return top.select("id_a", "id_b", F.round(F.col("_sim"), sim_scale).alias("cosine_sim"))

@@ -71,6 +71,84 @@ def word_shingles(text: Column, n: int = 3) -> Column:
     )
 
 
+def token_hashes31(text: Column) -> Column:
+    """Per-token portable hashes in [0, P31): one md5 per whitespace
+    token, parsed to 60 bits, folded into the salted-hash field."""
+    return F.transform(tokens(text), lambda t: portable_hash60(t) % F.lit(P31))
+
+
+def with_token_hashes31(
+    df: DataFrame, text_col: str = "text", out_col: str = "_th31"
+) -> DataFrame:
+    """Stage the per-token portable hashes as a real projection.
+
+    The md5 pass is the expensive part of every shingle pipeline;
+    staging it as an attribute makes every downstream reference a
+    cheap column lookup. CollapseProject preserves the projection
+    because the shingle fold references it n (>1) times."""
+    return df.withColumn(out_col, token_hashes31(F.col(text_col)))
+
+
+def shingle_fold31(th: Column, text: Column, n: int) -> Column:
+    """Affine n-gram fold over an ALREADY-STAGED token-hash array.
+
+    ``th`` MUST be a plain attribute from a real projection (see
+    ``with_token_hashes31``), never an inline ``transform``: a
+    computed array referenced inside the fold lambda is re-embedded at
+    every ``element_at`` site and re-evaluated per shingle — measured
+    ~10x slower than the shingle-string md5 it was meant to replace.
+
+    When the consumer is an ``explode`` (Generate), embed THIS
+    EXPRESSION directly in the explode — do not alias it first: a
+    single-use alias is legally inlined into Generate, and that
+    rewrite cascades straight through the token-hash staging too
+    (measured: the aliased-then-exploded form re-evaluates the md5
+    pass per element_at site; the direct form keeps it staged).
+    Projection consumers are safe either way."""
+    count = F.greatest(F.size(th) - F.lit(n - 1), F.lit(0))
+
+    def fold(i: Column) -> Column:
+        acc = F.element_at(th, i)
+        for r in range(1, n):
+            acc = (acc * F.lit(BAND_FOLD_A) + F.element_at(th, i + F.lit(r))) % F.lit(P31)
+        return acc
+
+    return F.when(count > 0, F.transform(F.sequence(F.lit(1), count), fold)).otherwise(
+        F.array(portable_hash60(F.trim(text)) % F.lit(P31))
+    )
+
+
+def with_shingle_hashes31(
+    df: DataFrame, text_col: str = "text", n: int = 3, out_col: str = "_sh31"
+) -> DataFrame:
+    """Portable n-gram shingle hashes via token-hash folding.
+
+    The round-2 form built every shingle STRING (slice + concat_ws over
+    the token array) and md5-hashed it — n-fold string copying plus
+    md5 over ~n-token payloads, the dominant CPU of every near-dup
+    operator. This form hashes each TOKEN once (short md5 input) into
+    a staged projection, then derives shingle hashes with the affine
+    fold ``h = (h_prev * BAND_FOLD_A + th[i]) % P31`` — pure long
+    arithmetic in codegen, zero string building, identical in any
+    engine (the DuckDB oracles restate the same fold; see
+    driver_queries._shingle_fold_cte). The two-projection staging
+    mirrors ``with_language_id``: CollapseProject leaves the non-cheap
+    token-hash alias alone because the fold references it n times, so
+    the md5 pass executes once per row. Collision space is P31
+    (~2^31): for per-document shingle sets (~10^2) the within-pair
+    collision odds are ~1e-6 — and collisions are *deterministic*, so
+    the oracle sees the identical values either way.
+
+    Documents with fewer than ``n`` tokens fall back to one hash of
+    the whole trimmed text (same fallback as ``word_shingles``).
+    Appends ``out_col`` (array<long>); drops the staging column.
+    """
+    staged = with_token_hashes31(df, text_col)
+    return staged.withColumn(
+        out_col, shingle_fold31(F.col("_th31"), F.col(text_col), n)
+    ).drop("_th31")
+
+
 def _salted_hash(salt: int):
     # Single-arg lambda: F.transform treats a 2-arg lambda as
     # (element, array_index), which would clobber the salt.
@@ -236,14 +314,17 @@ def minhash_near_dup_pairs(
         return intra.unionByName(cross).select("id_a", "id_b", "est_jaccard")
 
     rows_per_band = num_hashes // bands
-    shingles = word_shingles(F.col(text_col), shingle_n)
     if hasher == "portable":
-        shingle_hashes = F.transform(shingles, lambda s: portable_hash60(s) % F.lit(P31))
+        hashed = with_shingle_hashes31(df, text_col, shingle_n, out_col="_sh").select(
+            F.col(id_col), F.col("_sh")
+        )
     elif hasher == "xxhash64":
-        shingle_hashes = F.transform(shingles, lambda s: F.xxhash64(s))
+        shingle_hashes = F.transform(
+            word_shingles(F.col(text_col), shingle_n), lambda s: F.xxhash64(s)
+        )
+        hashed = df.select(F.col(id_col), shingle_hashes.alias("_sh"))
     else:
         raise ValueError(f"unknown hasher: {hasher}")
-    hashed = df.select(F.col(id_col), shingle_hashes.alias("_sh"))
     sig = cache.persist(
         hashed.select(F.col(id_col), _minhash_sig_fold(F.col("_sh"), num_hashes, hasher).alias("sig"))
     )
@@ -314,14 +395,13 @@ def jaccard_near_dup_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
     rows_per_band = num_hashes // bands
-    shingles = word_shingles(F.col(text_col), shingle_n)
-    h60 = F.transform(shingles, lambda s: portable_hash60(s))
-    modded = F.transform(F.col("_s"), lambda x: x % F.lit(P31))
     rel = cache.persist(
-        df.select(F.col(id_col), F.array_distinct(h60).alias("_s")).select(
+        with_shingle_hashes31(df, text_col, shingle_n, out_col="_sh")
+        .select(F.col(id_col), F.array_distinct(F.col("_sh")).alias("_s"))
+        .select(
             F.col(id_col),
             F.col("_s"),
-            _minhash_sig_fold(modded, num_hashes, "portable").alias("sig"),
+            _minhash_sig_fold(F.col("_s"), num_hashes, "portable").alias("sig"),
         )
     )
 
