@@ -31,6 +31,7 @@ from product_analytics_spark.operators import (
     scd,
     similarity,
     skew,
+    stats,
     text,
     windows,
 )
@@ -2789,6 +2790,299 @@ FROM labeled GROUP BY 1, 2
 """
 
 
+# --------------------------------------------------------------------- q69
+
+EDIT_DIST_MAX = 20
+EDIT_DIST_K = 25
+
+
+def q69_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X42: Levenshtein fuzzy-match pairs within (brand, container)
+    blocks — entity-resolution over part names. Blocked self-join
+    (never all-pairs; see operators/text.py:edit_distance_pairs),
+    deterministic (edit_dist, id_a, id_b) top-k. DuckDB's
+    ``levenshtein`` is the identical unit-cost DP."""
+    p = _t(spark, sf_dir, "part")
+    return text.edit_distance_pairs(
+        p,
+        text_col="p_name",
+        id_col="p_partkey",
+        block_cols=("p_brand", "p_size"),
+        max_dist=EDIT_DIST_MAX,
+        k=EDIT_DIST_K,
+    )
+
+
+Q69_SQL = f"""
+WITH b AS (SELECT p_brand, p_size, p_partkey AS id, p_name AS tx FROM part)
+SELECT a.id AS id_a, c.id AS id_b, levenshtein(a.tx, c.tx) AS edit_dist
+FROM b a JOIN b c ON a.p_brand = c.p_brand AND a.p_size = c.p_size
+                 AND a.id < c.id
+WHERE levenshtein(a.tx, c.tx) <= {EDIT_DIST_MAX}
+ORDER BY edit_dist, id_a, id_b LIMIT {EDIT_DIST_K}
+"""
+
+
+# --------------------------------------------------------------------- q70
+
+def q70_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X43: per-group distribution moments (mean/variance/stddev/
+    skewness) from exact integer power sums (operators/stats.py:
+    grouped_moments). Double summation is order-dependent; integer
+    cent sums in DECIMAL(38,0) are exact on any cluster size, and the
+    final divisions run once in a fixed order both engines mirror."""
+    o = _t(spark, sf_dir, "orders")
+    return stats.grouped_moments(
+        o.select(F.col("o_orderpriority").alias("order_priority"), "o_totalprice"),
+        group_cols=("order_priority",),
+        value_col="o_totalprice",
+    )
+
+
+Q70_SQL = """
+WITH q AS (
+  SELECT o_orderpriority AS order_priority,
+         CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT) AS qq
+  FROM orders
+),
+s AS (
+  SELECT order_priority, count(*) AS n,
+         sum(CAST(qq AS DECIMAL(38,0))) AS s1,
+         sum(CAST(qq AS DECIMAL(38,0)) * qq) AS s2,
+         sum(CAST(qq AS DECIMAL(38,0)) * qq * qq) AS s3
+  FROM q GROUP BY 1
+),
+m AS (
+  SELECT order_priority, n,
+         CAST(s1 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS m1,
+         CAST(s2 AS DOUBLE) / 10000.0 / CAST(n AS DOUBLE) AS m2,
+         CAST(s3 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS m3
+  FROM s
+)
+SELECT order_priority, n, m1 AS mean,
+       m2 - m1 * m1 AS var_pop,
+       sqrt(m2 - m1 * m1) AS stddev_pop,
+       CASE WHEN sqrt(m2 - m1 * m1) > 0
+            THEN (m3 - 3.0 * m1 * m2 + 2.0 * m1 * m1 * m1)
+                 / (sqrt(m2 - m1 * m1) * sqrt(m2 - m1 * m1) * sqrt(m2 - m1 * m1))
+            ELSE 0.0 END AS skewness
+FROM m
+"""
+
+
+# --------------------------------------------------------------------- q71
+
+def q71_mode_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X44: most frequent ship mode per supplier with the explicit
+    (count DESC, value ASC) tie-break — without it two engines
+    legitimately disagree on equal counts (operators/stats.py:
+    mode_per_group). Two-level agg: the shuffle moves |distinct
+    (group, value)| partials, the ranking window runs on that compact
+    relation."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("supplier_id"), F.col("l_quantity")
+    )
+    return stats.mode_per_group(li, group_cols=("supplier_id",), value_col="l_quantity")
+
+
+Q71_SQL = """
+WITH c AS (
+  SELECT l_suppkey AS supplier_id, l_quantity AS mode_value, count(*) AS mode_count
+  FROM lineitem GROUP BY 1, 2
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY supplier_id
+                               ORDER BY mode_count DESC, mode_value ASC) AS rn
+  FROM c
+)
+SELECT supplier_id, mode_value, mode_count FROM r WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------------------- q72
+
+N_EQUIDEPTH_BINS = 8
+
+
+def q72_equidepth_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X45: equi-depth (quantile) binning of order totals
+    (operators/stats.py:equidepth_bins). Boundaries from exact
+    percentiles (F.percentile = DuckDB quantile_cont, both linear
+    interpolation — cross-validated by q41); assignment is a CASE
+    ladder folded into the scan. ntile would need a global sort and
+    splits ties positionally; this shape shuffles only |bins| agg
+    rows and puts ties in one bin."""
+    o = _t(spark, sf_dir, "orders")
+    return stats.equidepth_bins(o, value_col="o_totalprice", n_bins=N_EQUIDEPTH_BINS)
+
+
+def _q72_sql() -> str:
+    nb = N_EQUIDEPTH_BINS
+    fracs = ",".join(repr(k / nb) for k in range(1, nb))
+    whens = " ".join(f"WHEN v <= q[{k}] THEN {k}" for k in range(1, nb))
+    return f"""
+WITH b AS (
+  SELECT quantile_cont(CAST(o_totalprice AS DOUBLE), [{fracs}]) AS q FROM orders
+),
+v AS (SELECT CAST(o_totalprice AS DOUBLE) AS v FROM orders)
+SELECT CAST(CASE {whens} ELSE {nb} END AS INT) AS bin,
+       count(*) AS n_rows, min(v) AS min_v, max(v) AS max_v
+FROM v, b GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- q73
+
+def q73_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46: Markov next-event transition matrix over per-user event
+    streams (operators/product_metrics.py:event_transitions). One
+    window shuffle on the user key; probabilities are one double
+    division of exact counts."""
+    return product_metrics.event_transitions(_t(spark, sf_dir, "events"))
+
+
+Q73_SQL = """
+WITH nx AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts ASC, event_id ASC) AS next_event_type
+  FROM events
+),
+c AS (
+  SELECT event_type, next_event_type, count(*) AS n_transitions
+  FROM nx WHERE next_event_type IS NOT NULL GROUP BY 1, 2
+)
+SELECT event_type, next_event_type, n_transitions,
+       CAST(n_transitions AS DOUBLE)
+         / CAST(sum(n_transitions) OVER (PARTITION BY event_type) AS DOUBLE)
+         AS p_transition
+FROM c
+"""
+
+
+# --------------------------------------------------------------------- q74
+
+BIGRAM_MIN_COUNT = 2
+BIGRAM_K = 30
+
+
+def q74_bigram_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X47: corpus bigram counts — the n-gram language-model statistic
+    (operators/corpus.py:bigram_counts). Tokens staged once, bigrams
+    by self-shifted zip (map-side), one hash-agg of distinct pairs,
+    TakeOrderedAndProject top-k."""
+    return corpus.bigram_counts(
+        _t(spark, sf_dir, "documents"), min_count=BIGRAM_MIN_COUNT, k=BIGRAM_K
+    )
+
+
+Q74_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+bg AS (
+  SELECT t[i] AS token_a, t[i+1] AS token_b
+  FROM tok, unnest(generate_series(1, len(t) - 1)) AS u(i)
+),
+c AS (SELECT token_a, token_b, count(*) AS n FROM bg GROUP BY 1, 2)
+SELECT token_a, token_b, n FROM c
+WHERE n >= {BIGRAM_MIN_COUNT}
+ORDER BY n DESC, token_a, token_b LIMIT {BIGRAM_K}
+"""
+
+
+# --------------------------------------------------------------------- q75
+
+def q75_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X48: keyed diff of two snapshots — the CDC audit primitive
+    (operators/incremental.py:snapshot_diff): which users were added /
+    removed / changed between the pre-cut state and the post-cut
+    state. ONE full-outer equi-join on the key; null-safe compare."""
+    e = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    def latest(df: DataFrame) -> DataFrame:
+        w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+        return (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select("user_id", "event_type", "value")
+        )
+
+    old = latest(e.filter(F.col("ts") < F.lit(EVENTS_CUT)))
+    new = latest(e.filter(F.col("ts") >= F.lit(EVENTS_CUT)))
+    return incremental.snapshot_diff(
+        old, new, key_cols=("user_id",), compare_cols=("event_type", "value")
+    )
+
+
+Q75_SQL = """
+WITH o AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts < TIMESTAMP '2024-01-20'
+  ) WHERE rn = 1
+),
+n AS (
+  SELECT user_id, event_type, value FROM (
+    SELECT user_id, event_type, value,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+    FROM events WHERE ts >= TIMESTAMP '2024-01-20'
+  ) WHERE rn = 1
+)
+SELECT coalesce(o.user_id, n.user_id) AS user_id,
+       CASE WHEN o.user_id IS NULL THEN 'added'
+            WHEN n.user_id IS NULL THEN 'removed'
+            WHEN (o.event_type IS DISTINCT FROM n.event_type)
+                 OR (o.value IS DISTINCT FROM n.value) THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       o.event_type AS old_event_type, o.value AS old_value,
+       n.event_type AS new_event_type, n.value AS new_value
+FROM o FULL OUTER JOIN n ON o.user_id = n.user_id
+"""
+
+
+# --------------------------------------------------------------------- q76
+
+TOP_CONCAT_K = 5
+
+
+def q76_group_concat_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X49: per-nation ordered LISTAGG of the top-5 customers by
+    account balance (operators/stats.py:grouped_topk_concat). The
+    concat order is the explicit (balance DESC, custkey ASC) ranking —
+    collect_list arrival order is never trusted."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", F.col("n_name").alias("nation")
+    )
+    j = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey).select(
+        "nation", "c_name", "c_acctbal", "c_custkey"
+    )
+    return stats.grouped_topk_concat(
+        j,
+        group_cols=("nation",),
+        order_col="c_acctbal",
+        tiebreak_col="c_custkey",
+        label_col="c_name",
+        k=TOP_CONCAT_K,
+    )
+
+
+Q76_SQL = f"""
+WITH r AS (
+  SELECT n_name AS nation, c_name,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rn
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+)
+SELECT nation, string_agg(c_name, ',' ORDER BY rn) AS top_labels,
+       count(*) AS n_in_group
+FROM r WHERE rn <= {TOP_CONCAT_K} GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_predicates": q02_filter_predicates,
@@ -2858,6 +3152,14 @@ QUERIES = {
     "q66_mixture_sample": q66_mixture_sample,
     "q67_vocab_apply": q67_vocab_apply,
     "q68_corpus_pipeline": q68_corpus_pipeline,
+    "q69_edit_distance_pairs": q69_edit_distance_pairs,
+    "q70_moments_profile": q70_moments_profile,
+    "q71_mode_per_group": q71_mode_per_group,
+    "q72_equidepth_bins": q72_equidepth_bins,
+    "q73_event_transitions": q73_event_transitions,
+    "q74_bigram_counts": q74_bigram_counts,
+    "q75_snapshot_diff": q75_snapshot_diff,
+    "q76_group_concat_topk": q76_group_concat_topk,
 }
 
 ORACLES = {
@@ -2929,4 +3231,12 @@ ORACLES = {
     "q66_mixture_sample": _q66_sql(),
     "q67_vocab_apply": Q67_SQL,
     "q68_corpus_pipeline": _q68_sql(),
+    "q69_edit_distance_pairs": Q69_SQL,
+    "q70_moments_profile": Q70_SQL,
+    "q71_mode_per_group": Q71_SQL,
+    "q72_equidepth_bins": _q72_sql(),
+    "q73_event_transitions": Q73_SQL,
+    "q74_bigram_counts": Q74_SQL,
+    "q75_snapshot_diff": Q75_SQL,
+    "q76_group_concat_topk": Q76_SQL,
 }

@@ -452,3 +452,40 @@ def apply_vocab(
             "n_oov",
         )
     )
+
+
+def bigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 2,
+    k: int = 30,
+) -> DataFrame:
+    """Corpus bigram (token-pair) counts — the n-gram language-model
+    statistic: top-k adjacent token pairs by frequency.
+
+    Plan: tokens staged once per row, bigrams formed by zipping the
+    array with its own 1-shifted slice (map-side, no string building
+    beyond what the scan already decoded), explode, ONE hash-agg on
+    the (a, b) pair — map-side partial aggregation compresses the
+    shuffle to distinct pairs — then TakeOrderedAndProject for the
+    top-k (no global sort). Tie-break (n DESC, token_a, token_b) is a
+    total order. The fold expression is embedded directly in the
+    explode (see text.shingle_fold31's Generate-inlining note).
+    """
+    staged = df.withColumn("_bg_toks", tokens(F.col(text_col)))
+    tk = F.col("_bg_toks")
+    n1 = F.greatest(F.size(tk) - F.lit(1), F.lit(0))
+    pairs_arr = F.zip_with(
+        F.slice(tk, 1, n1),
+        F.slice(tk, 2, n1),
+        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+    )
+    pairs = staged.select(F.explode(pairs_arr).alias("_bg"))
+    counts = pairs.groupBy(
+        F.col("_bg.a").alias("token_a"), F.col("_bg.b").alias("token_b")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        counts.filter(F.col("n") >= min_count)
+        .orderBy(F.desc("n"), "token_a", "token_b")
+        .limit(k)
+    )

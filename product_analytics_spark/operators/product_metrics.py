@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -188,4 +188,44 @@ def cohort_retention(
                 "retention_rate"
             ),
         )
+    )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    event_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Next-event transition matrix: for every consecutive event pair
+    within a user's (ts, tiebreak)-ordered stream, count
+    (event_type -> next_event_type) and its probability among all
+    transitions leaving event_type.
+
+    Plan: one window shuffle on the user key computes ``lead``; the
+    (from, to) counts hash-agg to |event_types|^2 rows, after which
+    the per-source totals are a window over that tiny relation (no
+    second data-scale shuffle). The probability is ONE double division
+    of exact counts — bit-reproducible. This is the Markov-chain view
+    of a product funnel: where users actually go next, not whether
+    they complete a prescribed path (funnel_counts).
+    """
+    w = Window.partitionBy(user_col).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+    nxt = events.select(
+        F.col(event_col).alias("event_type"),
+        F.lead(event_col).over(w).alias("next_event_type"),
+    ).filter(F.col("next_event_type").isNotNull())
+    counts = nxt.groupBy("event_type", "next_event_type").agg(
+        F.count(F.lit(1)).alias("n_transitions")
+    )
+    tot = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        "next_event_type",
+        "n_transitions",
+        (
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(tot).cast("double")
+        ).alias("p_transition"),
     )

@@ -10,6 +10,8 @@ with fixed integer salts: deterministic across runs and cluster sizes.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -639,6 +641,45 @@ def text_quality_flags(df: DataFrame, text_col: str = "text") -> DataFrame:
             ),
         )
         .withColumn("stopword_ratio", F.round(F.when(n_tok > 0, n_stop / n_tok).otherwise(0.0), 4))
+    )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    block_cols: Sequence[str],
+    max_dist: int = 10,
+    k: int = 25,
+) -> DataFrame:
+    """Fuzzy-match pairs by Levenshtein edit distance within blocks —
+    the classic entity-resolution join (near-identical names/titles).
+
+    Levenshtein is O(len^2) per pair and inherently pairwise, so the
+    join MUST be blocked: pairs are generated only inside
+    ``block_cols`` equi-join buckets (at 100 TB: a coarse key like
+    (brand, category) or a phonetic/prefix key; the operator takes
+    whatever blocking the pipeline author chooses and the same skew
+    rules as every blocked self-join apply — AQE splitting, cap or
+    salt pathological blocks). ``F.levenshtein`` is the textbook
+    unit-cost DP, identical in DuckDB's ``levenshtein``.
+
+    Returns the ``k`` closest pairs with distance <= ``max_dist``,
+    ordered (edit_dist ASC, id_a, id_b) — a deterministic total order.
+    """
+    b = df.select(
+        *block_cols, F.col(id_col).alias("_id"), F.col(text_col).alias("_tx")
+    )
+    a_side = b.select(*block_cols, F.col("_id").alias("id_a"), F.col("_tx").alias("_ta"))
+    b_side = b.select(*block_cols, F.col("_id").alias("id_b"), F.col("_tx").alias("_tb"))
+    pairs = a_side.join(b_side, list(block_cols)).filter(F.col("id_a") < F.col("id_b"))
+    dist = F.levenshtein(F.col("_ta"), F.col("_tb"))
+    return (
+        pairs.withColumn("edit_dist", dist)
+        .filter(F.col("edit_dist") <= max_dist)
+        .orderBy("edit_dist", "id_a", "id_b")
+        .limit(k)
+        .select("id_a", "id_b", "edit_dist")
     )
 
 
