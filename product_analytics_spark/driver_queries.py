@@ -3083,6 +3083,197 @@ FROM r WHERE rn <= {TOP_CONCAT_K} GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------- q77
+
+#: Landing dir for the reader/sink round-trip query — inside the repo
+#: (the harness forbids writing elsewhere); tiny (3-column customer).
+Q77_CSV_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".q77_csv_land"
+)
+
+
+def q77_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reader/sink round-trip ON DISK (sources/readers.py:read_csv —
+    schema-enforced, PERMISSIVE with quarantine column): customers are
+    written to headered CSV, read back through the engine's CSV
+    reader, and aggregated. The oracle computes the same aggregate
+    from the original table — so the round-trip must preserve every
+    value exactly (Java double formatting round-trips bit-exact).
+    Exercises the ingestion surface the driver otherwise never sees."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from product_analytics_spark.sources import readers
+
+    _sh.rmtree(Q77_CSV_DIR, ignore_errors=True)
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment", "c_acctbal")
+    c.write.mode("overwrite").option("header", "true").csv(Q77_CSV_DIR)
+    schema = T.StructType(
+        [
+            T.StructField("c_custkey", T.LongType()),
+            T.StructField("c_mktsegment", T.StringType()),
+            T.StructField("c_acctbal", T.DoubleType()),
+        ]
+    )
+    back = readers.read_csv(spark, Q77_CSV_DIR, schema)
+    good, _rejects = readers.split_rejects(back)
+    return good.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _cents_out(F.sum(_money_cents("c_acctbal"))).alias("total_balance"),
+    )
+
+
+Q77_SQL = """
+SELECT c_mktsegment AS segment, count(*) AS n_customers,
+       CAST(sum(CAST(c_acctbal * 100 AS BIGINT)) AS BIGINT) / 100.0 AS total_balance
+FROM customer GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- q78
+
+ASOF_FWD_TOLERANCE_H = 72
+
+
+def q78_asof_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8 forward variant: each view event picks up the user's NEXT
+    purchase within 72h (operators/joins.py:asof_join with
+    direction='forward', tolerance) — time-to-convert enrichment.
+    Same one-shuffle union+window plan as the backward form, ordered
+    descending; tolerance is a scalar predicate, no extra join."""
+    e = _t(spark, sf_dir, "events")
+    from product_analytics_spark.operators.joins import asof_join
+
+    views = e.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts").alias("p_ts"), F.col("value")
+    )
+    out = asof_join(
+        views,
+        purchases,
+        key_cols=("user_id",),
+        left_ts="ts",
+        right_ts="p_ts",
+        value_cols=("value",),
+        suffix="_next",
+        direction="forward",
+        tolerance=f"{ASOF_FWD_TOLERANCE_H} HOURS",
+    )
+    return out.select(
+        "event_id", "user_id", "ts",
+        F.col("p_ts_next").alias("next_purchase_ts"),
+        F.col("value_next").alias("next_purchase_value"),
+    )
+
+
+Q78_SQL = f"""
+WITH v AS (
+  SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts FROM events
+  WHERE event_type = 'view'
+),
+p AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS p_ts, max(value) AS value
+  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+),
+sel AS (
+  SELECT v.event_id, v.user_id, v.ts, min(p.p_ts) AS next_purchase_ts
+  FROM v LEFT JOIN p ON p.user_id = v.user_id
+         AND p.p_ts >= v.ts
+         AND p.p_ts <= v.ts + INTERVAL {ASOF_FWD_TOLERANCE_H} HOUR
+  GROUP BY 1, 2, 3
+)
+SELECT sel.event_id, sel.user_id, sel.ts, sel.next_purchase_ts,
+       p.value AS next_purchase_value
+FROM sel LEFT JOIN p
+  ON p.user_id = sel.user_id AND p.p_ts = sel.next_purchase_ts
+"""
+
+
+# --------------------------------------------------------------------- q79
+
+ATTRIB_WINDOW_DAYS = 7
+
+
+def q79_first_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X46-adjacent: first-touch attribution — every purchase
+    attributes to the user's earliest click strictly before it within
+    7 days (operators/product_metrics.py:first_touch_attribution).
+    The match runs through the KEYED interval join (hash join on
+    (user, time-bucket) + exact range filter — no all-pairs work)."""
+    return product_metrics.first_touch_attribution(
+        _t(spark, sf_dir, "events"),
+        touch_type="click",
+        conversion_type="purchase",
+        window_days=ATTRIB_WINDOW_DAYS,
+    )
+
+
+Q79_SQL = f"""
+WITH c AS (
+  SELECT event_id AS conv_event_id, user_id, CAST(ts AS TIMESTAMP) AS conv_ts
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS t_ts, event_id AS t_id
+  FROM events WHERE event_type = 'click'
+),
+m AS (
+  SELECT c.conv_event_id, min(t.t_ts) AS first_touch_ts
+  FROM c JOIN t ON t.user_id = c.user_id
+        AND t.t_ts >= c.conv_ts - INTERVAL {ATTRIB_WINDOW_DAYS} DAY
+        AND t.t_ts < c.conv_ts
+  GROUP BY 1
+),
+m2 AS (
+  SELECT m.conv_event_id, m.first_touch_ts, min(t.t_id) AS first_touch_event_id
+  FROM m JOIN c ON c.conv_event_id = m.conv_event_id
+         JOIN t ON t.user_id = c.user_id AND t.t_ts = m.first_touch_ts
+  GROUP BY 1, 2
+)
+SELECT c.conv_event_id, c.user_id, c.conv_ts,
+       m2.first_touch_ts, m2.first_touch_event_id,
+       m2.conv_event_id IS NOT NULL AS attributed
+FROM c LEFT JOIN m2 ON m2.conv_event_id = c.conv_event_id
+"""
+
+
+# --------------------------------------------------------------------- q80
+
+ROLLING_WINDOW_DAYS = 7
+
+
+def q80_rolling_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X50: DAU + rolling 7-day distinct users (operators/
+    product_metrics.py:rolling_distinct_users). Sliding-window exact
+    distinct can't compose from daily counts; the scale shape is
+    distinct user-days -> map-side explode of each user-day onto the
+    following 7 days -> one distinct-count hash-agg per target day.
+    HLL partial-merge is the 100 TB swap-in with the same shape."""
+    return product_metrics.rolling_distinct_users(
+        _t(spark, sf_dir, "events"), window_days=ROLLING_WINDOW_DAYS
+    )
+
+
+Q80_SQL = f"""
+WITH ud AS (
+  SELECT DISTINCT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day, user_id
+  FROM events
+),
+dau AS (SELECT day, count(DISTINCT user_id) AS dau FROM ud GROUP BY 1),
+r AS (
+  SELECT d2.day, count(DISTINCT ud.user_id) AS rolling_{ROLLING_WINDOW_DAYS}d
+  FROM (SELECT DISTINCT day FROM ud) d2
+  JOIN ud ON ud.day BETWEEN d2.day - INTERVAL {ROLLING_WINDOW_DAYS - 1} DAY AND d2.day
+  GROUP BY 1
+)
+SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, r.rolling_{ROLLING_WINDOW_DAYS}d
+FROM dau JOIN r USING (day)
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_predicates": q02_filter_predicates,
@@ -3160,6 +3351,10 @@ QUERIES = {
     "q74_bigram_counts": q74_bigram_counts,
     "q75_snapshot_diff": q75_snapshot_diff,
     "q76_group_concat_topk": q76_group_concat_topk,
+    "q77_csv_roundtrip": q77_csv_roundtrip,
+    "q78_asof_forward": q78_asof_forward,
+    "q79_first_touch_attribution": q79_first_touch_attribution,
+    "q80_rolling_distinct_users": q80_rolling_distinct_users,
 }
 
 ORACLES = {
@@ -3239,4 +3434,8 @@ ORACLES = {
     "q74_bigram_counts": Q74_SQL,
     "q75_snapshot_diff": Q75_SQL,
     "q76_group_concat_topk": Q76_SQL,
+    "q77_csv_roundtrip": Q77_SQL,
+    "q78_asof_forward": Q78_SQL,
+    "q79_first_touch_attribution": Q79_SQL,
+    "q80_rolling_distinct_users": Q80_SQL,
 }

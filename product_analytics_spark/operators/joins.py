@@ -37,18 +37,32 @@ def asof_join(
     right_ts: str,
     value_cols: Sequence[str],
     suffix: str = "_asof",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """Backward as-of join: each left row picks up ``value_cols`` from
-    the latest right row of the same key with ``right_ts <= left_ts``
-    (inclusive); NULLs when no right row precedes the left row.
+    """As-of join: each left row picks up ``value_cols`` from the
+    nearest right row of the same key — ``backward`` (default) takes
+    the latest right with ``right_ts <= left_ts``, ``forward`` the
+    earliest right with ``right_ts >= left_ts`` (both inclusive);
+    NULLs when no such right row exists. ``tolerance`` (a SQL interval
+    string, e.g. ``"72 hours"``) bounds how far the match may sit from
+    the left timestamp — a match outside the window NULLs out, exactly
+    like pandas ``merge_asof(tolerance=...)``.
 
     Right rows are first deduplicated to one per (key, ts) — latest
     wins by the order of ``value_cols[0]`` — so the result is
     deterministic even when the right side has same-timestamp rows.
 
+    Both directions are the same one-shuffle union+window plan; the
+    forward variant just orders the in-partition sort descending, and
+    tolerance is a scalar predicate on the carried payload (no extra
+    join, no row multiplication).
+
     Output: all left columns + ``{right_ts}{suffix}`` + one
     ``{c}{suffix}`` per value column.
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unknown as-of direction: {direction!r}")
     keys = list(key_cols)
     vals = list(value_cols)
 
@@ -93,12 +107,23 @@ def asof_join(
     u = l.unionByName(r, allowMissingColumns=True)  # left rows: payload NULL
 
     # Right rows sort before left rows at equal ts -> inclusive bound.
+    # backward walks time ascending (carry the latest preceding right);
+    # forward walks descending (carry the earliest following right).
+    ts_order = F.col(ts_c).asc() if direction == "backward" else F.col(ts_c).desc()
     w = (
         Window.partitionBy(*keys)
-        .orderBy(F.col(ts_c).asc(), F.col(flag_c).asc())
+        .orderBy(ts_order, F.col(flag_c).asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     carried = F.last(pay_c, ignorenulls=True).over(w)
+
+    if tolerance is not None:
+        bound = F.expr(f"INTERVAL {tolerance}")
+        if direction == "backward":
+            ok = carried["ts"] >= F.col(ts_c) - bound
+        else:
+            ok = carried["ts"] <= F.col(ts_c) + bound
+        carried = F.when(ok, carried)
 
     filled = u.select(
         *[c for c in left.columns],
@@ -117,6 +142,7 @@ def interval_join(
     end_col: str,
     bucket: str = "1 week",
     broadcast_intervals: bool = False,
+    key_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Join point rows into every interval that contains them:
     ``start <= point_ts < end`` (half-open, the event-time convention).
@@ -143,14 +169,25 @@ def interval_join(
       ``bucket`` ≈ the median interval length so intervals explode to
       a handful of rows each. Skewed hot buckets split via AQE.
 
+    ``key_cols`` adds equi-join keys alongside the time condition
+    (e.g. per-user attribution windows): the hash join runs on
+    (keys..., bucket), so hot buckets are further spread by key.
+
     Column hygiene: output = all point columns + all interval columns;
-    callers ensure disjoint names (join-key style).
+    callers ensure disjoint names beyond ``key_cols`` (join-key style).
     """
+    keys = list(key_cols)
     exact = (F.col(point_ts) >= F.col(start_col)) & (
         F.col(point_ts) < F.col(end_col)
     )
     if broadcast_intervals:
-        return points.join(F.broadcast(intervals), on=exact, how="inner")
+        cond = exact
+        for k in keys:
+            cond = cond & (points[k] == intervals[k])
+        joined = points.join(F.broadcast(intervals), on=cond, how="inner")
+        if keys:  # de-duplicate the key columns like an equi-join would
+            joined = joined.drop(*[intervals[k] for k in keys])
+        return joined
 
     n_buckets_expr = F.sequence(
         F.window(F.col(start_col), bucket).getField("start"),
@@ -165,4 +202,6 @@ def interval_join(
     pt = points.withColumn(
         "_bucket", F.window(F.col(point_ts), bucket).getField("start")
     )
-    return pt.join(iv, on="_bucket", how="inner").filter(exact).drop("_bucket")
+    return (
+        pt.join(iv, on=[*keys, "_bucket"], how="inner").filter(exact).drop("_bucket")
+    )

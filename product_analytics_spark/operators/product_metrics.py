@@ -229,3 +229,108 @@ def event_transitions(
             / F.sum("n_transitions").over(tot).cast("double")
         ).alias("p_transition"),
     )
+
+
+def first_touch_attribution(
+    events: DataFrame,
+    touch_type: str,
+    conversion_type: str,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-touch attribution: every conversion event attributes to
+    the user's EARLIEST touch event strictly before it and within
+    ``window_days``. Unattributed conversions are kept with NULL touch
+    columns.
+
+    Plan: the conversion rows define per-user lookback intervals
+    [ts - window, ts); touches are points. The match is the keyed
+    interval join (operators/joins.py:interval_join with key_cols) —
+    a hash equi-join on (user, time-bucket) plus the exact range
+    predicate, never an all-pairs product. The earliest touch per
+    conversion is one min(struct(ts, id)) hash-agg; conversions then
+    left-join the attribution relation (same key, broadcastable when
+    conversions are rare).
+
+    Returns (conv_event_id, user_id, conv_ts, first_touch_ts,
+    first_touch_event_id, attributed).
+    """
+    from product_analytics_spark.operators.joins import interval_join
+
+    conv = events.filter(F.col("event_type") == conversion_type).select(
+        F.col(user_col),
+        F.col(id_col).alias("conv_event_id"),
+        F.col(ts_col).alias("conv_ts"),
+        (F.col(ts_col) - F.expr(f"INTERVAL {int(window_days)} DAYS")).alias("_w_start"),
+        F.col(ts_col).alias("_w_end"),
+    )
+    touch = events.filter(F.col("event_type") == touch_type).select(
+        F.col(user_col),
+        F.col(ts_col).alias("_touch_ts"),
+        F.col(id_col).alias("_touch_id"),
+    )
+    matched = interval_join(
+        points=touch,
+        intervals=conv,
+        point_ts="_touch_ts",
+        start_col="_w_start",
+        end_col="_w_end",
+        bucket="1 week",
+        key_cols=(user_col,),
+    )
+    first = matched.groupBy("conv_event_id").agg(
+        F.min(F.struct(F.col("_touch_ts").alias("ts"), F.col("_touch_id").alias("id"))).alias("_ft")
+    )
+    out = conv.join(first, "conv_event_id", "left")
+    return out.select(
+        "conv_event_id",
+        F.col(user_col),
+        "conv_ts",
+        F.col("_ft.ts").alias("first_touch_ts"),
+        F.col("_ft.id").alias("first_touch_event_id"),
+        F.col("_ft").isNotNull().alias("attributed"),
+    )
+
+
+def rolling_distinct_users(
+    events: DataFrame,
+    window_days: int = 7,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Daily active users + rolling ``window_days``-day distinct users
+    (DAU/WAU) per observed day.
+
+    Exact distinct over a sliding window cannot be composed from daily
+    distinct counts (users overlap across days), and a range-window
+    COUNT(DISTINCT) needs a global sort. The scale shape used here:
+    reduce to distinct (user, day) pairs first (one hash-agg — the
+    shuffle moves |user-days|, not |events|), then each user-day
+    CONTRIBUTES itself to the ``window_days`` following days via a
+    map-side explode, and one more hash-agg counts distinct users per
+    target day. Cost is window_days x |user-days| exploded rows of
+    16 bytes — at 100 TB swap the exact distinct for HLL sketches
+    (approx_count_distinct partial merge) with the identical shape.
+    Only observed days are reported (broadcast semi-join against the
+    day dimension derived from the data).
+    """
+    day = F.date_trunc("day", F.col(ts_col))
+    ud = events.select(day.alias("_d"), F.col(user_col).alias("_u")).distinct()
+    dau = ud.groupBy(F.col("_d").alias("day")).agg(
+        F.countDistinct("_u").alias("dau")
+    )
+    targets = F.sequence(
+        F.col("_d"),
+        F.col("_d") + F.expr(f"INTERVAL {int(window_days) - 1} DAYS"),
+        F.expr("INTERVAL 1 DAY"),
+    )
+    contrib = ud.select(F.explode(targets).alias("day"), F.col("_u"))
+    observed = dau.select("day")
+    rolling = (
+        contrib.join(F.broadcast(observed), "day")
+        .groupBy("day")
+        .agg(F.countDistinct("_u").alias(f"rolling_{int(window_days)}d"))
+    )
+    return dau.join(rolling, "day")

@@ -130,3 +130,100 @@ class TestBigramCounts:
         ]
         assert rows[0] == ("a", "b", 3)
         assert ("b", "a", 1) in rows and ("b", "c", 1) in rows
+
+
+class TestAsofForward:
+    def _frames(self, spark):
+        left = spark.createDataFrame(
+            [(1, "2024-01-01 10:00:00"), (1, "2024-01-05 10:00:00"), (2, "2024-01-01 00:00:00")],
+            ["k", "ts"],
+        ).withColumn("ts", F.to_timestamp("ts"))
+        right = spark.createDataFrame(
+            [(1, "2024-01-02 10:00:00", 5.0), (1, "2024-01-01 10:00:00", 7.0)],
+            ["k", "r_ts", "v"],
+        ).withColumn("r_ts", F.to_timestamp("r_ts"))
+        return left, right
+
+    def test_forward_inclusive_and_tolerance(self, spark):
+        from product_analytics_spark.operators.joins import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            (r.k, str(r.ts)): (r.r_ts_asof, r.v_asof)
+            for r in asof_join(
+                left, right, ["k"], "ts", "r_ts", ["v"],
+                direction="forward", tolerance="24 HOURS",
+            ).collect()
+        }
+        # Equal ts matches (inclusive); 01-05 row has no following
+        # purchase; k=2 has no right rows at all.
+        assert out[(1, "2024-01-01 10:00:00")][1] == 7.0
+        assert out[(1, "2024-01-05 10:00:00")] == (None, None)
+        assert out[(2, "2024-01-01 00:00:00")] == (None, None)
+
+    def test_backward_tolerance_nulls_far_match(self, spark):
+        from product_analytics_spark.operators.joins import asof_join
+
+        left, right = self._frames(spark)
+        out = {
+            (r.k, str(r.ts)): r.v_asof
+            for r in asof_join(
+                left, right, ["k"], "ts", "r_ts", ["v"],
+                direction="backward", tolerance="24 HOURS",
+            ).collect()
+        }
+        # 01-05 left row's nearest preceding right is 01-02 — outside 24h.
+        assert out[(1, "2024-01-05 10:00:00")] is None
+        assert out[(1, "2024-01-01 10:00:00")] == 7.0
+
+
+class TestKeyedIntervalJoin:
+    def test_key_isolation(self, spark):
+        from product_analytics_spark.operators.joins import interval_join
+
+        pts = spark.createDataFrame(
+            [(1, "2024-01-01 12:00:00", "p1"), (2, "2024-01-01 12:00:00", "p2")],
+            ["k", "pts", "pid"],
+        ).withColumn("pts", F.to_timestamp("pts"))
+        iv = spark.createDataFrame(
+            [(1, "2024-01-01 00:00:00", "2024-01-02 00:00:00", "i1")],
+            ["k", "s", "e", "iid"],
+        ).withColumn("s", F.to_timestamp("s")).withColumn("e", F.to_timestamp("e"))
+        rows = interval_join(
+            pts, iv, "pts", "s", "e", bucket="1 day", key_cols=("k",)
+        ).collect()
+        # p2 is inside i1's time range but has a different key.
+        assert [(r.pid, r.iid) for r in rows] == [("p1", "i1")]
+
+
+class TestAttributionAndRollingDistinct:
+    def test_first_touch(self, spark):
+        df = spark.createDataFrame(
+            [(1, 1, "click", "2024-01-01 00:00:00"),
+             (1, 2, "click", "2024-01-02 00:00:00"),
+             (1, 3, "purchase", "2024-01-03 00:00:00"),
+             (2, 4, "purchase", "2024-01-03 00:00:00")],
+            ["user_id", "event_id", "event_type", "ts"],
+        ).withColumn("ts", F.to_timestamp("ts"))
+        rows = {
+            r.conv_event_id: r
+            for r in product_metrics.first_touch_attribution(
+                df, touch_type="click", conversion_type="purchase", window_days=7
+            ).collect()
+        }
+        assert rows[3].first_touch_event_id == 1 and rows[3].attributed
+        assert rows[4].first_touch_event_id is None and not rows[4].attributed
+
+    def test_rolling_distinct(self, spark):
+        df = spark.createDataFrame(
+            [(1, "2024-01-01 05:00:00"), (2, "2024-01-01 06:00:00"),
+             (1, "2024-01-03 05:00:00")],
+            ["user_id", "ts"],
+        ).withColumn("ts", F.to_timestamp("ts"))
+        rows = {
+            str(r.day): (r.dau, r.rolling_7d)
+            for r in product_metrics.rolling_distinct_users(df).collect()
+        }
+        assert rows["2024-01-01 00:00:00"] == (2, 2)
+        # Day 3: DAU 1 (user 1), rolling window covers both days -> 2.
+        assert rows["2024-01-03 00:00:00"] == (1, 2)
