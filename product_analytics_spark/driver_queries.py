@@ -3274,6 +3274,228 @@ FROM dau JOIN r USING (day)
 """
 
 
+# --------------------------------------------------------------------- q81
+
+RANK_TOP_PER_GROUP = 10
+
+
+def q81_rank_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface ranking-function family: rank / dense_rank /
+    percent_rank / cume_dist over one (priority, price DESC, key ASC)
+    window — a total order, so every function is deterministic and
+    engine-identical (percent_rank/cume_dist are single divisions of
+    exact integers). One window shuffle serves all four; the top-10
+    filter rides the same row_number."""
+    from pyspark.sql import Window
+
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    ranked = o.select(
+        F.col("o_orderpriority").alias("order_priority"),
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_totalprice").alias("order_total"),
+        F.row_number().over(w).alias("rn"),
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("dense_rnk"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )
+    return ranked.filter(F.col("rn") <= RANK_TOP_PER_GROUP)
+
+
+Q81_SQL = f"""
+SELECT * FROM (
+  SELECT o_orderpriority AS order_priority, o_orderkey AS order_id,
+         o_totalprice AS order_total,
+         row_number() OVER w AS rn,
+         rank() OVER w AS rnk,
+         dense_rank() OVER w AS dense_rnk,
+         percent_rank() OVER w AS pct_rank,
+         cume_dist() OVER w AS cume
+  FROM orders
+  WINDOW w AS (PARTITION BY o_orderpriority
+               ORDER BY o_totalprice DESC, o_orderkey ASC)
+) WHERE rn <= {RANK_TOP_PER_GROUP}
+"""
+
+
+# --------------------------------------------------------------------- q82
+
+def q82_array_hof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface array/higher-order-function suite: per order the
+    deterministically-sorted quantity array (sorted by (qty, line
+    number) struct — collect order never trusted), plus filter/exists
+    analyses and an exact integer-cent total. Float folds over arrays
+    are deliberately avoided in outputs — list_sum order isn't part of
+    any engine's contract."""
+    li = _t(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_orderkey").alias("order_id")).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col("l_quantity").alias("q"), F.col("l_linenumber").alias("ln")))
+        ).alias("_sorted"),
+        F.sum(_money_cents("l_quantity")).alias("_cents"),
+    )
+    qarr = F.transform(F.col("_sorted"), lambda s: s["q"])
+    return per.select(
+        "order_id",
+        qarr.alias("qty_list"),
+        F.size(F.filter(qarr, lambda q: q >= 30)).alias("n_heavy"),
+        F.exists(qarr, lambda q: q >= 50).alias("has_max"),
+        _cents_out(F.col("_cents")).alias("total_qty"),
+    )
+
+
+Q82_SQL = """
+SELECT l_orderkey AS order_id,
+       list(l_quantity ORDER BY l_quantity, l_linenumber) AS qty_list,
+       CAST(len(list_filter(list(l_quantity), q -> q >= 30)) AS INT) AS n_heavy,
+       len(list_filter(list(l_quantity), q -> q >= 50)) > 0 AS has_max,
+       CAST(sum(CAST(l_quantity * 100 AS BIGINT)) AS BIGINT) / 100.0 AS total_qty
+FROM lineitem GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- q83
+
+SCHEMA_CUT_DATE = "1997-01-01"
+
+
+def q83_schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 exercised in the driver: two batches with DIFFERENT schemas
+    (the post-cut batch adds a priority column, as a CDC feed does
+    mid-stream) combined via ``unionByName(allowMissingColumns=True)``
+    — missing columns NULL-fill, the engine's schema-evolution
+    primitive (reference on_schema_change='sync_all_columns',
+    customers_latest.sql:5). The oracle mirrors with DuckDB's
+    UNION ALL BY NAME."""
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderdate") < F.lit(SCHEMA_CUT_DATE)).select(
+        F.col("o_orderkey").alias("order_id"), F.col("o_orderdate").alias("order_date")
+    )
+    new = o.filter(F.col("o_orderdate") >= F.lit(SCHEMA_CUT_DATE)).select(
+        F.col("o_orderkey").alias("order_id"),
+        F.col("o_orderdate").alias("order_date"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    u = old.unionByName(new, allowMissingColumns=True)
+    return u.groupBy(F.year("order_date").alias("order_year")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("priority").alias("n_with_priority"),
+    )
+
+
+Q83_SQL = f"""
+WITH old AS (
+  SELECT o_orderkey AS order_id, o_orderdate AS order_date FROM orders
+  WHERE o_orderdate < TIMESTAMP '{SCHEMA_CUT_DATE}'
+),
+new AS (
+  SELECT o_orderkey AS order_id, o_orderdate AS order_date,
+         o_orderpriority AS priority
+  FROM orders WHERE o_orderdate >= TIMESTAMP '{SCHEMA_CUT_DATE}'
+),
+u AS (SELECT * FROM old UNION ALL BY NAME SELECT * FROM new)
+SELECT year(CAST(order_date AS DATE)) AS order_year,
+       count(*) AS n_orders, count(priority) AS n_with_priority
+FROM u GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- q84
+
+def q84_above_group_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A9-class correlated comparison, de-correlated: suppliers whose
+    balance exceeds their nation's average (the classic
+    ``WHERE s_acctbal > (SELECT avg(...) WHERE same nation)``).
+    De-correlation = one per-nation aggregate (exact cents) +
+    broadcast join back; the average is a fixed-order division both
+    engines mirror, so the > comparison is bit-identical."""
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", F.col("n_name").alias("nation"))
+    per_nation = s.groupBy("s_nationkey").agg(
+        F.sum(_money_cents("s_acctbal")).alias("_cents"),
+        F.count(F.lit(1)).alias("_n"),
+    ).select(
+        "s_nationkey",
+        (
+            (F.col("_cents").cast("double") / F.lit(100.0))
+            / F.col("_n").cast("double")
+        ).alias("nation_avg"),
+    )
+    j = s.join(F.broadcast(per_nation), "s_nationkey").join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey
+    )
+    return j.filter(F.col("s_acctbal") > F.col("nation_avg")).select(
+        F.col("s_suppkey").alias("supplier_id"),
+        "nation",
+        F.col("s_acctbal").alias("balance"),
+        "nation_avg",
+    )
+
+
+Q84_SQL = """
+WITH a AS (
+  SELECT s_nationkey,
+         CAST(sum(CAST(s_acctbal * 100 AS BIGINT)) AS DOUBLE) / 100.0
+           / CAST(count(*) AS DOUBLE) AS nation_avg
+  FROM supplier GROUP BY 1
+)
+SELECT s_suppkey AS supplier_id, n_name AS nation,
+       s_acctbal AS balance, nation_avg
+FROM supplier
+JOIN a USING (s_nationkey)
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_acctbal > nation_avg
+"""
+
+
+# --------------------------------------------------------------------- q85
+
+KNN_K = 3
+
+
+def q85_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X54: k-NN self-join — every vector's 3 nearest neighbors within
+    its IVF cell (operators/similarity.py:knn_join_ivf): the pairwise
+    k-NN graph that embedding dedup clustering and retrieval-index
+    bootstrap consume. Cell-blocked pairs (never n²), unrolled dot,
+    per-row top-k window on 8-byte keys."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.knn_join_ivf(
+        emb,
+        centroids=similarity.CENTROIDS_FINE,
+        k=KNN_K,
+        dim=EMBEDDING_DIM,
+        cap_per_cell=NEAR_DUP_CAP_PER_CELL,
+    )
+
+
+def _q85_sql() -> str:
+    return f"""
+WITH {_ivf_cell_ctes(similarity.CENTROIDS_FINE)},
+capped AS (
+  SELECT vec_id, e, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn FROM cw
+  ) WHERE rn <= {NEAR_DUP_CAP_PER_CELL}
+),
+pairs AS (
+  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.e, b.e)
+           / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))) AS sim
+  FROM capped a JOIN capped b ON a.cell = b.cell AND a.vec_id != b.vec_id
+),
+r AS (
+  SELECT vec_id, neighbor_id, sim,
+         row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
+  FROM pairs
+)
+SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 4) AS cosine_sim
+FROM r WHERE rank <= {KNN_K}
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_predicates": q02_filter_predicates,
@@ -3355,6 +3577,11 @@ QUERIES = {
     "q78_asof_forward": q78_asof_forward,
     "q79_first_touch_attribution": q79_first_touch_attribution,
     "q80_rolling_distinct_users": q80_rolling_distinct_users,
+    "q81_rank_family": q81_rank_family,
+    "q82_array_hof": q82_array_hof,
+    "q83_schema_evolution_union": q83_schema_evolution_union,
+    "q84_above_group_avg": q84_above_group_avg,
+    "q85_knn_join": q85_knn_join,
 }
 
 ORACLES = {
@@ -3438,4 +3665,9 @@ ORACLES = {
     "q78_asof_forward": Q78_SQL,
     "q79_first_touch_attribution": Q79_SQL,
     "q80_rolling_distinct_users": Q80_SQL,
+    "q81_rank_family": Q81_SQL,
+    "q82_array_hof": Q82_SQL,
+    "q83_schema_evolution_union": Q83_SQL,
+    "q84_above_group_avg": Q84_SQL,
+    "q85_knn_join": _q85_sql(),
 }

@@ -454,3 +454,71 @@ def kmeans_update(
         F.col("n_members").cast("bigint").alias("n_members"),
         centroid.alias("centroid"),
     )
+
+
+def knn_join_ivf(
+    df: DataFrame,
+    centroids: Sequence[Sequence[float]] | None = None,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    sim_scale: int = 4,
+    dim: int | None = None,
+    cap_per_cell: int | None = None,
+) -> DataFrame:
+    """k-NN self-join: for EVERY vector, its k most-similar neighbors
+    within the same IVF cell (the per-row generalization of
+    ``embedding_near_dup_pairs_ivf``'s global top-k).
+
+    This is the workhorse of embedding-based dedup clustering and
+    retrieval-index bootstrapping: a full pairwise k-NN graph, blocked
+    by the coarse quantizer so the pair count is Σ cells n_c², never
+    n². Recall at cell boundaries is the standard IVF trade-off —
+    raise the cell count for speed, add multi-probe for recall (the
+    same dials as ``cosine_topk_ivf``).
+
+    Plan: cell assignment folds into the scan (Arrow-backed), the
+    within-cell pair join is an equi-join on the cell id with the
+    unrolled dot product when ``dim`` is known, and the per-row top-k
+    is one row_number window partitioned by the source id — shuffle
+    keys are 8 bytes throughout. Returns (vec_id, neighbor_id, rank,
+    cosine_sim) with rank 1..k by (sim DESC, neighbor ASC).
+    """
+    cents = centroids if centroids is not None else CENTROIDS_FINE
+    from pyspark.sql import Window
+
+    assigned = ivf_assign(df, cents, vec_col, cell_col="_blk")
+    v = assigned.select(
+        F.col(id_col), F.col("_blk"), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    if cap_per_cell is not None:
+        wcap = Window.partitionBy("_blk").orderBy(F.col(id_col))
+        v = (
+            v.withColumn("_rn", F.row_number().over(wcap))
+            .filter(F.col("_rn") <= cap_per_cell)
+            .drop("_rn")
+        )
+    v = v.withColumn("_n", l2_norm(F.col("_v")))
+    a = v.select(
+        F.col(id_col).alias("vec_id"), "_blk", F.col("_v").alias("_va"), F.col("_n").alias("_na")
+    )
+    b = v.select(
+        F.col(id_col).alias("neighbor_id"), "_blk", F.col("_v").alias("_vb"), F.col("_n").alias("_nb")
+    )
+    pairs = a.join(b, "_blk").filter(F.col("vec_id") != F.col("neighbor_id"))
+    pair_dot = (
+        dot_unrolled(F.col("_va"), F.col("_vb"), dim)
+        if dim is not None
+        else dot(F.col("_va"), F.col("_vb"))
+    )
+    sim = pair_dot / (F.col("_na") * F.col("_nb"))
+    scored = pairs.select("vec_id", "neighbor_id", sim.alias("_sim"))
+    w = Window.partitionBy("vec_id").orderBy(F.desc("_sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "vec_id", "neighbor_id", "rank",
+            F.round(F.col("_sim"), sim_scale).alias("cosine_sim"),
+        )
+    )

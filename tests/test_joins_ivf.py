@@ -159,3 +159,25 @@ class TestMultiProbeLsh:
 
         r1, r4 = recall(1), recall(4)
         assert r1 <= r4 <= 10
+
+
+class TestKnnJoin:
+    def test_knn_ranks_and_symmetric_blocking(self, spark):
+        from product_analytics_spark.operators import similarity
+
+        # 2 cells' worth of obvious geometry: e1~e2 aligned, e3 orthogonal.
+        emb = spark.createDataFrame(
+            [(1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0])],
+            ["vec_id", "embedding"],
+        )
+        cents = [[1.0, 0.0], [0.0, 1.0]]
+        rows = similarity.knn_join_ivf(
+            emb, centroids=cents, k=2, dim=2
+        ).collect()
+        by_src = {}
+        for r in rows:
+            by_src.setdefault(r.vec_id, []).append((r.rank, r.neighbor_id))
+        # 1 and 2 share the first cell; 3 sits alone -> no neighbors.
+        assert by_src[1] == [(1, 2)]
+        assert by_src[2] == [(1, 1)]
+        assert 3 not in by_src

@@ -89,6 +89,7 @@ class TestPlanProperties:
             "q32_multimodal_features",
             "q39_ivf_ann_topk",
             "q61_kmeans_update",
+            "q85_knn_join",
         }, arrow_users
 
     def test_split_assignment_adds_no_shuffle(self, plans):
