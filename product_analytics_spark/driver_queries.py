@@ -3496,6 +3496,177 @@ FROM r WHERE rank <= {KNN_K}
 """
 
 
+# --------------------------------------------------------------------- q86
+
+def q86_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface arbitrary GROUPING SETS (beyond X6 rollup / X16
+    cube): per-priority totals, per-year totals, and the grand total in
+    ONE pass — map-side grouping-set expansion, one partial-agg
+    shuffle. Exercised through the engine's SQL entry point
+    (``spark.sql`` over a registered view — SURVEY §3.4's second
+    lifecycle door); ``grouping()`` disambiguates real NULLs from
+    grouping-set NULLs."""
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("priority"),
+        F.year("o_orderdate").alias("order_year"),
+        _money_cents("o_totalprice").alias("_cents"),
+    )
+    o.createOrReplaceTempView("q86_orders")
+    return spark.sql(
+        """
+        SELECT priority, order_year,
+               CAST(grouping(priority) AS INT) AS g_priority,
+               CAST(grouping(order_year) AS INT) AS g_year,
+               count(*) AS n_orders,
+               -- NB: Spark SQL parses the literal 100.0 as DECIMAL
+               -- (the DataFrame API's F.lit(100.0) is DOUBLE); cast
+               -- explicitly so the division is double/double like the
+               -- oracle's.
+               CAST(sum(_cents) AS DOUBLE) / CAST(100.0 AS DOUBLE) AS total_value
+        FROM q86_orders
+        GROUP BY GROUPING SETS ((priority), (order_year), ())
+        """
+    )
+
+
+Q86_SQL = """
+SELECT o_orderpriority AS priority, year(CAST(o_orderdate AS DATE)) AS order_year,
+       CAST(grouping(o_orderpriority) AS INT) AS g_priority,
+       CAST(grouping(year(CAST(o_orderdate AS DATE))) AS INT) AS g_year,
+       count(*) AS n_orders,
+       CAST(CAST(sum(CAST(o_totalprice * 100 AS BIGINT)) AS BIGINT) AS DOUBLE) / 100.0 AS total_value
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority), (year(CAST(o_orderdate AS DATE))), ())
+"""
+
+
+# --------------------------------------------------------------------- q87
+
+def q87_string_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Engine-surface string-function suite over the cross-engine-safe
+    subset (every function here has identical semantics in DuckDB —
+    dialect-divergent ones like initcap/substring_index are excluded
+    by design): pad, reverse, translate, replace, substring, repeat,
+    position (instr/strpos, 1-based 0-if-absent), split_part, ascii.
+    Pure narrow projection — runs at scan speed."""
+    p = _t(spark, sf_dir, "part")
+    name = F.col("p_name")
+    return p.select(
+        F.col("p_partkey").alias("part_id"),
+        F.upper(name).alias("upper_name"),
+        F.lpad(F.col("p_brand"), 12, "*").alias("brand_padded"),
+        F.reverse(name).alias("reversed_name"),
+        F.translate(name, " aeiou", "_AEIOU").alias("translated"),
+        F.regexp_replace(name, " ", "-").alias("dashed"),
+        F.substring(name, 1, 10).alias("prefix10"),
+        F.repeat(F.col("p_brand"), 2).alias("brand_twice"),
+        F.instr(name, "la").alias("pos_la"),
+        F.split_part(name, F.lit(" "), F.lit(2)).alias("second_word"),
+        F.ascii(name).alias("first_byte"),
+        F.length(name).alias("name_len"),
+    )
+
+
+Q87_SQL = """
+SELECT p_partkey AS part_id,
+       upper(p_name) AS upper_name,
+       lpad(p_brand, 12, '*') AS brand_padded,
+       reverse(p_name) AS reversed_name,
+       translate(p_name, ' aeiou', '_AEIOU') AS translated,
+       replace(p_name, ' ', '-') AS dashed,
+       substring(p_name, 1, 10) AS prefix10,
+       repeat(p_brand, 2) AS brand_twice,
+       CAST(strpos(p_name, 'la') AS INT) AS pos_la,
+       split_part(p_name, ' ', 2) AS second_word,
+       ascii(p_name) AS first_byte,
+       CAST(length(p_name) AS INT) AS name_len
+FROM part
+"""
+
+
+# --------------------------------------------------------------------- q88
+
+#: "Existing corpus" sources for the incremental-dedup screen; the
+#: remaining sources play the incoming batch.
+OLD_SRCS = tuple(f"src{i}" for i in range(10))
+
+
+def q88_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus growth — the dedup question a production
+    pipeline actually asks: for each INCOMING document, is it an exact
+    duplicate of the existing corpus, a near-duplicate, or new? Exact
+    = normalized-text match (lower/trim/whitespace-collapse; the
+    xxhash64 fingerprint is the scale key, the oracle groups on the
+    normalized text itself — same equivalence classes). Near = MinHash
+    band collision against an old doc verified at est_jaccard >= 0.5
+    (the full q20 machinery; cross-boundary pairs only). Returns
+    (doc_id, status) for the incoming batch; statuses are disjoint
+    with exact taking precedence."""
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    flags = d.select("doc_id", "source", norm.alias("_nt"), "text").withColumn(
+        "_is_old", F.col("source").isin(*OLD_SRCS)
+    )
+    old_nt = flags.filter(F.col("_is_old")).select("_nt").distinct()
+    new_docs = flags.filter(~F.col("_is_old"))
+    exact_ids = (
+        new_docs.join(old_nt, "_nt", "left_semi").select("doc_id").distinct()
+    )
+    pairs = text.minhash_near_dup_pairs(d, threshold=0.5)
+    side = flags.select("doc_id", "_is_old")
+    cross = (
+        pairs.join(
+            F.broadcast(side.select(F.col("doc_id").alias("id_a"), F.col("_is_old").alias("_oa"))),
+            "id_a",
+        )
+        .join(
+            F.broadcast(side.select(F.col("doc_id").alias("id_b"), F.col("_is_old").alias("_ob"))),
+            "id_b",
+        )
+        .filter(F.col("_oa") != F.col("_ob"))
+    )
+    near_ids = cross.select(
+        F.when(F.col("_oa"), F.col("id_b")).otherwise(F.col("id_a")).alias("doc_id")
+    ).distinct()
+    out = (
+        new_docs.select("doc_id")
+        .join(exact_ids.withColumn("_ex", F.lit(True)), "doc_id", "left")
+        .join(near_ids.withColumn("_nr", F.lit(True)), "doc_id", "left")
+    )
+    status = (
+        F.when(F.col("_ex"), F.lit("exact_dup"))
+        .when(F.col("_nr"), F.lit("near_dup"))
+        .otherwise(F.lit("unique"))
+    )
+    return out.select("doc_id", status.alias("status"))
+
+
+def _q88_sql() -> str:
+    srcs = ", ".join(f"'{s}'" for s in OLD_SRCS)
+    return f"""
+WITH pairs AS ({_q20_sql()}),
+flags AS (
+  SELECT doc_id, source,
+         regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt,
+         source IN ({srcs}) AS is_old
+  FROM documents
+),
+old_nt AS (SELECT DISTINCT nt FROM flags WHERE is_old),
+near_new AS (
+  SELECT DISTINCT CASE WHEN fa.is_old THEN p.id_b ELSE p.id_a END AS doc_id
+  FROM pairs p
+  JOIN flags fa ON fa.doc_id = p.id_a
+  JOIN flags fb ON fb.doc_id = p.id_b
+  WHERE fa.is_old <> fb.is_old
+)
+SELECT f.doc_id,
+       CASE WHEN f.nt IN (SELECT nt FROM old_nt) THEN 'exact_dup'
+            WHEN f.doc_id IN (SELECT doc_id FROM near_new) THEN 'near_dup'
+            ELSE 'unique' END AS status
+FROM flags f WHERE NOT f.is_old
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_predicates": q02_filter_predicates,
@@ -3582,6 +3753,9 @@ QUERIES = {
     "q83_schema_evolution_union": q83_schema_evolution_union,
     "q84_above_group_avg": q84_above_group_avg,
     "q85_knn_join": q85_knn_join,
+    "q86_grouping_sets": q86_grouping_sets,
+    "q87_string_suite": q87_string_suite,
+    "q88_incremental_dedup": q88_incremental_dedup,
 }
 
 ORACLES = {
@@ -3670,4 +3844,7 @@ ORACLES = {
     "q83_schema_evolution_union": Q83_SQL,
     "q84_above_group_avg": Q84_SQL,
     "q85_knn_join": _q85_sql(),
+    "q86_grouping_sets": Q86_SQL,
+    "q87_string_suite": Q87_SQL,
+    "q88_incremental_dedup": _q88_sql(),
 }
