@@ -81,3 +81,57 @@ class TestPhysicalLayout:
         store.append("t5", _df(spark, [(2, "a", 2.0)]))
         got = {r.k for r in store.read("t5").collect()}
         assert got == {1, 2}
+
+
+class TestBucketedJoin:
+    def test_bucketed_tables_join_without_exchange(self, spark, tmp_path):
+        """SCALE.md's co-located-join claim, proven at the plan level:
+        two tables bucketed on the join key by the same bucket count
+        hash-partition identically on disk, so the sort-merge join
+        needs NO Exchange on either side — the 100 TB recipe for
+        repeated large-large joins (bucket once, join many times)."""
+        a = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+            "va", F.col("k") * 2
+        )
+        b = spark.range(0, 1000).withColumnRenamed("id", "k").withColumn(
+            "vb", F.col("k") + 7
+        )
+        # DROP TABLE alone is not enough across sessions: the
+        # in-memory catalog forgets the table but the warehouse dir
+        # survives, and a later managed CREATE fails on the leftover
+        # location — clear both.
+        import shutil
+
+        wh = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        for t in ("bkt_a", "bkt_b"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+        a.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_a")
+        b.write.bucketBy(8, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_b")
+        # Tiny test tables would broadcast (which also avoids the
+        # shuffle, but proves nothing about bucketing) — force the
+        # sort-merge path the co-location argument is about.
+        keys = (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold",
+        )
+        prev = {k: spark.conf.get(k, None) for k in keys}
+        try:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+            spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+            j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+            assert "SortMergeJoin" in plan, plan
+            assert "Exchange" not in plan, plan
+            assert j.count() == 1000
+        finally:
+            for k, v in prev.items():
+                if v is None:
+                    spark.conf.unset(k)
+                else:
+                    spark.conf.set(k, v)
+            for t in ("bkt_a", "bkt_b"):
+                spark.sql(f"DROP TABLE IF EXISTS {t}")
+                shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
