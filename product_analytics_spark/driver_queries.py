@@ -3667,6 +3667,78 @@ FROM flags f WHERE NOT f.is_old
 """
 
 
+# --------------------------------------------------------------------- q89
+
+def q89_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join — the warehouse question SCD2
+    history exists to answer: for each fact (purchase event), which
+    dimension VERSION was valid at fact time? Composes X22's SCD2
+    build with the as-of machinery: history rows are keyed intervals
+    [valid_from, valid_to), facts join to the one version whose
+    interval covers their timestamp (current rows have NULL valid_to =
+    open-ended). Implemented as the backward as-of join on valid_from
+    — each fact takes the latest version starting at-or-before it —
+    which is exactly interval coverage because versions tile the
+    timeline without gaps. ONE shuffle on the user key."""
+    from product_analytics_spark.operators.joins import asof_join
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    hist = scd.scd2_history(
+        e, key_cols="user_id", ts_col="ts",
+        tracked_cols="event_type", tiebreak_cols=("event_id",),
+    ).select(
+        "user_id",
+        F.col("valid_from"),
+        F.col("event_type").alias("state_at_purchase"),
+    )
+    facts = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("fact_id"), "user_id", "ts"
+    )
+    out = asof_join(
+        facts,
+        hist,
+        key_cols=("user_id",),
+        left_ts="ts",
+        right_ts="valid_from",
+        value_cols=("state_at_purchase",),
+        suffix="_v",
+    )
+    return out.select(
+        "fact_id", "user_id", "ts",
+        F.col("valid_from_v").alias("version_valid_from"),
+        F.col("state_at_purchase_v").alias("state_at_purchase"),
+    )
+
+
+Q89_SQL = """
+WITH ordered AS (
+  SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id, event_type,
+         lag(event_type) OVER w AS prev_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+),
+changes AS (
+  SELECT user_id, ts AS valid_from, event_type
+  FROM ordered
+  WHERE prev_type IS NULL OR event_type <> prev_type
+),
+facts AS (
+  SELECT event_id AS fact_id, user_id, CAST(ts AS TIMESTAMP) AS ts
+  FROM events WHERE event_type = 'purchase'
+),
+matched AS (
+  SELECT f.fact_id, f.user_id, f.ts, max(c.valid_from) AS version_valid_from
+  FROM facts f LEFT JOIN changes c
+    ON c.user_id = f.user_id AND c.valid_from <= f.ts
+  GROUP BY 1, 2, 3
+)
+SELECT m.fact_id, m.user_id, m.ts, m.version_valid_from,
+       c.event_type AS state_at_purchase
+FROM matched m LEFT JOIN changes c
+  ON c.user_id = m.user_id AND c.valid_from = m.version_valid_from
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_predicates": q02_filter_predicates,
@@ -3756,6 +3828,7 @@ QUERIES = {
     "q86_grouping_sets": q86_grouping_sets,
     "q87_string_suite": q87_string_suite,
     "q88_incremental_dedup": q88_incremental_dedup,
+    "q89_pit_join": q89_pit_join,
 }
 
 ORACLES = {
@@ -3847,4 +3920,5 @@ ORACLES = {
     "q86_grouping_sets": Q86_SQL,
     "q87_string_suite": Q87_SQL,
     "q88_incremental_dedup": _q88_sql(),
+    "q89_pit_join": Q89_SQL,
 }
