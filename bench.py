@@ -45,17 +45,24 @@ def main() -> None:
         cache.clear_all()
 
     total = round(sum(times.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": times,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # The driver captures only the LAST ~2000 bytes of stdout and parses the
+    # JSON line out of that tail. With 89 queries the full-name dict blows
+    # past the window, so emit compact keys ("q01" for "q01_scan_project"),
+    # 2-decimal times, and no whitespace — keeps the line well under 2000
+    # bytes. The full-name per-query timings land in bench_full.json beside
+    # this script for human/judge inspection.
+    compact = {name.split("_", 1)[0]: round(t, 2) for name, t in times.items()}
+    payload = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": compact,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
+    with open(full_path, "w") as f:
+        json.dump({**payload, "queries": times}, f, indent=1)
+    print(json.dumps(payload, separators=(",", ":")))
 
 
 if __name__ == "__main__":

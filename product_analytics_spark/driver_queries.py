@@ -3739,6 +3739,458 @@ FROM matched m LEFT JOIN changes c
 """
 
 
+# --------------------------------------------------------------------- q90
+
+GAPFILL_START = dt.datetime(2024, 1, 1)
+GAPFILL_END = dt.datetime(2024, 1, 30)
+
+
+def q90_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X63: calendar-spine gap filling — the time-series densification
+    every reporting layer needs: per (event_type, day) counts with
+    ZERO-filled rows for days a type fired no events. The spine is
+    generated map-side (sequence+explode over |days| literals — no
+    table scan), cross-joined with the distinct type list (tiny), and
+    the fact aggregate joins in by BROADCAST (|types|x|days| rows).
+    At 100 TB the only full-data work is the one count/sum shuffle;
+    the spine never grows with the data."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(_money_cents("value")).alias("_v"),
+    )
+    spine_days = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit(GAPFILL_START).cast("timestamp_ntz"),
+                F.lit(GAPFILL_END).cast("timestamp_ntz"),
+                F.expr("interval 1 day"),
+            )
+        ).alias("day")
+    )
+    spine = e.select("event_type").distinct().crossJoin(F.broadcast(spine_days))
+    out = spine.join(F.broadcast(daily), ["event_type", "day"], "left")
+    return out.select(
+        "event_type",
+        "day",
+        F.coalesce(F.col("_n"), F.lit(0)).cast("bigint").alias("n_events"),
+        _cents_out(F.coalesce(F.col("_v"), F.lit(0))).alias("total_value"),
+    )
+
+
+Q90_SQL = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n,
+         sum(CAST(value * 100 AS BIGINT)) AS v
+  FROM events GROUP BY 1, 2
+),
+spine AS (
+  SELECT t.event_type, d.day
+  FROM (SELECT DISTINCT event_type FROM events) t
+  CROSS JOIN (
+    SELECT generate_series AS day
+    FROM generate_series(TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-30',
+                         INTERVAL 1 DAY)
+  ) d
+)
+SELECT s.event_type, s.day,
+       CAST(coalesce(dl.n, 0) AS BIGINT) AS n_events,
+       CAST(coalesce(dl.v, 0) AS BIGINT) / 100.0 AS total_value
+FROM spine s
+LEFT JOIN daily dl ON dl.event_type = s.event_type AND dl.day = s.day
+"""
+
+
+# --------------------------------------------------------------------- q91
+
+def q91_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X64: Pearson correlation per group from EXACT integer power
+    sums — the distributed-statistics pattern that stays deterministic
+    on any cluster: per-row cents products fit BIGINT, sums accumulate
+    in DECIMAL(38,0) (order-independent, no float drift across
+    partition merges), and only the final fixed-order double formula
+    touches floating point. Both engines run the identical IEEE ops on
+    identical inputs, so the result is bit-reproducible — unlike the
+    builtin ``corr`` (a float running aggregate whose value depends on
+    partition merge order). One hash-agg shuffle of |groups| partials.
+    """
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        _money_cents("l_quantity").alias("x"),
+        _money_cents("l_extendedprice").alias("y"),
+    )
+
+    def d38(c: F.Column) -> F.Column:
+        return c.cast("decimal(38,0)")
+
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(d38(F.col("x"))).alias("sx"),
+        F.sum(d38(F.col("y"))).alias("sy"),
+        F.sum(d38(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(d38(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(d38(F.col("y") * F.col("y"))).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx = F.col("sx").cast("double")
+    sy = F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx = F.col("sxx").cast("double")
+    syy = F.col("syy").cast("double")
+    corr = (nd * sxy - sx * sy) / (
+        F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)
+    )
+    return s.select(
+        "l_returnflag",
+        F.col("n").cast("bigint").alias("n_items"),
+        ((sx / nd) / F.lit(100.0)).alias("mean_qty"),
+        ((sy / nd) / F.lit(100.0)).alias("mean_price"),
+        corr.alias("corr_qty_price"),
+    )
+
+
+Q91_SQL = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(l_quantity * 100 AS BIGINT) AS x,
+         CAST(l_extendedprice * 100 AS BIGINT) AS y
+  FROM lineitem
+),
+s AS (
+  SELECT l_returnflag,
+         count(*) AS n,
+         sum(CAST(x AS DECIMAL(38,0))) AS sx,
+         sum(CAST(y AS DECIMAL(38,0))) AS sy,
+         sum(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+         sum(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+         sum(CAST(y * y AS DECIMAL(38,0))) AS syy
+  FROM c GROUP BY 1
+)
+SELECT l_returnflag,
+       CAST(n AS BIGINT) AS n_items,
+       (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS mean_qty,
+       (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS mean_price,
+       ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))
+          - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+       / (sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE))
+                 - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+          * sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE))
+                 - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+         AS corr_qty_price
+FROM s
+"""
+
+
+# --------------------------------------------------------------------- q92
+
+def q92_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X65: ntile decile assignment + per-decile profile. The total
+    order forces a single-reducer window at this size — correct for a
+    deciles-of-everything report, but the docstring-documented 100 TB
+    swap-in is X45's equi-depth binning (percentile boundaries + a
+    scan-side CASE ladder: no global sort) or ``repartitionByRange``
+    whose range exchange samples instead of sorting on one task.
+    Ties broken deterministically by (price, order key)."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", _money_cents("o_totalprice").alias("p")
+    )
+    w = Window.orderBy(F.col("p").asc(), F.col("o_orderkey").asc())
+    d = o.withColumn("decile", F.ntile(10).over(w))
+    return d.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _cents_out(F.min("p")).alias("min_total"),
+        _cents_out(F.max("p")).alias("max_total"),
+        _cents_out(F.sum("p")).alias("sum_total"),
+    )
+
+
+Q92_SQL = """
+WITH d AS (
+  SELECT CAST(o_totalprice * 100 AS BIGINT) AS p,
+         ntile(10) OVER (ORDER BY CAST(o_totalprice * 100 AS BIGINT) ASC,
+                         o_orderkey ASC) AS decile
+  FROM orders
+)
+SELECT decile, count(*) AS n_orders,
+       CAST(min(p) AS BIGINT) / 100.0 AS min_total,
+       CAST(max(p) AS BIGINT) / 100.0 AS max_total,
+       CAST(sum(p) AS BIGINT) / 100.0 AS sum_total
+FROM d GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- q93
+
+def q93_window_value_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X66: first_value / last_value / nth_value over an explicit
+    unbounded frame — each order row carries its customer's first,
+    latest, and second order totals. All three functions share ONE
+    window spec, so the plan has a single customer-key shuffle and a
+    single sort; the frame is explicit because last_value over the
+    default frame (UNBOUNDED PRECEDING..CURRENT ROW) is a footgun both
+    engines agree on but nobody wants."""
+    from pyspark.sql.window import Window
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("customer_id"),
+        F.col("o_orderkey").alias("order_id"),
+        "o_orderdate",
+        _money_cents("o_totalprice").alias("p"),
+    )
+    w = (
+        Window.partitionBy("customer_id")
+        .orderBy(F.col("o_orderdate").asc(), F.col("order_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "customer_id",
+        "order_id",
+        _cents_out(F.col("p")).alias("order_total"),
+        _cents_out(F.first_value(F.col("p")).over(w)).alias("first_total"),
+        _cents_out(F.last_value(F.col("p")).over(w)).alias("last_total"),
+        _cents_out(F.nth_value(F.col("p"), 2).over(w)).alias("second_total"),
+    )
+
+
+Q93_SQL = """
+SELECT o_custkey AS customer_id, o_orderkey AS order_id,
+       CAST(p AS BIGINT) / 100.0 AS order_total,
+       CAST(first_value(p) OVER w AS BIGINT) / 100.0 AS first_total,
+       CAST(last_value(p) OVER w AS BIGINT) / 100.0 AS last_total,
+       CAST(nth_value(p, 2) OVER w AS BIGINT) / 100.0 AS second_total
+FROM (SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(o_totalprice * 100 AS BIGINT) AS p
+      FROM orders)
+WINDOW w AS (PARTITION BY o_custkey
+             ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+# --------------------------------------------------------------------- q94
+
+#: Maximal lowercase runs of >= 5 letters. Both regex engines (Java in
+#: Spark, RE2 in DuckDB) produce identical maximal matches for this
+#: pure character-class pattern — stick to the dialect-safe subset
+#: (no backrefs, no lookaround, which RE2 rejects anyway).
+LONGWORD_RE = "[a-z]{5,}"
+LONGWORD_TOPK = 30
+
+
+def q94_regex_extract_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X67: regexp_extract_all + explode — the multi-match extraction
+    surface (one row per regex hit, not just the first match), ranked
+    into a deterministic top-k vocabulary of long words. The regex
+    runs scan-side (narrow); the shuffle moves |distinct words|
+    count partials; top-k is TakeOrderedAndProject (no global sort).
+    """
+    d = _t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.regexp_extract_all(F.col("text"), F.lit(LONGWORD_RE), 0)
+        ).alias("word")
+    )
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("n_occurrences"))
+    return (
+        counts.orderBy(F.col("n_occurrences").desc(), F.col("word").asc())
+        .limit(LONGWORD_TOPK)
+        .select("word", F.col("n_occurrences").cast("bigint").alias("n_occurrences"))
+    )
+
+
+Q94_SQL = f"""
+WITH words AS (
+  SELECT unnest(regexp_extract_all(text, '{LONGWORD_RE}')) AS word
+  FROM documents
+)
+SELECT word, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM words GROUP BY word
+ORDER BY n_occurrences DESC, word ASC
+LIMIT {LONGWORD_TOPK}
+"""
+
+
+# --------------------------------------------------------------------- q95
+
+def q95_ohlc_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X68: time-series OHLC downsampling — purchase values resampled
+    to one (open, high, low, close, volume) bar per day. Open/close
+    are ORDER-dependent aggregates, pinned deterministically by
+    (ts, event_id) row_number; the close reuses the same ascending
+    sort via the partition rowcount (rn == n_rows) instead of a second
+    descending window, so the plan carries ONE day-key shuffle and ONE
+    sort. At 100 TB each day's bar derives from a single partial-agg
+    pass; day is also the natural write-partition column."""
+    from pyspark.sql.window import Window
+
+    e = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.date_trunc("day", F.col("ts")).alias("day"),
+            "ts",
+            "event_id",
+            _money_cents("value").alias("v"),
+        )
+    )
+    w_asc = Window.partitionBy("day").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+    w_all = Window.partitionBy("day")
+    d = e.select(
+        "day",
+        "v",
+        F.row_number().over(w_asc).alias("_rn"),
+        F.count(F.lit(1)).over(w_all).alias("_nr"),
+    )
+    return d.groupBy("day").agg(
+        _cents_out(F.max(F.when(F.col("_rn") == 1, F.col("v")))).alias("open_value"),
+        _cents_out(F.max("v")).alias("high_value"),
+        _cents_out(F.min("v")).alias("low_value"),
+        _cents_out(
+            F.max(F.when(F.col("_rn") == F.col("_nr"), F.col("v")))
+        ).alias("close_value"),
+        F.count(F.lit(1)).alias("n_trades"),
+        _cents_out(F.sum("v")).alias("volume"),
+    )
+
+
+Q95_SQL = """
+WITH p AS (
+  SELECT date_trunc('day', ts) AS day, ts, event_id,
+         CAST(value * 100 AS BIGINT) AS v
+  FROM events WHERE event_type = 'purchase'
+),
+r AS (
+  SELECT day, v,
+         row_number() OVER (PARTITION BY day ORDER BY ts ASC, event_id ASC) AS rn,
+         count(*) OVER (PARTITION BY day) AS nr
+  FROM p
+)
+SELECT day,
+       CAST(max(CASE WHEN rn = 1 THEN v END) AS BIGINT) / 100.0 AS open_value,
+       CAST(max(v) AS BIGINT) / 100.0 AS high_value,
+       CAST(min(v) AS BIGINT) / 100.0 AS low_value,
+       CAST(max(CASE WHEN rn = nr THEN v END) AS BIGINT) / 100.0 AS close_value,
+       count(*) AS n_trades,
+       CAST(sum(v) AS BIGINT) / 100.0 AS volume
+FROM r GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- q96
+
+Q96_JSON_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".q96_json_land"
+)
+
+
+def q96_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X69: JSON-lines reader/sink round-trip ON DISK (q77's CSV twin,
+    sources/readers.py:read_json_lines — schema-enforced, PERMISSIVE
+    with quarantine column): events are written to newline-delimited
+    JSON (the event-feed landing format), read back through the
+    engine's JSON reader, and aggregated. The oracle computes the same
+    aggregate from the ORIGINAL parquet — the round-trip must preserve
+    every value bit-exactly, including sub-second timestamps (ISO
+    micros round-trip) and doubles (Java shortest-representation
+    formatting re-parses to the identical bits)."""
+    import shutil as _sh
+
+    from pyspark.sql import types as T
+
+    from product_analytics_spark.sources import readers
+
+    _sh.rmtree(Q96_JSON_DIR, ignore_errors=True)
+    e = _t(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    ts_type = e.schema["ts"].dataType
+    # Micros-precision format on BOTH sides: Spark's JSON default is
+    # millis-only and would silently truncate .845357 -> .845000.
+    ts_fmt = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+    e.write.mode("overwrite").option("timestampFormat", ts_fmt).option(
+        "timestampNTZFormat", ts_fmt
+    ).json(Q96_JSON_DIR)
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", ts_type),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    back = readers.read_json_lines(spark, Q96_JSON_DIR, schema, timestamp_format=ts_fmt)
+    good, _rejects = readers.split_rejects(back)
+    return good.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("user_id").cast("bigint").alias("sum_user_ids"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        _cents_out(F.sum(_money_cents("value"))).alias("total_value"),
+    )
+
+
+Q96_SQL = """
+SELECT event_type, count(*) AS n_events,
+       CAST(sum(user_id) AS BIGINT) AS sum_user_ids,
+       min(ts) AS first_ts, max(ts) AS last_ts,
+       CAST(sum(CAST(value * 100 AS BIGINT)) AS BIGINT) / 100.0 AS total_value
+FROM events GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------- q97
+
+def q97_udtf_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X70: the Python UDTF / LATERAL table-function door
+    (functions/udtfs.py — SURVEY.md §2.10). A user-defined row
+    expander (whitespace tokenizer) registered on the session and
+    invoked through SQL ``LATERAL``, then aggregated per language.
+    Deliberately the SLOW path: the engine's position is that UDTFs
+    exist for logic built-ins can't express, and the built-in twin
+    (explode(split)) is row-for-row equivalent (pytest-asserted) and
+    ~10-100x faster. Arrow-batched when the runtime supports it;
+    documents is the smallest table, so the Python hop is bounded."""
+    from product_analytics_spark.functions import udtfs
+
+    udtfs.register_all(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("q97_docs")
+    toks = spark.sql(
+        """
+        SELECT d.lang, t.pos, t.token
+        FROM q97_docs d, LATERAL tokenize(d.text) t
+        """
+    )
+    return toks.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.count_distinct(F.col("token")).alias("n_distinct_tokens"),
+        F.sum(F.length("token")).cast("bigint").alias("total_token_chars"),
+        F.max("pos").cast("int").alias("max_token_pos"),
+    )
+
+
+Q97_SQL = """
+WITH per_doc AS (
+  SELECT lang, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+  FROM documents
+),
+toks AS (
+  SELECT lang, unnest(toks) AS token, len(toks) AS n_doc FROM per_doc
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(count(DISTINCT token) AS BIGINT) AS n_distinct_tokens,
+       CAST(sum(length(token)) AS BIGINT) AS total_token_chars,
+       CAST(max(n_doc) - 1 AS INT) AS max_token_pos
+FROM toks GROUP BY 1
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_predicates": q02_filter_predicates,
@@ -3829,6 +4281,14 @@ QUERIES = {
     "q87_string_suite": q87_string_suite,
     "q88_incremental_dedup": q88_incremental_dedup,
     "q89_pit_join": q89_pit_join,
+    "q90_gap_fill": q90_gap_fill,
+    "q91_correlation": q91_correlation,
+    "q92_ntile_deciles": q92_ntile_deciles,
+    "q93_window_value_family": q93_window_value_family,
+    "q94_regex_extract_all": q94_regex_extract_all,
+    "q95_ohlc_downsample": q95_ohlc_downsample,
+    "q96_json_roundtrip": q96_json_roundtrip,
+    "q97_udtf_tokenize": q97_udtf_tokenize,
 }
 
 ORACLES = {
@@ -3921,4 +4381,12 @@ ORACLES = {
     "q87_string_suite": Q87_SQL,
     "q88_incremental_dedup": _q88_sql(),
     "q89_pit_join": Q89_SQL,
+    "q90_gap_fill": Q90_SQL,
+    "q91_correlation": Q91_SQL,
+    "q92_ntile_deciles": Q92_SQL,
+    "q93_window_value_family": Q93_SQL,
+    "q94_regex_extract_all": Q94_SQL,
+    "q95_ohlc_downsample": Q95_SQL,
+    "q96_json_roundtrip": Q96_SQL,
+    "q97_udtf_tokenize": Q97_SQL,
 }

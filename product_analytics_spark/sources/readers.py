@@ -69,16 +69,26 @@ def read_json_lines(
     spark: SparkSession,
     path: str,
     schema: T.StructType,
+    timestamp_format: str | None = None,
 ) -> DataFrame:
     """Newline-delimited JSON (the event-feed landing format) with
     enforced schema + quarantine column. Multi-line JSON is not
-    splittable (one file = one task) — reject it by default."""
-    return (
+    splittable (one file = one task) — reject it by default.
+
+    ``timestamp_format`` is applied to both the zoned and NTZ
+    timestamp parsers; pass a micros pattern when the feed carries
+    sub-millisecond precision (Spark's default JSON format is
+    millis-only and silently truncates)."""
+    reader = (
         spark.read.schema(_with_corrupt_col(schema))
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", CORRUPT_COL)
-        .json(path)
     )
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format).option(
+            "timestampNTZFormat", timestamp_format
+        )
+    return reader.json(path)
 
 
 def split_rejects(df: DataFrame) -> tuple[DataFrame, DataFrame]:
