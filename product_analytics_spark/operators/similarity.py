@@ -140,9 +140,19 @@ def embedding_near_dup_pairs_ivf(
     id_col: str = "vec_id",
     sim_scale: int = 4,
     dim: int | None = None,
+    backend: str = "arrow",
 ) -> DataFrame:
     """Top-k most-similar embedding pairs blocked by IVF cell — the
     scale-correct form of :func:`embedding_near_dup_pairs`.
+
+    ``backend='arrow'`` (default) scores each cell in an Arrow-grouped
+    numpy kernel (dim-order accumulation — bit-equal to the expression
+    fold, see _cell_pair_sims) and emits only each cell's top-k
+    candidate pairs; the global top-k then reduces |cells|·k rows.
+    Every winning pair lives in exactly one cell, so per-cell-top-k →
+    global-top-k is exact. ``backend='join'`` keeps the
+    pure-expression within-cell self-join (bit-identical output,
+    unit-tested).
 
     Blocking on a semantic column (label) is an anti-pattern at scale:
     block count is fixed by the domain, so each block grows linearly
@@ -161,6 +171,21 @@ def embedding_near_dup_pairs_ivf(
     """
     cents = centroids if centroids is not None else CENTROIDS_FINE
     assigned = ivf_assign(df, cents, vec_col, cell_col="_blk")
+    if backend == "arrow":
+        cand = _grouped_cell_pairs(
+            assigned.select(F.col(id_col), "_blk", F.col(vec_col)),
+            id_col,
+            vec_col,
+            cap_per_cell,
+            "pairs",
+            k,
+        )
+        top = cand.orderBy(F.desc("_sim"), "id_a", "id_b").limit(k)
+        return top.select(
+            "id_a", "id_b", F.round(F.col("_sim"), sim_scale).alias("cosine_sim")
+        )
+    if backend != "join":
+        raise ValueError(f"unknown backend: {backend}")
     v = assigned.select(
         F.col(id_col),
         F.col("_blk"),
@@ -456,6 +481,123 @@ def kmeans_update(
     )
 
 
+def _cell_pair_sims(V):
+    """Within-cell cosine similarity matrix with DIM-ORDER float64
+    accumulation — bit-equal to the engine's sequential expression
+    fold (``0.0 + v0*w0 + v1*w1 + ...``): every element of the Gram
+    matrix receives the identical IEEE add/mul sequence, the norm is
+    the same fold + one correctly-rounded sqrt, and the final divide
+    is dot / (na*nb) exactly as the expression computes it. numpy's
+    ``V @ V.T`` would be ~2x faster but uses pairwise/SIMD summation —
+    NOT bit-equal — so it is deliberately not used."""
+    import numpy as np
+
+    n, d = V.shape
+    G = np.zeros((n, n))
+    nacc = np.zeros(n)
+    for i in range(d):
+        col = V[:, i]
+        G = G + col[:, None] * col[None, :]
+        nacc = nacc + col * col
+    norms = np.sqrt(nacc)
+    return G / (norms[:, None] * norms[None, :])
+
+
+def _grouped_cell_pairs(
+    assigned: DataFrame,
+    id_col: str,
+    vec_col: str,
+    cap_per_cell: int | None,
+    mode: str,
+    k: int,
+) -> DataFrame:
+    """Arrow-grouped within-cell pair scoring: ONE shuffle on the cell
+    key brings each cell's vectors to one task, numpy builds the cell's
+    similarity matrix (dim-order accumulation — see _cell_pair_sims),
+    and only the per-cell winners leave the task. Replaces the
+    self-join form's (vectors × pairs) shuffle payload AND the
+    downstream ranking window: per-cell output is k rows per vector
+    (``mode='knn'``) or k candidate pairs (``mode='pairs'``).
+
+    The deterministic per-cell cap (first ``cap_per_cell`` rows by id)
+    is applied inside the group — same semantics as the window form,
+    without the extra window pass."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    if mode == "knn":
+        out_schema = T.StructType(
+            [
+                T.StructField("vec_id", T.LongType()),
+                T.StructField("neighbor_id", T.LongType()),
+                T.StructField("rank", T.IntegerType()),
+                T.StructField("_sim", T.DoubleType()),
+            ]
+        )
+    else:
+        out_schema = T.StructType(
+            [
+                T.StructField("id_a", T.LongType()),
+                T.StructField("id_b", T.LongType()),
+                T.StructField("_sim", T.DoubleType()),
+            ]
+        )
+
+    def _score(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col)
+        if cap_per_cell is not None:
+            pdf = pdf.head(cap_per_cell)
+        n = len(pdf)
+        if n < 2:
+            if mode == "knn":
+                return pd.DataFrame(
+                    {
+                        "vec_id": pd.Series(dtype="int64"),
+                        "neighbor_id": pd.Series(dtype="int64"),
+                        "rank": pd.Series(dtype="int32"),
+                        "_sim": pd.Series(dtype="float64"),
+                    }
+                )
+            return pd.DataFrame(
+                {
+                    "id_a": pd.Series(dtype="int64"),
+                    "id_b": pd.Series(dtype="int64"),
+                    "_sim": pd.Series(dtype="float64"),
+                }
+            )
+        ids = pdf[id_col].to_numpy(dtype="int64")
+        V = np.stack(pdf[vec_col].values).astype("float64")
+        sims = _cell_pair_sims(V)
+        if mode == "knn":
+            src, nbr, rnk, sv = [], [], [], []
+            for i in range(n):
+                row = sims[i]
+                order = np.lexsort((ids, -row))  # sim DESC, id ASC
+                taken = 0
+                for j in order:
+                    if j == i:
+                        continue
+                    taken += 1
+                    src.append(ids[i])
+                    nbr.append(ids[j])
+                    rnk.append(taken)
+                    sv.append(row[j])
+                    if taken == k:
+                        break
+            return pd.DataFrame(
+                {"vec_id": src, "neighbor_id": nbr, "rank": rnk, "_sim": sv}
+            )
+        iu, ju = np.triu_indices(n, 1)  # ids sorted -> id_a < id_b
+        flat = sims[iu, ju]
+        order = np.lexsort((ids[ju], ids[iu], -flat))[:k]
+        return pd.DataFrame(
+            {"id_a": ids[iu][order], "id_b": ids[ju][order], "_sim": flat[order]}
+        )
+
+    return assigned.groupBy("_blk").applyInPandas(_score, out_schema)
+
+
 def knn_join_ivf(
     df: DataFrame,
     centroids: Sequence[Sequence[float]] | None = None,
@@ -465,6 +607,7 @@ def knn_join_ivf(
     sim_scale: int = 4,
     dim: int | None = None,
     cap_per_cell: int | None = None,
+    backend: str = "arrow",
 ) -> DataFrame:
     """k-NN self-join: for EVERY vector, its k most-similar neighbors
     within the same IVF cell (the per-row generalization of
@@ -477,17 +620,39 @@ def knn_join_ivf(
     raise the cell count for speed, add multi-probe for recall (the
     same dials as ``cosine_topk_ivf``).
 
-    Plan: cell assignment folds into the scan (Arrow-backed), the
-    within-cell pair join is an equi-join on the cell id with the
-    unrolled dot product when ``dim`` is known, and the per-row top-k
-    is one row_number window partitioned by the source id — shuffle
-    keys are 8 bytes throughout. Returns (vec_id, neighbor_id, rank,
-    cosine_sim) with rank 1..k by (sim DESC, neighbor ASC).
+    Plan (``backend='arrow'``, default): cell assignment folds into
+    the scan, then ONE shuffle on the cell key feeds an Arrow-grouped
+    numpy kernel that builds each cell's similarity matrix with
+    dim-order accumulation (bit-equal to the expression fold — see
+    _cell_pair_sims) and emits each vector's top-k directly — no pair
+    materialization, no vector payload in a join, no ranking window.
+    ``backend='join'`` keeps the pure-expression form: within-cell
+    equi-join + unrolled dot + row_number window (same output,
+    bit-for-bit; equivalence is unit-tested). Returns (vec_id,
+    neighbor_id, rank, cosine_sim) with rank 1..k by (sim DESC,
+    neighbor ASC).
     """
     cents = centroids if centroids is not None else CENTROIDS_FINE
     from pyspark.sql import Window
 
     assigned = ivf_assign(df, cents, vec_col, cell_col="_blk")
+    if backend == "arrow":
+        out = _grouped_cell_pairs(
+            assigned.select(F.col(id_col), "_blk", F.col(vec_col)),
+            id_col,
+            vec_col,
+            cap_per_cell,
+            "knn",
+            k,
+        )
+        return out.select(
+            F.col("vec_id").alias(id_col) if id_col != "vec_id" else F.col("vec_id"),
+            "neighbor_id",
+            "rank",
+            F.round(F.col("_sim"), sim_scale).alias("cosine_sim"),
+        )
+    if backend != "join":
+        raise ValueError(f"unknown backend: {backend}")
     v = assigned.select(
         F.col(id_col), F.col("_blk"), F.col(vec_col).cast("array<double>").alias("_v")
     )

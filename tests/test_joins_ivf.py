@@ -161,6 +161,33 @@ class TestMultiProbeLsh:
         assert r1 <= r4 <= 10
 
 
+class TestPairBackendEquivalence:
+    """The Arrow-grouped numpy kernel and the pure-expression
+    self-join must be BIT-identical (dim-order accumulation contract,
+    similarity._cell_pair_sims) — this is what licenses the fast
+    backend as the default."""
+
+    def test_knn_backends_bit_equal(self, spark):
+        from product_analytics_spark.catalog import read_parquet
+        from product_analytics_spark.operators import similarity
+
+        emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+        kw = dict(centroids=similarity.CENTROIDS_FINE, k=3, dim=64, cap_per_cell=500)
+        a = similarity.knn_join_ivf(emb, backend="arrow", **kw).collect()
+        b = similarity.knn_join_ivf(emb, backend="join", **kw).collect()
+        assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+    def test_pair_backends_bit_equal(self, spark):
+        from product_analytics_spark.catalog import read_parquet
+        from product_analytics_spark.operators import similarity
+
+        emb = read_parquet(spark, "/root/testdata/sf0.001/embeddings.parquet")
+        kw = dict(centroids=similarity.CENTROIDS_FINE, k=20, dim=64, cap_per_cell=500)
+        a = similarity.embedding_near_dup_pairs_ivf(emb, backend="arrow", **kw).collect()
+        b = similarity.embedding_near_dup_pairs_ivf(emb, backend="join", **kw).collect()
+        assert [tuple(r) for r in a] == [tuple(r) for r in b]
+
+
 class TestKnnJoin:
     def test_knn_ranks_and_symmetric_blocking(self, spark):
         from product_analytics_spark.operators import similarity
