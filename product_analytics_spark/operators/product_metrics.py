@@ -101,20 +101,29 @@ def funnel_counts(
             F.struct((acc["depth"] + 1).alias("depth"), e["ts"].alias("ts")),
         ).otherwise(acc)
 
+    # Stage the fold ONCE: the explode expression references depth
+    # twice (guard + sequence bound); staged as a projection attribute
+    # it is computed once per user instead of the whole fold subtree
+    # being duplicated — which also halves the generated-code size the
+    # first run must Janino-compile (cold-run latency, measured ~1s).
     depth = F.aggregate(F.col("_seq"), init, advance)["depth"]
-    reached = seq.select(
+    staged = seq.select(depth.alias("_depth"))
+    reached = staged.select(
         F.explode(
-            F.when(depth > 0, F.sequence(F.lit(1), depth)).otherwise(
-                F.array().cast("array<int>")
-            )
+            F.when(
+                F.col("_depth") > 0, F.sequence(F.lit(1), F.col("_depth"))
+            ).otherwise(F.array().cast("array<int>"))
         ).alias("step_idx")
     )
     counts = reached.groupBy("step_idx").agg(F.count(F.lit(1)).alias("_n"))
 
     spark = events.sparkSession
-    steps_dim = spark.createDataFrame(
-        [(i + 1, s) for i, s in enumerate(steps)], "step_idx int, step string"
-    )
+    # Literal-array dimension, not createDataFrame: a local-collection
+    # DataFrame costs a driver->JVM RDD round trip (~1s on first use in
+    # a session) where plan-time literals cost nothing.
+    steps_dim = spark.range(1).select(
+        F.posexplode(F.array(*[F.lit(s) for s in steps])).alias("_i", "step")
+    ).select((F.col("_i") + 1).cast("int").alias("step_idx"), "step")
     return (
         steps_dim.join(F.broadcast(counts), "step_idx", "left")
         .select(
