@@ -18,6 +18,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from product_analytics_spark import cache
 from product_analytics_spark.catalog import read_parquet
 from product_analytics_spark.functions import cleaning, dates, scoring
 from product_analytics_spark.operators import (
@@ -3472,9 +3473,11 @@ def q85_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q85_sql() -> str:
-    return f"""
-WITH {_ivf_cell_ctes(similarity.CENTROIDS_FINE)},
+def _knn_ctes() -> str:
+    """Shared oracle fragment: the capped IVF-cell k-NN relation
+    ``r``(vec_id, neighbor_id, sim, rank) reproducing
+    operators/similarity.py:knn_join_ivf."""
+    return f"""{_ivf_cell_ctes(similarity.CENTROIDS_FINE)},
 capped AS (
   SELECT vec_id, e, cell FROM (
     SELECT *, row_number() OVER (PARTITION BY cell ORDER BY vec_id) AS rn FROM cw
@@ -3490,7 +3493,12 @@ r AS (
   SELECT vec_id, neighbor_id, sim,
          row_number() OVER (PARTITION BY vec_id ORDER BY sim DESC, neighbor_id ASC) AS rank
   FROM pairs
-)
+)"""
+
+
+def _q85_sql() -> str:
+    return f"""
+WITH {_knn_ctes()}
 SELECT vec_id, neighbor_id, CAST(rank AS INT) AS rank, round(sim, 4) AS cosine_sim
 FROM r WHERE rank <= {KNN_K}
 """
@@ -4218,6 +4226,115 @@ FROM toks GROUP BY 1
 """
 
 
+# --------------------------------------------------------------------- q98
+
+def q98_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X71: time-WEIGHTED average (TWAP) — the step-function integral
+    every pricing/telemetry pipeline needs: each observation holds its
+    value until the next one (or the end of the day), so the day's
+    average weighs values by their holding time, not their count.
+    ONE (event_type, day)-key shuffle serves both the lead() window
+    and the final aggregate (same partition keys). Exact arithmetic:
+    cents x micros products stay in BIGINT (bounded by
+    max_cents·86400e6 per group-day, ~2^50), the single
+    double-division at the end is IEEE-identical in both engines."""
+    from pyspark.sql.window import Window
+
+    e = _t(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).alias("day"),
+        "ts",
+        "event_id",
+        _money_cents("value").alias("v"),
+    )
+    w = Window.partitionBy("event_type", "day").orderBy(
+        F.col("ts").asc(), F.col("event_id").asc()
+    )
+
+    def micros(c: F.Column) -> F.Column:
+        return F.unix_micros(c.cast("timestamp"))
+
+    nxt = F.lead("ts").over(w)
+    day_end = F.col("day") + F.expr("interval 1 day")
+    wt = micros(F.coalesce(nxt, day_end)) - micros(F.col("ts"))
+    d = e.select("event_type", "day", "v", wt.alias("_w"))
+    return d.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            (F.sum(F.col("v") * F.col("_w")).cast("double") / F.sum("_w").cast("double"))
+            / F.lit(100.0)
+        ).alias("twap_value"),
+        (F.sum("_w").cast("double") / F.lit(1000000.0)).alias("covered_seconds"),
+    )
+
+
+Q98_SQL = """
+WITH b AS (
+  SELECT event_type, date_trunc('day', ts) AS day, ts, event_id,
+         CAST(value * 100 AS BIGINT) AS v
+  FROM events
+),
+wts AS (
+  SELECT event_type, day, v,
+         epoch_us(coalesce(
+           lead(ts) OVER (PARTITION BY event_type, day ORDER BY ts ASC, event_id ASC),
+           day + INTERVAL 1 DAY
+         )) - epoch_us(ts) AS w
+  FROM b
+)
+SELECT event_type, day, count(*) AS n_events,
+       (CAST(sum(v * w) AS DOUBLE) / CAST(sum(w) AS DOUBLE)) / 100.0 AS twap_value,
+       CAST(sum(w) AS DOUBLE) / 1000000.0 AS covered_seconds
+FROM wts GROUP BY 1, 2
+"""
+
+
+# --------------------------------------------------------------------- q99
+
+def q99_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X72: mutual nearest neighbors — the entity-resolution /
+    bitext-mining primitive: pairs (a, b) where b is a's top-1
+    neighbor AND a is b's top-1 neighbor (within IVF cells, q85's
+    kernel at k=1). Mutuality is the classic high-precision match
+    filter: one-directional nearest neighbors are noisy, reciprocal
+    ones overwhelmingly true matches. The k-NN relation is persisted
+    and self-joined on the reversed key — 16-byte rows, broadcastable
+    at |corpus| scale since it holds ONE row per vector."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nn = cache.persist(
+        similarity.knn_join_ivf(
+            emb,
+            centroids=similarity.CENTROIDS_FINE,
+            k=1,
+            dim=EMBEDDING_DIM,
+            cap_per_cell=NEAR_DUP_CAP_PER_CELL,
+        )
+    )
+    a = nn.select("vec_id", "neighbor_id", "cosine_sim")
+    b = nn.select(
+        F.col("vec_id").alias("_bv"), F.col("neighbor_id").alias("_bn")
+    )
+    mutual = a.join(
+        b, (F.col("neighbor_id") == F.col("_bv")) & (F.col("vec_id") == F.col("_bn"))
+    ).filter(F.col("vec_id") < F.col("neighbor_id"))
+    return mutual.select(
+        F.col("vec_id").alias("id_a"),
+        F.col("neighbor_id").alias("id_b"),
+        "cosine_sim",
+    )
+
+
+def _q99_sql() -> str:
+    return f"""
+WITH {_knn_ctes()},
+nn AS (SELECT vec_id, neighbor_id, sim FROM r WHERE rank = 1)
+SELECT n1.vec_id AS id_a, n1.neighbor_id AS id_b, round(n1.sim, 4) AS cosine_sim
+FROM nn n1 JOIN nn n2
+  ON n2.vec_id = n1.neighbor_id AND n2.neighbor_id = n1.vec_id
+WHERE n1.vec_id < n1.neighbor_id
+"""
+
+
 QUERIES = {
     "q01_scan_project": q01_scan_project,
     "q02_filter_predicates": q02_filter_predicates,
@@ -4316,6 +4433,8 @@ QUERIES = {
     "q95_ohlc_downsample": q95_ohlc_downsample,
     "q96_json_roundtrip": q96_json_roundtrip,
     "q97_udtf_tokenize": q97_udtf_tokenize,
+    "q98_twap": q98_twap,
+    "q99_mutual_nn": q99_mutual_nn,
 }
 
 ORACLES = {
@@ -4416,4 +4535,6 @@ ORACLES = {
     "q95_ohlc_downsample": Q95_SQL,
     "q96_json_roundtrip": Q96_SQL,
     "q97_udtf_tokenize": Q97_SQL,
+    "q98_twap": Q98_SQL,
+    "q99_mutual_nn": _q99_sql(),
 }

@@ -143,6 +143,58 @@ class TestUdtfTokenize:
         }
 
 
+class TestTwap:
+    def test_weights_tile_the_day(self, spark):
+        """Coverage runs from each group's first observation to the end
+        of its day — never more than 86400s — and TWAP stays inside the
+        group's value range."""
+        from product_analytics_spark.catalog import read_parquet
+
+        rows = dq.q98_twap(spark, SF_MED).collect()
+        assert rows
+        for r in rows:
+            assert 0 < r["covered_seconds"] <= 86400.0
+        e = read_parquet(spark, f"{SF_MED}/events.parquet")
+        bounds = {
+            (r["event_type"], r["day"]): (r["lo"], r["hi"])
+            for r in e.groupBy(
+                "event_type", F.date_trunc("day", "ts").alias("day")
+            )
+            .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+            .collect()
+        }
+        for r in rows:
+            lo, hi = bounds[(r["event_type"], r["day"])]
+            assert lo - 0.01 <= r["twap_value"] <= hi + 0.01
+
+
+class TestMutualNN:
+    def test_mutual_pairs_are_reciprocal_top1(self, spark):
+        from product_analytics_spark.operators import similarity
+
+        emb = dq._t(spark, SF_MED, "embeddings")
+        nn = {
+            r["vec_id"]: r["neighbor_id"]
+            for r in similarity.knn_join_ivf(
+                emb,
+                centroids=similarity.CENTROIDS_FINE,
+                k=1,
+                dim=dq.EMBEDDING_DIM,
+                cap_per_cell=dq.NEAR_DUP_CAP_PER_CELL,
+            ).collect()
+        }
+        pairs = dq.q99_mutual_nn(spark, SF_MED).collect()
+        assert pairs
+        for r in pairs:
+            assert r["id_a"] < r["id_b"]
+            assert nn[r["id_a"]] == r["id_b"] and nn[r["id_b"]] == r["id_a"]
+        # completeness: every reciprocal top-1 pair is reported
+        expected = {
+            (a, b) for a, b in nn.items() if a < b and nn.get(b) == a
+        }
+        assert {(r["id_a"], r["id_b"]) for r in pairs} == expected
+
+
 class TestJsonRoundtrip:
     def test_micros_survive(self, spark, tmp_path):
         from pyspark.sql import types as T
