@@ -3757,11 +3757,11 @@ def q90_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X63: calendar-spine gap filling — the time-series densification
     every reporting layer needs: per (event_type, day) counts with
     ZERO-filled rows for days a type fired no events. The spine is
-    generated map-side (sequence+explode over |days| literals — no
-    table scan), cross-joined with the distinct type list (tiny), and
-    the fact aggregate joins in by BROADCAST (|types|x|days| rows).
-    At 100 TB the only full-data work is the one count/sum shuffle;
-    the spine never grows with the data."""
+    generated map-side: explode(sequence(...)) of |days| literal
+    timestamps directly against the distinct type list — a Generate
+    node, NOT a join, so the plan has no cross/nested-loop join at
+    all. At 100 TB the only full-data work is the one count/sum
+    shuffle; the spine never grows with the data."""
     e = _t(spark, sf_dir, "events")
     daily = e.groupBy(
         "event_type", F.date_trunc("day", F.col("ts")).alias("day")
@@ -3769,16 +3769,16 @@ def q90_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("_n"),
         F.sum(_money_cents("value")).alias("_v"),
     )
-    spine_days = spark.range(1).select(
+    spine = e.select("event_type").distinct().select(
+        "event_type",
         F.explode(
             F.sequence(
                 F.lit(GAPFILL_START).cast("timestamp_ntz"),
                 F.lit(GAPFILL_END).cast("timestamp_ntz"),
                 F.expr("interval 1 day"),
             )
-        ).alias("day")
+        ).alias("day"),
     )
-    spine = e.select("event_type").distinct().crossJoin(F.broadcast(spine_days))
     out = spine.join(F.broadcast(daily), ["event_type", "day"], "left")
     return out.select(
         "event_type",

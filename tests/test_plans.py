@@ -90,6 +90,7 @@ class TestPlanProperties:
             "q39_ivf_ann_topk",
             "q61_kmeans_update",
             "q85_knn_join",
+            "q99_mutual_nn",
         }, arrow_users
 
     def test_split_assignment_adds_no_shuffle(self, plans):
