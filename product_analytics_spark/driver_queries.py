@@ -37,59 +37,21 @@ from product_analytics_spark.operators import (
     windows,
 )
 
-# Deterministic parameters (SURVEY.md §7.4: no CURRENT_DATE anywhere).
-AS_OF = dt.date(2001, 12, 31)          # orders span 1995..2001-08
-EVENTS_CUT = dt.datetime(2024, 1, 20)  # events span 2024-01-01..01-30
-WATERMARK_DEFAULT = dt.datetime(1900, 1, 1)
-TOPK_K = 10
-SESSION_GAP_MIN = 30
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
-
-
-def _money(c) -> F.Column:
-    """Exact money arithmetic: cast 2-dp doubles to DECIMAL(18,2)
-    before SUMming. Double summation is order-dependent (different
-    partition/merge orders flip the last bit, and ROUND(x, 2) then
-    flips a whole cent) — decimal sums are exact and deterministic on
-    any cluster size. The oracle casts identically."""
-    col = F.col(c) if isinstance(c, str) else c
-    return col.cast("decimal(18,2)")
-
-
-def _money_out(c: F.Column) -> F.Column:
-    """Final cast for money OUTPUT columns: DECIMAL -> DOUBLE.
-
-    Internal sums stay decimal (exact, order-independent); the output
-    is double because the driver's comparator sees pandas values, and
-    DuckDB converts DECIMAL to float64 there while Spark keeps Decimal
-    objects — Decimal('0.00') vs 0.0 hash-differ despite equal values
-    (the round-1 failure mode for q05/q10/q11/q12/q33). Casting the
-    SAME exact decimal to double on both sides is deterministic: IEEE
-    nearest-double of an identical value is identical bits."""
-    return c.cast("double")
-
-
-def _money_cents(c) -> F.Column:
-    """Money as exact integer CENTS, for SUM-heavy aggregations.
-
-    decimal(18,2) sums need result precision 28, which kicks Spark off
-    the primitive codegen path onto per-add BigDecimal — summing exact
-    long cents stays vectorized (~4x faster at sf0.1) with the
-    identical final double: see _cents_out."""
-    col = F.col(c) if isinstance(c, str) else c
-    return (col.cast("decimal(18,2)") * 100).cast("long")
-
-
-def _cents_out(sum_cents: F.Column) -> F.Column:
-    """cents-sum -> money double. Equal to _money_out(F.sum(_money(c)))
-    bit-for-bit: the cents sum is exact (< 2^53, so its double image is
-    exact) and /100.0 rounds the same exact rational to nearest-double
-    exactly once — the same single rounding the decimal->double cast
-    performs."""
-    return sum_cents / F.lit(100.0)
+# Shared helpers + deterministic parameters live in qcommon so the
+# q100+ extension module (driver_queries_ext.py) uses the identical
+# money/table discipline without a circular import.
+from product_analytics_spark.qcommon import (  # noqa: F401
+    AS_OF,
+    EVENTS_CUT,
+    SESSION_GAP_MIN,
+    TOPK_K,
+    WATERMARK_DEFAULT,
+    _cents_out,
+    _money,
+    _money_cents,
+    _money_out,
+    _t,
+)
 
 
 # --------------------------------------------------------------------- q01
@@ -769,14 +731,7 @@ def q20_fuzzy_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.minhash_near_dup_pairs(d, threshold=0.5)
 
 
-def _hash60_sql(e: str) -> str:
-    """DuckDB expression for text.portable_hash60: positional parse of
-    the first 15 hex chars of md5(e) into a non-negative BIGINT."""
-    return (
-        "CAST(list_sum(list_transform(generate_series(1,15), i -> "
-        f"CAST(strpos('0123456789abcdef', substring(md5({e}), i, 1)) - 1 AS BIGINT)"
-        " * (CAST(1 AS BIGINT) << (4*(15-i))))) AS BIGINT)"
-    )
+from product_analytics_spark.qcommon import _hash60_sql  # noqa: E402
 
 
 def _hex15_parse_sql(s: str) -> str:
@@ -4538,3 +4493,15 @@ ORACLES = {
     "q98_twap": Q98_SQL,
     "q99_mutual_nn": _q99_sql(),
 }
+
+
+# ------------------------------------------------------------- q100+
+# Round-3 extension families live in driver_queries_ext.py (same
+# helper discipline via qcommon); merge them into the driver surface.
+from product_analytics_spark.driver_queries_ext import (  # noqa: E402
+    ORACLES_EXT,
+    QUERIES_EXT,
+)
+
+QUERIES.update(QUERIES_EXT)
+ORACLES.update(ORACLES_EXT)

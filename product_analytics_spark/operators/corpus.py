@@ -489,3 +489,74 @@ def bigram_counts(
         .orderBy(F.desc("n"), "token_a", "token_b")
         .limit(k)
     )
+
+
+def bpe_merge_candidates(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_k: int = 20,
+) -> DataFrame:
+    """X76: the inner loop of BPE tokenizer training — count adjacent
+    character pairs WITHIN words, weighted by corpus word frequency,
+    and rank merge candidates. (Real BPE iterates: merge the top pair,
+    recount; this operator is that recount step, the part that touches
+    all data.)
+
+    Plan shape is the big win: pairs are generated from the DISTINCT
+    word relation (|vocab| rows), not from the corpus — the corpus-
+    sized work is one token hash-agg (map-side combinable), after
+    which per-word char-pair expansion runs on vocab-sized data.
+    ``transform(sequence(...))`` keeps expansion inside codegen; the
+    final top-k is TakeOrderedAndProject (no global sort).
+    """
+    words = (
+        docs.select(F.explode(tokens(F.col(text_col))).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    pairs = words.where(F.length("w") >= 2).select(
+        F.explode(
+            F.expr("transform(sequence(1, length(w) - 1), i -> substr(w, i, 2))")
+        ).alias("pair"),
+        "wc",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").alias("merge_count"))
+        .orderBy(F.desc("merge_count"), F.asc("pair"))
+        .limit(top_k)
+    )
+
+
+def inverted_index(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    postings_cap: int = 8,
+    top_k_tokens: int = 30,
+) -> DataFrame:
+    """X77: inverted-index build (token → document-frequency + capped,
+    sorted posting list) — the retrieval-side structure a corpus store
+    serves next to the documents themselves.
+
+    Postings are ``sort_array(collect_set(...))`` then sliced: arrival
+    order is NEVER trusted (collect order is partition-scheduling
+    dependent), so the output is deterministic on any cluster. The
+    (token, doc) distinct and the token agg share one token-keyed
+    shuffle. At 100 TB, cap enforcement belongs in the agg (slice
+    after sort keeps state bounded only per group — for uncapped
+    posting lists use a (token, doc) TABLE, which is this operator's
+    input relation, not an array column)."""
+    td = docs.select(
+        F.explode(tokens(F.col(text_col))).alias("token"),
+        F.col(id_col).alias("d"),
+    ).distinct()
+    return (
+        td.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df_count"),
+            F.slice(F.sort_array(F.collect_set("d")), 1, postings_cap).alias("postings"),
+        )
+        .orderBy(F.desc("df_count"), F.asc("token"))
+        .limit(top_k_tokens)
+    )

@@ -343,3 +343,117 @@ def rolling_distinct_users(
         .agg(F.countDistinct("_u").alias(f"rolling_{int(window_days)}d"))
     )
     return dau.join(rolling, "day")
+
+
+def daily_streaks(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    epoch: str = "2024-01-01",
+) -> DataFrame:
+    """X73: gaps-and-islands — longest run of CONSECUTIVE active days
+    per user (the engagement-streak metric). Classic islands trick:
+    within a user's sorted distinct days, ``day_number - row_number``
+    is constant exactly along a consecutive run, so it is the island
+    key; two hash-aggs finish the job.
+
+    Shuffle economics: the distinct() and the row_number window both
+    key on the user — ONE user-keyed exchange serves both (Catalyst
+    reuses it), then the island/user aggs reduce partials map-side.
+    At 100 TB the state per user is |active days| ≤ a few thousand
+    ints; no skew concern (per-user data is bounded by the calendar).
+    The island anchor is integer day arithmetic (datediff from a fixed
+    epoch), portable to any SQL engine."""
+    days = events.select(
+        F.col(user_col).alias("user_id"),
+        F.date_trunc("day", F.col(ts_col)).alias("d"),
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = days.select(
+        "user_id",
+        (
+            F.datediff(F.col("d").cast("date"), F.lit(epoch).cast("date"))
+            - F.row_number().over(w)
+        ).alias("anchor"),
+    )
+    runs = islands.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("run_len"))
+    return runs.groupBy("user_id").agg(
+        F.max("run_len").alias("best_streak"),
+        F.sum("run_len").alias("n_active_days"),
+    )
+
+
+def debounce(
+    events: DataFrame,
+    key_cols: Sequence[str] = ("user_id", "event_type"),
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+    min_gap_seconds: int = 5,
+) -> DataFrame:
+    """X74: temporal dedup — flag events that repeat the same key
+    within ``min_gap_seconds`` of the PREVIOUS event (double-clicks,
+    retry storms, at-least-once delivery echoes). Adds a boolean
+    ``kept``: true when the event is the key's first or arrived at
+    least the gap after its predecessor.
+
+    Lag-based (each event compares to its immediate predecessor), not
+    chain-based (compare to last KEPT event): lag is one window over
+    one key shuffle and catches the burst patterns above; the chain
+    form needs a sequential scan per key (session-style fold) and is
+    what ``operators/windows.py`` sessionization provides when needed.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(F.asc(ts_col), F.asc(tiebreak_col))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))  # NTZ→LTZ identity (UTC session)
+    prev = F.lag(us).over(w)
+    return events.withColumn(
+        "kept",
+        prev.isNull() | (us - prev >= F.lit(min_gap_seconds * 1_000_000)),
+    )
+
+
+def cooccurrence_lift(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """X75: market-basket association between event types — for each
+    unordered type pair, how many users did both, and the lift
+    ``P(a,b) / (P(a)·P(b))`` = ``(n_both · n_users) / (n_a · n_b)``.
+    Log-free (no PMI), so the only float op is one fixed-order
+    multiply/divide on exact integers — bit-reproducible anywhere.
+
+    Plan: distinct (user, type) pairs — ONE user-keyed shuffle — then
+    a self-join on the user key (co-located: same partitioning, AQE
+    reuses the exchange) producing |types|² candidates per user;
+    per-type totals are a tiny relation broadcast back onto the pair
+    aggregate. At 100 TB the self-join fan-out is bounded by
+    |event_types| (dozens), not data size."""
+    ut = events.select(
+        F.col(user_col).alias("u"), F.col(type_col).alias("t")
+    ).distinct()
+    totals = ut.groupBy("t").agg(F.count(F.lit(1)).alias("n_t"))
+    n_users = ut.select("u").distinct().count()  # driver scalar
+    pairs = (
+        ut.alias("a")
+        .join(ut.alias("b"), "u")
+        .where(F.col("a.t") < F.col("b.t"))
+        .groupBy(F.col("a.t").alias("type_a"), F.col("b.t").alias("type_b"))
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(totals.withColumnsRenamed({"t": "type_a", "n_t": "n_a"})), "type_a"
+        )
+        .join(
+            F.broadcast(totals.withColumnsRenamed({"t": "type_b", "n_t": "n_b"})), "type_b"
+        )
+        .select(
+            "type_a",
+            "type_b",
+            "n_both",
+            (
+                (F.col("n_both").cast("double") * F.lit(n_users))
+                / (F.col("n_a").cast("double") * F.col("n_b"))
+            ).alias("lift"),
+        )
+    )

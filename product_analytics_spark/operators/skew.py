@@ -97,3 +97,37 @@ def salted_agg(
                 (F.sum(f"_s_{name}") / F.sum(f"_c_{name}")).alias(name)
             )
     return stage1.groupBy(*keys).agg(*finals)
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str | Sequence[str],
+    fact_salt: F.Column,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resilient equi-join: replicate the (small) dim side across
+    ``n_salts`` salt values and join the fact side on
+    ``(key, salt)`` — a hot join key's rows spread over ``n_salts``
+    reducers instead of pinning one.
+
+    ``fact_salt`` must be a DETERMINISTIC integer expression in
+    [0, n_salts) computed from fact columns (e.g. ``pmod`` of a
+    high-cardinality id) — NOT rand(): retries/speculative tasks must
+    re-derive the same salt or rows silently drop/duplicate under
+    task re-execution. Result is row-identical to the plain join.
+
+    When to use which: broadcast the dim if it fits (no shuffle at
+    all); AQE skew-join split handles sort-merge skew at runtime;
+    salting is the static remedy when the dim is too big to broadcast
+    AND the hot keys are known/stable. Replication multiplies the dim
+    ``n_salts``×: at 100 TB keep n_salts modest (4-16) and salt only
+    the hot-key subset (split-union) if the dim is large."""
+    keys = [on] if isinstance(on, str) else list(on)
+    dim_rep = dim.withColumn(
+        "_salt", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    )
+    fact_s = fact.withColumn("_salt", fact_salt.cast("int"))
+    joined = fact_s.join(dim_rep, [*keys, "_salt"], how)
+    return joined.drop("_salt")

@@ -1,0 +1,81 @@
+"""Shared helpers for driver query modules (driver_queries*.py).
+
+Centralizes the table loader and the exact-money discipline so every
+query family computes identically: decimal/cents-exact internal sums,
+double outputs (the representation the driver's comparator sees on
+both engines — SURVEY.md §5 notes the round-1 failure mode this
+prevents).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from product_analytics_spark.catalog import read_parquet
+
+# Deterministic parameters (SURVEY.md §7.4: no CURRENT_DATE anywhere).
+AS_OF = dt.date(2001, 12, 31)          # orders span 1995..2001-08
+EVENTS_CUT = dt.datetime(2024, 1, 20)  # events span 2024-01-01..01-30
+WATERMARK_DEFAULT = dt.datetime(1900, 1, 1)
+TOPK_K = 10
+SESSION_GAP_MIN = 30
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return read_parquet(spark, f"{sf_dir}/{name}.parquet")
+
+
+def _hash60_sql(e: str) -> str:
+    """DuckDB expression for text.portable_hash60: positional parse of
+    the first 15 hex chars of md5(e) into a non-negative BIGINT."""
+    return (
+        "CAST(list_sum(list_transform(generate_series(1,15), i -> "
+        f"CAST(strpos('0123456789abcdef', substring(md5({e}), i, 1)) - 1 AS BIGINT)"
+        " * (CAST(1 AS BIGINT) << (4*(15-i))))) AS BIGINT)"
+    )
+
+
+def _money(c) -> F.Column:
+    """Exact money arithmetic: cast 2-dp doubles to DECIMAL(18,2)
+    before SUMming. Double summation is order-dependent (different
+    partition/merge orders flip the last bit, and ROUND(x, 2) then
+    flips a whole cent) — decimal sums are exact and deterministic on
+    any cluster size. The oracle casts identically."""
+    col = F.col(c) if isinstance(c, str) else c
+    return col.cast("decimal(18,2)")
+
+
+def _money_out(c: F.Column) -> F.Column:
+    """Final cast for money OUTPUT columns: DECIMAL -> DOUBLE.
+
+    Internal sums stay decimal (exact, order-independent); the output
+    is double because the driver's comparator sees pandas values, and
+    DuckDB converts DECIMAL to float64 there while Spark keeps Decimal
+    objects — Decimal('0.00') vs 0.0 hash-differ despite equal values
+    (the round-1 failure mode for q05/q10/q11/q12/q33). Casting the
+    SAME exact decimal to double on both sides is deterministic: IEEE
+    nearest-double of an identical value is identical bits."""
+    return c.cast("double")
+
+
+def _money_cents(c) -> F.Column:
+    """Money as exact integer CENTS, for SUM-heavy aggregations.
+
+    decimal(18,2) sums need result precision 28, which kicks Spark off
+    the primitive codegen path onto per-add BigDecimal — summing exact
+    long cents stays vectorized (~4x faster at sf0.1) with the
+    identical final double: see _cents_out."""
+    col = F.col(c) if isinstance(c, str) else c
+    return (col.cast("decimal(18,2)") * 100).cast("long")
+
+
+def _cents_out(sum_cents: F.Column) -> F.Column:
+    """cents-sum -> money double. Equal to _money_out(F.sum(_money(c)))
+    bit-for-bit: the cents sum is exact (< 2^53, so its double image is
+    exact) and /100.0 rounds the same exact rational to nearest-double
+    exactly once — the same single rounding the decimal->double cast
+    performs."""
+    return sum_cents / F.lit(100.0)

@@ -53,6 +53,7 @@ except Exception:  # pragma: no cover
     HAVE_DELTA = False
 
 _POINTER = "_CURRENT"
+_LOG = "_LOG"
 
 
 class SnapshotStore:
@@ -65,9 +66,17 @@ class SnapshotStore:
     above this class changes.
     """
 
-    def __init__(self, spark: SparkSession, warehouse_dir: str):
+    def __init__(
+        self, spark: SparkSession, warehouse_dir: str, retain_versions: int = 1
+    ):
+        """``retain_versions`` — how many committed versions to keep on
+        disk (≥1). With >1, superseded versions stay readable via
+        ``read(name, version=...)`` — the pointer-file analog of
+        Delta/Iceberg time travel; GC drops versions that fall off the
+        retention window at the next commit (VACUUM analog)."""
         self.spark = spark
         self.warehouse_dir = warehouse_dir
+        self.retain_versions = max(1, retain_versions)
         os.makedirs(warehouse_dir, exist_ok=True)
 
     def path(self, name: str) -> str:
@@ -75,6 +84,21 @@ class SnapshotStore:
 
     def _pointer_path(self, name: str) -> str:
         return os.path.join(self.path(name), _POINTER)
+
+    def _log_path(self, name: str) -> str:
+        return os.path.join(self.path(name), _LOG)
+
+    def versions(self, name: str) -> list[str]:
+        """Committed versions still on disk, oldest→newest (the
+        retention window's tail of the commit log)."""
+        log = self._log_path(name)
+        if not os.path.isfile(log):
+            return []
+        with open(log, encoding="utf-8") as fh:
+            committed = [ln.strip() for ln in fh if ln.strip()]
+        return [
+            v for v in committed if os.path.isdir(os.path.join(self.path(name), v))
+        ]
 
     def current_data_dir(self, name: str) -> str | None:
         """Directory of the committed version, or None if absent.
@@ -94,12 +118,28 @@ class SnapshotStore:
     def exists(self, name: str) -> bool:
         return self.current_data_dir(name) is not None
 
-    def read(self, name: str) -> DataFrame | None:
-        """Prior snapshot ({{ this }}) or None on first run."""
-        data = self.current_data_dir(name)
-        if data is None:
+    def read(self, name: str, version: int | str | None = None) -> DataFrame | None:
+        """Prior snapshot ({{ this }}) or None on first run.
+
+        ``version`` time-travels within the retention window: an int
+        indexes ``versions()`` (0 = oldest retained, -1 = current), a
+        str names a version directory directly. Requires the store to
+        have been created with ``retain_versions > 1`` for anything
+        but the current version to still exist."""
+        if version is None:
+            data = self.current_data_dir(name)
+            if data is None:
+                return None
+            return self.spark.read.parquet(data)
+        if isinstance(version, int):
+            vs = self.versions(name)
+            if not vs:
+                return None
+            version = vs[version]
+        vdir = os.path.join(self.path(name), version)
+        if not os.path.isdir(vdir):
             return None
-        return self.spark.read.parquet(data)
+        return self.spark.read.parquet(vdir)
 
     # -------------------------------------------------- commit protocol
 
@@ -138,14 +178,18 @@ class SnapshotStore:
 
     def _commit(self, name: str, version: str) -> None:
         """Atomically point ``_CURRENT`` at ``version`` (the commit
-        point), then garbage-collect superseded versions."""
+        point), append it to the commit log, then garbage-collect
+        versions that fell off the retention window."""
         table = self.path(name)
         tmp = os.path.join(table, f"_ptr_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(version)
         os.replace(tmp, self._pointer_path(name))  # POSIX-atomic
+        with open(self._log_path(name), "a", encoding="utf-8") as fh:
+            fh.write(version + "\n")
+        retained = set(self.versions(name)[-self.retain_versions :]) | {version}
         for entry in os.listdir(table):
-            if entry.startswith("v_") and entry != version:
+            if entry.startswith("v_") and entry not in retained:
                 shutil.rmtree(os.path.join(table, entry), ignore_errors=True)
 
     # ---------------------------------------------------------- sinks
