@@ -66,8 +66,13 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
+    # Convert only columns that actually came back as int64 nanos.
+    # (INT96 timestamps also read as nanos through pyarrow's footer
+    # but Spark decodes them as TIMESTAMP directly — leave those be.)
+    dtypes = dict(df.dtypes)
     for c in ns_cols:
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if dtypes.get(c) == "bigint":
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
     return df
 
 

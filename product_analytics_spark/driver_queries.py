@@ -4505,3 +4505,11 @@ from product_analytics_spark.driver_queries_ext import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT)
 ORACLES.update(ORACLES_EXT)
+
+from product_analytics_spark.driver_queries_ext3 import (  # noqa: E402
+    ORACLES_EXT3,
+    QUERIES_EXT3,
+)
+
+QUERIES.update(QUERIES_EXT3)
+ORACLES.update(ORACLES_EXT3)

@@ -133,6 +133,115 @@ def dup_clusters(
     )
 
 
+def triangle_counts(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> DataFrame:
+    """Per-vertex triangle counts via DEGREE-ORDERED edge orientation
+    (the MapReduce-era standard: Suri & Vassilvitskii, "Counting
+    Triangles and the Curse of the Last Reducer", WWW'11).
+
+    Input: undirected edges, one row per edge (either orientation,
+    duplicates tolerated — symmetrized+distinct internally). Output:
+    (id, n_triangles) for every vertex in >= 1 triangle.
+
+    Why orientation matters at scale: enumerating wedges from raw
+    adjacency costs Σ deg(v)² — a single celebrity vertex with 10^7
+    neighbors yields 10^14 wedges. Orienting every edge from its
+    lower-(degree, id) endpoint to its higher one bounds out-degree by
+    O(√m), so wedge count is O(m^1.5) TOTAL and no reducer sees a
+    skewed neighborhood. Each triangle then has exactly ONE vertex
+    with out-edges to the other two, so it is enumerated exactly once.
+
+    Plan: degree hash-agg → two broadcast-or-hash joins (orientation
+    keys), wedge self-join on the 8-byte src key, semi-join-shaped
+    closure check against the oriented edge set, one final count agg.
+    All keys are vertex ids — AQE skew handling covers residual heavy
+    keys.
+    """
+    und = (
+        edges.select(F.col(src_col).alias("a"), F.col(dst_col).alias("b"))
+        .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # Total-order key: deg*2^32 + id — one long compare orients edges
+    # deterministically (degree asc, id asc tie-break).
+    deg = und.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+    keyed = und.join(deg, "a").select(
+        "a",
+        "b",
+        (F.col("deg") * F.lit(1 << 32) + F.col("a")).alias("ka"),
+    )
+    degb = deg.select(F.col("a").alias("b"), (F.col("deg") * F.lit(1 << 32) + F.col("a")).alias("kb"))
+    oriented = (
+        keyed.join(degb, "b")
+        .filter(F.col("ka") < F.col("kb"))
+        .select(F.col("a").alias("src"), F.col("b").alias("dst"), F.col("kb").alias("kdst"))
+    )
+    e = oriented.persist()
+    try:
+        e1 = e.select(F.col("src"), F.col("dst").alias("v"), F.col("kdst").alias("kv"))
+        e2 = e.select(F.col("src"), F.col("dst").alias("w"), F.col("kdst").alias("kw"))
+        wedges = e1.join(e2, "src").filter(F.col("kv") < F.col("kw"))
+        closure = e.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        tri = wedges.join(closure, ["v", "w"]).select("src", "v", "w")
+        per_vertex = (
+            tri.select(F.col("src").alias("id"))
+            .union(tri.select(F.col("v").alias("id")))
+            .union(tri.select(F.col("w").alias("id")))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n_triangles"))
+        )
+        # Materialize before unpersist: callers get a plain DataFrame.
+        return per_vertex.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()
+
+
+def bfs_hops(
+    edges: DataFrame,
+    source_ids: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    id_col: str = "id",
+) -> DataFrame:
+    """Minimum hop distance from a seed set over undirected edges,
+    bounded at ``max_hops`` — frontier-expansion BFS as k rounds of
+    (frontier ⋈ edges → min-hop agg).
+
+    State per round is the (vertex, hops) relation — 12 bytes/vertex,
+    the same scale posture as connected_components. The frontier join
+    is keyed on vertex id; reached vertices are folded back with a
+    min() agg so re-discovery never raises a hop count. Returns
+    (id, hops) with hops in [0, max_hops].
+    """
+    e = (
+        edges.select(F.col(src_col).alias("s"), F.col(dst_col).alias("d"))
+        .union(edges.select(F.col(dst_col).alias("s"), F.col(src_col).alias("d")))
+        .distinct()
+        .persist()
+    )
+    try:
+        reached = source_ids.select(
+            F.col(id_col).alias("id"), F.lit(0).alias("hops")
+        ).localCheckpoint(eager=True)
+        for _ in range(max_hops):
+            expanded = (
+                e.join(reached, e.s == reached.id)
+                .select(F.col("d").alias("id"), (F.col("hops") + 1).alias("hops"))
+                .union(reached)
+                .groupBy("id")
+                .agg(F.min("hops").alias("hops"))
+            )
+            reached = expanded.localCheckpoint(eager=True)
+        return reached
+    finally:
+        e.unpersist()
+
+
 def pagerank(
     edges: DataFrame,
     src_col: str = "src",

@@ -177,3 +177,85 @@ def grouped_topk_concat(
         ).alias("top_labels"),
         F.count(F.lit(1)).alias("n_in_group"),
     )
+
+
+def grouped_linreg(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple (OLS) linear regression y = slope*x + intercept
+    plus R², from EXACT integer power sums — the q91 correlation
+    pattern extended to the full regression readout.
+
+    ``x_col``/``y_col`` must already be exact integer (long) columns
+    (quantize money to cents first). Per-row products fit BIGINT; their
+    sums accumulate split into hi/lo BIGINT halves (codegen-friendly
+    primitive sums — DECIMAL aggregation drops off the vectorized
+    path), reassembled exactly in DECIMAL(38,0) on the |groups|-row
+    result. Only the final fixed-order double formulas touch floating
+    point, so the output is bit-reproducible on any cluster size and
+    in any engine that mirrors the same expression order:
+
+        slope     = (n*Sxy - Sx*Sy) / (n*Sxx - Sx*Sx)
+        intercept = (Sy - slope*Sx) / n
+        r2        = (n*Sxy - Sx*Sy)² / ((n*Sxx - Sx²) * (n*Syy - Sy²))
+
+    Plan: ONE hash-agg shuffle of |groups| x 9 long partials.
+    Returns (group..., n, slope, intercept, r2) — intercept in the
+    same integer unit as y.
+
+    Built-in ``regr_slope``/``regr_intercept`` are float running
+    aggregates (merge-order-dependent low bits across cluster sizes);
+    this form trades 9 long sums for bit-stable output.
+    """
+    g = list(group_cols)
+    SPLIT = 1 << 20
+
+    def hi(c: F.Column) -> F.Column:
+        return (c / F.lit(SPLIT)).cast("long")
+
+    def lo(c: F.Column) -> F.Column:
+        return c % F.lit(SPLIT)
+
+    x = F.col("_x")
+    y = F.col("_y")
+    s = (
+        df.select(*g, F.col(x_col).alias("_x"), F.col(y_col).alias("_y"))
+        .groupBy(*g)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_x").alias("sx_l"),
+            F.sum("_y").alias("sy_l"),
+            F.sum(hi(x * y)).alias("sxy_h"),
+            F.sum(lo(x * y)).alias("sxy_l"),
+            F.sum(hi(x * x)).alias("sxx_h"),
+            F.sum(lo(x * x)).alias("sxx_l"),
+            F.sum(hi(y * y)).alias("syy_h"),
+            F.sum(lo(y * y)).alias("syy_l"),
+        )
+    )
+
+    def reassemble(h: str, l: str) -> F.Column:
+        return (
+            F.col(h).cast("decimal(38,0)") * F.lit(SPLIT)
+            + F.col(l).cast("decimal(38,0)")
+        ).cast("double")
+
+    nd = F.col("n").cast("double")
+    sx = F.col("sx_l").cast("double")
+    sy = F.col("sy_l").cast("double")
+    sxy = reassemble("sxy_h", "sxy_l")
+    sxx = reassemble("sxx_h", "sxx_l")
+    syy = reassemble("syy_h", "syy_l")
+    num = nd * sxy - sx * sy
+    den = nd * sxx - sx * sx
+    slope = num / den
+    return s.select(
+        *g,
+        F.col("n").cast("bigint").alias("n"),
+        slope.alias("slope"),
+        ((sy - slope * sx) / nd).alias("intercept"),
+        ((num * num) / (den * (nd * syy - sy * sy))).alias("r2"),
+    )
