@@ -4513,3 +4513,11 @@ from product_analytics_spark.driver_queries_ext3 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT3)
 ORACLES.update(ORACLES_EXT3)
+
+from product_analytics_spark.driver_queries_ext4 import (  # noqa: E402
+    ORACLES_EXT4,
+    QUERIES_EXT4,
+)
+
+QUERIES.update(QUERIES_EXT4)
+ORACLES.update(ORACLES_EXT4)

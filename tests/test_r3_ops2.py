@@ -155,3 +155,77 @@ class TestQueryKernels:
         assert got[4].purchase_id == 3 and got[4].gap_us == 70_000_000
         assert got[5].purchase_id == 6 and got[5].direction == "after"
         assert 7 not in got
+
+
+class TestBatch3Kernels:
+    def test_weighted_median_hand_example(self, spark):
+        import os
+        import tempfile
+
+        from product_analytics_spark.driver_queries_ext4 import q131_weighted_median
+
+        # group A: prices 1,2,9 weights 1,1,1 -> median 2
+        # group B: price 5 w=1, price 7 w=10 -> weighted median 7
+        rows = [
+            ("A", 1.0, 1.0, 1), ("A", 2.0, 1.0, 2), ("A", 9.0, 1.0, 3),
+            ("B", 5.0, 1.0, 4), ("B", 7.0, 10.0, 5),
+        ]
+        df = spark.createDataFrame(
+            rows, "l_returnflag string, l_extendedprice double, l_quantity double, i long"
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            df.write.parquet(os.path.join(tmp, "lineitem.parquet"))
+            got = {r.l_returnflag: r for r in q131_weighted_median(spark, tmp).collect()}
+        assert got["A"].weighted_median_price == 2.0
+        assert got["B"].weighted_median_price == 7.0
+        assert got["B"].total_weight == 11
+
+    def test_ema_first_event_is_value_and_weights_decay(self, spark):
+        import os
+        import tempfile
+
+        from product_analytics_spark.driver_queries_ext4 import q129_ema_smoothing
+
+        rows = [
+            (1, 1, "2024-01-01 00:00:00", 100.0),
+            (2, 1, "2024-01-01 00:01:00", 200.0),
+        ]
+        df = (
+            spark.createDataFrame(rows, "event_id long, user_id long, ts string, value double")
+            .withColumn("ts", F.col("ts").cast("timestamp"))
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            df.write.parquet(os.path.join(tmp, "events.parquet"))
+            got = {r.event_id: r.ema_value for r in q129_ema_smoothing(spark, tmp).collect()}
+        assert got[1] == 100.0                      # no history -> the value itself
+        # dyadic decay, exact in the engine's fixed op order (cents,
+        # then one division, then /100)
+        assert got[2] == ((20000.0 + 0.5 * 10000.0) / 1.5) / 100.0
+
+    def test_column_profile_counts_nulls_and_distincts(self, spark):
+        import os
+        import tempfile
+
+        from product_analytics_spark.driver_queries_ext4 import q130_column_profile
+
+        rows = [
+            (1, 10, "O", "1-URGENT", 5.0, "2024-01-01 00:00:00"),
+            (2, 10, None, "2-HIGH", 6.0, "2024-01-02 00:00:00"),
+            (3, 20, "F", "2-HIGH", 7.0, "2024-01-02 00:00:00"),
+        ]
+        df = (
+            spark.createDataFrame(
+                rows,
+                "o_orderkey long, o_custkey long, o_orderstatus string, "
+                "o_orderpriority string, o_totalprice double, o_orderdate string",
+            )
+            .withColumn("o_orderdate", F.col("o_orderdate").cast("timestamp"))
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            df.write.parquet(os.path.join(tmp, "orders.parquet"))
+            got = {r.column_name: r for r in q130_column_profile(spark, tmp).collect()}
+        assert got["o_orderstatus"].n_null == 1
+        assert got["o_orderstatus"].n_distinct == 2
+        assert got["o_custkey"].n_distinct == 2
+        assert got["o_totalprice_cents"].min_v == "500"
+        assert got["o_orderdate_day"].max_v == "2024-01-02"
