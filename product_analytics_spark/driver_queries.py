@@ -4517,7 +4517,10 @@ ORACLES.update(ORACLES_EXT3)
 from product_analytics_spark.driver_queries_ext4 import (  # noqa: E402
     ORACLES_EXT4,
     QUERIES_EXT4,
+    _q134_sql,
 )
 
 QUERIES.update(QUERIES_EXT4)
 ORACLES.update(ORACLES_EXT4)
+# q134 composes Q21/Q28 oracle SQL; resolve after those are defined.
+ORACLES["q134_ann_recall"] = _q134_sql()

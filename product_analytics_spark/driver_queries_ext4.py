@@ -378,6 +378,217 @@ GROUP BY rf, tot
 """
 
 
+# ------------------------------------------------------------- q132
+
+RANGE_FRAME_US = 3600 * 1_000_000  # trailing 1 hour, microseconds
+
+
+def q132_range_frame_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per event, count and cents-sum of the
+    SAME user's events in the trailing hour (RANGE BETWEEN 1h
+    PRECEDING AND CURRENT ROW over integer epoch-µs). RANGE frames are
+    tie-safe — equal timestamps share one frame regardless of sort
+    order — so one user-keyed shuffle+sort is fully deterministic.
+    The rows-frame moving aggregates are X15 (q42); this is the
+    event-time-bounded variant a rate limiter / rolling spend monitor
+    needs."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+        _money_cents("value").alias("c"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("us")
+        .rangeBetween(-RANGE_FRAME_US, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_trailing_1h"),
+        (F.sum("c").over(w) / F.lit(100.0)).alias("value_trailing_1h"),
+    )
+
+
+Q132_SQL = f"""
+WITH c AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+         CAST(value * 100 AS BIGINT) AS c
+  FROM events
+)
+SELECT event_id, user_id,
+       count(*) OVER w AS n_trailing_1h,
+       CAST(sum(c) OVER w AS BIGINT) / 100.0 AS value_trailing_1h
+FROM c
+WINDOW w AS (PARTITION BY user_id ORDER BY us
+             RANGE BETWEEN {RANGE_FRAME_US} PRECEDING AND CURRENT ROW)
+"""
+
+
+# ------------------------------------------------------------- q133
+
+CHUNK_EVERY_N = 2
+CHUNK_BYTES_Q133 = 256
+
+
+def q133_multimodal_chunk_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal frame-sampling plumbing driver evidence
+    (operators/multimodal.py:sample_chunks): payloads split into
+    256-byte chunks, every 2nd kept (the video frame-sample shape),
+    with per-chunk byte length and md5 — all built-in expression work,
+    no Python. The oracle reproduces the chunking on the text the
+    payload wraps; valid because the harness corpus is pure ASCII
+    (verified), where character offsets == byte offsets. Real media is
+    opaque binary; the decode stays behind the X5 stub."""
+    from product_analytics_spark.operators import multimodal
+
+    d = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_payload(d, "doc_id", "text")
+    chunks = multimodal.sample_chunks(
+        media, every_n=CHUNK_EVERY_N, chunk_bytes=CHUNK_BYTES_Q133
+    )
+    return chunks.select(
+        "media_id",
+        "chunk_idx",
+        F.length("chunk").alias("n_bytes"),
+        F.md5("chunk").alias("chunk_md5"),
+    )
+
+
+Q133_SQL = f"""
+WITH n AS (
+  SELECT doc_id, text,
+         CAST(ceil(length(text) / {CHUNK_BYTES_Q133}.0) AS INT) AS n_chunks
+  FROM documents
+),
+allpos AS (
+  SELECT doc_id, text, unnest(range(0, greatest(n_chunks, 1))) AS i FROM n
+),
+idx AS (
+  SELECT doc_id, text, i AS sampled_pos,
+         CAST(row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1 AS INT) AS chunk_idx
+  FROM allpos
+  WHERE i % {CHUNK_EVERY_N} = 0
+),
+ch AS (
+  SELECT doc_id AS media_id, chunk_idx,
+         substring(text, sampled_pos * {CHUNK_BYTES_Q133} + 1, {CHUNK_BYTES_Q133}) AS chunk
+  FROM idx
+)
+SELECT media_id, chunk_idx,
+       CAST(length(chunk) AS INT) AS n_bytes,
+       md5(chunk) AS chunk_md5
+FROM ch
+WHERE length(chunk) > 0
+"""
+
+
+# ------------------------------------------------------------- q134
+
+ANN_RECALL_K = 10
+
+
+def q134_ann_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality harness: recall@k of the LSH-bucket top-k (q28's
+    scale path) against the exact brute-force top-k (q21) — the
+    evaluation loop an embedding pipeline runs before trading exact
+    search for bucketed search. Both sides are deterministic, so
+    recall is an exact integer ratio. The exact side's
+    TakeOrderedAndProject and the bucket side's pruned scan are each
+    one pass; the overlap join is k rows."""
+    from product_analytics_spark.operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probe = emb.filter(F.col("vec_id") == 0).select("embedding").first()[0]
+    others = emb.filter(F.col("vec_id") != 0)
+    exact = similarity.cosine_topk(others, probe, k=ANN_RECALL_K).select("vec_id")
+    approx = similarity.cosine_topk_lsh(
+        others, probe, similarity.DEFAULT_PLANES, k=ANN_RECALL_K
+    ).select("vec_id")
+    ov = exact.join(approx, "vec_id", "left_semi").agg(
+        F.count(F.lit(1)).alias("n_overlap")
+    )
+    return ov.select(
+        F.lit(ANN_RECALL_K).alias("k"),
+        "n_overlap",
+        (F.col("n_overlap").cast("double") / F.lit(float(ANN_RECALL_K))).alias(
+            "recall_at_k"
+        ),
+    )
+
+
+def _q134_sql() -> str:
+    from product_analytics_spark.driver_queries import Q21_SQL, _q28_sql
+
+    return f"""
+WITH exact_side AS ({Q21_SQL}),
+approx_side AS ({_q28_sql()})
+SELECT {ANN_RECALL_K} AS k,
+       count(*) AS n_overlap,
+       CAST(count(*) AS DOUBLE) / {float(ANN_RECALL_K)} AS recall_at_k
+FROM exact_side e
+WHERE e.vec_id IN (SELECT vec_id FROM approx_side)
+"""
+
+
+# ------------------------------------------------------------- q135
+
+INT8_SCALE = 64
+INT8_TOPK = 10
+
+
+def q135_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8-quantized similarity search (the product-quantization-lite
+    memory trade): components round to clamp(round(x*64), ±127) and
+    the score is an EXACT integer dot product — 4× smaller vectors,
+    no float provenance in the ranking, bit-identical on any engine
+    (Spark round and DuckDB round both half-away-from-zero; the
+    quantized probe derives from the table inside each engine, no
+    driver-side rounding). Top-k via row_number on (qdot, vec_id)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qcol = F.transform(
+        F.col("embedding").cast("array<double>"),
+        lambda x: F.greatest(
+            F.lit(-127), F.least(F.lit(127), F.round(x * INT8_SCALE))
+        ).cast("long"),
+    )
+    q = emb.select("vec_id", qcol.alias("qv"))
+    probe = q.filter(F.col("vec_id") == 0).select(F.col("qv").alias("pv"))
+    scored = (
+        q.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("pv"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qdot"),
+        )
+    )
+    rn = F.row_number().over(Window.orderBy(F.desc("qdot"), F.asc("vec_id")))
+    return scored.withColumn("_rn", rn).filter(F.col("_rn") <= INT8_TOPK).drop("_rn")
+
+
+Q135_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> CAST(greatest(-127, least(127, round(x * {INT8_SCALE}))) AS BIGINT)) AS qv
+  FROM embeddings
+),
+probe AS (SELECT qv AS pv FROM q WHERE vec_id = 0),
+scored AS (
+  SELECT vec_id, CAST(list_dot_product(qv, pv) AS BIGINT) AS qdot
+  FROM q, probe WHERE vec_id != 0
+)
+SELECT vec_id, qdot
+FROM (SELECT *, row_number() OVER (ORDER BY qdot DESC, vec_id) AS rn FROM scored)
+WHERE rn <= {INT8_TOPK}
+"""
+
+
 QUERIES_EXT4 = {
     "q126_streaming_interval_join_parity": q126_streaming_interval_join_parity,
     "q127_hourly_percentiles": q127_hourly_percentiles,
@@ -385,6 +596,10 @@ QUERIES_EXT4 = {
     "q129_ema_smoothing": q129_ema_smoothing,
     "q130_column_profile": q130_column_profile,
     "q131_weighted_median": q131_weighted_median,
+    "q132_range_frame_agg": q132_range_frame_agg,
+    "q133_multimodal_chunk_sample": q133_multimodal_chunk_sample,
+    "q134_ann_recall": q134_ann_recall,
+    "q135_int8_quantized_topk": q135_int8_quantized_topk,
 }
 
 ORACLES_EXT4 = {
@@ -394,4 +609,8 @@ ORACLES_EXT4 = {
     "q129_ema_smoothing": _q129_sql(),
     "q130_column_profile": _q130_sql(),
     "q131_weighted_median": Q131_SQL,
+    "q132_range_frame_agg": Q132_SQL,
+    "q133_multimodal_chunk_sample": Q133_SQL,
+    "q134_ann_recall": None,  # resolved lazily: composes Q21/Q28 SQL
+    "q135_int8_quantized_topk": Q135_SQL,
 }
