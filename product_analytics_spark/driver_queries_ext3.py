@@ -640,8 +640,10 @@ def q125_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_sim").cast("double"))
     ) + (F.lit(1.0) / (F.lit(RRF_K) + F.col("rank_norm").cast("double")))
     fused = ranked.withColumn("rrf", rrf)
-    rn = F.row_number().over(Window.orderBy(F.desc("rrf"), F.asc("vec_id")))
-    return fused.withColumn("_rn", rn).filter(F.col("_rn") <= RRF_TOPK).drop("_rn")
+    # TakeOrderedAndProject for the final cut (no single-reducer sort);
+    # the rank windows above are the part that swaps to the ANN bucket
+    # path at scale.
+    return fused.orderBy(F.desc("rrf"), F.asc("vec_id")).limit(RRF_TOPK)
 
 
 Q125_SQL = f"""

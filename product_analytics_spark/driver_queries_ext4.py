@@ -554,21 +554,24 @@ def q135_int8_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long"),
     )
     q = emb.select("vec_id", qcol.alias("qv"))
-    probe = q.filter(F.col("vec_id") == 0).select(F.col("qv").alias("pv"))
-    scored = (
-        q.filter(F.col("vec_id") != 0)
-        .crossJoin(F.broadcast(probe))
-        .select(
-            "vec_id",
-            F.aggregate(
-                F.zip_with(F.col("qv"), F.col("pv"), lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).alias("qdot"),
-        )
+    # Quantize the probe engine-side (same round/clamp expressions),
+    # then collect the EXACT integers and inline them as plan-time
+    # literals — the q21 probe pattern, no join in the plan at all.
+    probe_q = q.filter(F.col("vec_id") == 0).select("qv").first()[0]
+    pv = F.array(*[F.lit(int(x)).cast("long") for x in probe_q])
+    scored = q.filter(F.col("vec_id") != 0).select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("qv"), pv, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("qdot"),
     )
-    rn = F.row_number().over(Window.orderBy(F.desc("qdot"), F.asc("vec_id")))
-    return scored.withColumn("_rn", rn).filter(F.col("_rn") <= INT8_TOPK).drop("_rn")
+    # orderBy+limit compiles to TakeOrderedAndProject — k rows kept
+    # per partition, merged on the driver; no single-reducer sort, no
+    # full shuffle (the q21 pattern). A global row_number window here
+    # would serialize the whole scored relation through one task.
+    return scored.orderBy(F.desc("qdot"), F.asc("vec_id")).limit(INT8_TOPK)
 
 
 Q135_SQL = f"""
