@@ -4524,3 +4524,11 @@ QUERIES.update(QUERIES_EXT4)
 ORACLES.update(ORACLES_EXT4)
 # q134 composes Q21/Q28 oracle SQL; resolve after those are defined.
 ORACLES["q134_ann_recall"] = _q134_sql()
+
+from product_analytics_spark.driver_queries_ext5 import (  # noqa: E402
+    ORACLES_EXT5,
+    QUERIES_EXT5,
+)
+
+QUERIES.update(QUERIES_EXT5)
+ORACLES.update(ORACLES_EXT5)
