@@ -295,12 +295,277 @@ GROUP BY o_orderstatus
 """
 
 
+# ------------------------------------------------------------- q141
+
+TRENDING_TOPK = 20
+
+
+def q141_trending_rank_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month trending report: parts ranked by shipped line
+    items per month, with the previous month's rank and the delta
+    (NULL = new entrant). Full-data work is ONE (month, part)
+    hash-agg; ranks are per-month windows over the post-aggregate
+    relation, and the self-join to the prior month is keyed on
+    (part, month) — both scale with |parts|, not |lineitem|."""
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.date_trunc("month", "l_shipdate").alias("month"), "l_partkey"
+    )
+    per = li.groupBy("month", "l_partkey").agg(F.count(F.lit(1)).alias("n_items"))
+    w = Window.partitionBy("month").orderBy(F.desc("n_items"), F.asc("l_partkey"))
+    ranked = per.withColumn("rnk", F.row_number().over(w))
+    cur = ranked.filter(F.col("rnk") <= TRENDING_TOPK)
+    prev = ranked.select(
+        F.col("l_partkey").alias("p_part"),
+        (F.col("month") + F.expr("INTERVAL 1 MONTH")).alias("p_next"),
+        F.col("rnk").alias("prev_rnk"),
+    )
+    j = cur.join(
+        prev,
+        (cur.l_partkey == prev.p_part) & (cur.month == prev.p_next),
+        "left",
+    )
+    return j.select(
+        "month",
+        "l_partkey",
+        "n_items",
+        "rnk",
+        "prev_rnk",
+        (F.col("prev_rnk") - F.col("rnk")).alias("rank_gain"),
+    )
+
+
+Q141_SQL = f"""
+WITH per AS (
+  SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS month,
+         l_partkey, count(*) AS n_items
+  FROM lineitem GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY month
+            ORDER BY n_items DESC, l_partkey) AS INT) AS rnk
+  FROM per
+)
+SELECT c.month, c.l_partkey, c.n_items, c.rnk, p.rnk AS prev_rnk,
+       p.rnk - c.rnk AS rank_gain
+FROM ranked c
+LEFT JOIN ranked p
+  ON p.l_partkey = c.l_partkey AND c.month = p.month + INTERVAL 1 MONTH
+WHERE c.rnk <= {TRENDING_TOPK}
+"""
+
+
+# ------------------------------------------------------------- q142
+
+def q142_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi-join (`<=>` / IS NOT DISTINCT FROM): NULL keys
+    match NULL keys instead of silently dropping — the semantics a
+    dimension join needs when 'unknown' is a legitimate key value.
+    Catalyst plans eqNullSafe as a hash join (null hashes like any
+    value); the dim side broadcasts."""
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.nullif(F.col("o_orderstatus"), F.lit("P")).alias("s")
+    )
+    dim = (
+        o.select("s")
+        .distinct()
+        .select("s", F.coalesce(F.col("s"), F.lit("IN_FLIGHT")).alias("status_label"))
+    )
+    j = o.join(F.broadcast(dim), o.s.eqNullSafe(dim.s), "inner")
+    return j.groupBy("status_label").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+Q142_SQL = """
+WITH o AS (
+  SELECT o_orderkey, nullif(o_orderstatus, 'P') AS s FROM orders
+),
+dim AS (
+  SELECT s, coalesce(s, 'IN_FLIGHT') AS status_label FROM (SELECT DISTINCT s FROM o)
+)
+SELECT dim.status_label, count(*) AS n_orders
+FROM o JOIN dim ON o.s IS NOT DISTINCT FROM dim.s
+GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------- q143
+
+def q143_reorder_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeat-purchase (reorder) rate: for each order, the fraction of
+    its parts that also appeared in the SAME customer's immediately
+    previous order. One customer-keyed window finds the predecessor;
+    the item-overlap is an equi-join on (prev order, part) — never a
+    set comparison materializing per-order arrays. Keys are order ids
+    throughout: basket skew is bounded by basket size."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.withColumn("prev_ok", F.lag("o_orderkey").over(w)).filter(
+        F.col("prev_ok").isNotNull()
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
+    cur = li.select(F.col("l_orderkey").alias("o_orderkey"), F.col("l_partkey"))
+    prv = li.select(
+        F.col("l_orderkey").alias("prev_ok"), F.col("l_partkey").alias("p_part")
+    )
+    items = seq.join(cur, "o_orderkey")
+    flagged = items.join(
+        prv,
+        (items.prev_ok == prv.prev_ok) & (items.l_partkey == prv.p_part),
+        "left_semi",
+    ).groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n_reordered"))
+    per = items.groupBy("o_orderkey", "prev_ok").agg(
+        F.count(F.lit(1)).alias("n_items")
+    )
+    out = per.join(flagged, "o_orderkey", "left").select(
+        "o_orderkey",
+        F.col("prev_ok").alias("prev_orderkey"),
+        "n_items",
+        F.coalesce(F.col("n_reordered"), F.lit(0)).cast("bigint").alias("n_reordered"),
+        (
+            F.coalesce(F.col("n_reordered"), F.lit(0)).cast("double")
+            / F.col("n_items").cast("double")
+        ).alias("reorder_rate"),
+    )
+    return out
+
+
+Q143_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderdate,
+         lag(o_orderkey) OVER (PARTITION BY o_custkey
+                               ORDER BY o_orderdate, o_orderkey) AS prev_ok
+  FROM orders
+),
+seq AS (SELECT * FROM o WHERE prev_ok IS NOT NULL),
+li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+items AS (
+  SELECT seq.o_orderkey, seq.prev_ok, li.l_partkey
+  FROM seq JOIN li ON li.l_orderkey = seq.o_orderkey
+),
+per AS (
+  SELECT o_orderkey, prev_ok, count(*) AS n_items FROM items GROUP BY 1, 2
+),
+flagged AS (
+  SELECT i.o_orderkey, count(*) AS n_reordered
+  FROM items i
+  WHERE EXISTS (
+    SELECT 1 FROM li p WHERE p.l_orderkey = i.prev_ok AND p.l_partkey = i.l_partkey
+  )
+  GROUP BY 1
+)
+SELECT per.o_orderkey, per.prev_ok AS prev_orderkey, per.n_items,
+       CAST(coalesce(f.n_reordered, 0) AS BIGINT) AS n_reordered,
+       CAST(coalesce(f.n_reordered, 0) AS DOUBLE) / CAST(per.n_items AS DOUBLE)
+         AS reorder_rate
+FROM per LEFT JOIN flagged f ON f.o_orderkey = per.o_orderkey
+"""
+
+
+# ------------------------------------------------------------- q144
+
+def q144_out_of_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-arrival audit for streaming ingestion: per user, events
+    whose event time precedes the running event-time maximum of
+    earlier ARRIVALS (arrival order = event_id) are out-of-order; the
+    report gives their count and the worst lateness — exactly the
+    statistic that sizes a watermark delay. One user-keyed window
+    (running max over the arrival order) + one hash-agg."""
+    e = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("us"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = e.withColumn("_runmax", F.max("us").over(w))
+    late = F.col("_runmax").isNotNull() & (F.col("us") < F.col("_runmax"))
+    return m.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_out_of_order"),
+        F.max(F.when(late, F.col("_runmax") - F.col("us"))).alias("max_lateness_us"),
+    )
+
+
+Q144_SQL = """
+WITH e AS (
+  SELECT user_id, event_id, epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events
+),
+m AS (
+  SELECT user_id, us,
+         max(us) OVER (PARTITION BY user_id ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS runmax
+  FROM e
+)
+SELECT user_id,
+       count(*) AS n_events,
+       CAST(sum(CASE WHEN runmax IS NOT NULL AND us < runmax THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_out_of_order,
+       max(CASE WHEN runmax IS NOT NULL AND us < runmax THEN runmax - us END)
+         AS max_lateness_us
+FROM m GROUP BY user_id
+"""
+
+
+# ------------------------------------------------------------- q145
+
+FRESHNESS_AS_OF = "2024-02-01 00:00:00"
+FRESHNESS_WARN_H = 48
+
+
+def q145_source_freshness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt-style source freshness check (`dbt source freshness`): per
+    source table, the loaded-until high watermark, its age against the
+    injected as_of, and a fresh/stale verdict at the 48 h threshold.
+    Each source costs ONE max() aggregate — at scale the max pushes to
+    parquet footer stats (aggregatePushdown is on in session.py)."""
+    as_of = F.to_timestamp(F.lit(FRESHNESS_AS_OF))
+    warn_us = FRESHNESS_WARN_H * 3600 * 1_000_000
+
+    def one(name: str, ts_col: str) -> DataFrame:
+        t = _t(spark, sf_dir, name)
+        agg = t.agg(F.max(F.col(ts_col).cast("timestamp")).alias("loaded_until"))
+        age = F.unix_micros(as_of) - F.unix_micros(F.col("loaded_until"))
+        return agg.select(
+            F.lit(name).alias("source_name"),
+            "loaded_until",
+            age.alias("age_us"),
+            F.when(age <= F.lit(warn_us), F.lit("fresh"))
+            .otherwise(F.lit("stale"))
+            .alias("status"),
+        )
+
+    return one("events", "ts").unionByName(one("orders", "o_orderdate"))
+
+
+Q145_SQL = f"""
+WITH s AS (
+  SELECT 'events' AS source_name,
+         max(CAST(ts AS TIMESTAMP)) AS loaded_until FROM events
+  UNION ALL
+  SELECT 'orders', max(CAST(o_orderdate AS TIMESTAMP)) FROM orders
+)
+SELECT source_name, loaded_until,
+       epoch_us(TIMESTAMP '{FRESHNESS_AS_OF}') - epoch_us(loaded_until) AS age_us,
+       CASE WHEN epoch_us(TIMESTAMP '{FRESHNESS_AS_OF}') - epoch_us(loaded_until)
+                 <= {FRESHNESS_WARN_H * 3600 * 1_000_000}
+            THEN 'fresh' ELSE 'stale' END AS status
+FROM s
+"""
+
+
 QUERIES_EXT5 = {
     "q136_sparse_matmul": q136_sparse_matmul,
     "q137_user_growth_curve": q137_user_growth_curve,
     "q138_accumulating_snapshot": q138_accumulating_snapshot,
     "q139_scd3_prev_value": q139_scd3_prev_value,
     "q140_bucketed_join_agg": q140_bucketed_join_agg,
+    "q141_trending_rank_delta": q141_trending_rank_delta,
+    "q142_null_safe_join": q142_null_safe_join,
+    "q143_reorder_rate": q143_reorder_rate,
+    "q144_out_of_order_audit": q144_out_of_order_audit,
+    "q145_source_freshness": q145_source_freshness,
 }
 
 ORACLES_EXT5 = {
@@ -309,4 +574,9 @@ ORACLES_EXT5 = {
     "q138_accumulating_snapshot": _q138_sql(),
     "q139_scd3_prev_value": Q139_SQL,
     "q140_bucketed_join_agg": Q140_SQL,
+    "q141_trending_rank_delta": Q141_SQL,
+    "q142_null_safe_join": Q142_SQL,
+    "q143_reorder_rate": Q143_SQL,
+    "q144_out_of_order_audit": Q144_SQL,
+    "q145_source_freshness": Q145_SQL,
 }
