@@ -166,16 +166,30 @@ COPURCHASE_MIN_SUPPORT = 2
 
 def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Part co-purchase graph: an undirected edge (pa < pb) between two
-    parts appearing in >= COPURCHASE_MIN_SUPPORT common orders. The
-    per-order pair expansion is bounded by (items/order choose 2) — a
-    basket-size property, not a data-size property — and the support
-    filter runs on the pair hash-agg before any graph work."""
-    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").distinct()
-    a = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pa"))
-    b = li.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pb"))
+    parts appearing in >= COPURCHASE_MIN_SUPPORT common orders.
+
+    Basket-explode formulation, NOT a self-join: one order-keyed
+    shuffle builds each order's sorted distinct part set, pairs
+    generate MAP-SIDE from the array (C(basket,2) per order — a
+    basket-size property, not a data-size property), and one pair
+    hash-agg applies the support filter. The self-join alternative
+    either broadcasts the whole distinct fact relation (what AQE
+    picks locally — impossible at 100 TB) or shuffles it twice;
+    this plan has no join at all."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("ps")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ps, (x, i) -> "
+                "transform(slice(ps, i + 2, size(ps)), y -> struct(x AS pa, y AS pb))))"
+            )
+        ).alias("pr")
+    )
     return (
-        a.join(b, "ok")
-        .filter(F.col("pa") < F.col("pb"))
+        pairs.select(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
         .groupBy("pa", "pb")
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= COPURCHASE_MIN_SUPPORT)
@@ -523,7 +537,12 @@ def q123_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     min-hop agg), 12-byte state rows (operators/graph.py:bfs_hops).
     The oracle resolves the same reachability with a bounded recursive
     CTE."""
-    e = _copurchase_edges(spark, sf_dir)
+    from product_analytics_spark import cache
+
+    # The edge build (distinct + pair self-join + support agg) feeds
+    # the seed derivation twice (union of both endpoint projections)
+    # AND the BFS's symmetrize — persist it or it runs three times.
+    e = cache.persist(_copurchase_edges(spark, sf_dir))
     src = (
         e.select(F.col("pa").alias("id"))
         .union(e.select(F.col("pb").alias("id")))

@@ -165,6 +165,10 @@ def triangle_counts(
         .union(edges.select(F.col(dst_col).alias("a"), F.col(src_col).alias("b")))
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        # und feeds the degree agg AND both orientation joins — persist
+        # or the caller's (possibly expensive) edge derivation runs
+        # once per reference.
+        .persist()
     )
     # Total-order key: deg*2^32 + id — one long compare orients edges
     # deterministically (degree asc, id asc tie-break).
@@ -198,6 +202,7 @@ def triangle_counts(
         return per_vertex.localCheckpoint(eager=True)
     finally:
         e.unpersist()
+        und.unpersist()
 
 
 def bfs_hops(
@@ -225,10 +230,8 @@ def bfs_hops(
         .persist()
     )
     try:
-        reached = source_ids.select(
-            F.col(id_col).alias("id"), F.lit(0).alias("hops")
-        ).localCheckpoint(eager=True)
-        for _ in range(max_hops):
+        reached = source_ids.select(F.col(id_col).alias("id"), F.lit(0).alias("hops"))
+        for i in range(max_hops):
             expanded = (
                 e.join(reached, e.s == reached.id)
                 .select(F.col("d").alias("id"), (F.col("hops") + 1).alias("hops"))
@@ -236,8 +239,15 @@ def bfs_hops(
                 .groupBy("id")
                 .agg(F.min("hops").alias("hops"))
             )
-            reached = expanded.localCheckpoint(eager=True)
-        return reached
+            # Unlike connected_components there is NO per-round
+            # convergence probe — the hop bound is fixed — so rounds
+            # compose into ONE job; checkpoint only every few rounds
+            # to truncate lineage on deep searches.
+            reached = (
+                expanded.localCheckpoint(eager=True) if (i + 1) % 5 == 0 else expanded
+            )
+        # Materialize while the edge relation is still cached.
+        return reached.localCheckpoint(eager=True)
     finally:
         e.unpersist()
 
