@@ -555,6 +555,165 @@ FROM s
 """
 
 
+# ------------------------------------------------------------- q146
+
+CONTAINMENT_THRESHOLD = 0.8
+
+
+def q146_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X2 widened to near-SUBSET detection (quotes/excerpts):
+    directed containment |A∩B|/min(|A|,|B|) over shingle-hash sets
+    with MinHash-band candidate blocking
+    (operators/text.py:containment_pairs). Jaccard misses a paragraph
+    quoted inside a long document; containment is the measure
+    decontamination and quote-dedup actually need. Oracle replays the
+    banding and the exact set arithmetic bit-for-bit."""
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    return text.containment_pairs(d, threshold=CONTAINMENT_THRESHOLD)
+
+
+def _q146_sql(num_hashes: int = 32, bands: int = 16) -> str:
+    from product_analytics_spark.driver_queries import _shingle_fold_cte
+
+    p = text.P31
+    a_s, b_s = text.minhash_salts(num_hashes)
+    rpb = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(({a_s[i]} * hv + {b_s[i]}) % {p}) AS s{i}" for i in range(num_hashes)
+    )
+
+    def band_expr(b: int) -> str:
+        acc = f"CAST({b} AS BIGINT)"
+        for r in range(rpb):
+            acc = f"(({acc}) * {text.BAND_FOLD_A} + s{b * rpb + r}) % {p}"
+        return acc
+
+    bands_sql = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, {band_expr(b)} AS bh FROM sig"
+        for b in range(bands)
+    )
+    return f"""
+WITH {_shingle_fold_cte(3)},
+sets AS (SELECT doc_id, list(DISTINCT hv) AS hs FROM shl GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig_cols} FROM shl GROUP BY doc_id),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
+),
+v AS (
+  SELECT id_a, id_b,
+         len(sa.hs) AS la, len(sb.hs) AS lb,
+         round(len(list_intersect(sa.hs, sb.hs))
+               / CAST(least(len(sa.hs), len(sb.hs)) AS DOUBLE), 4) AS containment
+  FROM cand JOIN sets sa ON cand.id_a = sa.doc_id
+            JOIN sets sb ON cand.id_b = sb.doc_id
+)
+SELECT CASE WHEN la < lb OR (la = lb AND id_a < id_b) THEN id_a ELSE id_b END
+         AS id_contained,
+       CASE WHEN la < lb OR (la = lb AND id_a < id_b) THEN id_b ELSE id_a END
+         AS id_container,
+       containment
+FROM v WHERE containment >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+# ------------------------------------------------------------- q147
+
+def q147_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contribution analysis (ratio_to_report): revenue per
+    (nation, year) with its share of the nation's total and of the
+    grand total. Dims broadcast into the fact scan; the share windows
+    run over the post-aggregate |nations × years| relation; each
+    share is ONE division of exact cents."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), F.col("c_nationkey") == n.n_nationkey)
+        .groupBy("n_name", F.year("o_orderdate").alias("year"))
+        .agg(F.sum(_money_cents("o_totalprice")).alias("_c"))
+    )
+    wn = Window.partitionBy("n_name")
+    wt = Window.partitionBy()
+    return rev.select(
+        F.col("n_name").alias("nation"),
+        "year",
+        _cents_out(F.col("_c")).alias("revenue"),
+        (F.col("_c").cast("double") / F.sum("_c").over(wn).cast("double")).alias(
+            "share_of_nation"
+        ),
+        (F.col("_c").cast("double") / F.sum("_c").over(wt).cast("double")).alias(
+            "share_of_total"
+        ),
+    )
+
+
+Q147_SQL = """
+WITH rev AS (
+  SELECT n.n_name AS nation, year(o.o_orderdate) AS year,
+         sum(CAST(o.o_totalprice * 100 AS BIGINT)) AS c
+  FROM orders o
+  JOIN customer cu ON cu.c_custkey = o.o_custkey
+  JOIN nation n ON n.n_nationkey = cu.c_nationkey
+  GROUP BY 1, 2
+)
+SELECT nation, year,
+       CAST(c AS DOUBLE) / 100.0 AS revenue,
+       CAST(c AS DOUBLE) / CAST(sum(c) OVER (PARTITION BY nation) AS DOUBLE)
+         AS share_of_nation,
+       CAST(c AS DOUBLE) / CAST(sum(c) OVER () AS DOUBLE) AS share_of_total
+FROM rev
+"""
+
+
+# ------------------------------------------------------------- q148
+
+EPOCH_SHUFFLE_TOPK = 8
+
+
+def q148_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-epoch training shuffle: each document's
+    position key is the portable hash of (epoch, doc_id) — a
+    different, reproducible permutation every epoch, identical on any
+    cluster, no RNG state. Here the first 8 positions of epochs 1-2
+    are materialized; at scale the hash IS the distributed sort/
+    bucketing key (repartitionByRange or bucketed write on pos_hash)
+    so no global sort is ever executed."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    ep = d.select(
+        "doc_id", F.explode(F.array(F.lit(1), F.lit(2))).alias("epoch")
+    )
+    h = text.portable_hash60(
+        F.concat_ws(":", F.col("epoch"), F.col("doc_id"))
+    )
+    keyed = ep.select("epoch", "doc_id", h.alias("pos_hash"))
+    w = Window.partitionBy("epoch").orderBy("pos_hash", "doc_id")
+    return (
+        keyed.withColumn("position", F.row_number().over(w))
+        .filter(F.col("position") <= EPOCH_SHUFFLE_TOPK)
+        .select("epoch", "position", "doc_id", "pos_hash")
+    )
+
+
+def _q148_sql() -> str:
+    h = _hash60_sql("concat_ws(':', CAST(epoch AS VARCHAR), CAST(doc_id AS VARCHAR))")
+    return f"""
+WITH ep AS (
+  SELECT doc_id, epoch FROM documents, (VALUES (1), (2)) e(epoch)
+),
+keyed AS (SELECT epoch, doc_id, {h} AS pos_hash FROM ep)
+SELECT epoch,
+       CAST(row_number() OVER (PARTITION BY epoch ORDER BY pos_hash, doc_id) AS INT)
+         AS position,
+       doc_id, pos_hash
+FROM keyed
+QUALIFY position <= {EPOCH_SHUFFLE_TOPK}
+"""
+
+
 QUERIES_EXT5 = {
     "q136_sparse_matmul": q136_sparse_matmul,
     "q137_user_growth_curve": q137_user_growth_curve,
@@ -566,6 +725,9 @@ QUERIES_EXT5 = {
     "q143_reorder_rate": q143_reorder_rate,
     "q144_out_of_order_audit": q144_out_of_order_audit,
     "q145_source_freshness": q145_source_freshness,
+    "q146_containment_pairs": q146_containment_pairs,
+    "q147_revenue_share": q147_revenue_share,
+    "q148_epoch_shuffle": q148_epoch_shuffle,
 }
 
 ORACLES_EXT5 = {
@@ -579,4 +741,7 @@ ORACLES_EXT5 = {
     "q143_reorder_rate": Q143_SQL,
     "q144_out_of_order_audit": Q144_SQL,
     "q145_source_freshness": Q145_SQL,
+    "q146_containment_pairs": _q146_sql(),
+    "q147_revenue_share": Q147_SQL,
+    "q148_epoch_shuffle": _q148_sql(),
 }

@@ -433,6 +433,74 @@ def jaccard_near_dup_pairs(
     return out.select("id_a", "id_b", "jaccard")
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """Near-SUBSET (quote/excerpt) detection: directed containment
+    |A∩B| / min(|A|,|B|) over shingle-hash sets, with the same
+    MinHash-band candidate blocking as :func:`jaccard_near_dup_pairs`.
+
+    Jaccard misses subsets — a paragraph quoted inside a long document
+    has high containment but low Jaccard — and subset pairs are
+    exactly what decontamination and quote-dedup need. Candidates come
+    from the banding (high-containment pairs of comparable size band
+    together; a tiny-in-huge quote needs a shingle-prefix index — out
+    of scope, documented); verification is exact set arithmetic on
+    8-byte hashes. Output is directed: ``id_contained`` is the doc
+    with the smaller shingle set (tie → smaller id).
+    """
+    rows_per_band = num_hashes // bands
+    rel = cache.persist(
+        with_shingle_hashes31(df, text_col, shingle_n, out_col="_sh")
+        .select(F.col(id_col), F.array_distinct(F.col("_sh")).alias("_s"))
+        .select(
+            F.col(id_col),
+            F.col("_s"),
+            _minhash_sig_fold(F.col("_s"), num_hashes, "portable").alias("sig"),
+        )
+    )
+
+    def band_hash(b: int) -> Column:
+        acc: Column = F.lit(b).cast("long")
+        for r in range(rows_per_band):
+            acc = (acc * F.lit(BAND_FOLD_A) + F.col("sig")[b * rows_per_band + r]) % F.lit(P31)
+        return acc
+
+    banded = rel.select(
+        F.col(id_col),
+        F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias("band_idx", "bh"),
+    )
+    cand = (
+        banded.select(F.col(id_col).alias("id_a"), "band_idx", "bh")
+        .join(banded.select(F.col(id_col).alias("id_b"), "band_idx", "bh"), ["band_idx", "bh"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets_a = rel.select(F.col(id_col).alias("id_a"), F.col("_s").alias("_sa"))
+    sets_b = rel.select(F.col(id_col).alias("id_b"), F.col("_s").alias("_sb"))
+    v = cand.join(sets_a, "id_a").join(sets_b, "id_b")
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    la, lb = F.size("_sa"), F.size("_sb")
+    mn = F.least(la, lb)
+    c = F.when(mn > 0, inter / mn.cast("double")).otherwise(F.lit(0.0))
+    a_small = (la < lb) | ((la == lb) & (F.col("id_a") < F.col("id_b")))
+    out = v.withColumn("containment", F.round(c, 4)).filter(
+        F.col("containment") >= threshold
+    )
+    return out.select(
+        F.when(a_small, F.col("id_a")).otherwise(F.col("id_b")).alias("id_contained"),
+        F.when(a_small, F.col("id_b")).otherwise(F.col("id_a")).alias("id_container"),
+        "containment",
+    )
+
+
 def simhash(text: Column, bits: int = 64, hasher: str = "xxhash64") -> Column:
     """SimHash over whitespace tokens (default 64-bit).
 
