@@ -47,6 +47,7 @@ from product_analytics_spark.qcommon import (  # noqa: F401
     TOPK_K,
     WATERMARK_DEFAULT,
     _cents_out,
+    _dec2dbl_sql,
     _money,
     _money_cents,
     _money_out,
@@ -2795,7 +2796,7 @@ def q70_moments_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q70_SQL = """
+Q70_SQL = f"""
 WITH q AS (
   SELECT o_orderpriority AS order_priority,
          CAST(round(CAST(o_totalprice AS DOUBLE) * 100.0) AS BIGINT) AS qq
@@ -2810,9 +2811,9 @@ s AS (
 ),
 m AS (
   SELECT order_priority, n,
-         CAST(s1 AS DOUBLE) / 100.0 / CAST(n AS DOUBLE) AS m1,
-         CAST(s2 AS DOUBLE) / 10000.0 / CAST(n AS DOUBLE) AS m2,
-         CAST(s3 AS DOUBLE) / 1000000.0 / CAST(n AS DOUBLE) AS m3
+         {_dec2dbl_sql('s1')} / 100.0 / CAST(n AS DOUBLE) AS m1,
+         {_dec2dbl_sql('s2')} / 10000.0 / CAST(n AS DOUBLE) AS m2,
+         {_dec2dbl_sql('s3')} / 1000000.0 / CAST(n AS DOUBLE) AS m3
   FROM s
 )
 SELECT order_priority, n, m1 AS mean,
@@ -3841,7 +3842,7 @@ def q91_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q91_SQL = """
+Q91_SQL = f"""
 WITH c AS (
   SELECT l_returnflag,
          CAST(l_quantity * 100 AS BIGINT) AS x,
@@ -3862,11 +3863,11 @@ SELECT l_returnflag,
        CAST(n AS BIGINT) AS n_items,
        (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS mean_qty,
        (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 100.0 AS mean_price,
-       ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE))
+       ((CAST(n AS DOUBLE) * {_dec2dbl_sql('sxy')})
           - (CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
-       / (sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE))
+       / (sqrt((CAST(n AS DOUBLE) * {_dec2dbl_sql('sxx')})
                  - (CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
-          * sqrt((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE))
+          * sqrt((CAST(n AS DOUBLE) * {_dec2dbl_sql('syy')})
                  - (CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
          AS corr_qty_price
 FROM s

@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 from product_analytics_spark.operators import graph, similarity, stats, text, windows
 from product_analytics_spark.qcommon import (
     _cents_out,
+    _dec2dbl_sql,
     _hash60_sql,
     _money_cents,
     _t,
@@ -120,7 +121,7 @@ def q117_grouped_linreg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-Q117_SQL = """
+Q117_SQL = f"""
 WITH c AS (
   SELECT l_returnflag,
          CAST(l_quantity * 100 AS BIGINT) AS x,
@@ -140,8 +141,8 @@ s AS (
 d AS (
   SELECT l_returnflag, n,
          CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
-         CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
-         CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+         CAST(sy AS DOUBLE) AS syd, {_dec2dbl_sql('sxy')} AS sxyd,
+         {_dec2dbl_sql('sxx')} AS sxxd, {_dec2dbl_sql('syy')} AS syyd
   FROM s
 ),
 f AS (

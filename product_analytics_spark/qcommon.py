@@ -79,3 +79,28 @@ def _cents_out(sum_cents: F.Column) -> F.Column:
     exactly once — the same single rounding the decimal->double cast
     performs."""
     return sum_cents / F.lit(100.0)
+
+
+_DEC2DBL_SPLIT = 1 << 53
+
+
+def _dec2dbl_sql(e: str) -> str:
+    """Correctly-rounded DECIMAL(38,0) → DOUBLE for the DuckDB oracle.
+
+    DuckDB's native int128→double cast converts in two pieces and is
+    1 ulp off the correctly-rounded result on ~half of inputs above
+    2^64 (measured; Spark's BigDecimal cast IS correctly rounded, so
+    the two engines drift). Rebuild the double from two EXACTLY
+    representable pieces split at 2^53 — hi·2^53 is exact (power-of-2
+    scaling), lo < 2^53 is exact, and one IEEE add of two exact
+    values is correctly rounded by definition, i.e. nearest-double of
+    the true integer on any engine. Valid for 0 ≤ x < 2^106; beyond
+    that a three-piece Dekker split would be needed (none of the
+    oracle sums approach it at harness scale). NOTE: must go through
+    HUGEINT — DuckDB's DECIMAL // is a float division."""
+    s = _DEC2DBL_SPLIT
+    h = f"CAST(CAST(({e}) AS HUGEINT)"
+    return (
+        f"(CAST({h} // {s} AS BIGINT) AS DOUBLE) * {float(s)!r} "
+        f"+ CAST({h} % {s} AS BIGINT) AS DOUBLE))"
+    )
