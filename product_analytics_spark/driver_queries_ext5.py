@@ -22,6 +22,8 @@ from product_analytics_spark.qcommon import (
     _t,
 )
 
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
 # ------------------------------------------------------------- q136
 
 MATMUL_FEATURES = 4
@@ -714,6 +716,120 @@ QUALIFY position <= {EPOCH_SHUFFLE_TOPK}
 """
 
 
+# ------------------------------------------------------------- q149
+
+Q149_LAND = os.path.join(_REPO, ".q149_stream_land")
+
+
+def q149_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.9 driver evidence #4: exactly-once ingestion via streaming
+    dedup — the landing zone is written TWICE (the at-least-once
+    delivery double), streamed one file per micro-batch, and
+    ``dropDuplicatesWithinWatermark`` on the event id collapses the
+    copies ACROSS micro-batches (state outlives the batch boundary,
+    evicted past the watermark). The deduped stream lands append-mode
+    in the memory sink; the readout aggregates it and must equal the
+    plain batch aggregate over the ORIGINAL table."""
+    from product_analytics_spark.streaming import ops as st
+
+    shutil.rmtree(Q149_LAND, ignore_errors=True)
+    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+    ev.repartition(1).write.mode("overwrite").parquet(Q149_LAND)
+    ev.repartition(1).write.mode("append").parquet(Q149_LAND)
+    schema = spark.read.parquet(Q149_LAND).schema
+    stream = (
+        st.stream_table(spark, Q149_LAND, schema, max_files_per_trigger=1)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        st.run_available_now(stream, "q149_sink", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return (
+        spark.table("q149_sink")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+    )
+
+
+Q149_SQL = """
+SELECT event_type, count(*) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_ids
+FROM events GROUP BY 1
+"""
+
+
+# ------------------------------------------------------------- q150
+
+IDEMPOTENT_SPLIT_DATE = "1997-01-01"
+
+
+def q150_idempotent_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-aware MERGE (operators/incremental.py:
+    merge_upsert_versioned — Delta's ``whenMatchedUpdateAll(source.ts
+    > target.ts)``): a deliberately STALE batch (each customer's
+    latest pre-1997 order) is merged into the current snapshot (their
+    latest post-1997 order). Plain merge_upsert would let the replay
+    clobber fresh state; the versioned merge keeps newest-per-key, so
+    retried/out-of-order batches are idempotent. The oracle computes
+    the same newest-per-key over the union of both per-customer
+    argmax sets."""
+    from product_analytics_spark.operators import incremental
+    from product_analytics_spark.operators.dedup import latest_by_key
+
+    o = _t(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate"
+    )
+    cut = F.lit(IDEMPOTENT_SPLIT_DATE).cast("timestamp")
+    order = ("o_orderdate", "o_orderkey")
+    snap = latest_by_key(
+        o.filter(F.col("o_orderdate") >= cut), key="o_custkey", order_by=order
+    )
+    stale = latest_by_key(
+        o.filter(F.col("o_orderdate") < cut), key="o_custkey", order_by=order
+    )
+    merged = incremental.merge_upsert_versioned(
+        snap, stale, key="o_custkey", ts_col="o_orderdate", tiebreak_col="o_orderkey"
+    )
+    return merged.select("o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate")
+
+
+Q150_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, o_orderstatus, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+  FROM orders
+),
+snap AS (
+  SELECT * EXCLUDE rn FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM o WHERE o_orderdate >= TIMESTAMP '{IDEMPOTENT_SPLIT_DATE}'
+  ) WHERE rn = 1
+),
+stale AS (
+  SELECT * EXCLUDE rn FROM (
+    SELECT *, row_number() OVER (PARTITION BY o_custkey
+              ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+    FROM o WHERE o_orderdate < TIMESTAMP '{IDEMPOTENT_SPLIT_DATE}'
+  ) WHERE rn = 1
+),
+u AS (SELECT * FROM snap UNION ALL SELECT * FROM stale)
+SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate FROM (
+  SELECT *, row_number() OVER (PARTITION BY o_custkey
+            ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+  FROM u
+) WHERE rn = 1
+"""
+
+
 QUERIES_EXT5 = {
     "q136_sparse_matmul": q136_sparse_matmul,
     "q137_user_growth_curve": q137_user_growth_curve,
@@ -728,6 +844,8 @@ QUERIES_EXT5 = {
     "q146_containment_pairs": q146_containment_pairs,
     "q147_revenue_share": q147_revenue_share,
     "q148_epoch_shuffle": q148_epoch_shuffle,
+    "q149_streaming_dedup_parity": q149_streaming_dedup_parity,
+    "q150_idempotent_merge": q150_idempotent_merge,
 }
 
 ORACLES_EXT5 = {
@@ -744,4 +862,6 @@ ORACLES_EXT5 = {
     "q146_containment_pairs": _q146_sql(),
     "q147_revenue_share": Q147_SQL,
     "q148_epoch_shuffle": _q148_sql(),
+    "q149_streaming_dedup_parity": Q149_SQL,
+    "q150_idempotent_merge": Q150_SQL,
 }

@@ -147,3 +147,36 @@ def snapshot_diff(
         *[F.col(f"old_{c}") for c in comps],
         *[F.col(f"new_{c}") for c in comps],
     )
+
+
+def merge_upsert_versioned(
+    prev: DataFrame | None,
+    batch: DataFrame,
+    key: str | Sequence[str],
+    ts_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Version-aware (idempotent) MERGE: matched rows are replaced
+    only when the batch row is NEWER — ``whenMatchedUpdateAll(
+    condition="source.ts > target.ts")`` in Delta terms.
+
+    Plain :func:`merge_upsert` trusts batch order: replaying an old
+    batch (at-least-once delivery, a backfill, a retried job)
+    overwrites fresh state with stale rows. The versioned form is
+    commutative-ish over batches — apply them in ANY order and the
+    snapshot converges to newest-per-key, which is what makes the
+    ingestion idempotent and retry-safe.
+
+    Plan: newest-per-key over ``prev ∪ batch`` via the same map-side-
+    combinable max_by kernel as W1 (operators/dedup.py:latest_by_key)
+    — the shuffle moves ~|keys| rows. Ties on ``ts`` fall to
+    ``tiebreak_col`` and then to the batch side (union order is NOT
+    trusted: the tiebreak column must discriminate)."""
+    from product_analytics_spark.operators.dedup import latest_by_key
+
+    keys = [key] if isinstance(key, str) else list(key)
+    if prev is None:
+        return batch
+    both = prev.unionByName(batch, allowMissingColumns=True)
+    order = [ts_col] + ([tiebreak_col] if tiebreak_col else [])
+    return latest_by_key(both, key=keys, order_by=order)

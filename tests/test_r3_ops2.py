@@ -229,3 +229,41 @@ class TestBatch3Kernels:
         assert got["o_custkey"].n_distinct == 2
         assert got["o_totalprice_cents"].min_v == "500"
         assert got["o_orderdate_day"].max_v == "2024-01-02"
+
+
+class TestVersionedMerge:
+    def _df(self, spark, rows):
+        return spark.createDataFrame(rows, "id long, ts long, v string")
+
+    def test_stale_batch_does_not_clobber(self, spark):
+        from product_analytics_spark.operators.incremental import (
+            merge_upsert_versioned,
+        )
+
+        snap = self._df(spark, [(1, 10, "new"), (2, 5, "cur")])
+        stale = self._df(spark, [(1, 3, "old"), (3, 1, "ins")])
+        got = {
+            r.id: (r.ts, r.v)
+            for r in merge_upsert_versioned(
+                snap, stale, key="id", ts_col="ts", tiebreak_col="id"
+            ).collect()
+        }
+        assert got == {1: (10, "new"), 2: (5, "cur"), 3: (1, "ins")}
+
+    def test_batch_order_does_not_matter(self, spark):
+        from product_analytics_spark.operators.incremental import (
+            merge_upsert_versioned,
+        )
+
+        base = self._df(spark, [(1, 1, "a"), (2, 1, "a")])
+        b1 = self._df(spark, [(1, 5, "b1"), (3, 2, "b1")])
+        b2 = self._df(spark, [(1, 3, "b2"), (2, 9, "b2")])
+
+        def apply(s, batches):
+            for b in batches:
+                s = merge_upsert_versioned(s, b, key="id", ts_col="ts", tiebreak_col="id")
+            return {(r.id, r.ts, r.v) for r in s.collect()}
+
+        assert apply(base, [b1, b2]) == apply(base, [b2, b1])
+        # replaying a batch is a no-op
+        assert apply(base, [b1, b2, b1]) == apply(base, [b1, b2])
