@@ -830,6 +830,162 @@ SELECT o_custkey, o_orderkey, o_orderstatus, o_orderdate FROM (
 """
 
 
+# ------------------------------------------------------------- q151
+
+FD_CANDIDATES = (
+    ("o_custkey", "o_orderstatus"),
+    ("o_orderkey", "o_orderstatus"),
+    ("o_orderpriority", "o_orderstatus"),
+)
+
+
+def q151_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency profiling (does A determine B?): per
+    candidate pair, the number of distinct LHS values and how many of
+    them map to MORE than one RHS value — zero violators means A→B
+    holds, the signal schema-normalization and data-quality rules are
+    built from. Each candidate is a two-level hash-agg: the shuffle
+    moves |distinct (A,B)| partials, the violation count aggregates
+    the |distinct A| relation. Key-determined columns (o_orderkey→
+    status) profile clean; many-to-many pairs surface their fan-out."""
+    o = _t(spark, sf_dir, "orders")
+    # All candidates profile in ONE scan: stack() expands each row to
+    # (candidate, lhs, rhs) map-side, then the candidate rides the
+    # group keys — 2 shuffles total regardless of candidate count,
+    # instead of (scan + 2 shuffles) per candidate.
+    stack_args = ", ".join(
+        f"'{lhs}->{rhs}', CAST({lhs} AS STRING), CAST({rhs} AS STRING)"
+        for lhs, rhs in FD_CANDIDATES
+    )
+    cand = o.select(
+        F.expr(
+            f"stack({len(FD_CANDIDATES)}, {stack_args}) AS (fd_candidate, lhs, rhs)"
+        )
+    )
+    per_lhs = (
+        cand.distinct()
+        .groupBy("fd_candidate", "lhs")
+        .agg(F.count(F.lit(1)).alias("_n_rhs"))
+    )
+    return per_lhs.groupBy("fd_candidate").agg(
+        F.count(F.lit(1)).alias("n_lhs_values"),
+        F.sum(F.when(F.col("_n_rhs") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_violating_lhs"),
+        F.max("_n_rhs").alias("max_fanout"),
+    )
+
+
+def _q151_sql() -> str:
+    parts = []
+    for lhs, rhs in FD_CANDIDATES:
+        parts.append(
+            f"""SELECT '{lhs}->{rhs}' AS fd_candidate,
+       count(*) AS n_lhs_values,
+       CAST(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_lhs,
+       CAST(max(n_rhs) AS BIGINT) AS max_fanout
+FROM (
+  SELECT {lhs}, count(*) AS n_rhs
+  FROM (SELECT DISTINCT {lhs}, {rhs} FROM orders) GROUP BY 1
+)"""
+        )
+    return "\nUNION ALL\n".join(parts)
+
+
+# ------------------------------------------------------------- q152
+
+SAMPLE_PCT_NUM = 10  # keep orders with hash % 100 < 10  (~10%)
+
+
+def q152_entity_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-consistent (cluster) sampling: ~10% of ORDERS selected by
+    a portable hash threshold on the order key, and their lineitems
+    selected by the SAME predicate on l_orderkey — the two scans agree
+    with ZERO coordination (no semi-join, no broadcast, nothing
+    driver-side), because the hash is a pure function of the key.
+    Row sampling would break the order↔items relationship; entity
+    sampling preserves every sampled order intact — the property
+    joins, funnels, and per-entity models need. Output: sample-level
+    rollup proving the two sides stayed consistent."""
+    keep_o = text.portable_hash60(F.concat(F.lit("smp:"), F.col("o_orderkey"))) % 100 < F.lit(
+        SAMPLE_PCT_NUM
+    )
+    keep_l = text.portable_hash60(F.concat(F.lit("smp:"), F.col("l_orderkey"))) % 100 < F.lit(
+        SAMPLE_PCT_NUM
+    )
+    o = _t(spark, sf_dir, "orders").filter(keep_o)
+    li = _t(spark, sf_dir, "lineitem").filter(keep_l)
+    oo = o.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+    ll = li.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.countDistinct("l_orderkey").alias("n_item_orders"),
+        _cents_out(F.sum(_money_cents("l_extendedprice"))).alias("sample_revenue"),
+    )
+    return oo.crossJoin(ll)
+
+
+def _q152_sql() -> str:
+    ho = _hash60_sql("concat('smp:', CAST(o_orderkey AS VARCHAR))")
+    hl = _hash60_sql("concat('smp:', CAST(l_orderkey AS VARCHAR))")
+    return f"""
+SELECT o.n_orders, o.n_customers, l.n_items, l.n_item_orders, l.sample_revenue
+FROM (
+  SELECT count(*) AS n_orders,
+         CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_customers
+  FROM orders WHERE {ho} % 100 < {SAMPLE_PCT_NUM}
+) o, (
+  SELECT count(*) AS n_items,
+         CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_item_orders,
+         CAST(sum(CAST(l_extendedprice * 100 AS BIGINT)) AS BIGINT) / 100.0
+           AS sample_revenue
+  FROM lineitem WHERE {hl} % 100 < {SAMPLE_PCT_NUM}
+) l
+"""
+
+
+# ------------------------------------------------------------- q153
+
+DIVERSIFIED_K = 10
+DIVERSIFIED_PER_GROUP = 2
+
+
+def q153_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversified (quota-constrained) top-k — search-results style:
+    the 10 longest documents overall but at most 2 per language. A
+    per-group rank window enforces the quota BEFORE the global cut,
+    so the final TakeOrdered runs on ≤ |groups|·quota rows — the
+    pattern that keeps one dominant group from filling the page.
+    Deterministic (score desc, id) ordering at both levels."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    wg = Window.partitionBy("lang").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    quota = d.withColumn("lang_rank", F.row_number().over(wg)).filter(
+        F.col("lang_rank") <= DIVERSIFIED_PER_GROUP
+    )
+    return (
+        quota.orderBy(F.desc("n_chars"), F.asc("doc_id"))
+        .limit(DIVERSIFIED_K)
+        .select("doc_id", "lang", "n_chars", "lang_rank")
+    )
+
+
+Q153_SQL = f"""
+WITH quota AS (
+  SELECT doc_id, lang, n_chars,
+         CAST(row_number() OVER (PARTITION BY lang
+              ORDER BY n_chars DESC, doc_id) AS INT) AS lang_rank
+  FROM documents
+)
+SELECT doc_id, lang, n_chars, lang_rank
+FROM quota
+WHERE lang_rank <= {DIVERSIFIED_PER_GROUP}
+ORDER BY n_chars DESC, doc_id
+LIMIT {DIVERSIFIED_K}
+"""
+
+
 QUERIES_EXT5 = {
     "q136_sparse_matmul": q136_sparse_matmul,
     "q137_user_growth_curve": q137_user_growth_curve,
@@ -846,6 +1002,9 @@ QUERIES_EXT5 = {
     "q148_epoch_shuffle": q148_epoch_shuffle,
     "q149_streaming_dedup_parity": q149_streaming_dedup_parity,
     "q150_idempotent_merge": q150_idempotent_merge,
+    "q151_functional_dependency": q151_functional_dependency,
+    "q152_entity_consistent_sample": q152_entity_consistent_sample,
+    "q153_diversified_topk": q153_diversified_topk,
 }
 
 ORACLES_EXT5 = {
@@ -864,4 +1023,7 @@ ORACLES_EXT5 = {
     "q148_epoch_shuffle": _q148_sql(),
     "q149_streaming_dedup_parity": Q149_SQL,
     "q150_idempotent_merge": Q150_SQL,
+    "q151_functional_dependency": _q151_sql(),
+    "q152_entity_consistent_sample": _q152_sql(),
+    "q153_diversified_topk": Q153_SQL,
 }
