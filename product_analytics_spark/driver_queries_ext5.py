@@ -915,16 +915,30 @@ def q152_entity_consistent_sample(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     o = _t(spark, sf_dir, "orders").filter(keep_o)
     li = _t(spark, sf_dir, "lineitem").filter(keep_l)
-    oo = o.agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.countDistinct("o_custkey").alias("n_customers"),
+    # Both sides tagged into ONE relation, all five aggregates in one
+    # conditional-agg pass — no 1-row-to-1-row join in the plan at all
+    # (Catalyst folds a constant-key join back to a nested loop).
+    is_o = F.col("_side") == "o"
+    u = o.select(
+        F.lit("o").alias("_side"),
+        F.col("o_custkey").alias("_ck"),
+        F.col("o_orderkey").alias("_ok"),
+        F.lit(None).cast("long").alias("_cents"),
+    ).unionByName(
+        li.select(
+            F.lit("l").alias("_side"),
+            F.lit(None).cast("long").alias("_ck"),
+            F.col("l_orderkey").alias("_ok"),
+            _money_cents("l_extendedprice").alias("_cents"),
+        )
     )
-    ll = li.agg(
-        F.count(F.lit(1)).alias("n_items"),
-        F.countDistinct("l_orderkey").alias("n_item_orders"),
-        _cents_out(F.sum(_money_cents("l_extendedprice"))).alias("sample_revenue"),
+    return u.agg(
+        F.count(F.when(is_o, 1)).alias("n_orders"),
+        F.countDistinct(F.when(is_o, F.col("_ck"))).alias("n_customers"),
+        F.count(F.when(~is_o, 1)).alias("n_items"),
+        F.countDistinct(F.when(~is_o, F.col("_ok"))).alias("n_item_orders"),
+        _cents_out(F.sum(F.when(~is_o, F.col("_cents")))).alias("sample_revenue"),
     )
-    return oo.crossJoin(ll)
 
 
 def _q152_sql() -> str:
