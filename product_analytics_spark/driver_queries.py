@@ -4533,3 +4533,11 @@ from product_analytics_spark.driver_queries_ext5 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT5)
 ORACLES.update(ORACLES_EXT5)
+
+from product_analytics_spark.driver_queries_ext6 import (  # noqa: E402
+    ORACLES_EXT6,
+    QUERIES_EXT6,
+)
+
+QUERIES.update(QUERIES_EXT6)
+ORACLES.update(ORACLES_EXT6)
