@@ -4541,3 +4541,11 @@ from product_analytics_spark.driver_queries_ext6 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT6)
 ORACLES.update(ORACLES_EXT6)
+
+from product_analytics_spark.driver_queries_ext7 import (  # noqa: E402
+    ORACLES_EXT7,
+    QUERIES_EXT7,
+)
+
+QUERIES.update(QUERIES_EXT7)
+ORACLES.update(ORACLES_EXT7)

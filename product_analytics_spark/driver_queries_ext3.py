@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from product_analytics_spark import cache
 from product_analytics_spark.operators import graph, similarity, stats, text, windows
 from product_analytics_spark.qcommon import (
     _cents_out,
@@ -408,16 +409,24 @@ def q121_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     over integer cents; the med/MAD relations are |groups| rows and
     broadcast back, so each pass is one group-keyed shuffle. Exact MAD
     is inherently two-pass; approx_percentile collapses it to one at
-    100 TB (documented swap-in, same shape as X14/X45)."""
-    o = _t(spark, sf_dir, "orders").select(
-        F.col("o_orderpriority").alias("prio"),
-        _money_cents("o_totalprice").alias("c"),
+    100 TB (documented swap-in, same shape as X14/X45). The projected
+    cents relation and the deviation relation are persisted (cache.py
+    lifecycle) so the three passes share one scan instead of
+    re-reading parquet per pass — at scale these are the temp tables
+    a multi-pass statistic would stage anyway."""
+    o = cache.persist(
+        _t(spark, sf_dir, "orders").select(
+            F.col("o_orderpriority").alias("prio"),
+            _money_cents("o_totalprice").alias("c"),
+        )
     )
     med = o.groupBy("prio").agg(F.percentile("c", F.lit(0.5)).alias("med"))
-    dev = o.join(F.broadcast(med), "prio").select(
-        "prio",
-        "med",
-        F.abs(F.col("c").cast("double") - F.col("med")).alias("dev"),
+    dev = cache.persist(
+        o.join(F.broadcast(med), "prio").select(
+            "prio",
+            "med",
+            F.abs(F.col("c").cast("double") - F.col("med")).alias("dev"),
+        )
     )
     mad = dev.groupBy("prio").agg(F.percentile("dev", F.lit(0.5)).alias("mad"))
     return (
