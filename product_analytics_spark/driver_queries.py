@@ -4549,3 +4549,11 @@ from product_analytics_spark.driver_queries_ext7 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT7)
 ORACLES.update(ORACLES_EXT7)
+
+from product_analytics_spark.driver_queries_ext8 import (  # noqa: E402
+    ORACLES_EXT8,
+    QUERIES_EXT8,
+)
+
+QUERIES.update(QUERIES_EXT8)
+ORACLES.update(ORACLES_EXT8)
