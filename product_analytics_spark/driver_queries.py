@@ -4557,3 +4557,11 @@ from product_analytics_spark.driver_queries_ext8 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT8)
 ORACLES.update(ORACLES_EXT8)
+
+from product_analytics_spark.driver_queries_ext9 import (  # noqa: E402
+    ORACLES_EXT9,
+    QUERIES_EXT9,
+)
+
+QUERIES.update(QUERIES_EXT9)
+ORACLES.update(ORACLES_EXT9)
