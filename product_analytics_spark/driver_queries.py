@@ -4565,3 +4565,11 @@ from product_analytics_spark.driver_queries_ext9 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT9)
 ORACLES.update(ORACLES_EXT9)
+
+from product_analytics_spark.driver_queries_ext10 import (  # noqa: E402
+    ORACLES_EXT10,
+    QUERIES_EXT10,
+)
+
+QUERIES.update(QUERIES_EXT10)
+ORACLES.update(ORACLES_EXT10)
