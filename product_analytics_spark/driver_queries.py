@@ -4573,3 +4573,11 @@ from product_analytics_spark.driver_queries_ext10 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT10)
 ORACLES.update(ORACLES_EXT10)
+
+from product_analytics_spark.driver_queries_ext11 import (  # noqa: E402
+    ORACLES_EXT11,
+    QUERIES_EXT11,
+)
+
+QUERIES.update(QUERIES_EXT11)
+ORACLES.update(ORACLES_EXT11)
