@@ -47,8 +47,12 @@ def q176_max_concurrency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.to_date(F.max("l_shipdate")).alias("end_d"))
     )
+    # the synthetic data has ~20% of orders whose last ship date
+    # precedes the order date; clamp so every interval is well-formed
+    # (an inverted interval would place its -1 BEFORE its +1 and
+    # corrupt the running count for unrelated days)
     iv = o.join(ends, o.o_orderkey == ends.l_orderkey).select(
-        "o_orderpriority", "start_d", "end_d"
+        "o_orderpriority", "start_d", F.greatest("start_d", "end_d").alias("end_d")
     )
     deltas = iv.select(
         "o_orderpriority", F.col("start_d").alias("d"), F.lit(1).alias("delta")
@@ -86,7 +90,8 @@ WITH ends AS (
   FROM lineitem GROUP BY 1
 ),
 iv AS (
-  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS start_d, end_d
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS start_d,
+         greatest(CAST(o_orderdate AS DATE), end_d) AS end_d
   FROM orders JOIN ends ON o_orderkey = l_orderkey
 ),
 deltas AS (
@@ -233,8 +238,9 @@ def q178_interval_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_orderkey")
         .agg(F.to_date(F.max("l_shipdate")).alias("e"))
     )
+    # same inverted-interval clamp as q176 (see note there)
     iv = o.join(ends, o.o_orderkey == ends.l_orderkey).select(
-        "o_custkey", "o_orderkey", "s", "e"
+        "o_custkey", "o_orderkey", "s", F.greatest("s", "e").alias("e")
     )
     ord_w = Window.partitionBy("o_custkey").orderBy("s", "e", "o_orderkey")
     prev_max = (
@@ -276,7 +282,8 @@ WITH ends AS (
   FROM lineitem GROUP BY 1
 ),
 iv AS (
-  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS s, e
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS s,
+         greatest(CAST(o_orderdate AS DATE), e) AS e
   FROM orders JOIN ends ON o_orderkey = l_orderkey
 ),
 flagged AS (
