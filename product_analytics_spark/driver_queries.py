@@ -4581,3 +4581,11 @@ from product_analytics_spark.driver_queries_ext11 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT11)
 ORACLES.update(ORACLES_EXT11)
+
+from product_analytics_spark.driver_queries_ext12 import (  # noqa: E402
+    ORACLES_EXT12,
+    QUERIES_EXT12,
+)
+
+QUERIES.update(QUERIES_EXT12)
+ORACLES.update(ORACLES_EXT12)
