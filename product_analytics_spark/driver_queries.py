@@ -4589,3 +4589,11 @@ from product_analytics_spark.driver_queries_ext12 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT12)
 ORACLES.update(ORACLES_EXT12)
+
+from product_analytics_spark.driver_queries_ext13 import (  # noqa: E402
+    ORACLES_EXT13,
+    QUERIES_EXT13,
+)
+
+QUERIES.update(QUERIES_EXT13)
+ORACLES.update(ORACLES_EXT13)
