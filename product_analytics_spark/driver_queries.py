@@ -4597,3 +4597,11 @@ from product_analytics_spark.driver_queries_ext13 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT13)
 ORACLES.update(ORACLES_EXT13)
+
+from product_analytics_spark.driver_queries_ext14 import (  # noqa: E402
+    QUERIES_EXT14,
+    _oracles_ext14,
+)
+
+QUERIES.update(QUERIES_EXT14)
+ORACLES.update(_oracles_ext14())
