@@ -4605,3 +4605,11 @@ from product_analytics_spark.driver_queries_ext14 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT14)
 ORACLES.update(_oracles_ext14())
+
+from product_analytics_spark.driver_queries_ext15 import (  # noqa: E402
+    ORACLES_EXT15,
+    QUERIES_EXT15,
+)
+
+QUERIES.update(QUERIES_EXT15)
+ORACLES.update(ORACLES_EXT15)

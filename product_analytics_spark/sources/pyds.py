@@ -1,0 +1,166 @@
+"""Custom Python DataSource (Spark 4 `pyspark.sql.datasource` API):
+a deterministic CDC-feed generator source with partition planning,
+Arrow-batch reads, and filter pushdown.
+
+Why this exists: the reference consumes bronze CDC feeds that land
+via connectors outside dbt (SURVEY.md §2.1) — this source is the
+engine-side answer for feeds with no file representation (message
+buses, change streams, synthetic load): a first-class `spark.read
+.format("cdc_feed")` relation that
+
+- plans one `InputPartition` per shard, so a 1000-executor cluster
+  reads 1000 shards concurrently (partition planning is the source's
+  job, not the user's),
+- yields **Arrow RecordBatches** (the vectorized path — rows never
+  cross Python one at a time),
+- implements `pushFilters`, accepting `op = '…'` equality and
+  `op_id` range bounds so the GENERATOR skips work — the same
+  contract parquet pushdown gives a scan (tested: unsupported
+  filters are returned to Spark for re-evaluation, supported ones
+  shrink the generated range).
+
+The row function is pure modular arithmetic, so a SQL oracle can
+reproduce the feed exactly (`generate_series` — see q196).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    InputPartition,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+#: generator constants — shared verbatim by the q196 oracle SQL
+CDC_N_CUSTOMERS = 1500
+CDC_AMOUNT_A = 1103515245
+CDC_AMOUNT_B = 12345
+CDC_AMOUNT_MOD = 10_000_000
+CDC_TS_BASE = 1_700_000_000
+CDC_OPS = ("INSERT", "UPDATE", "DELETE")  # op_id%10: 0-6 / 7-8 / 9
+
+
+def cdc_op(op_id: int) -> str:
+    m = op_id % 10
+    return "INSERT" if m <= 6 else ("UPDATE" if m <= 8 else "DELETE")
+
+
+def cdc_row(op_id: int) -> tuple:
+    return (
+        op_id,
+        op_id % CDC_N_CUSTOMERS,
+        cdc_op(op_id),
+        CDC_TS_BASE + op_id * 60,
+        (op_id * CDC_AMOUNT_A + CDC_AMOUNT_B) % CDC_AMOUNT_MOD,
+    )
+
+
+CDC_SCHEMA = StructType(
+    [
+        StructField("op_id", LongType()),
+        StructField("customer_id", LongType()),
+        StructField("op", StringType()),
+        StructField("ts_epoch", LongType()),
+        StructField("amount_cents", LongType()),
+    ]
+)
+
+
+@dataclass
+class _ShardPartition(InputPartition):
+    start: int
+    end: int  # exclusive
+
+
+class CdcFeedReader(DataSourceReader):
+    def __init__(self, options):
+        self.shards = int(options.get("shards", "8"))
+        self.rows_per_shard = int(options.get("rows_per_shard", "10000"))
+        self.lo = 0
+        self.hi = self.shards * self.rows_per_shard  # exclusive
+        self.op_filter: str | None = None
+
+    # -- filter pushdown -------------------------------------------------
+    def pushFilters(self, filters):  # noqa: N802 (Spark API name)
+        for f in filters:
+            attr = getattr(f, "attribute", None)
+            if isinstance(f, EqualTo) and attr == ("op",):
+                self.op_filter = f.value
+            elif isinstance(f, GreaterThanOrEqual) and attr == ("op_id",):
+                self.lo = max(self.lo, int(f.value))
+            elif isinstance(f, GreaterThan) and attr == ("op_id",):
+                self.lo = max(self.lo, int(f.value) + 1)
+            elif isinstance(f, LessThan) and attr == ("op_id",):
+                self.hi = min(self.hi, int(f.value))
+            elif isinstance(f, LessThanOrEqual) and attr == ("op_id",):
+                self.hi = min(self.hi, int(f.value) + 1)
+            else:
+                yield f  # unsupported -> Spark re-evaluates it
+
+    # -- partition planning ---------------------------------------------
+    def partitions(self):
+        parts = []
+        for s in range(self.shards):
+            a = max(self.lo, s * self.rows_per_shard)
+            b = min(self.hi, (s + 1) * self.rows_per_shard)
+            if a < b:
+                parts.append(_ShardPartition(a, b))
+        # never return zero partitions (Spark requires >= 1)
+        return parts or [_ShardPartition(0, 0)]
+
+    # -- vectorized read -------------------------------------------------
+    def read(self, partition: _ShardPartition) -> Iterator:
+        import pyarrow as pa
+
+        ids = range(partition.start, partition.end)
+        if self.op_filter is not None:
+            ids = [i for i in ids if cdc_op(i) == self.op_filter]
+        else:
+            ids = list(ids)
+        if not ids:
+            return
+        import numpy as np
+
+        a = np.asarray(ids, dtype=np.int64)
+        batch = pa.record_batch(
+            [
+                pa.array(a),
+                pa.array(a % CDC_N_CUSTOMERS),
+                pa.array([cdc_op(int(i)) for i in a]),
+                pa.array(CDC_TS_BASE + a * 60),
+                pa.array((a * CDC_AMOUNT_A + CDC_AMOUNT_B) % CDC_AMOUNT_MOD),
+            ],
+            names=[f.name for f in CDC_SCHEMA.fields],
+        )
+        yield batch
+
+
+class CdcFeedDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_feed"
+
+    def schema(self):
+        return CDC_SCHEMA
+
+    def reader(self, schema) -> CdcFeedReader:
+        return CdcFeedReader(self.options)
+
+
+def register(spark) -> None:
+    """Idempotent registration of the cdc_feed source."""
+    spark.dataSource.register(CdcFeedDataSource)
