@@ -292,3 +292,70 @@ def run_available_now(
     finally:
         q.stop()
     q.awaitTermination()
+
+
+def have_tws_runtime() -> bool:
+    """Whether Spark 4's transformWithState Python runtime can run
+    here: its driver-side worker imports google.protobuf (state
+    (de)serialization protocol), which pyspark does NOT vendor. In
+    containers without protobuf the stream crashes at init with
+    STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE — so callers gate
+    on this probe (the environment gate, import-try discipline)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_totals_tws(stream: DataFrame, key_col: str = "user_id"):
+    """Per-key running totals via ``transformWithStateInPandas`` —
+    Spark 4's arbitrary-stateful-processing door (the successor to
+    applyInPandasWithState used by sessionize_stateful): a
+    StatefulProcessor with an explicit ValueState schema
+    ("n BIGINT, cents BIGINT"), Update-mode emission of the running
+    (count, cents-sum) per key per micro-batch. Requires the RocksDB
+    state-store provider (set spark.sql.streaming.stateStore
+    .providerClass) and the protobuf runtime — raises RuntimeError
+    with the probe's diagnosis when absent rather than crashing the
+    stream mid-flight.
+
+    At scale: state is one 16-byte value per key in RocksDB —
+    checkpointed incrementally, spillable beyond memory, and the
+    TTL/timer facilities (unused here) bound state growth for
+    keys that go quiet."""
+    if not have_tws_runtime():
+        raise RuntimeError(
+            "transformWithStateInPandas needs google.protobuf, which this "
+            "environment lacks — see have_tws_runtime()"
+        )
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningAgg(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.state = handle.getValueState("agg", "n BIGINT, cents BIGINT")
+
+        def handleInputRows(self, key, rows, timer_values):
+            n, cents = self.state.get() if self.state.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["cents"].sum())
+            self.state.update((n, cents))
+            yield pd.DataFrame(
+                {key_col: [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return stream.groupBy(key_col).transformWithStateInPandas(
+        RunningAgg(),
+        f"{key_col} BIGINT, n_events BIGINT, total_cents BIGINT",
+        "Update",
+        "None",
+    )

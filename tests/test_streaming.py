@@ -203,3 +203,59 @@ class TestForeachBatchMerge:
         q.awaitTermination()
         got = {(r.id, r.v) for r in snapshots["cur"].collect()}
         assert got == {(1, "v1"), (2, "v2"), (3, "v1")}
+
+
+class TestTransformWithState:
+    def test_gate_probe_and_clear_error(self, spark):
+        """The tws door is environment-gated: when protobuf is absent
+        the op refuses up front with a diagnosis instead of crashing
+        the stream at init (verified: the raw API dies with
+        STREAMING_PYTHON_RUNNER_INITIALIZATION_FAILURE here)."""
+        import pytest
+
+        from product_analytics_spark.streaming import ops as st
+
+        if st.have_tws_runtime():
+            pytest.skip("protobuf present — covered by the parity test")
+        with pytest.raises(RuntimeError, match="protobuf"):
+            st.running_totals_tws(spark.readStream.format("rate").load())
+
+    def test_parity_when_runtime_present(self, spark, tmp_path):
+        """Full parity vs the batch aggregate — runs only where the
+        protobuf runtime exists (skipped in this container)."""
+        import pytest
+
+        from pyspark.sql import functions as F
+
+        from product_analytics_spark.catalog import read_parquet
+        from product_analytics_spark.streaming import ops as st
+
+        if not st.have_tws_runtime():
+            pytest.skip("google.protobuf missing — tws runtime unavailable")
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider",
+        )
+        land = str(tmp_path / "land")
+        ev = read_parquet(
+            spark, "/root/testdata/sf0.001/events.parquet"
+        ).select(
+            "user_id",
+            (F.col("value").cast("decimal(18,2)") * 100).cast("long").alias("cents"),
+        )
+        ev.repartition(2).write.mode("overwrite").parquet(land)
+        schema = spark.read.parquet(land).schema
+        stream = st.stream_table(spark, land, schema, max_files_per_trigger=1)
+        out = st.running_totals_tws(stream)
+        st.run_available_now(out, "tws_parity_sink", output_mode="update")
+        got = (
+            spark.table("tws_parity_sink")
+            .groupBy("user_id")
+            .agg(F.max("n_events").alias("n"), F.max("total_cents").alias("c"))
+        )
+        batch = ev.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+        )
+        assert got.exceptAll(batch).count() == 0
+        assert batch.exceptAll(got).count() == 0
