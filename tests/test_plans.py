@@ -91,6 +91,7 @@ class TestPlanProperties:
             "q61_kmeans_update",
             "q85_knn_join",
             "q99_mutual_nn",
+            "q192_knn_vote_accuracy",  # rides q85's Arrow kNN kernel
         }, arrow_users
 
     def test_split_assignment_adds_no_shuffle(self, plans):
