@@ -4613,3 +4613,11 @@ from product_analytics_spark.driver_queries_ext15 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT15)
 ORACLES.update(ORACLES_EXT15)
+
+from product_analytics_spark.driver_queries_ext16 import (  # noqa: E402
+    ORACLES_EXT16,
+    QUERIES_EXT16,
+)
+
+QUERIES.update(QUERIES_EXT16)
+ORACLES.update(ORACLES_EXT16)
