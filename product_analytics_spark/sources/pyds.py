@@ -164,3 +164,97 @@ class CdcFeedDataSource(DataSource):
 def register(spark) -> None:
     """Idempotent registration of the cdc_feed source."""
     spark.dataSource.register(CdcFeedDataSource)
+
+
+# ---------------------------------------------------------------------
+# Writer side: a JSONL sink with a real two-phase commit protocol.
+# ---------------------------------------------------------------------
+
+from dataclasses import field  # noqa: E402
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+@dataclass
+class _JsonlCommit(WriterCommitMessage):
+    """Per-task commit message: the staged file and its row count."""
+
+    path: str = ""
+    rows: int = 0
+
+
+class JsonlWriter(DataSourceWriter):
+    """Executor-side writer with the standard two-phase commit: each
+    task streams rows to a STAGED file (`.staging-<uuid>.jsonl`),
+    returns a commit message, and only the driver-side `commit()`
+    renames staged files into place and writes a `_MANIFEST.json`
+    (file list + row counts) — the atomicity contract object-store
+    committers provide. `abort()` removes staged files, so a failed
+    job leaves no partial output visible. Readers treat the manifest
+    as the source of truth (exactly the _SUCCESS/manifest discipline
+    sinks.py documents for the parquet path)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires a 'path' option")
+
+    def write(self, iterator) -> _JsonlCommit:
+        import json as _json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        staged = os.path.join(self.path, f".staging-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(staged, "w") as f:
+            for row in iterator:
+                f.write(_json.dumps(row.asDict(), sort_keys=True, default=str))
+                f.write("\n")
+                n += 1
+        return _JsonlCommit(path=staged, rows=n)
+
+    def commit(self, messages) -> None:
+        import json as _json
+        import os
+
+        final = []
+        for m in messages:
+            if m is None or m.rows == 0:
+                if m is not None and os.path.exists(m.path):
+                    os.remove(m.path)  # empty tasks leave no files
+                continue
+            dest = os.path.join(
+                self.path, os.path.basename(m.path).replace(".staging-", "part-")
+            )
+            os.rename(m.path, dest)
+            final.append({"file": os.path.basename(dest), "rows": m.rows})
+        manifest = os.path.join(self.path, "_MANIFEST.json")
+        with open(manifest, "w") as f:
+            _json.dump(
+                {"files": sorted(final, key=lambda d: d["file"]),
+                 "total_rows": sum(d["rows"] for d in final)},
+                f,
+            )
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlSinkDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def writer(self, schema, overwrite: bool):
+        return JsonlWriter(self.options)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(JsonlSinkDataSource)
