@@ -4621,3 +4621,11 @@ from product_analytics_spark.driver_queries_ext16 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT16)
 ORACLES.update(ORACLES_EXT16)
+
+from product_analytics_spark.driver_queries_ext17 import (  # noqa: E402
+    ORACLES_EXT17,
+    QUERIES_EXT17,
+)
+
+QUERIES.update(QUERIES_EXT17)
+ORACLES.update(ORACLES_EXT17)
