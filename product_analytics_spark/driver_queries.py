@@ -4629,3 +4629,11 @@ from product_analytics_spark.driver_queries_ext17 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT17)
 ORACLES.update(ORACLES_EXT17)
+
+from product_analytics_spark.driver_queries_ext18 import (  # noqa: E402
+    ORACLES_EXT18,
+    QUERIES_EXT18,
+)
+
+QUERIES.update(QUERIES_EXT18)
+ORACLES.update(ORACLES_EXT18)
