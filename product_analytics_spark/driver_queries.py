@@ -4637,3 +4637,11 @@ from product_analytics_spark.driver_queries_ext18 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT18)
 ORACLES.update(ORACLES_EXT18)
+
+from product_analytics_spark.driver_queries_ext19 import (  # noqa: E402
+    ORACLES_EXT19,
+    QUERIES_EXT19,
+)
+
+QUERIES.update(QUERIES_EXT19)
+ORACLES.update(ORACLES_EXT19)
