@@ -4645,3 +4645,11 @@ from product_analytics_spark.driver_queries_ext19 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT19)
 ORACLES.update(ORACLES_EXT19)
+
+from product_analytics_spark.driver_queries_ext20 import (  # noqa: E402
+    QUERIES_EXT20,
+    _oracles_ext20,
+)
+
+QUERIES.update(QUERIES_EXT20)
+ORACLES.update(_oracles_ext20())

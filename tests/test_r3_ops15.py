@@ -97,3 +97,20 @@ class TestSpcControlChart:
                 prev_hi2, prev_lo2 = hi2, lo2
             first = beyond3[0].isoformat() if beyond3 else None
             assert got[name] == (len(mon), len(beyond3), runs2, first)
+
+
+class TestDedupMethodEval:
+    def test_confusion_identities(self, spark):
+        from product_analytics_spark.driver_queries_ext20 import (
+            q206_dedup_method_eval,
+        )
+
+        r = q206_dedup_method_eval(spark, SF).collect()[0]
+        assert r.n_pred == r.n_tp + r.n_fp
+        assert r.n_truth == r.n_tp + r.n_fn
+        assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+        assert r.n_truth > 0  # the corpus genuinely contains near-dups
+        # shared candidates + exact verify means the estimator's FN
+        # set comes only from banding recall + estimate noise — at
+        # 0.5 both are small, so recall should be high
+        assert r.recall >= 0.8
