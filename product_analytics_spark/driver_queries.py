@@ -4653,3 +4653,11 @@ from product_analytics_spark.driver_queries_ext20 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT20)
 ORACLES.update(_oracles_ext20())
+
+from product_analytics_spark.driver_queries_ext21 import (  # noqa: E402
+    QUERIES_EXT21,
+    _oracles_ext21,
+)
+
+QUERIES.update(QUERIES_EXT21)
+ORACLES.update(_oracles_ext21())

@@ -1,0 +1,105 @@
+"""Unit tests for the q207-q209 families (driver_queries_ext21)."""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+from pyspark.sql import functions as F
+
+from product_analytics_spark.catalog import read_parquet
+from product_analytics_spark.driver_queries_ext21 import (
+    TRIPLET_K,
+    q207_triplet_mining,
+    q208_mixture_weights,
+    q209_padding_waste,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+class TestTripletMining:
+    def test_recomputed_from_knn_graph(self, spark):
+        from product_analytics_spark import driver_queries as dq
+        from product_analytics_spark.operators import similarity
+
+        emb = read_parquet(spark, f"{SF}/embeddings.parquet")
+        labels = {r.vec_id: r.label for r in emb.select("vec_id", "label").collect()}
+        knn = similarity.knn_join_ivf(
+            emb,
+            centroids=similarity.CENTROIDS_FINE,
+            k=TRIPLET_K,
+            dim=dq.EMBEDDING_DIM,
+            cap_per_cell=dq.NEAR_DUP_CAP_PER_CELL,
+        ).collect()
+        nbs = defaultdict(list)
+        for r in knn:
+            nbs[r.vec_id].append((r.neighbor_id, r.cosine_sim))
+        expected = {}
+        for vid, lst in nbs.items():
+            lst.sort(key=lambda t: (-t[1], t[0]))
+            pos = next(((i, s) for i, s in lst if labels[i] == labels[vid]), None)
+            neg = next(((i, s) for i, s in lst if labels[i] != labels[vid]), None)
+            if pos and neg:
+                expected[vid] = (pos[0], neg[0], pos[1] - neg[1])
+        got = {
+            r.anchor_id: (r.pos_id, r.neg_id, r.margin)
+            for r in q207_triplet_mining(spark, SF).collect()
+        }
+        assert got == expected
+        assert got  # non-trivial output
+
+
+class TestMixtureWeights:
+    def test_matches_python_ordered_sum(self, spark):
+        import math
+
+        docs = read_parquet(spark, f"{SF}/documents.parquet").select(
+            "lang", "source", F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        ).collect()
+        counts = defaultdict(int)
+        for r in docs:
+            counts[(r.lang, r.source)] += r.n
+        keys = sorted(counts)
+        norm = 0.0
+        total = 0
+        for k in keys:  # identical left-to-right order
+            norm += math.sqrt(float(counts[k]))
+            total += counts[k]
+        got = {
+            (r.lang, r.source): (r.tokens, r.weight, r.epochs)
+            for r in q208_mixture_weights(spark, SF).collect()
+        }
+        assert set(got) == set(keys)
+        wsum = 0.0
+        for k in keys:
+            t, w, e = got[k]
+            assert t == counts[k]
+            assert w == math.sqrt(float(counts[k])) / norm
+            assert e == w * float(total) / float(counts[k])
+            wsum += w
+        assert abs(wsum - 1.0) < 1e-9
+
+
+class TestPaddingWaste:
+    def test_matches_python_buckets(self, spark):
+        docs = read_parquet(spark, f"{SF}/documents.parquet").select(
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n")
+        ).collect()
+        expected = defaultdict(lambda: [0, 0, 0])
+        for r in docs:
+            if r.n <= 0:
+                continue
+            cap = 1 if r.n == 1 else 1 << (r.n - 1).bit_length()
+            e = expected[cap]
+            e[0] += 1
+            e[1] += r.n
+            e[2] += cap - r.n
+        got = {
+            r.cap: (r.n_docs, r.total_tokens, r.padding_waste, r.utilization)
+            for r in q209_padding_waste(spark, SF).collect()
+        }
+        assert set(got) == set(expected)
+        for cap, (nd, tt, pw) in ((k, tuple(v)) for k, v in expected.items()):
+            g = got[cap]
+            assert g[:3] == (nd, tt, pw)
+            assert g[3] == float(tt) / float(nd * cap)
