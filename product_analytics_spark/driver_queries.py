@@ -4661,3 +4661,11 @@ from product_analytics_spark.driver_queries_ext21 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT21)
 ORACLES.update(_oracles_ext21())
+
+from product_analytics_spark.driver_queries_ext22 import (  # noqa: E402
+    QUERIES_EXT22,
+    _oracles_ext22,
+)
+
+QUERIES.update(QUERIES_EXT22)
+ORACLES.update(_oracles_ext22())

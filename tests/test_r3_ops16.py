@@ -103,3 +103,37 @@ class TestPaddingWaste:
             g = got[cap]
             assert g[:3] == (nd, tt, pw)
             assert g[3] == float(tt) / float(nd * cap)
+
+
+class TestCanonicalDocSelection:
+    def test_one_survivor_per_cluster_longest_wins(self, spark):
+        from product_analytics_spark.driver_queries_ext22 import (
+            q210_canonical_doc_selection,
+        )
+
+        rows = q210_canonical_doc_selection(spark, SF).collect()
+        by_cluster = defaultdict(list)
+        for r in rows:
+            by_cluster[r.cluster_id].append(r)
+        docs = read_parquet(spark, f"{SF}/documents.parquet")
+        assert sum(len(v) for v in by_cluster.values()) == docs.count()
+        for cid, members in by_cluster.items():
+            keepers = [m for m in members if m.keep]
+            assert len(keepers) == 1
+            best = min(members, key=lambda m: (-m.n_chars, m.doc_id))
+            assert keepers[0].doc_id == best.doc_id
+            assert all(m.survivor_id == best.doc_id for m in members)
+
+
+class TestFilterFunnel:
+    def test_monotone_stages_and_totals(self, spark):
+        from product_analytics_spark.driver_queries_ext22 import (
+            q211_filter_funnel,
+        )
+
+        rows = q211_filter_funnel(spark, SF).collect()
+        docs = read_parquet(spark, f"{SF}/documents.parquet")
+        assert sum(r.n_docs for r in rows) == docs.count()
+        for r in rows:
+            assert r.n_docs >= r.n_length_ok >= r.n_tokens_ok >= r.n_final >= 0
+            assert r.retention == r.n_final / r.n_docs
