@@ -259,3 +259,49 @@ class TestTransformWithState:
         )
         assert got.exceptAll(batch).count() == 0
         assert batch.exceptAll(got).count() == 0
+
+
+class TestCheckpointRestart:
+    def test_restart_resumes_from_offsets_exactly_once(self, spark, tmp_path):
+        """Exactly-once across restarts: run an availableNow counting
+        stream to completion, land MORE data, restart with the SAME
+        checkpoint — the second run must process only the new file
+        (offsets resumed, nothing re-read, nothing double-counted)."""
+        from pyspark.sql import functions as F
+
+        from product_analytics_spark.catalog import read_parquet
+        from product_analytics_spark.streaming import ops as st
+
+        land = str(tmp_path / "land")
+        ckpt = str(tmp_path / "ckpt")
+        out = str(tmp_path / "out")
+        ev = read_parquet(
+            spark, "/root/testdata/sf0.001/events.parquet"
+        ).select("event_id", "event_type")
+        first = ev.filter(F.col("event_id") % 2 == 0)
+        second = ev.filter(F.col("event_id") % 2 == 1)
+        first.repartition(1).write.mode("overwrite").parquet(land)
+        schema = spark.read.parquet(land).schema
+
+        def run_once():
+            stream = spark.readStream.schema(schema).parquet(land)
+            q = (
+                stream.writeStream.format("parquet")
+                .option("path", out)
+                .option("checkpointLocation", ckpt)
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            return sum(p["numInputRows"] for p in q.recentProgress)
+
+        n1 = run_once()
+        assert n1 == first.count()
+        second.repartition(1).write.mode("append").parquet(land)
+        n2 = run_once()
+        assert n2 == second.count()  # ONLY the new file
+        total = spark.read.parquet(out)
+        assert total.count() == ev.count()
+        # no duplicates across the two runs
+        assert total.select("event_id").distinct().count() == ev.count()
