@@ -132,16 +132,19 @@ def q208_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     op: per (lang, source) token counts tempered by sqrt (α = 0.5),
     normalized to sampling weights, plus the implied epochs-per-
     source (weight · total_tokens / own_tokens). The trap this query
-    exists to demonstrate: the normalizer Σ√cᵢ is a FLOAT sum, and
-    float addition is not associative — a plain groupBy sum of
-    doubles is partition-order-dependent. The fix: a cumulative sum
-    over an ORDERED window on the |sources|-row relation, so both
-    engines add in the identical left-to-right order and the total
-    is bit-reproducible at any parallelism (the X32 discipline
-    extended to unavoidable floats).
+    exists to demonstrate: a normalizer Σ√cᵢ summed in FLOAT is not
+    reproducible — float addition is non-associative, Spark's window
+    sum accumulates left-to-right while DuckDB's uses a pairwise
+    segment tree, and a first cut of this query drifted at sf0.1 for
+    exactly that reason. The fix is the X32 discipline: temper with
+    the INTEGER sqrt (floor(sqrt(c)) — IEEE sqrt is correctly
+    rounded, so the floor is the same integer on any engine for
+    c < 2^52), making the normalizer an exact integer sum that is
+    order-independent at any parallelism; floats appear only in the
+    final per-row divisions.
 
-    Scale: one fact agg to |lang × source|; the ordered normalizer
-    window runs on that dim-sized relation."""
+    Scale: one fact agg to |lang × source|; the normalizer is a
+    plain integer window total on that dim-sized relation."""
     d = _t(spark, sf_dir, "documents")
     from product_analytics_spark.operators import text as tx
 
@@ -149,33 +152,21 @@ def q208_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(tx.token_count(F.col("text")).cast("long")).alias("tokens")
     )
     sq = counts.select(
-        "lang", "source", "tokens", F.sqrt(F.col("tokens").cast("double")).alias("sq")
-    )
-    wo = Window.orderBy("lang", "source").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    # two passes (window exprs can't nest): the ordered cumulative sum
-    # fixes the addition order; its max over the whole relation is the
-    # final (deterministic) total, because cumsums of positives and of
-    # nonneg token counts are nondecreasing
-    cum0 = sq.select(
         "lang",
         "source",
         "tokens",
-        "sq",
-        F.sum("sq").over(wo).alias("cum_sq"),
-        F.sum("tokens").over(wo).alias("cum_tok"),
+        F.floor(F.sqrt(F.col("tokens").cast("double"))).cast("long").alias("tsq"),
     )
     wall = Window.partitionBy()
-    cum = cum0.select(
+    cum = sq.select(
         "lang",
         "source",
         "tokens",
-        "sq",
-        F.max("cum_sq").over(wall).alias("norm"),
-        F.max("cum_tok").over(wall).alias("total_tokens"),
+        "tsq",
+        F.sum("tsq").over(wall).alias("norm"),
+        F.sum("tokens").over(wall).alias("total_tokens"),
     )
-    weight = F.col("sq") / F.col("norm")
+    weight = F.col("tsq").cast("double") / F.col("norm").cast("double")
     return cum.select(
         "lang",
         "source",
@@ -194,25 +185,20 @@ WITH counts AS (
   FROM documents GROUP BY 1, 2
 ),
 sq AS (
-  SELECT lang, source, tokens, sqrt(CAST(tokens AS DOUBLE)) AS sq FROM counts
-),
-cum0 AS (
-  SELECT lang, source, tokens, sq,
-         sum(sq) OVER (ORDER BY lang, source
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_sq,
-         sum(tokens) OVER (ORDER BY lang, source
-                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_tok
-  FROM sq
+  SELECT lang, source, tokens,
+         CAST(floor(sqrt(CAST(tokens AS DOUBLE))) AS BIGINT) AS tsq
+  FROM counts
 ),
 cum AS (
-  SELECT lang, source, tokens, sq,
-         max(cum_sq) OVER () AS norm,
-         max(cum_tok) OVER () AS total_tokens
-  FROM cum0
+  SELECT lang, source, tokens, tsq,
+         sum(tsq) OVER () AS norm,
+         sum(tokens) OVER () AS total_tokens
+  FROM sq
 )
 SELECT lang, source, CAST(tokens AS BIGINT) AS tokens,
-       sq / norm AS weight,
-       sq / norm * CAST(total_tokens AS DOUBLE) / CAST(tokens AS DOUBLE) AS epochs
+       CAST(tsq AS DOUBLE) / CAST(norm AS DOUBLE) AS weight,
+       CAST(tsq AS DOUBLE) / CAST(norm AS DOUBLE)
+         * CAST(total_tokens AS DOUBLE) / CAST(tokens AS DOUBLE) AS epochs
 FROM cum
 """
 

@@ -60,11 +60,8 @@ class TestMixtureWeights:
         for r in docs:
             counts[(r.lang, r.source)] += r.n
         keys = sorted(counts)
-        norm = 0.0
-        total = 0
-        for k in keys:  # identical left-to-right order
-            norm += math.sqrt(float(counts[k]))
-            total += counts[k]
+        norm = sum(math.isqrt(counts[k]) for k in keys)  # exact int sum
+        total = sum(counts[k] for k in keys)
         got = {
             (r.lang, r.source): (r.tokens, r.weight, r.epochs)
             for r in q208_mixture_weights(spark, SF).collect()
@@ -74,7 +71,7 @@ class TestMixtureWeights:
         for k in keys:
             t, w, e = got[k]
             assert t == counts[k]
-            assert w == math.sqrt(float(counts[k])) / norm
+            assert w == float(math.isqrt(counts[k])) / float(norm)
             assert e == w * float(total) / float(counts[k])
             wsum += w
         assert abs(wsum - 1.0) < 1e-9
