@@ -4669,3 +4669,11 @@ from product_analytics_spark.driver_queries_ext22 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT22)
 ORACLES.update(_oracles_ext22())
+
+from product_analytics_spark.driver_queries_ext23 import (  # noqa: E402
+    ORACLES_EXT23,
+    QUERIES_EXT23,
+)
+
+QUERIES.update(QUERIES_EXT23)
+ORACLES.update(ORACLES_EXT23)

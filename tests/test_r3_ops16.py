@@ -134,3 +134,51 @@ class TestFilterFunnel:
         for r in rows:
             assert r.n_docs >= r.n_length_ok >= r.n_tokens_ok >= r.n_final >= 0
             assert r.retention == r.n_final / r.n_docs
+
+
+class TestNullSemanticsProbe:
+    def test_three_valued_identities(self, spark):
+        from product_analytics_spark.driver_queries_ext23 import (
+            q212_null_semantics_probe,
+        )
+
+        r = q212_null_semantics_probe(spark, SF).collect()[0]
+        assert r.n_not_in_with_null == 0  # the NOT IN trap
+        assert r.n_nullsafe_eq_null == r.n_null
+        assert r.n_coalesced == r.n_null
+        assert r.n_count_col_skips_nulls == r.n_rows - r.n_null
+        assert r.n_null > 0 and r.n_eq_f > 0
+
+
+class TestRoundingSemanticsProbe:
+    def test_half_up_everywhere(self, spark):
+        from product_analytics_spark.driver_queries_ext23 import (
+            q213_rounding_semantics_probe,
+        )
+        from collections import defaultdict
+
+        cents = [
+            r.c
+            for r in read_parquet(spark, f"{SF}/orders.parquet")
+            .select(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .alias("c")
+            )
+            .collect()
+        ]
+        expected = defaultdict(lambda: [0, 0])
+        for c in cents:
+            e = expected[c % 10]
+            e[0] += 1
+            e[1] += c + 1  # HALF-UP: x.xx5 -> (c+1)/100
+        got = {
+            r.last_digit: (r.n, r.n_even_result, int(r.sum_rounded_cents))
+            for r in q213_rounding_semantics_probe(spark, SF).collect()
+        }
+        for d, (n, s) in ((k, tuple(v)) for k, v in expected.items()):
+            gn, geven, gsum = got[d]
+            assert gn == n
+            assert gsum == s
+            # half-up: result last digit is (d+1)%10 for every row
+            assert geven == (n if (d + 1) % 2 == 0 else 0)
