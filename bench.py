@@ -66,7 +66,7 @@ def main() -> None:
     }
     keep = len(compact_all)
     while keep > 0 and len(json.dumps(payload, separators=(",", ":"))) > 1800:
-        keep -= 10
+        keep = max(0, keep - 10)
         payload["queries"] = dict(compact_all[:keep])
     full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json")
     with open(full_path, "w") as f:

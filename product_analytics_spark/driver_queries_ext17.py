@@ -157,7 +157,8 @@ def q201_append_mode_finalization(spark: SparkSession, sf_dir: str) -> DataFrame
     # pushes the watermark past every real window's end, forcing the
     # append-mode sink to emit them (without it the final days' windows
     # never finalize before availableNow terminates); its own window
-    # stays open forever and is excluded by the day filter below
+    # never appears in the output because the watermark never passes
+    # its end, so append mode never emits it
     flush = spark.createDataFrame(
         [(-1, "2024-02-15 00:00:00", "flush")], "event_id long, ts string, event_type string"
     ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")

@@ -231,13 +231,26 @@ class JsonlWriter(DataSourceWriter):
             )
             os.rename(m.path, dest)
             final.append({"file": os.path.basename(dest), "rows": m.rows})
+        # Sweep orphaned staged files from failed/speculative attempts that
+        # never produced a commit message — they must not survive a commit.
+        import glob as _glob
+
+        for orphan in _glob.glob(os.path.join(self.path, ".staging-*.jsonl")):
+            try:
+                os.remove(orphan)
+            except OSError:
+                pass
+        # Manifest write is itself atomic: temp file + rename, so a crash
+        # mid-write can never leave a truncated manifest for readers.
         manifest = os.path.join(self.path, "_MANIFEST.json")
-        with open(manifest, "w") as f:
+        tmp = manifest + ".tmp"
+        with open(tmp, "w") as f:
             _json.dump(
                 {"files": sorted(final, key=lambda d: d["file"]),
                  "total_rows": sum(d["rows"] for d in final)},
                 f,
             )
+        os.rename(tmp, manifest)
 
     def abort(self, messages) -> None:
         import os
