@@ -4677,3 +4677,11 @@ from product_analytics_spark.driver_queries_ext23 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT23)
 ORACLES.update(ORACLES_EXT23)
+
+from product_analytics_spark.driver_queries_ext24 import (  # noqa: E402
+    QUERIES_EXT24,
+    _oracles_ext24,
+)
+
+QUERIES.update(QUERIES_EXT24)
+ORACLES.update(_oracles_ext24())
