@@ -4685,3 +4685,19 @@ from product_analytics_spark.driver_queries_ext24 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT24)
 ORACLES.update(_oracles_ext24())
+
+from product_analytics_spark.driver_queries_ext25 import (  # noqa: E402
+    ORACLES_EXT25,
+    QUERIES_EXT25,
+)
+
+QUERIES.update(QUERIES_EXT25)
+ORACLES.update(ORACLES_EXT25)
+
+from product_analytics_spark.driver_queries_ext26 import (  # noqa: E402
+    QUERIES_EXT26,
+    _oracles_ext26,
+)
+
+QUERIES.update(QUERIES_EXT26)
+ORACLES.update(_oracles_ext26())

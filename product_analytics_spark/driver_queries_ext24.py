@@ -53,11 +53,21 @@ def q214_corpus_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_tokens"),
     )
     lang = d.groupBy("lang").agg(F.sum("n_tokens").alias("t_l"))
-    tot = lang.agg(
-        F.sum("t_l").alias("t"),
-        F.expr(f"CAST(sum(t_l) * {BUDGET_PCT} div 100 AS BIGINT)").alias("b"),
+    # Totals via a whole-relation window over the |langs|-row relation
+    # (the q171 idiom) — no cross join, no BroadcastNestedLoopJoin.
+    wtot0 = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
     )
-    alloc = lang.crossJoin(F.broadcast(tot)).select(
+    alloc = lang.select(
+        "lang",
+        "t_l",
+        F.sum("t_l").over(wtot0).alias("t"),
+    ).select(
+        "lang",
+        "t_l",
+        F.expr(f"CAST(t * {BUDGET_PCT} div 100 AS BIGINT)").alias("b"),
+        "t",
+    ).select(
         "lang",
         "t_l",
         "b",
@@ -320,21 +330,21 @@ def q216_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("dt") >= F.lit(ZM_DT_LO).cast("date"))
         & (F.col("dt") <= F.lit(ZM_DT_HI).cast("date"))
     )
-    matching = o.agg(
-        F.sum(F.when(pred, 1).otherwise(0)).cast("bigint").alias("matching")
-    )
-
     def layout(name: str, *order_cols) -> DataFrame:
+        # The predicate-match count rides the SAME per-file agg (every
+        # layout totals the identical value) — no scalar cross join.
         wf = Window.partitionBy().orderBy(*order_cols)
         files = (
             o.select(
                 "o_custkey",
                 "dt",
                 F.ntile(ZM_FILES).over(wf).alias("file_id"),
+                pred.alias("m"),
             )
             .groupBy("file_id")
             .agg(
                 F.count(F.lit(1)).alias("rows"),
+                F.sum(F.when(F.col("m"), 1).otherwise(0)).alias("n_match"),
                 F.min("o_custkey").alias("min_ck"),
                 F.max("o_custkey").alias("max_ck"),
                 F.min("dt").alias("min_dt"),
@@ -356,6 +366,7 @@ def q216_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(scanned, F.col("rows")).otherwise(0))
             .cast("bigint")
             .alias("rows_scanned"),
+            F.sum("n_match").cast("bigint").alias("matching"),
         )
 
     stats = (
@@ -363,7 +374,7 @@ def q216_zonemap_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(layout("key", F.asc("o_custkey"), F.asc("o_orderkey")))
         .unionByName(layout("zorder", F.asc("zval"), F.asc("o_orderkey")))
     )
-    return stats.crossJoin(F.broadcast(matching)).select(
+    return stats.select(
         "layout",
         "n_files",
         "files_scanned",
@@ -387,14 +398,18 @@ SELECT '{name}' AS layout,
        CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT)
          AS files_scanned,
        CAST(sum(CASE WHEN scanned THEN rows ELSE 0 END) AS BIGINT)
-         AS rows_scanned
+         AS rows_scanned,
+       CAST(sum(n_match) AS BIGINT) AS matching
 FROM (
   SELECT file_id, count(*) AS rows,
+         sum(CASE WHEN m THEN 1 ELSE 0 END) AS n_match,
          NOT (max(o_custkey) < {ZM_CK_LO} OR min(o_custkey) > {ZM_CK_HI}
               OR max(dt) < DATE '{ZM_DT_LO}' OR min(dt) > DATE '{ZM_DT_HI}')
            AS scanned
   FROM (
     SELECT o_custkey, dt,
+           o_custkey BETWEEN {ZM_CK_LO} AND {ZM_CK_HI}
+             AND dt BETWEEN DATE '{ZM_DT_LO}' AND DATE '{ZM_DT_HI}' AS m,
            ntile({ZM_FILES}) OVER (ORDER BY {order}) AS file_id
     FROM o
   ) GROUP BY file_id
@@ -407,16 +422,10 @@ WITH o AS (
          CAST({z} AS BIGINT) AS zval
   FROM orders
 ),
-m AS (
-  SELECT CAST(sum(CASE WHEN o_custkey BETWEEN {ZM_CK_LO} AND {ZM_CK_HI}
-                        AND dt BETWEEN DATE '{ZM_DT_LO}' AND DATE '{ZM_DT_HI}'
-                       THEN 1 ELSE 0 END) AS BIGINT) AS matching
-  FROM o
-),
 stats AS ({un})
-SELECT layout, n_files, files_scanned, rows_scanned, m.matching,
-       rows_scanned / m.matching AS amplification
-FROM stats, m
+SELECT layout, n_files, files_scanned, rows_scanned, matching,
+       rows_scanned / matching AS amplification
+FROM stats
 """
 
 

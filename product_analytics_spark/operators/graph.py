@@ -330,3 +330,58 @@ def pagerank(
         "rank_scaled",
         (F.col("rank_scaled") / F.lit(float(scale))).alias("rank"),
     )
+
+
+def bellman_ford(
+    edges: DataFrame,
+    source_ids: DataFrame,
+    rounds: int = 6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    weight_col: str = "w",
+    id_col: str = "id",
+) -> DataFrame:
+    """Bounded single-source shortest path over WEIGHTED directed
+    edges — Bellman-Ford as ``rounds`` relaxation passes: each round
+    joins the current distance relation to the edge list and folds
+    with a min() agg (the min-plus semiring analog of bfs_hops, which
+    this generalizes: BFS is the all-weights-1 special case).
+
+    After k rounds the relation holds the exact shortest distance for
+    every path of at most k edges — the standard bounded-horizon
+    guarantee; negative weights are handled (no early exit on
+    convergence), cycles cannot loop because the horizon is fixed.
+
+    Scale: state is (vertex, dist) — 16 bytes/vertex; each round is
+    ONE shuffle keyed on vertex id, and the rounds compose into one
+    job (no convergence probe). Distances must be integral for
+    bit-exact results on any partitioning (min of integers is
+    order-free; float path sums would not be).
+    """
+    e = (
+        edges.select(
+            F.col(src_col).alias("s"),
+            F.col(dst_col).alias("d"),
+            F.col(weight_col).cast("bigint").alias("w"),
+        )
+        .distinct()
+        .persist()
+    )
+    try:
+        dist = source_ids.select(
+            F.col(id_col).alias("id"), F.lit(0).cast("bigint").alias("dist")
+        )
+        for i in range(rounds):
+            relaxed = (
+                e.join(dist, e.s == dist.id)
+                .select(F.col("d").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+                .union(dist)
+                .groupBy("id")
+                .agg(F.min("dist").alias("dist"))
+            )
+            dist = (
+                relaxed.localCheckpoint(eager=True) if (i + 1) % 5 == 0 else relaxed
+            )
+        return dist.localCheckpoint(eager=True)
+    finally:
+        e.unpersist()

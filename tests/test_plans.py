@@ -92,6 +92,7 @@ class TestPlanProperties:
             "q85_knn_join",
             "q99_mutual_nn",
             "q192_knn_vote_accuracy",  # rides q85's Arrow kNN kernel
+            "q207_triplet_mining",  # rides the same Arrow kNN kernel
         }, arrow_users
 
     def test_split_assignment_adds_no_shuffle(self, plans):
