@@ -4701,3 +4701,11 @@ from product_analytics_spark.driver_queries_ext26 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT26)
 ORACLES.update(_oracles_ext26())
+
+from product_analytics_spark.driver_queries_ext27 import (  # noqa: E402
+    QUERIES_EXT27,
+    _oracles_ext27,
+)
+
+QUERIES.update(QUERIES_EXT27)
+ORACLES.update(_oracles_ext27())
