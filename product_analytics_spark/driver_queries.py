@@ -4709,3 +4709,11 @@ from product_analytics_spark.driver_queries_ext27 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT27)
 ORACLES.update(_oracles_ext27())
+
+from product_analytics_spark.driver_queries_ext28 import (  # noqa: E402
+    QUERIES_EXT28,
+    _oracles_ext28,
+)
+
+QUERIES.update(QUERIES_EXT28)
+ORACLES.update(_oracles_ext28())
