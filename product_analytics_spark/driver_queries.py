@@ -4717,3 +4717,11 @@ from product_analytics_spark.driver_queries_ext28 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT28)
 ORACLES.update(_oracles_ext28())
+
+from product_analytics_spark.driver_queries_ext29 import (  # noqa: E402
+    QUERIES_EXT29,
+    _oracles_ext29,
+)
+
+QUERIES.update(QUERIES_EXT29)
+ORACLES.update(_oracles_ext29())
