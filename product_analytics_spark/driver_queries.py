@@ -4725,3 +4725,11 @@ from product_analytics_spark.driver_queries_ext29 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT29)
 ORACLES.update(_oracles_ext29())
+
+from product_analytics_spark.driver_queries_ext30 import (  # noqa: E402
+    QUERIES_EXT30,
+    _oracles_ext30,
+)
+
+QUERIES.update(QUERIES_EXT30)
+ORACLES.update(_oracles_ext30())
