@@ -4733,3 +4733,11 @@ from product_analytics_spark.driver_queries_ext30 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT30)
 ORACLES.update(_oracles_ext30())
+
+from product_analytics_spark.driver_queries_ext31 import (  # noqa: E402
+    QUERIES_EXT31,
+    _oracles_ext31,
+)
+
+QUERIES.update(QUERIES_EXT31)
+ORACLES.update(_oracles_ext31())
