@@ -4741,3 +4741,11 @@ from product_analytics_spark.driver_queries_ext31 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT31)
 ORACLES.update(_oracles_ext31())
+
+from product_analytics_spark.driver_queries_ext32 import (  # noqa: E402
+    QUERIES_EXT32,
+    _oracles_ext32,
+)
+
+QUERIES.update(QUERIES_EXT32)
+ORACLES.update(_oracles_ext32())

