@@ -4749,3 +4749,11 @@ from product_analytics_spark.driver_queries_ext32 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT32)
 ORACLES.update(_oracles_ext32())
+
+from product_analytics_spark.driver_queries_ext33 import (  # noqa: E402
+    QUERIES_EXT33,
+    _oracles_ext33,
+)
+
+QUERIES.update(QUERIES_EXT33)
+ORACLES.update(_oracles_ext33())

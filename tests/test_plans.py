@@ -129,3 +129,25 @@ class TestPlanProperties:
         # The whole point: (key, salt) partial stage then key merge
         # stage — exactly two Exchanges, each a hash aggregation.
         assert plans["q55_salted_skew_agg"].count("+- Exchange") == 2
+
+
+class TestTpchPlans:
+    """The canonical TPC-H shapes must keep their canonical plans."""
+
+    def test_q1_single_shuffle_with_partial_agg(self, plans):
+        p = plans["q250_tpch_q1_pricing_summary"]
+        assert "partial_sum" in p
+        assert p.count("+- Exchange") == 1
+
+    def test_q5_star_join_all_broadcast(self, plans):
+        # The fact table must never shuffle before the final nation
+        # aggregation: every join broadcasts its dim side.
+        p = plans["q252_tpch_q5_local_supplier"]
+        assert "SortMergeJoin" not in p
+        assert p.count("BroadcastHashJoin") >= 4
+        assert p.count("+- Exchange") == 1
+
+    def test_q6_pushdown_no_prefilter_shuffle(self, plans):
+        p = plans["q251_tpch_q6_revenue_forecast"]
+        assert "PushedFilters" in p
+        assert "SortMergeJoin" not in p
