@@ -4757,3 +4757,11 @@ from product_analytics_spark.driver_queries_ext33 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT33)
 ORACLES.update(_oracles_ext33())
+
+from product_analytics_spark.driver_queries_ext34 import (  # noqa: E402
+    QUERIES_EXT34,
+    _oracles_ext34,
+)
+
+QUERIES.update(QUERIES_EXT34)
+ORACLES.update(_oracles_ext34())
