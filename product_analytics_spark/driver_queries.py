@@ -4765,3 +4765,11 @@ from product_analytics_spark.driver_queries_ext34 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT34)
 ORACLES.update(_oracles_ext34())
+
+from product_analytics_spark.driver_queries_ext35 import (  # noqa: E402
+    QUERIES_EXT35,
+    _oracles_ext35,
+)
+
+QUERIES.update(QUERIES_EXT35)
+ORACLES.update(_oracles_ext35())
