@@ -348,24 +348,36 @@ def q225_try_arithmetic_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     try_add / try_multiply / try_divide return NULL instead of raising
     on BIGINT overflow and instead of x/0 — the swap-in that makes a
     100 TB job survive one poisoned row where strict ANSI mode would
-    kill the stage. Constructed over real data: o_orderkey is pushed
-    into guaranteed-overflow territory (key × 2^62 exceeds INT64 for
-    key ≥ 2) and a modulo-derived zero divisor hits the div-by-zero
-    path on a known subset. The oracle mirrors each case with
-    explicitly guarded CASE arithmetic — the probe certifies that
+    kill the stage. Constructed over real data with a RARE poison
+    subset (every 1000th order key), which is both the realistic
+    deployment AND a measured performance cliff: try_* signals
+    overflow via a caught ArithmeticException PER OVERFLOWING ROW, so
+    a mostly-overflowing column paid ~4s for a 150k-row scan in an
+    earlier formulation vs ~0.2s with rare poison — try_* is
+    insurance against stray bad rows, not a bulk-math mode (the
+    design note a 100 TB user needs). The oracle mirrors each case
+    with explicitly guarded CASE arithmetic — the probe certifies
     Spark's try_* shortcuts equal the guarded forms row-for-row.
 
-    Scale: one scan, conditional counts, a 1-row result."""
+    Scale: one scan, conditional counts, a 1-row result; exception
+    cost scales with the POISON count, not the row count."""
     big = 1 << 62
+    imax = (1 << 63) - 1
+    poison = "(o_orderkey % 1000 = 0)"
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey",
-        F.expr(f"try_multiply(o_orderkey, CAST({big} AS BIGINT))").alias("tm"),
         F.expr(
-            f"try_add(CAST({(1 << 63) - 1} AS BIGINT), o_orderkey)"
+            f"try_multiply(o_orderkey, CASE WHEN {poison} "
+            f"THEN CAST({big} AS BIGINT) ELSE CAST(1 AS BIGINT) END)"
+        ).alias("tm"),
+        F.expr(
+            f"try_add(CAST({imax} AS BIGINT), "
+            f"CASE WHEN {poison} THEN o_orderkey ELSE CAST(0 AS BIGINT) END)"
         ).alias("ta"),
-        F.expr("try_divide(o_totalprice, CAST(o_orderkey % 3 AS DOUBLE))").alias(
-            "td"
-        ),
+        F.expr(
+            f"try_divide(o_totalprice, CASE WHEN {poison} "
+            "THEN CAST(0 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END)"
+        ).alias("td"),
     )
     return o.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_rows"),
@@ -390,12 +402,13 @@ def _q225_sql() -> str:
     return f"""
 WITH o AS (
   SELECT o_orderkey,
-         CASE WHEN o_orderkey >= 2 OR o_orderkey < 0 THEN NULL
-              ELSE o_orderkey * {big} END AS tm,
-         CASE WHEN o_orderkey >= 1 THEN NULL
-              ELSE {imax} + o_orderkey END AS ta,
-         CASE WHEN o_orderkey % 3 = 0 THEN NULL
-              ELSE o_totalprice / CAST(o_orderkey % 3 AS DOUBLE) END AS td
+         CASE WHEN o_orderkey % 1000 = 0 AND o_orderkey >= 2 THEN NULL
+              WHEN o_orderkey % 1000 = 0 THEN o_orderkey * {big}
+              ELSE o_orderkey END AS tm,
+         CASE WHEN o_orderkey % 1000 = 0 AND o_orderkey >= 1 THEN NULL
+              ELSE {imax} END AS ta,
+         CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+              ELSE o_totalprice END AS td
   FROM orders
 )
 SELECT CAST(count(*) AS BIGINT) AS n_rows,
