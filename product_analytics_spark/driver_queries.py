@@ -4773,3 +4773,11 @@ from product_analytics_spark.driver_queries_ext35 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT35)
 ORACLES.update(_oracles_ext35())
+
+from product_analytics_spark.driver_queries_ext36 import (  # noqa: E402
+    QUERIES_EXT36,
+    _oracles_ext36,
+)
+
+QUERIES.update(QUERIES_EXT36)
+ORACLES.update(_oracles_ext36())
