@@ -4781,3 +4781,11 @@ from product_analytics_spark.driver_queries_ext36 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT36)
 ORACLES.update(_oracles_ext36())
+
+from product_analytics_spark.driver_queries_ext37 import (  # noqa: E402
+    QUERIES_EXT37,
+    _oracles_ext37,
+)
+
+QUERIES.update(QUERIES_EXT37)
+ORACLES.update(_oracles_ext37())
