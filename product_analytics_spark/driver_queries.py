@@ -4789,3 +4789,11 @@ from product_analytics_spark.driver_queries_ext37 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT37)
 ORACLES.update(_oracles_ext37())
+
+from product_analytics_spark.driver_queries_ext38 import (  # noqa: E402
+    QUERIES_EXT38,
+    _oracles_ext38,
+)
+
+QUERIES.update(QUERIES_EXT38)
+ORACLES.update(_oracles_ext38())
