@@ -4797,3 +4797,11 @@ from product_analytics_spark.driver_queries_ext38 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT38)
 ORACLES.update(_oracles_ext38())
+
+from product_analytics_spark.driver_queries_ext39 import (  # noqa: E402
+    QUERIES_EXT39,
+    _oracles_ext39,
+)
+
+QUERIES.update(QUERIES_EXT39)
+ORACLES.update(_oracles_ext39())
