@@ -4805,3 +4805,11 @@ from product_analytics_spark.driver_queries_ext39 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT39)
 ORACLES.update(_oracles_ext39())
+
+from product_analytics_spark.driver_queries_ext40 import (  # noqa: E402
+    QUERIES_EXT40,
+    _oracles_ext40,
+)
+
+QUERIES.update(QUERIES_EXT40)
+ORACLES.update(_oracles_ext40())
