@@ -4813,3 +4813,11 @@ from product_analytics_spark.driver_queries_ext40 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT40)
 ORACLES.update(_oracles_ext40())
+
+from product_analytics_spark.driver_queries_ext41 import (  # noqa: E402
+    QUERIES_EXT41,
+    _oracles_ext41,
+)
+
+QUERIES.update(QUERIES_EXT41)
+ORACLES.update(_oracles_ext41())
