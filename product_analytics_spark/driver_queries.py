@@ -4821,3 +4821,11 @@ from product_analytics_spark.driver_queries_ext41 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT41)
 ORACLES.update(_oracles_ext41())
+
+from product_analytics_spark.driver_queries_ext42 import (  # noqa: E402
+    QUERIES_EXT42,
+    _oracles_ext42,
+)
+
+QUERIES.update(QUERIES_EXT42)
+ORACLES.update(_oracles_ext42())
