@@ -4829,3 +4829,11 @@ from product_analytics_spark.driver_queries_ext42 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT42)
 ORACLES.update(_oracles_ext42())
+
+from product_analytics_spark.driver_queries_ext43 import (  # noqa: E402
+    QUERIES_EXT43,
+    _oracles_ext43,
+)
+
+QUERIES.update(QUERIES_EXT43)
+ORACLES.update(_oracles_ext43())
