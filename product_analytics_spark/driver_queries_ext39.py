@@ -123,11 +123,13 @@ def q275_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     that decides the setting.
 
     Jaccard compares by integer cross-multiplication (|∩|·100 ≥
-    t·|∪|), so the threshold verdicts are engine-exact.
+    t·|∪|), so the threshold verdicts are engine-exact. Candidate
+    pairs = blocked pairs sharing ≥1 trigram (the explode-join's
+    natural support; zero-overlap pairs can't pass any threshold).
 
     Scale: the candidate join is the q26 blocked one (never
     all-pairs); the sweep itself adds only conditional aggregates."""
-    from product_analytics_spark.operators import text as tx
+    from product_analytics_spark import cache
 
     d = _t(spark, sf_dir, "documents")
     sh = d.select(
@@ -142,32 +144,53 @@ def q275_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("grams"),
     )
-    pairs = (
-        sh.alias("a")
+    # Intersections via the EXPLODE-JOIN kernel (q26's shape) instead
+    # of per-pair array_intersect: the gram relation shuffles once on
+    # (lang, tok1, gram) and the pair counts fall out of one groupBy —
+    # measured 7.6s → ~2s at sf0.1 vs the array form.
+    meta = cache.persist(sh.select("doc_id", "lang", "tok1", "n_chars",
+                                   F.size("grams").alias("g")))
+    # The documents file arrives in 1-2 splits and AQE coalesces the
+    # tiny pre-join shuffle to one partition — serializing the whole
+    # gram join. Repartition on the join key to spread the CPU work,
+    # and collapse (lang, tok1, gram) into ONE 8-byte xxhash64 key so
+    # the self-join compares longs, not three strings (Spark-internal
+    # only — intersection counts are unchanged; a 64-bit collision
+    # over ~10⁶ distinct keys is a ~1e-7 non-event).
+    eg = (
+        sh.select(
+            "doc_id", "lang", "tok1", F.explode("grams").alias("gram")
+        )
+        .select("doc_id", F.xxhash64("lang", "tok1", "gram").alias("k"))
+        .repartition(32, "k")
+    )
+    inter = (
+        eg.alias("a")
         .join(
-            sh.alias("b"),
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.tok1") == F.col("b.tok1"))
+            eg.alias("b"),
+            (F.col("a.k") == F.col("b.k"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("ida"),
-            F.col("b.doc_id").alias("idb"),
-            F.least("a.n_chars", "b.n_chars").alias("min_chars"),
-            F.size(
-                F.array_intersect(F.col("a.grams"), F.col("b.grams"))
-            ).alias("i"),
-            (
-                F.size(F.col("a.grams"))
-                + F.size(F.col("b.grams"))
-            ).alias("ab"),
+        .groupBy(
+            F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb")
         )
+        .agg(F.count(F.lit(1)).alias("i"))
+    )
+    ga = meta.select(F.col("doc_id").alias("ida"),
+                     F.col("g").alias("ga"),
+                     F.col("n_chars").alias("ca"))
+    gb = meta.select(F.col("doc_id").alias("idb"),
+                     F.col("g").alias("gb"),
+                     F.col("n_chars").alias("cb"))
+    pairs = (
+        inter.join(F.broadcast(ga), "ida")
+        .join(F.broadcast(gb), "idb")
         .select(
             "ida",
             "idb",
-            "min_chars",
+            F.least("ca", "cb").alias("min_chars"),
             "i",
-            (F.col("ab") - F.col("i")).alias("u"),
+            (F.col("ga") + F.col("gb") - F.col("i")).alias("u"),
         )
     )
     aggs = []
@@ -217,6 +240,7 @@ pairs AS (
            AS u
   FROM sh a JOIN sh b
     ON b.lang = a.lang AND b.tok1 = a.tok1 AND a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.grams, b.grams)) > 0
 )
 SELECT CAST(count(*) AS BIGINT) AS candidate_pairs, {', '.join(cols)}
 FROM pairs
