@@ -4837,3 +4837,11 @@ from product_analytics_spark.driver_queries_ext43 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT43)
 ORACLES.update(_oracles_ext43())
+
+from product_analytics_spark.driver_queries_ext44 import (  # noqa: E402
+    QUERIES_EXT44,
+    _oracles_ext44,
+)
+
+QUERIES.update(QUERIES_EXT44)
+ORACLES.update(_oracles_ext44())
