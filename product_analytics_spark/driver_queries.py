@@ -4845,3 +4845,11 @@ from product_analytics_spark.driver_queries_ext44 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT44)
 ORACLES.update(_oracles_ext44())
+
+from product_analytics_spark.driver_queries_ext45 import (  # noqa: E402
+    QUERIES_EXT45,
+    _oracles_ext45,
+)
+
+QUERIES.update(QUERIES_EXT45)
+ORACLES.update(_oracles_ext45())
