@@ -4853,3 +4853,11 @@ from product_analytics_spark.driver_queries_ext45 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT45)
 ORACLES.update(_oracles_ext45())
+
+from product_analytics_spark.driver_queries_ext46 import (  # noqa: E402
+    QUERIES_EXT46,
+    _oracles_ext46,
+)
+
+QUERIES.update(QUERIES_EXT46)
+ORACLES.update(_oracles_ext46())
