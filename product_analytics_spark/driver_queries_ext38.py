@@ -242,14 +242,18 @@ def q272_dwell_time_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
     )
     s = windows.sessionize(ev, gap_minutes=SESSION_GAP_MIN)
-    wnext = Window.partitionBy("user_id", "session_id").orderBy(
-        "ts", "event_id"
-    )
+    # lead() over the USER window (not (user, session)): session ids
+    # are monotone within the user's ts order, so the session boundary
+    # is the lead-session inequality — this keeps the lead pass on the
+    # exact sort sessionize already produced (ONE user-keyed Exchange
+    # serves both, plan-guarded) instead of re-shuffling by session.
+    wuser = Window.partitionBy("user_id").orderBy("ts", "event_id")
     dwell = s.select(
         "event_type",
-        (
-            F.unix_micros(F.lead("ts").over(wnext))
-            - F.unix_micros(F.col("ts"))
+        F.when(
+            F.lead("session_id").over(wuser) == F.col("session_id"),
+            F.unix_micros(F.lead("ts").over(wuser))
+            - F.unix_micros(F.col("ts")),
         ).alias("dw_us"),
     ).filter(F.col("dw_us").isNotNull())
     wtot = Window.partitionBy()
@@ -287,10 +291,10 @@ sess AS (
 ),
 dwell AS (
   SELECT event_type,
-         epoch_us(lead(ts) OVER (PARTITION BY user_id, session_id
-                                 ORDER BY ts, event_id))
-           - epoch_us(ts) AS dw_us
+         CASE WHEN lead(session_id) OVER w = session_id
+              THEN epoch_us(lead(ts) OVER w) - epoch_us(ts) END AS dw_us
   FROM sess
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ),
 g AS (
   SELECT event_type, sum(dw_us) AS dus, count(*) AS n_dwells

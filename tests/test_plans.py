@@ -151,3 +151,20 @@ class TestTpchPlans:
         p = plans["q251_tpch_q6_revenue_forecast"]
         assert "PushedFilters" in p
         assert "SortMergeJoin" not in p
+
+
+class TestRound4Plans:
+    def test_velocity_rules_share_one_shuffle(self, plans):
+        # Both RANGE-frame rule windows and the final per-user agg ride
+        # the single user-keyed Exchange.
+        assert plans["q279_velocity_rules"].count("+- Exchange") == 1
+
+    def test_dwell_lead_reuses_session_sort(self, plans):
+        # sessionize's lag/cumsum windows AND the dwell lead() all
+        # partition on user_id and share ONE Exchange (three Window
+        # nodes over one Sort); the remaining two Exchanges are the
+        # event_type aggregation and the 5-row share window.
+        p = plans["q272_dwell_time_allocation"]
+        assert p.count("+- Exchange") == 3
+        # Three stacked Window nodes ride the single user sort.
+        assert p.count("+- Window") >= 3
