@@ -4861,3 +4861,11 @@ from product_analytics_spark.driver_queries_ext46 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT46)
 ORACLES.update(_oracles_ext46())
+
+from product_analytics_spark.driver_queries_ext47 import (  # noqa: E402
+    QUERIES_EXT47,
+    _oracles_ext47,
+)
+
+QUERIES.update(QUERIES_EXT47)
+ORACLES.update(_oracles_ext47())
