@@ -4869,3 +4869,11 @@ from product_analytics_spark.driver_queries_ext47 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT47)
 ORACLES.update(_oracles_ext47())
+
+from product_analytics_spark.driver_queries_ext48 import (  # noqa: E402
+    QUERIES_EXT48,
+    _oracles_ext48,
+)
+
+QUERIES.update(QUERIES_EXT48)
+ORACLES.update(_oracles_ext48())
