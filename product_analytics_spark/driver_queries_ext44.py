@@ -177,14 +177,21 @@ def q296_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
     completed into the normalized effect size every contingency
     report should carry (χ² alone grows with n; V ∈ [0,1] does not):
     V = √(χ² / (n·(min(r,c)−1))) for the (market segment × order
-    priority) table through the customer bridge. χ² accumulates from
-    exact integer observed counts and cross-multiplied expectations
-    — expected(ij)·n = row_i·col_j is exact, each cell's
-    (n·O − R·C)²/(n·R·C) term is formed identically as doubles — and
-    the single sqrt is exactly rounded on both engines.
+    priority) table through the customer bridge.
+
+    The χ² SUM is where the full-sweep caught float drift: summing 25
+    per-cell double terms is accumulation-order-dependent (the q208
+    trap — it passed in isolation and failed in the sweep when the
+    partitioning changed). Fixed by EXACT fixed-point division per
+    cell: q = floor(d²·S / (R·C)) computed as a two-part quotient
+    (d² div RC)·S + ((d² mod RC)·S) div RC — never overflows through
+    sf0.1 (BIGINT headroom noted: beyond ~sf1 the cell math moves to
+    DECIMAL(38)) — then ONE exact integer sum and a single final
+    double chain for χ² and V.
 
     Scale: the contingency table is (segments × priorities) tiny
     after one joined aggregation; the effect size is a fold over it."""
+    SCALE = 1_000_000
     o = _t(spark, sf_dir, "orders").select(
         "o_custkey", F.substring("o_orderpriority", 1, 1).alias("prio")
     )
@@ -205,33 +212,31 @@ def q296_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("obs").over(wc).alias("csum"),
         F.sum("obs").over(wtot).alias("n"),
     )
-    term = (
-        (F.col("n") * F.col("obs") - F.col("rsum") * F.col("csum"))
-        * (F.col("n") * F.col("obs") - F.col("rsum") * F.col("csum"))
-    ).cast("double") / (
-        F.col("n").cast("double")
-        * F.col("rsum").cast("double")
-        * F.col("csum").cast("double")
+    q = F.expr(
+        "CAST(((n * obs - rsum * csum) * (n * obs - rsum * csum))"
+        " div (rsum * csum) AS BIGINT) * {S}"
+        " + CAST((((n * obs - rsum * csum) * (n * obs - rsum * csum))"
+        " % (rsum * csum)) * {S} div (rsum * csum) AS BIGINT)".format(S=SCALE)
     )
     g = staged.agg(
-        F.sum(term).alias("chi2"),
+        F.sum(q).alias("qsum"),
         F.max("n").alias("n"),
         F.count_distinct("c_mktsegment").alias("nr"),
         F.count_distinct("prio").alias("nc"),
     )
+    chi2 = F.col("qsum") / (F.col("n").cast("double") * SCALE)
     return g.select(
         F.col("n").cast("bigint").alias("n_orders"),
-        F.col("chi2").alias("chi2"),
+        chi2.alias("chi2"),
         F.sqrt(
-            F.col("chi2")
-            / (
-                F.col("n") * (F.least("nr", "nc") - 1)
-            ).cast("double")
+            chi2 / (F.col("n") * (F.least("nr", "nc") - 1)).cast("double")
         ).alias("cramers_v"),
     )
 
 
-Q296_SQL = """
+def _q296_sql() -> str:
+    SCALE = 1_000_000
+    return f"""
 WITH cell AS (
   SELECT c.c_mktsegment, substr(o.o_orderpriority, 1, 1) AS prio,
          count(*) AS obs
@@ -246,18 +251,21 @@ staged AS (
   FROM cell
 ),
 g AS (
-  SELECT sum(CAST((n * obs - rsum * csum) * (n * obs - rsum * csum)
-                  AS DOUBLE)
-             / (CAST(n AS DOUBLE) * CAST(rsum AS DOUBLE)
-                * CAST(csum AS DOUBLE))) AS chi2,
+  SELECT sum(
+           CAST(((n * obs - rsum * csum) * (n * obs - rsum * csum))
+                // (rsum * csum) AS BIGINT) * {SCALE}
+           + CAST((((n * obs - rsum * csum) * (n * obs - rsum * csum))
+                   % (rsum * csum)) * {SCALE} // (rsum * csum) AS BIGINT)
+         ) AS qsum,
          max(n) AS n,
          count(DISTINCT c_mktsegment) AS nr,
          count(DISTINCT prio) AS nc
   FROM staged
 )
 SELECT CAST(n AS BIGINT) AS n_orders,
-       chi2,
-       sqrt(chi2 / CAST(n * (least(nr, nc) - 1) AS DOUBLE)) AS cramers_v
+       qsum / (CAST(n AS DOUBLE) * {SCALE}) AS chi2,
+       sqrt((qsum / (CAST(n AS DOUBLE) * {SCALE}))
+            / CAST(n * (least(nr, nc) - 1) AS DOUBLE)) AS cramers_v
 FROM g
 """
 
@@ -331,6 +339,6 @@ def _oracles_ext44() -> dict[str, str]:
     return {
         "q294_discount_elasticity": Q294_SQL,
         "q295_return_age_cohorts": _q295_sql(),
-        "q296_cramers_v": Q296_SQL,
+        "q296_cramers_v": _q296_sql(),
         "q297_doclen_tail_audit": Q297_SQL,
     }
