@@ -4877,3 +4877,11 @@ from product_analytics_spark.driver_queries_ext48 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT48)
 ORACLES.update(_oracles_ext48())
+
+from product_analytics_spark.driver_queries_ext49 import (  # noqa: E402
+    QUERIES_EXT49,
+    _oracles_ext49,
+)
+
+QUERIES.update(QUERIES_EXT49)
+ORACLES.update(_oracles_ext49())
