@@ -4885,3 +4885,11 @@ from product_analytics_spark.driver_queries_ext49 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT49)
 ORACLES.update(_oracles_ext49())
+
+from product_analytics_spark.driver_queries_ext50 import (  # noqa: E402
+    QUERIES_EXT50,
+    _oracles_ext50,
+)
+
+QUERIES.update(QUERIES_EXT50)
+ORACLES.update(_oracles_ext50())
