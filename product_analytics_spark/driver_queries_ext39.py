@@ -10,6 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from product_analytics_spark.operators import text
 from product_analytics_spark.qcommon import _t
 
 # ------------------------------------------------------------- q274
@@ -114,84 +115,43 @@ DEDUP_THRESHOLDS = (30, 50, 70)  # Jaccard % cut points
 
 def q275_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X236: dedup threshold sensitivity sweep — the tuning run a
-    production dedup owns BEFORE fixing its threshold: exact trigram
-    Jaccard over the q26 blocked candidate pairs, evaluated at
-    {DEDUP_THRESHOLDS}% cut points in ONE pass (conditional counts
-    per threshold — no re-join per setting). Emits, per threshold:
-    surviving pairs and the chars pair-level dedup would reclaim
-    (smaller endpoint per pair) — the yield-vs-aggressiveness curve
-    that decides the setting.
+    production dedup owns BEFORE fixing its threshold: exact shingle
+    Jaccard evaluated at {DEDUP_THRESHOLDS}% cut points in ONE pass
+    (conditional counts per threshold — no re-join per setting) over
+    the MinHash-BAND candidate pairs of the production q26 kernel
+    (operators/text.py:jaccard_band_candidates_iu). Emits, per
+    threshold: surviving pairs and the chars pair-level dedup would
+    reclaim (smaller endpoint per pair) — the yield-vs-aggressiveness
+    curve that decides the setting.
 
-    Jaccard compares by integer cross-multiplication (|∩|·100 ≥
-    t·|∪|), so the threshold verdicts are engine-exact. Candidate
-    pairs = blocked pairs sharing ≥1 trigram (the explode-join's
-    natural support; zero-overlap pairs can't pass any threshold).
+    Why band candidates (round-5 re-key): the previous candidate
+    generator explode-joined on hashed (lang, tok1, trigram) — a
+    content-derived key whose biggest posting list ("the"-type grams)
+    grows LINEARLY with the corpus, making the within-block self-join
+    quadratic at scale (the exact skew q26's round-2 fix documents).
+    Band buckets only collect docs whose MinHash rows agree, so bucket
+    population tracks duplicate-cluster size, not corpus size. The
+    sweep now prices thresholds over the pairs the production blocking
+    actually emits — which is the operationally honest question (band
+    recall at jaccard j is 1-(1-j^2)^16: ~0.79 at j=0.30, ~0.99 at
+    j=0.50, ~1.0 at j=0.70; the DuckDB oracle reproduces the identical
+    banding so both engines see the same candidate set).
 
-    Scale: the candidate join is the q26 blocked one (never
-    all-pairs); the sweep itself adds only conditional aggregates."""
-    from product_analytics_spark import cache
+    Threshold verdicts compare by integer cross-multiplication
+    (|∩|·100 ≥ t·|∪|) — engine-exact, no float thresholds.
 
-    d = _t(spark, sf_dir, "documents")
-    sh = d.select(
-        "doc_id",
-        "lang",
-        "n_chars",
-        F.substring_index(F.trim("text"), " ", 1).alias("tok1"),
-        F.array_distinct(
-            F.expr(
-                "filter(transform(sequence(1, greatest(length(text) - 2, 1)),"
-                " i -> substring(text, i, 3)), x -> length(x) = 3)"
-            )
-        ).alias("grams"),
-    )
-    # Intersections via the EXPLODE-JOIN kernel (q26's shape) instead
-    # of per-pair array_intersect: the gram relation shuffles once on
-    # (lang, tok1, gram) and the pair counts fall out of one groupBy —
-    # measured 7.6s → ~2s at sf0.1 vs the array form.
-    meta = cache.persist(sh.select("doc_id", "lang", "tok1", "n_chars",
-                                   F.size("grams").alias("g")))
-    # The documents file arrives in 1-2 splits and AQE coalesces the
-    # tiny pre-join shuffle to one partition — serializing the whole
-    # gram join. Repartition on the join key to spread the CPU work,
-    # and collapse (lang, tok1, gram) into ONE 8-byte xxhash64 key so
-    # the self-join compares longs, not three strings (Spark-internal
-    # only — intersection counts are unchanged; a 64-bit collision
-    # over ~10⁶ distinct keys is a ~1e-7 non-event).
-    eg = (
-        sh.select(
-            "doc_id", "lang", "tok1", F.explode("grams").alias("gram")
-        )
-        .select("doc_id", F.xxhash64("lang", "tok1", "gram").alias("k"))
-        .repartition(32, "k")
-    )
-    inter = (
-        eg.alias("a")
-        .join(
-            eg.alias("b"),
-            (F.col("a.k") == F.col("b.k"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("ida"), F.col("b.doc_id").alias("idb")
-        )
-        .agg(F.count(F.lit(1)).alias("i"))
-    )
-    ga = meta.select(F.col("doc_id").alias("ida"),
-                     F.col("g").alias("ga"),
-                     F.col("n_chars").alias("ca"))
-    gb = meta.select(F.col("doc_id").alias("idb"),
-                     F.col("g").alias("gb"),
-                     F.col("n_chars").alias("cb"))
+    Scale: candidate generation is the band kernel (never all-pairs,
+    no corpus-linear block); the sweep adds only conditional
+    aggregates over one candidate relation; doc metadata joins in by
+    broadcast."""
+    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+    iu = text.jaccard_band_candidates_iu(d)
+    meta_a = d.select(F.col("doc_id").alias("id_a"), F.col("n_chars").alias("ca"))
+    meta_b = d.select(F.col("doc_id").alias("id_b"), F.col("n_chars").alias("cb"))
     pairs = (
-        inter.join(F.broadcast(ga), "ida")
-        .join(F.broadcast(gb), "idb")
-        .select(
-            "ida",
-            "idb",
-            F.least("ca", "cb").alias("min_chars"),
-            "i",
-            (F.col("ga") + F.col("gb") - F.col("i")).alias("u"),
-        )
+        iu.join(F.broadcast(meta_a), "id_a")
+        .join(F.broadcast(meta_b), "id_b")
+        .select("id_a", "id_b", F.least("ca", "cb").alias("min_chars"), "i", "u")
     )
     aggs = []
     for t in DEDUP_THRESHOLDS:
@@ -209,7 +169,29 @@ def q275_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _q275_sql() -> str:
+def _q275_sql(num_hashes: int = 32, bands: int = 16) -> str:
+    """Oracle for q275: the identical MinHash banding as _q26_sql
+    (portable md5-based hashing), then the threshold sweep by integer
+    cross-multiplication over exact set intersections/unions."""
+    from product_analytics_spark.driver_queries import _shingle_fold_cte
+
+    p = text.P31
+    a_s, b_s = text.minhash_salts(num_hashes)
+    rpb = num_hashes // bands
+    sig_cols = ", ".join(
+        f"min(({a_s[i]} * hv + {b_s[i]}) % {p}) AS s{i}" for i in range(num_hashes)
+    )
+
+    def band_expr(b: int) -> str:
+        acc = f"CAST({b} AS BIGINT)"
+        for r in range(rpb):
+            acc = f"(({acc}) * {text.BAND_FOLD_A} + s{b * rpb + r}) % {p}"
+        return acc
+
+    bands_sql = "\nUNION ALL\n".join(
+        f"SELECT doc_id, {b} AS band_idx, {band_expr(b)} AS bh FROM sig"
+        for b in range(bands)
+    )
     cols = []
     for t in DEDUP_THRESHOLDS:
         cols.append(
@@ -221,26 +203,25 @@ def _q275_sql() -> str:
             f" AS BIGINT) AS reclaim_chars_t{t}"
         )
     return f"""
-WITH sh AS (
-  SELECT doc_id, lang, n_chars,
-         CASE WHEN strpos(trim(text), ' ') = 0 THEN trim(text)
-              ELSE substr(trim(text), 1, strpos(trim(text), ' ') - 1) END
-           AS tok1,
-         list_distinct(list_filter(
-           list_transform(generate_series(1, greatest(length(text) - 2, 1)),
-                          i -> substr(text, CAST(i AS INT), 3)),
-           x -> length(x) = 3)) AS grams
-  FROM documents
+WITH {_shingle_fold_cte(3)},
+sets AS (SELECT doc_id, list(DISTINCT hv) AS hs FROM shl GROUP BY doc_id),
+sig AS (SELECT doc_id, {sig_cols} FROM shl GROUP BY doc_id),
+bands AS ({bands_sql}),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.bh = b.bh
+  WHERE a.doc_id < b.doc_id
 ),
 pairs AS (
-  SELECT a.doc_id AS ida, b.doc_id AS idb,
-         least(a.n_chars, b.n_chars) AS min_chars,
-         len(list_intersect(a.grams, b.grams)) AS i,
-         len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams))
-           AS u
-  FROM sh a JOIN sh b
-    ON b.lang = a.lang AND b.tok1 = a.tok1 AND a.doc_id < b.doc_id
-  WHERE len(list_intersect(a.grams, b.grams)) > 0
+  SELECT cand.id_a, cand.id_b,
+         least(da.n_chars, db.n_chars) AS min_chars,
+         len(list_intersect(sa.hs, sb.hs)) AS i,
+         len(list_distinct(list_concat(sa.hs, sb.hs))) AS u
+  FROM cand
+  JOIN sets sa ON cand.id_a = sa.doc_id
+  JOIN sets sb ON cand.id_b = sb.doc_id
+  JOIN documents da ON cand.id_a = da.doc_id
+  JOIN documents db ON cand.id_b = db.doc_id
 )
 SELECT CAST(count(*) AS BIGINT) AS candidate_pairs, {', '.join(cols)}
 FROM pairs

@@ -396,6 +396,35 @@ def jaccard_near_dup_pairs(
 
     Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
     """
+    iu = jaccard_band_candidates_iu(df, text_col, id_col, shingle_n, num_hashes, bands)
+    j = F.when(F.col("u") > 0, F.col("i") / F.col("u").cast("double")).otherwise(F.lit(0.0))
+    out = iu.withColumn("jaccard", F.round(j, 4)).filter(F.col("jaccard") >= threshold)
+    return out.select("id_a", "id_b", "jaccard")
+
+
+def jaccard_band_candidates_iu(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """MinHash-band candidate pairs with EXACT intersection/union set
+    sizes (no threshold applied) — the shared kernel under
+    :func:`jaccard_near_dup_pairs` and the q275 threshold sweep.
+
+    Emitting raw ``(i, u)`` counts instead of a pre-thresholded
+    jaccard lets callers evaluate MANY thresholds in one pass by
+    integer cross-multiplication (i*100 >= t*u), with no float and no
+    re-join per setting. Candidate generation is the band kernel —
+    bucket population tracks duplicate-cluster size, not corpus size
+    (the skew property that content-derived keys like (lang, first
+    token) lack; see the q26 round-2 fix).
+
+    Returns (id_a, id_b, i, u) with id_a < id_b, over the distinct
+    band-candidate pairs.
+    """
     rows_per_band = num_hashes // bands
     rel = cache.persist(
         with_shingle_hashes31(df, text_col, shingle_n, out_col="_sh")
@@ -426,11 +455,12 @@ def jaccard_near_dup_pairs(
     sets_a = rel.select(F.col(id_col).alias("id_a"), F.col("_s").alias("_sa"))
     sets_b = rel.select(F.col(id_col).alias("id_b"), F.col("_s").alias("_sb"))
     verified = cand.join(sets_a, "id_a").join(sets_b, "id_b")
-    inter = F.size(F.array_intersect("_sa", "_sb"))
-    union = F.size(F.array_union("_sa", "_sb"))
-    j = F.when(union > 0, inter / union.cast("double")).otherwise(F.lit(0.0))
-    out = verified.withColumn("jaccard", F.round(j, 4)).filter(F.col("jaccard") >= threshold)
-    return out.select("id_a", "id_b", "jaccard")
+    return verified.select(
+        "id_a",
+        "id_b",
+        F.size(F.array_intersect("_sa", "_sb")).alias("i"),
+        F.size(F.array_union("_sa", "_sb")).alias("u"),
+    )
 
 
 def containment_pairs(
