@@ -155,7 +155,9 @@ def q218_streaming_outer_join_finalization(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q218 stream did not drain in 300s")
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)

@@ -263,7 +263,9 @@ def q244_update_mode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise TimeoutError("q244 stream did not drain in 300s")
         q.stop()
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)

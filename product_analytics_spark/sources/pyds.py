@@ -187,7 +187,7 @@ class _JsonlCommit(WriterCommitMessage):
 
 class JsonlWriter(DataSourceWriter):
     """Executor-side writer with the standard two-phase commit: each
-    task streams rows to a STAGED file (`.staging-<uuid>.jsonl`),
+    task streams rows to a STAGED file (`.staging-<job>-<uuid>.jsonl`),
     returns a commit message, and only the driver-side `commit()`
     renames staged files into place and writes a `_MANIFEST.json`
     (file list + row counts) — the atomicity contract object-store
@@ -197,9 +197,17 @@ class JsonlWriter(DataSourceWriter):
     sinks.py documents for the parquet path)."""
 
     def __init__(self, options):
+        import uuid
+
         self.path = options.get("path")
         if not self.path:
             raise ValueError("jsonl_sink requires a 'path' option")
+        # One id per WRITE JOB (the writer is built on the driver and
+        # pickled to every task): staged files carry it so commit()'s
+        # orphan sweep only ever touches THIS job's staging files —
+        # two concurrent jobs writing the same directory can no longer
+        # delete each other's staged output mid-commit.
+        self.job_id = uuid.uuid4().hex[:12]
 
     def write(self, iterator) -> _JsonlCommit:
         import json as _json
@@ -207,7 +215,9 @@ class JsonlWriter(DataSourceWriter):
         import uuid
 
         os.makedirs(self.path, exist_ok=True)
-        staged = os.path.join(self.path, f".staging-{uuid.uuid4().hex}.jsonl")
+        staged = os.path.join(
+            self.path, f".staging-{self.job_id}-{uuid.uuid4().hex}.jsonl"
+        )
         n = 0
         with open(staged, "w") as f:
             for row in iterator:
@@ -235,7 +245,9 @@ class JsonlWriter(DataSourceWriter):
         # never produced a commit message — they must not survive a commit.
         import glob as _glob
 
-        for orphan in _glob.glob(os.path.join(self.path, ".staging-*.jsonl")):
+        for orphan in _glob.glob(
+            os.path.join(self.path, f".staging-{self.job_id}-*.jsonl")
+        ):
             try:
                 os.remove(orphan)
             except OSError:

@@ -71,6 +71,14 @@ def run_streaming_dag(
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_s)
+    finished = q.awaitTermination(timeout_s)
     q.stop()
+    if not finished:
+        # Stopping a live query mid-batch leaves the journal and the
+        # snapshot store partially updated; surface that instead of
+        # returning silently-partial state.
+        raise TimeoutError(
+            f"streaming DAG run did not drain within {timeout_s}s; "
+            f"journal so far: {journal}"
+        )
     return journal

@@ -9,6 +9,8 @@ own trigger loop choosing the batch boundaries instead of the test.
 from __future__ import annotations
 
 import datetime as dt
+import os
+import pathlib
 
 from pyspark.sql import functions as F
 
@@ -35,13 +37,20 @@ class TestStreamingDag:
     def test_streaming_dag_equals_batch_replay(self, spark, tmp_path):
         customers_cdc, orders_cdc = make_cdc_frames(spark)
 
-        # Land the customers feed as one time-ordered file per batch id
-        # (separate writes → increasing mtimes → replay order).
+        # Land the customers feed as one time-ordered file per batch id.
+        # FileStreamSource orders new files by modification time, so pin
+        # each landed file to an explicit, strictly increasing mtime —
+        # on coarse-mtime filesystems back-to-back writes can otherwise
+        # tie (coalescing batches) or even reorder the replay.
         landing = str(tmp_path / "customers_landing")
-        for b in ("b0", "b1", "b2"):
+        for i, b in enumerate(("b0", "b1", "b2")):
             customers_cdc.filter(F.col("_batch_id") == b).repartition(
                 1
             ).write.mode("append").parquet(landing)
+            stamp = 1_700_000_000 + i * 10
+            for f in pathlib.Path(landing).glob("*.parquet"):
+                if f.stat().st_mtime > stamp - 10:
+                    os.utime(f, (stamp, stamp))
         schema = spark.read.parquet(landing).schema
 
         prev_conf = spark.conf.get("spark.sql.shuffle.partitions")

@@ -57,8 +57,15 @@ def main() -> None:
     threads = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     rounds = int(sys.argv[2]) if len(sys.argv) > 2 else 3
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    spark = get_spark("throughput")
-    spark.sparkContext.setLocalProperty("spark.scheduler.mode", "FAIR")
+    # FAIR must be a SparkConf at context creation (it is NOT a job-local
+    # property; round-4 set it via setLocalProperty, which is a no-op).
+    # Within one pool FAIR mode still runs jobs FIFO, so each worker
+    # thread below also pins its own ad-hoc pool — unnamed pools are
+    # created on demand with weight 1 and scheduled fairly against each
+    # other, giving true per-thread fair sharing without an XML file.
+    spark = get_spark("throughput", extra_conf={"spark.scheduler.mode": "FAIR"})
+    if spark.sparkContext.getConf().get("spark.scheduler.mode") != "FAIR":
+        print("warning: session pre-existed with FIFO scheduler", file=sys.stderr)
 
     # Warm each query once (codegen + scan caches) and record the
     # serial per-query time for the speedup baseline.
@@ -80,7 +87,8 @@ def main() -> None:
     idx = {"i": 0}
     errors: list[str] = []
 
-    def worker() -> None:
+    def worker(pool: str) -> None:
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", pool)
         while True:
             with lock:
                 if idx["i"] >= len(work):
@@ -96,7 +104,9 @@ def main() -> None:
                     errors.append(f"{name}: {exc}")
 
     t0 = time.time()
-    pool = [threading.Thread(target=worker) for _ in range(threads)]
+    pool = [
+        threading.Thread(target=worker, args=(f"w{i}",)) for i in range(threads)
+    ]
     for t in pool:
         t.start()
     for t in pool:
