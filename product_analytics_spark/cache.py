@@ -38,3 +38,39 @@ def clear_all() -> int:
         except Exception:  # noqa: BLE001 — session may already be gone
             pass
     return n
+
+
+# --- Cross-query shared relations -----------------------------------
+#
+# Some intermediates are shared by SEVERAL queries in a sweep (the
+# co-purchase edge list feeds both the triangle counts and the BFS).
+# At 100 TB those are materialized tables built once per ingest and
+# read by every consumer; the in-session analog is a keyed memo that
+# SURVIVES clear_all() and is only dropped by clear_shared(). Key by
+# (applicationId, name, sf_dir) so a restarted session never sees a
+# stale plan.
+
+_SHARED: dict[str, DataFrame] = {}
+
+
+def persist_shared(key: str, build) -> DataFrame:
+    """Return the memoized persisted relation for ``key``, building it
+    with ``build()`` (a zero-arg callable) on first use."""
+    df = _SHARED.get(key)
+    if df is None:
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        _SHARED[key] = df
+    return df
+
+
+def clear_shared() -> int:
+    """Unpersist every shared relation; returns how many."""
+    n = 0
+    for df in list(_SHARED.values()):
+        try:
+            df.unpersist(False)
+            n += 1
+        except Exception:  # noqa: BLE001
+            pass
+    _SHARED.clear()
+    return n

@@ -193,13 +193,26 @@ def q155_sketch_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey",
         _money_cents("o_totalprice").alias("c"),
     )
+    # The exact distinct count lives in its OWN two-level agg: putting
+    # countDistinct in the same agg as the sketch buffers rewrites the
+    # whole aggregate through Expand (2x rows), dragging every
+    # TypedImperativeAggregate buffer through the distinct path —
+    # measured 4.7s vs 0.6s at sf0.1. distinct->count is the same
+    # partial-combine plan countDistinct compiles to, minus the
+    # poisoned co-aggregation; the 5-row join back is broadcast.
     a1 = o.groupBy("prio").agg(
         F.count(F.lit(1)).alias("n"),
-        F.countDistinct("o_custkey").alias("nd"),
         F.approx_count_distinct("o_custkey", rsd=HLL_RSD).alias("nd_approx"),
         F.percentile("c", F.lit(0.5)).alias("med"),
         F.percentile_approx("c", F.lit(0.5), F.lit(PCTL_ACCURACY)).alias("amed"),
     )
+    nd = (
+        o.select("prio", "o_custkey")
+        .distinct()
+        .groupBy("prio")
+        .agg(F.count(F.lit(1)).alias("nd"))
+    )
+    a1 = a1.join(F.broadcast(nd), "prio")
     ranks = (
         o.join(F.broadcast(a1.select("prio", "amed")), "prio")
         .groupBy("prio")
