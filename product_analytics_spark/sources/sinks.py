@@ -243,3 +243,62 @@ class SnapshotStore:
         out = self.read(name)
         assert out is not None
         return out
+
+    # ----------------------------------------------------- compaction
+
+    def plan_compaction(
+        self, name: str, target_bytes: int = 128 << 20
+    ) -> list[list[str]]:
+        """Bin-pack the current version's parquet files into
+        target-size rewrite groups — the q199 planner applied to the
+        REAL file manifest: files in deterministic (path) order,
+        group = cumulative-size-before div target (≤2x worst-case
+        overshoot, the bound file compactors accept). Pure metadata:
+        |files| rows, no data read."""
+        data = self.current_data_dir(name)
+        if data is None:
+            return []
+        files = sorted(
+            os.path.join(data, f)
+            for f in os.listdir(data)
+            if f.endswith(".parquet") and not f.startswith((".", "_"))
+        )
+        groups: dict[int, list[str]] = {}
+        before = 0
+        for f in files:
+            groups.setdefault(before // target_bytes, []).append(f)
+            before += os.path.getsize(f)
+        return [groups[g] for g in sorted(groups)]
+
+    def compact(self, name: str, target_bytes: int = 128 << 20) -> dict:
+        """Execute the compaction plan (OPTIMIZE's rewrite half): each
+        planned group is rewritten as ONE file into a fresh version
+        dir, then the pointer commits atomically — readers switch from
+        N small files to |groups| files in one rename, with the prior
+        version retained per the retention window (time travel to the
+        pre-compaction layout still works).
+
+        Contents are hash-identical by construction: the groups
+        partition the file list, and each rewrite is a plain scan →
+        coalesce(1) → write of exactly those files. Returns
+        {files_before, files_after, groups} so callers can assert the
+        file-count drop."""
+        plan = self.plan_compaction(name, target_bytes)
+        if not plan:
+            return {"files_before": 0, "files_after": 0, "groups": 0}
+        n_before = sum(len(g) for g in plan)
+        version = f"v_{uuid.uuid4().hex[:12]}"
+        vdir = os.path.join(self.path(name), version)
+        for group in plan:
+            self.spark.read.parquet(*group).coalesce(1).write.mode(
+                "append"
+            ).parquet(vdir)
+        self._commit(name, version)
+        n_after = len(
+            [f for f in os.listdir(vdir) if f.endswith(".parquet")]
+        )
+        return {
+            "files_before": n_before,
+            "files_after": n_after,
+            "groups": len(plan),
+        }

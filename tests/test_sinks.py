@@ -135,3 +135,46 @@ class TestBucketedJoin:
             for t in ("bkt_a", "bkt_b"):
                 spark.sql(f"DROP TABLE IF EXISTS {t}")
                 shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
+
+
+class TestCompaction:
+    """q199's planner executes for real: plan ≡ execution, contents
+    hash-identical, file count drops, prior layout time-travelable."""
+
+    def test_compact_plan_equals_execution(self, spark, tmp_path):
+        from product_analytics_spark.sources.sinks import SnapshotStore
+
+        store = SnapshotStore(spark, str(tmp_path / "wh"), retain_versions=2)
+        df = spark.range(0, 1000).selectExpr("id AS k", "id * 7 AS v")
+        # Land 8 deliberately-small files.
+        store.overwrite("t", df.repartition(8))
+        data_dir = store.current_data_dir("t")
+        n_small = len(
+            [f for f in __import__("os").listdir(data_dir) if f.endswith(".parquet")]
+        )
+        assert n_small == 8
+        before_rows = sorted(tuple(r) for r in store.read("t").collect())
+
+        # Target ~3 groups: total bytes / 3 (rounded up) per group.
+        import os as _os
+
+        total = sum(
+            _os.path.getsize(_os.path.join(data_dir, f))
+            for f in _os.listdir(data_dir)
+            if f.endswith(".parquet")
+        )
+        target = total // 3 + 1
+        plan = store.plan_compaction("t", target_bytes=target)
+        stats = store.compact("t", target_bytes=target)
+
+        # plan ≡ execution: the executed group count is the planned one
+        # and every planned file was consumed exactly once.
+        assert stats["groups"] == len(plan)
+        assert stats["files_before"] == n_small
+        assert stats["files_after"] == len(plan) < n_small
+
+        # contents identical, prior version still readable (time travel).
+        after_rows = sorted(tuple(r) for r in store.read("t").collect())
+        assert after_rows == before_rows
+        prior = store.read("t", version=0)
+        assert sorted(tuple(r) for r in prior.collect()) == before_rows
