@@ -4893,3 +4893,11 @@ from product_analytics_spark.driver_queries_ext50 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT50)
 ORACLES.update(_oracles_ext50())
+
+from product_analytics_spark.driver_queries_ext51 import (  # noqa: E402
+    QUERIES_EXT51,
+    _oracles_ext51,
+)
+
+QUERIES.update(QUERIES_EXT51)
+ORACLES.update(_oracles_ext51())

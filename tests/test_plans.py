@@ -152,6 +152,26 @@ class TestTpchPlans:
         assert "PushedFilters" in p
         assert "SortMergeJoin" not in p
 
+    def test_q4_exists_decorellates_to_semi_join(self, plans):
+        # The correlated EXISTS must become a semi join (no row
+        # amplification, no DISTINCT), with the quarter filter pushed
+        # to the orders scan.
+        p = plans["q322_tpch_q4_order_priority"]
+        assert "LeftSemi" in p
+        assert "CartesianProduct" not in p
+        assert "PushedFilters" in p
+
+    def test_q21_one_order_shuffle_broadcast_dims(self, plans):
+        # EXISTS/NOT-EXISTS pair rides ONE per-order aggregate; the
+        # supplier/nation restriction broadcasts; nothing degenerates
+        # into a nested-loop join.
+        p = plans["q323_tpch_q21_waiting_supplier"]
+        assert "BroadcastHashJoin" in p
+        assert "BroadcastNestedLoopJoin" not in p
+        assert "CartesianProduct" not in p
+        # spec ordering with LIMIT never global-sorts
+        assert "TakeOrderedAndProject" in p
+
 
 class TestRound4Plans:
     def test_velocity_rules_share_one_shuffle(self, plans):
