@@ -4901,3 +4901,11 @@ from product_analytics_spark.driver_queries_ext51 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT51)
 ORACLES.update(_oracles_ext51())
+
+from product_analytics_spark.driver_queries_ext52 import (  # noqa: E402
+    QUERIES_EXT52,
+    _oracles_ext52,
+)
+
+QUERIES.update(QUERIES_EXT52)
+ORACLES.update(_oracles_ext52())
