@@ -4909,3 +4909,11 @@ from product_analytics_spark.driver_queries_ext52 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT52)
 ORACLES.update(_oracles_ext52())
+
+from product_analytics_spark.driver_queries_ext53 import (  # noqa: E402
+    QUERIES_EXT53,
+    _oracles_ext53,
+)
+
+QUERIES.update(QUERIES_EXT53)
+ORACLES.update(_oracles_ext53())
