@@ -1,8 +1,9 @@
-"""Round-5 driver query families, batch 53 (q329-q331): the
+"""Round-5 driver query families, batch 53 (q329-q332): the
 mapInArrow door (Arrow RecordBatch processing with no pandas
-conversion), an optimizer-statistics join-cardinality audit, and a
+conversion), an optimizer-statistics join-cardinality audit, a
 polymorphic Python UDTF whose output schema is computed at analysis
-time.
+time, and the custom stateful streaming sessionizer promoted to a
+full-oracle parity query.
 
 Same contract as the other driver_queries modules.
 """
@@ -142,33 +143,36 @@ def q330_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("contrib", F.col("ca") * F.col("cb"))
     a = e.filter(F.col("event_type") == "view").select("user_id")
     b = e.filter(F.col("event_type") == "purchase").select("user_id")
-    actual = a.join(b, "user_id").agg(
-        F.count(F.lit(1)).cast("bigint").alias("actual_pairs")
+    # The engine's actual join output, counted PER KEY and equi-joined
+    # back to the histogram — a per-key certificate (strictly stronger
+    # than a grand-total compare), and no 1-row scalar join (which
+    # would plan as the banned BroadcastNestedLoopJoin).
+    actual_per_key = (
+        a.join(b, "user_id")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("actual_k"))
+    )
+    j = hist.join(actual_per_key, "user_id", "left").withColumn(
+        "actual_k", F.coalesce("actual_k", F.lit(0))
     )
     w = Window.partitionBy().orderBy("contrib", "user_id")
     n = Window.partitionBy()
-    ranked = hist.withColumn("rk", F.row_number().over(w)).withColumn(
+    ranked = j.withColumn("rk", F.row_number().over(w)).withColumn(
         "cnt", F.count(F.lit(1)).over(n)
     )
-    pred = ranked.agg(
+    return ranked.agg(
         F.sum("contrib").cast("bigint").alias("predicted_pairs"),
-        F.max("contrib").cast("bigint").alias("top_key_pairs"),
+        F.sum("actual_k").cast("bigint").alias("actual_pairs"),
+        F.min(F.col("contrib") == F.col("actual_k")).alias("estimate_ok"),
+        F.expr("(max(contrib) * 1000) div sum(contrib)").cast("bigint").alias(
+            "top_key_permille"
+        ),
         F.min(
             F.when(F.col("rk") == F.expr("(cnt + 1) div 2"), F.col("contrib"))
         ).cast("bigint").alias("p50_contrib"),
         F.min(
             F.when(F.col("rk") == F.expr("cnt - (cnt div 100)"), F.col("contrib"))
         ).cast("bigint").alias("p99_contrib"),
-    )
-    return pred.join(actual).select(
-        "predicted_pairs",
-        "actual_pairs",
-        (F.col("predicted_pairs") == F.col("actual_pairs")).alias("estimate_ok"),
-        F.expr("(top_key_pairs * 1000) div predicted_pairs").cast("bigint").alias(
-            "top_key_permille"
-        ),
-        "p50_contrib",
-        "p99_contrib",
     )
 
 
@@ -179,34 +183,34 @@ WITH hist AS (
          sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cb
   FROM events GROUP BY 1
 ),
-c AS (SELECT user_id, ca * cb AS contrib FROM hist),
-r AS (
-  SELECT contrib,
-         row_number() OVER (ORDER BY contrib, user_id) AS rk,
-         count(*) OVER () AS cnt
-  FROM c
-),
-pred AS (
-  SELECT CAST(sum(contrib) AS BIGINT) AS predicted_pairs,
-         CAST(max(contrib) AS BIGINT) AS top_key_pairs,
-         CAST(min(CASE WHEN rk = (cnt + 1) // 2 THEN contrib END) AS BIGINT)
-           AS p50_contrib,
-         CAST(min(CASE WHEN rk = cnt - (cnt // 100) THEN contrib END) AS BIGINT)
-           AS p99_contrib
-  FROM r
-),
-actual AS (
-  SELECT CAST(count(*) AS BIGINT) AS actual_pairs
+apk AS (
+  SELECT user_id, count(*) AS actual_k
   FROM (SELECT user_id FROM events WHERE event_type = 'view') a
   JOIN (SELECT user_id FROM events WHERE event_type = 'purchase') b
     USING (user_id)
+  GROUP BY 1
+),
+j AS (
+  SELECT h.user_id, h.ca * h.cb AS contrib,
+         coalesce(apk.actual_k, 0) AS actual_k
+  FROM hist h LEFT JOIN apk ON h.user_id = apk.user_id
+),
+r AS (
+  SELECT contrib, actual_k,
+         row_number() OVER (ORDER BY contrib, user_id) AS rk,
+         count(*) OVER () AS cnt
+  FROM j
 )
-SELECT predicted_pairs, actual_pairs,
-       predicted_pairs = actual_pairs AS estimate_ok,
-       CAST((top_key_pairs * 1000) // predicted_pairs AS BIGINT)
+SELECT CAST(sum(contrib) AS BIGINT) AS predicted_pairs,
+       CAST(sum(actual_k) AS BIGINT) AS actual_pairs,
+       bool_and(contrib = actual_k) AS estimate_ok,
+       CAST((max(contrib) * 1000) // sum(contrib) AS BIGINT)
          AS top_key_permille,
-       p50_contrib, p99_contrib
-FROM pred, actual
+       CAST(min(CASE WHEN rk = (cnt + 1) // 2 THEN contrib END) AS BIGINT)
+         AS p50_contrib,
+       CAST(min(CASE WHEN rk = cnt - (cnt // 100) THEN contrib END) AS BIGINT)
+         AS p99_contrib
+FROM r
 """
 
 
@@ -249,7 +253,10 @@ def q331_polymorphic_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
             toks = (text or "").split()
             yield tuple((toks[i] if i < len(toks) else "") for i in range(n))
 
-    lead_tokens = udtf(LeadTokens)
+    try:
+        lead_tokens = udtf(LeadTokens, useArrow=True)  # Arrow-batched eval
+    except TypeError:  # runtime without the useArrow kwarg
+        lead_tokens = udtf(LeadTokens)
     spark.udtf.register("lead_tokens", lead_tokens)
     _t(spark, sf_dir, "documents").createOrReplaceTempView("q331_docs")
     return spark.sql(
@@ -287,10 +294,133 @@ LIMIT 20
 """
 
 
+# ------------------------------------------------------------- q332
+
+import os as _os
+import shutil as _shutil
+
+_REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
+Q332_LAND = _os.path.join(_REPO, ".q332_stream_land")
+STATEFUL_GAP_MIN = 30
+
+
+def q332_stateful_sessionize_parity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """§2.9 upgrade: the CUSTOM stateful streaming sessionizer
+    (``applyInPandasWithState``, streaming/ops.py:sessionize_stateful)
+    run as a REAL availableNow stream and value-checked against the
+    batch gaps-and-islands oracle — promoting the one previously
+    pytest-only stateful door to a full-oracle driver query.
+
+    Determinism recipe: per-user FLUSH SENTINELS (an event 10 days
+    after the corpus) land as a second, later-mtime file, so every
+    user's final real session is closed by a gap-break and EMITTED;
+    the sentinels' own sessions stay open in state and never emit
+    (nothing to filter inside the streaming plan — the q218 pushdown
+    lesson). The operator's 600-minute processing-time timeout cannot
+    fire inside a seconds-long run, so emission is purely
+    data-driven. Values accumulate as integer CENTS carried in the
+    state's double slot (exact < 2^53) — no cross-row float sums.
+
+    Scale: state = one open-session row per active user partitioned
+    by the group key; Arrow batches the per-group pandas calls; the
+    sentinel trick is exactly how a production backfill drains tail
+    state (a high-watermark barrier event per key)."""
+    from product_analytics_spark.streaming import ops as st
+
+    _shutil.rmtree(Q332_LAND, ignore_errors=True)
+    # Deterministic 1-in-3 user subset: the stateful door pays one
+    # Arrow'd pandas call PER GROUP per batch, so group count IS the
+    # cost dial (the cogroup lesson); a third of the users exercises
+    # the identical machinery at a third of the wall time.
+    ev = (
+        _t(spark, sf_dir, "events")
+        .filter(F.col("user_id") % 3 == 0)
+        .select(
+            "user_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            (F.col("value").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .cast("double")
+            .alias("v_cents"),
+        )
+    )
+    ev.repartition(4).write.mode("overwrite").parquet(Q332_LAND)
+    sentinels = ev.groupBy("user_id").agg(
+        (F.max("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+        F.lit(0.0).alias("v_cents"),
+    ).select("user_id", "ts", "v_cents")
+    sentinels.coalesce(1).write.mode("append").parquet(Q332_LAND)
+    # Pin sentinel files to a later mtime so the file source replays
+    # them strictly AFTER the real events on coarse-mtime filesystems.
+    import pathlib
+    import time as _time
+
+    stamp = _time.time() + 3600
+    newest = sorted(
+        pathlib.Path(Q332_LAND).glob("*.parquet"),
+        key=lambda f: f.stat().st_mtime,
+    )[-1:]
+    for f in newest:
+        _os.utime(f, (stamp, stamp))
+
+    schema = spark.read.parquet(Q332_LAND).schema
+    stream = st.stream_table(spark, Q332_LAND, schema).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    sess = st.sessionize_stateful(
+        stream,
+        user_col="user_id",
+        ts_col="ts",
+        value_col="v_cents",
+        gap_minutes=STATEFUL_GAP_MIN,
+        timeout_minutes=600,
+    )
+    st.run_available_now_stateful(sess, "q332_sink", output_mode="append")
+    out = spark.table("q332_sink")
+    return out.select(
+        "user_id",
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("s_start"),
+        F.date_format("session_end", "yyyy-MM-dd HH:mm:ss").alias("s_end"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        (F.col("total_value") / 100.0).alias("total_value"),
+    )
+
+
+Q332_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR ts - lag(ts) OVER w > INTERVAL {STATEFUL_GAP_MIN} MINUTE
+              THEN 1 ELSE 0 END AS is_new
+  FROM events
+  WHERE user_id % 3 = 0
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sess AS (
+  SELECT user_id, ts, c,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS sid
+  FROM flagged
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS s_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS s_end,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(c) AS BIGINT) / 100.0 AS total_value
+FROM sess
+GROUP BY user_id, sid
+"""
+
+
 QUERIES_EXT53 = {
     "q329_arrow_int8_quantize": q329_arrow_int8_quantize,
     "q330_join_cardinality_audit": q330_join_cardinality_audit,
     "q331_polymorphic_udtf": q331_polymorphic_udtf,
+    "q332_stateful_sessionize_parity": q332_stateful_sessionize_parity,
 }
 
 
@@ -299,4 +429,5 @@ def _oracles_ext53() -> dict[str, str]:
         "q329_arrow_int8_quantize": Q329_SQL,
         "q330_join_cardinality_audit": Q330_SQL,
         "q331_polymorphic_udtf": Q331_SQL,
+        "q332_stateful_sessionize_parity": Q332_SQL,
     }

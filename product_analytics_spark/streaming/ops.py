@@ -294,6 +294,41 @@ def run_available_now(
     q.awaitTermination()
 
 
+def run_available_now_stateful(
+    stream: DataFrame,
+    sink_name: str,
+    output_mode: str = "append",
+    timeout_s: float = 300.0,
+) -> None:
+    """availableNow runner for stateful plans with PROCESSING-TIME
+    timeouts whose emission is purely data-driven (e.g. the sentinel-
+    flushed sessionizer): the engine keeps scheduling empty micro-
+    batches forever to serve future timeouts, so 'drained' is the
+    first COMPLETED batch with zero input rows after the data batches
+    — availableNow only admits a no-data batch once the source is
+    exhausted. Without this, the run burns one ~1s empty batch per
+    second until the poll timeout (measured: 300s instead of ~7s)."""
+    import time
+
+    q = (
+        stream.writeStream.format("memory")
+        .queryName(sink_name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        deadline = time.time() + timeout_s
+        while q.isActive and time.time() < deadline:
+            lp = q.lastProgress
+            if lp is not None and lp["numInputRows"] == 0:
+                break
+            time.sleep(0.2)
+    finally:
+        q.stop()
+    q.awaitTermination()
+
+
 def have_tws_runtime() -> bool:
     """Whether Spark 4's transformWithState Python runtime can run
     here: its driver-side worker imports google.protobuf (state
