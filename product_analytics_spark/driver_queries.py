@@ -4917,3 +4917,19 @@ from product_analytics_spark.driver_queries_ext53 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT53)
 ORACLES.update(_oracles_ext53())
+
+from product_analytics_spark.driver_queries_ext54 import (  # noqa: E402
+    QUERIES_EXT54,
+    _oracles_ext54,
+)
+
+QUERIES.update(QUERIES_EXT54)
+ORACLES.update(_oracles_ext54())
+
+from product_analytics_spark.driver_queries_ext55 import (  # noqa: E402
+    QUERIES_EXT55,
+    _oracles_ext55,
+)
+
+QUERIES.update(QUERIES_EXT55)
+ORACLES.update(_oracles_ext55())

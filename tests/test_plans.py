@@ -161,6 +161,23 @@ class TestTpchPlans:
         assert "CartesianProduct" not in p
         assert "PushedFilters" in p
 
+    def test_q19_single_pass_disjunction(self, plans):
+        # The OR-of-conjuncts must stay ONE broadcast-join pass with a
+        # residual predicate — not expand into three scan-unions.
+        p = plans["q339_tpch_q19_discounted_revenue"]
+        # formatted explain mentions each scan twice (tree + details):
+        # 2 mentions x (lineitem + part) = 4; a 3-way scan-union
+        # expansion would show more.
+        assert p.count("Scan parquet") == 4
+        assert "BroadcastHashJoin" in p
+        assert "Union" not in p
+
+    def test_q2_window_min_broadcast_dims(self, plans):
+        p = plans["q333_tpch_q2_min_cost_supplier"]
+        assert "BroadcastHashJoin" in p
+        assert "CartesianProduct" not in p
+        assert "TakeOrderedAndProject" in p  # spec ordering + LIMIT 100
+
     def test_q21_one_order_shuffle_broadcast_dims(self, plans):
         # EXISTS/NOT-EXISTS pair rides ONE per-order aggregate; the
         # supplier/nation restriction broadcasts; nothing degenerates
