@@ -4933,3 +4933,11 @@ from product_analytics_spark.driver_queries_ext55 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT55)
 ORACLES.update(_oracles_ext55())
+
+from product_analytics_spark.driver_queries_ext56 import (  # noqa: E402
+    QUERIES_EXT56,
+    _oracles_ext56,
+)
+
+QUERIES.update(QUERIES_EXT56)
+ORACLES.update(_oracles_ext56())
