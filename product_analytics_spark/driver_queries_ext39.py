@@ -317,11 +317,9 @@ def q277_dup_cluster_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: inherits X2/X29 economics (banded join + iterative
     halving); the histogram is a ≤|max cluster size|-row relation."""
-    from product_analytics_spark.operators import graph, text as tx
+    from product_analytics_spark.driver_queries import _dup_clusters_shared
 
-    d = _t(spark, sf_dir, "documents").repartition(32, "doc_id")
-    pairs = tx.minhash_near_dup_pairs(d, threshold=0.5)
-    clusters = graph.dup_clusters(d.select("doc_id"), pairs)
+    clusters = _dup_clusters_shared(spark, sf_dir)
     sizes = clusters.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("sz")
     )
