@@ -4958,3 +4958,11 @@ from product_analytics_spark.driver_queries_ext56 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT56)
 ORACLES.update(_oracles_ext56())
+
+from product_analytics_spark.driver_queries_ext57 import (  # noqa: E402
+    QUERIES_EXT57,
+    _oracles_ext57,
+)
+
+QUERIES.update(QUERIES_EXT57)
+ORACLES.update(_oracles_ext57())

@@ -689,7 +689,16 @@ def q113_streaming_tumbling_parity(spark: SparkSession, sf_dir: str) -> DataFram
     )
     from product_analytics_spark.streaming import ops as st
 
-    st.run_available_now(agg, "q113_sink", output_mode="complete")
+    # Scope shuffle partitions down for the stream only (the ext25
+    # discipline): each micro-batch commits one state-store file per
+    # shuffle partition — 4 carry the |windows x types| state with 8x
+    # less checkpoint IO than the batch default of 32.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        st.run_available_now(agg, "q113_sink", output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("q113_sink").select(
         F.col("w.start").cast("timestamp_ntz").alias("day"),
         "event_type",
@@ -730,7 +739,13 @@ def q114_streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     from product_analytics_spark.streaming import ops as st
 
-    st.run_available_now(agg, "q114_sink", output_mode="complete")
+    # Stream-scoped shuffle-partition dial — see q113's note.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        st.run_available_now(agg, "q114_sink", output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("q114_sink").select(
         "user_id",
         F.col("w.start").cast("timestamp_ntz").alias("session_start"),

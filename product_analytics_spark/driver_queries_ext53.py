@@ -377,7 +377,17 @@ def q332_stateful_sessionize_parity(
         gap_minutes=STATEFUL_GAP_MIN,
         timeout_minutes=600,
     )
-    st.run_available_now_stateful(sess, "q332_sink", output_mode="append")
+    # Scope shuffle partitions down for the stream only (the ext25
+    # discipline): every micro-batch checkpoints one state-store file
+    # PER shuffle partition, so 32 partitions pay 8x the commit IO of
+    # 4 for the same state on a single node. On a real cluster this
+    # dial is sized to executor count, not left at the batch default.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        st.run_available_now_stateful(sess, "q332_sink", output_mode="append")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     out = spark.table("q332_sink")
     return out.select(
         "user_id",

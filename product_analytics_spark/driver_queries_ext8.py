@@ -356,7 +356,16 @@ def q169_stream_static_join_parity(spark: SparkSession, sf_dir: str) -> DataFram
             F.sum(_money_cents("value")).alias("_c"),
         )
     )
-    st.run_available_now(agg, "q169_sink", output_mode="complete")
+    # Scope shuffle partitions down for the stream only (the ext25
+    # discipline): complete-mode state checkpoints one store file per
+    # shuffle partition per micro-batch; 4 partitions carry |nations|
+    # groups with 8x less commit IO than the batch default.
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        st.run_available_now(agg, "q169_sink", output_mode="complete")
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table("q169_sink").select(
         "n_name", "n_events", _cents_out(F.col("_c")).alias("total_value")
     )
