@@ -655,6 +655,13 @@ JOIN totals tb ON tb.t = p.type_b
 Q113_LAND = os.path.join(_REPO, ".q113_stream_land")
 
 
+#: Landing dirs already written this process, keyed by (sf_dir, land).
+#: The landed layout is a pure function of the source table, so the
+#: second plain-events stream query in a run (q114 after q113) reuses
+#: the first one's files instead of rewriting an identical dir.
+_EVENTS_LANDED: set[tuple[str, str]] = set()
+
+
 def _events_stream(spark: SparkSession, sf_dir: str, land: str):
     """Land events as micros-timestamp parquet (the landing-zone
     layout a file-source stream ingests) and open a file stream over
@@ -662,8 +669,13 @@ def _events_stream(spark: SparkSession, sf_dir: str, land: str):
     test data carries no sub-microsecond components."""
     from product_analytics_spark.streaming import ops as st
 
-    shutil.rmtree(land, ignore_errors=True)
-    _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(land)
+    key = (sf_dir, land)
+    if key not in _EVENTS_LANDED or not os.path.isdir(land):
+        shutil.rmtree(land, ignore_errors=True)
+        _t(spark, sf_dir, "events").repartition(4).write.mode(
+            "overwrite"
+        ).parquet(land)
+        _EVENTS_LANDED.add(key)
     schema = spark.read.parquet(land).schema
     stream = st.stream_table(spark, land, schema)
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ→LTZ id (UTC)
@@ -716,7 +728,9 @@ FROM events GROUP BY 1, 2
 
 # -------------------------------------------------------------- q114
 
-Q114_LAND = os.path.join(_REPO, ".q114_stream_land")
+#: q114 shares q113's landed events (identical layout; see
+#: _EVENTS_LANDED) instead of rewriting its own copy.
+Q114_LAND = Q113_LAND
 
 
 def q114_streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -728,7 +742,7 @@ def q114_streaming_session_parity(spark: SparkSession, sf_dir: str) -> DataFrame
     session (``>=``, where batch islands sessionization uses ``>``).
     State is per (user, open session) — watermark-evicted in real
     deployments; the window key partitions the state store."""
-    stream = _events_stream(spark, sf_dir, Q114_LAND)
+    stream = _events_stream(spark, sf_dir, Q114_LAND)  # cached after q113
     agg = (
         stream.withWatermark("ts", "2 hours")
         .groupBy(F.col("user_id"), F.session_window("ts", "30 minutes").alias("w"))
