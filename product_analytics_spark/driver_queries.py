@@ -4966,3 +4966,11 @@ from product_analytics_spark.driver_queries_ext57 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT57)
 ORACLES.update(_oracles_ext57())
+
+from product_analytics_spark.driver_queries_ext58 import (  # noqa: E402
+    QUERIES_EXT58,
+    _oracles_ext58,
+)
+
+QUERIES.update(QUERIES_EXT58)
+ORACLES.update(_oracles_ext58())
