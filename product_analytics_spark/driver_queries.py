@@ -4974,3 +4974,11 @@ from product_analytics_spark.driver_queries_ext58 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT58)
 ORACLES.update(_oracles_ext58())
+
+from product_analytics_spark.driver_queries_ext59 import (  # noqa: E402
+    QUERIES_EXT59,
+    _oracles_ext59,
+)
+
+QUERIES.update(QUERIES_EXT59)
+ORACLES.update(_oracles_ext59())
