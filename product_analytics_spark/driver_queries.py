@@ -4982,3 +4982,11 @@ from product_analytics_spark.driver_queries_ext59 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT59)
 ORACLES.update(_oracles_ext59())
+
+from product_analytics_spark.driver_queries_ext60 import (  # noqa: E402
+    QUERIES_EXT60,
+    _oracles_ext60,
+)
+
+QUERIES.update(QUERIES_EXT60)
+ORACLES.update(_oracles_ext60())
