@@ -186,7 +186,6 @@ def q350_ewma_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
     daily = o.groupBy(
         F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("d")
     ).agg(F.sum(_money_cents("o_totalprice")).alias("c"))
-    first_d = daily.select(F.min("d").alias("d0"))
     # target day t takes source day t-off with weight 2^(9-off)
     offs = daily.select(
         "d", "c", F.explode(F.sequence(F.lit(0), F.lit(EWMA_TERMS - 1))).alias("off")
@@ -200,12 +199,18 @@ def q350_ewma_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("_num")
         )
     )
-    out = num.join(F.broadcast(first_d)).select(
+    # Every daily day appears as its own target (off=0), so min(t)
+    # over the |days| post-agg relation IS the series start — the
+    # whole-relation window (q171 idiom) instead of a 1-row broadcast
+    # cross join, which compiles to the banned BroadcastNestedLoopJoin.
+    out = num.select(
         "t",
         "_num",
-        F.least(F.col("t") - F.col("d0"), F.lit(EWMA_TERMS - 1)).alias("_m"),
+        F.least(
+            F.col("t") - F.min("t").over(Window.partitionBy()),
+            F.lit(EWMA_TERMS - 1),
+        ).alias("_m"),
     )
-    den = F.lit(1 << EWMA_TERMS) - F.expr(f"CAST(pow(2.0, {EWMA_TERMS - 1} - _m) AS BIGINT)")
     return out.select(
         # DATE outputs cross the pandas boundary as datetime.date on
         # Spark vs datetime64 on DuckDB — emit the yyyy-MM-dd string.
