@@ -4990,3 +4990,11 @@ from product_analytics_spark.driver_queries_ext60 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT60)
 ORACLES.update(_oracles_ext60())
+
+from product_analytics_spark.driver_queries_ext61 import (  # noqa: E402
+    QUERIES_EXT61,
+    _oracles_ext61,
+)
+
+QUERIES.update(QUERIES_EXT61)
+ORACLES.update(_oracles_ext61())
