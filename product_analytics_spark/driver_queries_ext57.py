@@ -277,14 +277,17 @@ RRF_SCALE = 1_000_000_000_000
 
 
 def q346_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reciprocal-rank fusion of two retrieval rankings — the RAG /
-    hybrid-search ensemble primitive: rank the corpus against the
-    probe vector by (a) cosine similarity and (b) L2 distance (they
-    order DIFFERENTLY when norms vary), keep each ranking's top-{POOL}
-    pool, and fuse with RRF(k={K}): score = sum over rankings of
-    1/(k + rank), absent => 0.  Scores are exact floor-scaled
-    integers (1e12 // (k+r)) so ordering is engine-portable; absent
-    ranks surface as -1 (typed, never NULL).
+    """POOL-BOUNDED reciprocal-rank fusion — the production variant
+    of q125's full-relation RRF (ext3): real hybrid search fuses each
+    retriever's top-N LIST, not a rank over the whole corpus, so
+    membership is partial and absence semantics matter.  Rank the
+    corpus against the probe by (a) cosine and (b) L2 distance (they
+    order DIFFERENTLY when norms vary — q125's second signal is norm
+    itself), keep each ranking's top-{POOL} pool, fuse with
+    RRF(k={K}): score = sum over rankings of 1/(k + rank), absent
+    => 0.  Unlike q125's float scores, these are exact floor-scaled
+    integers (1e12 // (k+r)) so ordering is engine-portable even at
+    deep rank ties; absent ranks surface as -1 (typed, never NULL).
 
     Scale: each ranking is a TakeOrderedAndProject top-{POOL} (the
     q21 distributed top-k — no global sort); the row_number that

@@ -20,16 +20,18 @@ TWA_SCALE = 1_000_000
 
 
 def q347_time_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Step-function time-weighted average — the analytic behind
-    average inventory / average price / sensor TWA, where a value
-    HOLDS between observations and a plain AVG over-weights bursts:
-    per user, TWA = sum(v_i * (t_{i+1} - t_i)) / (t_N - t_0) with the
-    last observation carrying no weight.  Exact: microsecond gaps
-    (unix_micros lead-diff) x integer cents; the gaps telescope to
-    the user's span, so the numerator is bounded by max_cents x span
-    (~1e17 here — never near overflow), and the output is the
-    two-part floor division (num div den)*S + ((num mod den)*S) div
-    den = floor(num*1e6/den) without overflow.
+    """Per-ENTITY lifetime time-weighted average — q98's TWAP kernel
+    (X71, the per-(key, day) resampling series) taken to the feature
+    grain a training pipeline materializes: one exact scalar per user
+    over the user's whole span, TWA = sum(v_i * (t_{i+1} - t_i)) /
+    (t_N - t_0), last observation weightless.  Where q98 finishes
+    with one IEEE division, this emits an exact INTEGER micro-cents
+    value via two-part floor division ((num div den)*S + ((num mod
+    den)*S) div den = floor(num*1e6/den) without overflow) — the
+    integer-composable form downstream exact comparisons (tiering,
+    dedup keys, drift checks) can consume.  The gaps telescope to the
+    span, so the bigint numerator is bounded by max_cents x span
+    (~1e17 here).
 
     Scale: ONE (user)-keyed window pass for the lead diff, one
     hash-agg — the same shape as sessionization; nothing global, no
@@ -168,12 +170,14 @@ EWMA_SCALE = 1_000_000
 
 def q350_ewma_truncated(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact truncated EWMA (alpha = 1/2) over the daily revenue
-    series — the trend-smoothing statistic, computed with INTEGER
-    power-of-two weights instead of the float recursion S_t = (c_t +
-    S_{t-1})/2 (cross-row float accumulation is engine-divergent; the
-    10-term truncation error is 2^-10 of the tail, below the
-    emitted micro-cent unit).  Calendar-aware: a day with no orders
-    contributes zero revenue but still ages the decay, and the
+    series — the CALENDAR-indexed counterpart of q129's dyadic EMA
+    (X98, which decays per preceding EVENT via lag() and so ignores
+    clock gaps): here a day with no orders contributes zero revenue
+    but still AGES the decay — the series-smoothing semantic a
+    forecast consumes.  Integer power-of-two weights instead of the
+    float recursion S_t = (c_t + S_{t-1})/2 (cross-row float
+    accumulation is engine-divergent; the 10-term truncation error is
+    2^-10 of the tail, below the emitted micro-cent unit); the
     divisor for the first days normalizes over the weights actually
     in range (den = 2^10 - 2^(9-m), m = min(9, days since series
     start)).

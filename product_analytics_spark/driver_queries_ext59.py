@@ -1,7 +1,8 @@
-"""Round-5 driver query families, batch 59 (q351-q352): rolling
-7-day distinct actives (the WAU/MAU engagement series) and conformance
+"""Round-5 driver query families, batch 59 (q352): conformance
 certificate #12 — higher-order array-function semantics, including the
 one documented cross-engine divergence (distinct-order preservation).
+(q351 was withdrawn before release: its rolling-distinct kernel
+duplicated q80/X53.)
 
 Same contract as the other driver_queries modules.
 """
@@ -12,85 +13,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from product_analytics_spark.qcommon import _t
-
-# ------------------------------------------------------------- q351
-
-WAU_WINDOW = 7
-
-
-def q351_rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Rolling {W}-day distinct active users per day — the WAU series
-    (and the reason naive window frames fail: DISTINCT does not
-    decompose over a sliding frame, so ``count(distinct) OVER (RANGE 6
-    PRECEDING)`` is unsupported/wrong in most engines).  The exact
-    decomposition: distinct (user, day) pairs, each pair VOTES for the
-    {W} target days it keeps active, re-distinct on (user, target),
-    count per target.  Emitted for observed days only (inner join to
-    the day list), with same-day DAU alongside.
-
-    Scale: the vote explode multiplies the |user x day| ACTIVE-PAIR
-    relation (already deduped, far smaller than events) by {W}, all
-    map-side; both distincts are hash-aggs on compact long keys. At
-    100 TB the exact re-distinct swaps for per-day HLL sketches merged
-    over the window (q247's hll_union door) — same vote shape, sketch
-    state instead of pair state."""
-    e = _t(spark, sf_dir, "events")
-    pairs = e.select(
-        "user_id",
-        F.datediff(F.col("ts").cast("date"), F.lit("2024-01-01")).alias("d"),
-    ).distinct()
-    days = pairs.select("d").distinct()
-    votes = (
-        pairs.select(
-            "user_id",
-            F.explode(
-                F.sequence(F.col("d"), F.col("d") + F.lit(WAU_WINDOW - 1))
-            ).alias("t"),
-        )
-        .distinct()
-        .join(days.select(F.col("d").alias("t")), "t")
-    )
-    wau = votes.groupBy("t").agg(F.count(F.lit(1)).alias("wau"))
-    dau = pairs.groupBy(F.col("d").alias("t")).agg(
-        F.count(F.lit(1)).alias("dau")
-    )
-    return (
-        wau.join(dau, "t")
-        .select(
-            F.date_format(
-                F.expr("date_add(DATE '2024-01-01', CAST(t AS INT))"),
-                "yyyy-MM-dd",
-            ).alias("day"),
-            F.col("dau").cast("long").alias("dau"),
-            F.col("wau").cast("long").alias("wau"),
-        )
-        .orderBy("day")
-    )
-
-
-Q351_SQL = f"""
-WITH pairs AS (
-  SELECT DISTINCT user_id,
-         date_diff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS d
-  FROM events
-),
-days AS (SELECT DISTINCT d FROM pairs),
-votes AS (
-  SELECT DISTINCT p.user_id, p.d + off AS t
-  FROM pairs p, unnest(generate_series(0, {WAU_WINDOW - 1})) AS u(off)
-),
-wau AS (
-  SELECT v.t, CAST(count(*) AS BIGINT) AS wau
-  FROM votes v JOIN days dd ON dd.d = v.t
-  GROUP BY 1
-),
-dau AS (SELECT d AS t, CAST(count(*) AS BIGINT) AS dau FROM pairs GROUP BY 1)
-SELECT strftime(DATE '2024-01-01' + INTERVAL (w.t) DAY, '%Y-%m-%d') AS day,
-       dau.dau, w.wau
-FROM wau w JOIN dau ON dau.t = w.t
-ORDER BY day
-"""
-
 
 # ------------------------------------------------------------- q352
 
@@ -174,13 +96,11 @@ FROM arr ORDER BY l_orderkey
 
 
 QUERIES_EXT59 = {
-    "q351_rolling_active_users": q351_rolling_active_users,
     "q352_hof_conformance": q352_hof_conformance,
 }
 
 
 def _oracles_ext59() -> dict[str, str]:
     return {
-        "q351_rolling_active_users": Q351_SQL,
-        "q352_hof_conformance": Q352_SQL,
+            "q352_hof_conformance": Q352_SQL,
     }

@@ -19,13 +19,15 @@ ROLL_DAYS = 7
 
 
 def q355_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Window-frame door: RANGE BETWEEN INTERVAL — the event-time
-    frame that stays CALENDAR-correct over gapped series where ROWS
-    frames silently drift (a ROWS 6 PRECEDING window spans 7
-    *observed* days, not 7 calendar days; on sparse series the two
-    disagree).  Rolling {D}-day revenue and observed-day count per
-    day, plus the ROWS-frame value alongside so the divergence is
-    visible in-row wherever the series has gaps.
+    """Window-frame door: RANGE BETWEEN INTERVAL — the temporal-type
+    frame syntax q132 (X101) avoids by pre-converting to epoch-µs
+    integers for ``rangeBetween``; here the frame binds DIRECTLY on a
+    DATE ordering with an INTERVAL literal (the SQL-standard form,
+    previously unexercised), certified cross-engine.  It stays
+    CALENDAR-correct over gapped series where ROWS frames silently
+    drift (a ROWS 6 PRECEDING window spans 7 *observed* days, not 7
+    calendar days) — the ROWS-frame value is emitted alongside so the
+    divergence is visible in-row wherever the series has gaps.
 
     Scale: the frame runs on the |days| POST-AGGREGATE series (the
     suite's documented single-partition class — at 100 TB a

@@ -4,8 +4,8 @@ Each test executes the invariant the query docstrings CLAIM: the TWA
 is a convex combination of observed values, the exact truncated EWMA
 equals a sequential fixed-point replay, KN continuation counts
 conserve the bigram-type total, the hash-derived discrete-Laplace
-noise is geometric(1/2)-shaped and cap-bounded, RRF fusion ranks are
-consistent with the pools, and WAU dominates DAU pointwise.
+noise is geometric(1/2)-shaped and cap-bounded, and RRF fusion ranks are
+consistent with the pools.
 """
 
 from __future__ import annotations
@@ -202,18 +202,3 @@ def test_rrf_fusion_ranks_consistent(spark):
         assert r["rrf_score_pico"] == want
     scores = [r["rrf_score_pico"] for r in out]
     assert scores == sorted(scores, reverse=True)
-
-
-# ----------------------------------------------- WAU dominates DAU
-
-
-def test_wau_dominates_dau(spark):
-    """For every emitted day, the 7-day rolling distinct count must be
-    >= the same-day distinct count (window inclusion)."""
-    from product_analytics_spark.driver_queries_ext59 import (
-        q351_rolling_active_users,
-    )
-
-    rows = q351_rolling_active_users(spark, "/root/testdata/sf0.001").collect()
-    assert len(rows) > 0
-    assert all(r["wau"] >= r["dau"] for r in rows)
