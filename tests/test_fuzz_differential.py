@@ -82,10 +82,17 @@ def engines(spark):
     read_parquet(spark, f"{SF_SMALL}/orders.parquet").createOrReplaceTempView(
         "orders"
     )
+    read_parquet(spark, f"{SF_SMALL}/customer.parquet").createOrReplaceTempView(
+        "customer"
+    )
     con = duckdb.connect()
     con.execute(
         f"CREATE VIEW orders AS SELECT * FROM "
         f"read_parquet('{SF_SMALL}/orders.parquet')"
+    )
+    con.execute(
+        f"CREATE VIEW customer AS SELECT * FROM "
+        f"read_parquet('{SF_SMALL}/customer.parquet')"
     )
     return spark, con
 
@@ -108,6 +115,103 @@ def test_fuzz_differential(engines):
         )
         orows_raw = con.execute(sql).fetchall()
         orows = _normalize(orows_raw, None)
+        if srows != orows:
+            failures.append((qi, sql, srows[:3], orows[:3]))
+    assert not failures, failures
+
+
+# ---------------------------------------------------------------- join+window
+
+JOIN_SEED = 20260815
+N_JOIN_QUERIES = 15
+N_WINDOW_QUERIES = 15
+
+JDIMS = [
+    "c.c_mktsegment",
+    "CAST(c.c_nationkey AS INT)",
+    "o.o_orderstatus",
+    "CAST(o.o_custkey % 11 AS BIGINT)",
+]
+_OC = "CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+JAGGS = [
+    "CAST(count(*) AS BIGINT)",
+    f"CAST(sum({_OC}) AS BIGINT)",
+    f"CAST(max({_OC}) AS BIGINT)",
+    "CAST(count(DISTINCT o.o_custkey) AS BIGINT)",
+]
+WIN_FNS = [
+    "CAST(row_number() OVER w AS BIGINT)",
+    "CAST(rank() OVER w AS BIGINT)",
+    "CAST(dense_rank() OVER w AS BIGINT)",
+    f"CAST(sum({_CENTS}) OVER w2 AS BIGINT)",
+    f"CAST(lag({_CENTS}, 1, 0) OVER w AS BIGINT)",
+]
+WIN_PARTS = ["o_orderstatus", "o_orderpriority", "o_custkey % 13"]
+
+
+def _gen_join(rng: random.Random) -> str:
+    """orders x customer star join with grouped aggregates + HAVING —
+    the dialect-shared join/HAVING subset."""
+    dims = rng.sample(JDIMS, rng.randint(1, 2))
+    aggs = rng.sample(JAGGS, rng.randint(1, 3))
+    cols = [f"{d} AS g{i}" for i, d in enumerate(dims)] + [
+        f"{a} AS a{i}" for i, a in enumerate(aggs)
+    ]
+    sql = (
+        f"SELECT {', '.join(cols)} FROM orders o "
+        "JOIN customer c ON c.c_custkey = o.o_custkey"
+    )
+    if rng.random() < 0.6:
+        sql += f" WHERE o.o_orderkey % {rng.randint(2, 5)} = 0"
+    sql += " GROUP BY " + ", ".join(str(i + 1) for i in range(len(dims)))
+    if rng.random() < 0.5:
+        sql += f" HAVING count(*) > {rng.randint(1, 8)}"
+    return sql
+
+
+def _gen_window(rng: random.Random) -> str:
+    """Window functions over a TOTAL order (cents, orderkey) so every
+    rank/frame value is deterministic; bounded by an orderkey filter
+    plus outer ORDER BY for a stable compared set."""
+    part = rng.choice(WIN_PARTS)
+    fns = rng.sample(WIN_FNS, rng.randint(1, 3))
+    cols = ["CAST(o_orderkey AS BIGINT) AS k"] + [
+        f"{f} AS w{i}" for i, f in enumerate(fns)
+    ]
+    return (
+        f"SELECT {', '.join(cols)} FROM orders"
+        f" WHERE o_orderkey % {rng.randint(7, 19)} = 0"
+        f" WINDOW w AS (PARTITION BY {part}"
+        f" ORDER BY {_CENTS}, o_orderkey),"
+        f" w2 AS (PARTITION BY {part} ORDER BY {_CENTS}, o_orderkey"
+        " ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)"
+        " ORDER BY k"
+    )
+
+
+def test_fuzz_join_differential(engines):
+    spark, con = engines
+    rng = random.Random(JOIN_SEED)
+    failures = []
+    for qi in range(N_JOIN_QUERIES):
+        sql = _gen_join(rng)
+        sdf = spark.sql(sql)
+        srows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+        orows = _normalize(con.execute(sql).fetchall(), None)
+        if srows != orows:
+            failures.append((qi, sql, srows[:3], orows[:3]))
+    assert not failures, failures
+
+
+def test_fuzz_window_differential(engines):
+    spark, con = engines
+    rng = random.Random(JOIN_SEED + 1)
+    failures = []
+    for qi in range(N_WINDOW_QUERIES):
+        sql = _gen_window(rng)
+        sdf = spark.sql(sql)
+        srows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+        orows = _normalize(con.execute(sql).fetchall(), None)
         if srows != orows:
             failures.append((qi, sql, srows[:3], orows[:3]))
     assert not failures, failures
