@@ -44,6 +44,93 @@ MARKERS = {
 }
 
 
+import re
+
+#: filter predicates whose first argument is a column name
+_PUSHED_COL_RE = re.compile(
+    r"\b(?:IsNotNull|IsNull|EqualTo|GreaterThan(?:OrEqual)?|"
+    r"LessThan(?:OrEqual)?|In|StringStartsWith|StringEndsWith|"
+    r"StringContains|Not)\(([A-Za-z_][A-Za-z_0-9]*)"
+)
+_HASHPART_RE = re.compile(r"hashpartitioning\(([^)]*)\)")
+_RANGEPART_RE = re.compile(r"rangepartitioning\(([^)]*)\)")
+_ATTR_RE = re.compile(r"([A-Za-z_][A-Za-z_0-9]*)#\d+")
+
+
+def extract_layout_stats(plan_text: str) -> dict[str, dict[str, int]]:
+    """Per-plan layout signals for the workload advisor: which columns
+    the scans got PUSHED FILTERS on, and which columns the exchanges
+    hash/range-partition by.  Column occurrences are counted once per
+    plan node."""
+    filters: dict[str, int] = {}
+    for m in _PUSHED_COL_RE.finditer(plan_text):
+        filters[m.group(1)] = filters.get(m.group(1), 0) + 1
+    shuffles: dict[str, int] = {}
+    for pat in (_HASHPART_RE, _RANGEPART_RE):
+        for m in pat.finditer(plan_text):
+            for a in _ATTR_RE.finditer(m.group(1)):
+                col = a.group(1)
+                if col.startswith("_"):  # internal/derived keys
+                    continue
+                shuffles[col] = shuffles.get(col, 0) + 1
+    return {"filter_cols": filters, "shuffle_cols": shuffles}
+
+
+def build_layout_advice(
+    agg_filters: dict[str, int],
+    agg_shuffles: dict[str, int],
+    col2table: dict[str, str],
+    top_n: int = 4,
+) -> dict:
+    """Fold workload-wide column stats into per-table layout advice:
+    the most-filtered columns are partition/Z-order candidates (they
+    prune files), the most-shuffled columns are bucketing candidates
+    (co-located joins/aggs skip the exchange).  This is the lake-layout
+    decision a 100 TB deployment makes ONCE from its workload — here
+    derived mechanically from every query's physical plan."""
+    per_table: dict[str, dict] = {}
+    for col, n in agg_filters.items():
+        t = col2table.get(col)
+        if t is None:
+            continue
+        d = per_table.setdefault(t, {"filter_cols": {}, "shuffle_cols": {}})
+        d["filter_cols"][col] = n
+    for col, n in agg_shuffles.items():
+        t = col2table.get(col)
+        if t is None:
+            continue
+        d = per_table.setdefault(t, {"filter_cols": {}, "shuffle_cols": {}})
+        d["shuffle_cols"][col] = n
+    advice = {}
+    for t, d in sorted(per_table.items()):
+        part = sorted(d["filter_cols"].items(), key=lambda kv: (-kv[1], kv[0]))
+        buck = sorted(d["shuffle_cols"].items(), key=lambda kv: (-kv[1], kv[0]))
+        advice[t] = {
+            "partition_or_zorder_candidates": part[:top_n],
+            "bucket_candidates": buck[:top_n],
+        }
+    return advice
+
+
+def _table_columns(sf_dir: str) -> dict[str, str]:
+    """column name -> table name from the parquet schemas (first table
+    wins for the few shared names; the synthetic schema is prefixed so
+    collisions are rare)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, str] = {}
+    for t in (
+        "region nation customer supplier part orders lineitem "
+        "events documents embeddings"
+    ).split():
+        path = os.path.join(sf_dir, f"{t}.parquet")
+        if not os.path.exists(path):
+            continue
+        for name in pq.read_schema(path).names:
+            out.setdefault(name, t)
+    return out
+
+
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
@@ -53,6 +140,8 @@ def main() -> None:
 
     spark = get_spark("plan-audit")
     rows: dict[str, dict[str, int]] = {}
+    agg_filters: dict[str, int] = {}
+    agg_shuffles: dict[str, int] = {}
     for name, fn in QUERIES.items():
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
@@ -62,6 +151,11 @@ def main() -> None:
         cache.clear_all()
         p = buf.getvalue()
         rows[name] = {k: p.count(m) for k, m in MARKERS.items()}
+        ls = extract_layout_stats(p)
+        for c, n in ls["filter_cols"].items():
+            agg_filters[c] = agg_filters.get(c, 0) + n
+        for c, n in ls["shuffle_cols"].items():
+            agg_shuffles[c] = agg_shuffles.get(c, 0) + n
 
     summary = {
         "n_queries": len(rows),
@@ -87,6 +181,23 @@ def main() -> None:
     path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", "PLAN_AUDIT.json")
     with open(os.path.abspath(path), "w") as f:
         json.dump(out, f, indent=1, sort_keys=True)
+    advice = {
+        "derived_from": f"{len(rows)} query plans at {sf_dir}",
+        "workload_filter_cols": dict(
+            sorted(agg_filters.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+        ),
+        "workload_shuffle_cols": dict(
+            sorted(agg_shuffles.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+        ),
+        "per_table": build_layout_advice(
+            agg_filters, agg_shuffles, _table_columns(sf_dir)
+        ),
+    }
+    apath = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "..", "LAYOUT_ADVICE.json"
+    )
+    with open(os.path.abspath(apath), "w") as f:
+        json.dump(advice, f, indent=1)
     print(json.dumps(summary, indent=1))
 
 
