@@ -4998,3 +4998,11 @@ from product_analytics_spark.driver_queries_ext61 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT61)
 ORACLES.update(_oracles_ext61())
+
+from product_analytics_spark.driver_queries_ext62 import (  # noqa: E402
+    QUERIES_EXT62,
+    _oracles_ext62,
+)
+
+QUERIES.update(QUERIES_EXT62)
+ORACLES.update(_oracles_ext62())
