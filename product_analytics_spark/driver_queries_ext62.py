@@ -83,11 +83,16 @@ def q358_sql_scripting_door(spark: SparkSession, sf_dir: str) -> DataFrame:
     feeding the temp view); the window form is what production runs —
     the script exists to certify the scripting door with a real
     fixpoint."""
-    _t(spark, sf_dir, "orders").groupBy(
-        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("d")
-    ).agg(F.sum(_money_cents("o_totalprice")).alias("c")).createOrReplaceTempView(
-        "q358_daily"
+    # Materialize the day series ONCE (localCheckpoint truncates the
+    # lineage and pins the |days| rows): a plain temp view would
+    # re-run the corpus agg on every loop iteration.
+    daily = (
+        _t(spark, sf_dir, "orders")
+        .groupBy(F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("d"))
+        .agg(F.sum(_money_cents("o_totalprice")).alias("c"))
+        .localCheckpoint(eager=True)
     )
+    daily.createOrReplaceTempView("q358_daily")
     prev = spark.conf.get("spark.sql.scripting.enabled", "false")
     spark.conf.set("spark.sql.scripting.enabled", "true")
     try:
