@@ -5006,3 +5006,11 @@ from product_analytics_spark.driver_queries_ext62 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT62)
 ORACLES.update(_oracles_ext62())
+
+from product_analytics_spark.driver_queries_ext63 import (  # noqa: E402
+    QUERIES_EXT63,
+    _oracles_ext63,
+)
+
+QUERIES.update(QUERIES_EXT63)
+ORACLES.update(_oracles_ext63())

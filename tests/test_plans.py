@@ -205,3 +205,17 @@ class TestRound4Plans:
         assert p.count("+- Exchange") == 3
         # Three stacked Window nodes ride the single user sort.
         assert p.count("+- Window") >= 3
+
+
+class TestRound5Plans:
+    def test_bucketed_layout_erases_agg_shuffle(self, plans):
+        # q360 aggregates (incl. a count-distinct, normally TWO hash
+        # exchanges) over the user_id-bucketed table: the scan reports
+        # its bucketing, so the whole aggregate runs exchange-free.
+        # The single remaining Exchange is the deterministic-output
+        # orderBy's rangepartitioning over |users| post-agg rows.
+        p = plans["q360_bucketed_layout"]
+        assert "Bucketed: true" in p
+        assert "hashpartitioning" not in p
+        assert p.count("+- Exchange") == 1
+        assert "rangepartitioning" in p

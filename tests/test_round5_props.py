@@ -202,3 +202,79 @@ def test_rrf_fusion_ranks_consistent(spark):
         assert r["rrf_score_pico"] == want
     scores = [r["rrf_score_pico"] for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+# ----------------------------------------------- batch-63 certificates
+
+
+def test_map_dup_key_policy_is_the_real_divergence(spark):
+    """Certify the divergence q359 documents: Spark's DEFAULT
+    mapKeyDedupPolicy=EXCEPTION errors on duplicate map_concat keys,
+    while DuckDB silently keeps the last value — so the portable
+    semantics q359 pins (explicit LAST_WIN) is a real requirement,
+    not a stylistic choice."""
+    import duckdb
+    import pytest
+    from pyspark.errors import PySparkException
+
+    prev = spark.conf.get("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+    try:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "EXCEPTION")
+        with pytest.raises(PySparkException):
+            spark.sql(
+                "SELECT map_concat(map(1, 10), map(1, 99)) AS m"
+            ).collect()
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
+        [row] = spark.sql(
+            "SELECT element_at(map_concat(map(1, 10), map(1, 99)), 1) AS v"
+        ).collect()
+        assert row["v"] == 99
+    finally:
+        spark.conf.set("spark.sql.mapKeyDedupPolicy", prev)
+    con = duckdb.connect()
+    assert con.execute(
+        "SELECT map_concat(MAP{1: 10}, MAP{1: 99})[1][1]"
+    ).fetchone()[0] == 99
+
+
+def test_duckdb_map_extract_is_a_list_not_a_scalar():
+    """The second q359-documented divergence: DuckDB m[k] returns a
+    LIST (empty when missing); Spark element_at returns the scalar
+    (NULL when missing). q359's portable form is m[k][1] + coalesce."""
+    import duckdb
+
+    con = duckdb.connect()
+    present, missing = con.execute(
+        "SELECT MAP{1: 10}[1], MAP{1: 10}[9]"
+    ).fetchone()
+    assert present == [10] and missing == []
+    assert con.execute(
+        "SELECT coalesce(MAP{1: 10}[9][1], -1)"
+    ).fetchone()[0] == -1
+
+
+def test_collation_merges_casing_variants(spark):
+    """q361: every UTF8_LCASE group must have merged exactly the two
+    deterministic casing variants, and the collated literal filter
+    must count the full merged 'building' group."""
+    from product_analytics_spark.driver_queries_ext63 import q361_collation_door
+
+    rows = q361_collation_door(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["n_casings"] == 2
+        expect = r["n_customers"] if r["segment"] == "building" else 0
+        assert r["n_eq_building_ci"] == expect
+
+
+def test_xml_roundtrip_certifies_escaping(spark):
+    """q362: every row must round-trip through to_xml/from_xml with
+    the & entity escaped in the wire form and restored on parse."""
+    from product_analytics_spark.driver_queries_ext63 import q362_xml_door
+
+    rows = q362_xml_door(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["roundtrip_ok"] and r["escaped_ok"]
+        assert r["parsed_name"].endswith(" & co")
+        assert str(r["xp_nation"]) == r["xp_nation_str"]
