@@ -5014,3 +5014,11 @@ from product_analytics_spark.driver_queries_ext63 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT63)
 ORACLES.update(_oracles_ext63())
+
+from product_analytics_spark.driver_queries_ext64 import (  # noqa: E402
+    QUERIES_EXT64,
+    _oracles_ext64,
+)
+
+QUERIES.update(QUERIES_EXT64)
+ORACLES.update(_oracles_ext64())

@@ -37,6 +37,7 @@ from pyspark.sql.datasource import (
     InputPartition,
     LessThan,
     LessThanOrEqual,
+    SimpleDataSourceStreamReader,
 )
 from pyspark.sql.types import (
     LongType,
@@ -283,3 +284,56 @@ class JsonlSinkDataSource(DataSource):
 
 def register_sink(spark) -> None:
     spark.dataSource.register(JsonlSinkDataSource)
+
+
+# --------------------------------------------------------------------
+# Streaming half: the same deterministic CDC feed as an unbounded
+# source (Spark 4 SimpleDataSourceStreamReader).  Offsets are plain
+# op_id positions, so replay (readBetweenOffsets — exactly-once on
+# restart) regenerates identical rows, and the SQL oracle reproduces
+# the whole stream with generate_series (see q367).
+
+
+class CdcStreamReader(SimpleDataSourceStreamReader):
+    """Offset-based micro-batch reader over the cdc_row generator.
+
+    ``total_rows`` bounds the feed (so availableNow/processAllAvailable
+    drains it); ``batch_rows`` is the per-trigger slice — batch
+    BOUNDARIES must never change any downstream answer, which is what
+    q367's oracle certifies.  read() is driver-side prefetch by
+    design (the Simple API): right for control-plane-sized feeds;
+    heavy streams belong to the partition-planning DataSourceStreamReader
+    or Kafka, and the docstring is the fence."""
+
+    def __init__(self, options):
+        self.total = int(options.get("total_rows", "4000"))
+        self.batch = int(options.get("batch_rows", "512"))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def read(self, start):
+        s = int(start["pos"])
+        if s >= self.total:
+            return iter(()), {"pos": s}
+        e = min(s + self.batch, self.total)
+        return (cdc_row(i) for i in range(s, e)), {"pos": e}
+
+    def readBetweenOffsets(self, start, end):
+        return (cdc_row(i) for i in range(int(start["pos"]), int(end["pos"])))
+
+
+class CdcStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_stream"
+
+    def schema(self):
+        return CDC_SCHEMA
+
+    def simpleStreamReader(self, schema) -> CdcStreamReader:
+        return CdcStreamReader(self.options)
+
+
+def register_stream(spark) -> None:
+    spark.dataSource.register(CdcStreamDataSource)

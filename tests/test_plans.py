@@ -219,3 +219,23 @@ class TestRound5Plans:
         assert "hashpartitioning" not in p
         assert p.count("+- Exchange") == 1
         assert "rangepartitioning" in p
+
+    def test_approx_top_k_is_a_mergeable_partial_agg(self, plans):
+        # q366: the space-saving sketch partial-aggregates map-side —
+        # the one Exchange moves per-partition sketches, never raw
+        # item keys; no other shuffle exists in the plan.
+        p = plans["q366_approx_top_k"]
+        assert "partial_approx_top_k" in p
+        assert p.count("+- Exchange") == 1
+
+    def test_bitmap_distinct_shuffles_bitmaps_not_keys(self, plans):
+        # q365: ONE corpus pass — GROUPING SETS expands to both levels
+        # before the map-side partial bitmap construction, the global
+        # rollup attaches by whole-relation window (no join node of
+        # any kind), and exactly one Exchange touches corpus-derived
+        # rows (the bitmap shuffle; the rest sit on |priorities| rows).
+        p = plans["q365_bitmap_distinct"]
+        assert "partial_bitmap_construct_agg" in p
+        assert "Expand" in p
+        assert "Join" not in p
+        assert p.count("Scan parquet") <= 2  # one scan: tree + detail

@@ -278,3 +278,86 @@ def test_xml_roundtrip_certifies_escaping(spark):
         assert r["roundtrip_ok"] and r["escaped_ok"]
         assert r["parsed_name"].endswith(" & co")
         assert str(r["xp_nation"]) == r["xp_nation_str"]
+
+
+# ----------------------------------------------- batch-64 certificates
+
+
+def test_months_between_fractional_divergence(spark):
+    """q364-documented divergence #2: Spark months_between is
+    FRACTIONAL with a both-month-ends special case; DuckDB
+    date_diff('month') counts calendar-boundary crossings — the
+    portable form is the integer month index year*12+month."""
+    import duckdb
+
+    [r] = spark.sql(
+        "SELECT months_between(DATE'2024-03-31', DATE'2024-01-31') a,"
+        "       months_between(DATE'2024-03-30', DATE'2024-01-31') b"
+    ).collect()
+    assert r["a"] == 2.0
+    assert abs(r["b"] - 1.96774194) < 1e-8
+    con = duckdb.connect()
+    a, b = con.execute(
+        "SELECT date_diff('month', DATE'2024-01-31', DATE'2024-03-31'),"
+        "       date_diff('month', DATE'2024-01-31', DATE'2024-03-30')"
+    ).fetchone()
+    assert (a, b) == (2, 2)  # boundary count: both land on 2
+
+
+def test_dayofweek_numbering_divergence(spark):
+    """q364-documented divergence #1: Spark dayofweek is 1..7 Sun=1,
+    DuckDB dayofweek is 0..6 Sun=0; the portable ISO numbering is
+    Spark weekday(d)+1 == DuckDB isodow(d).  2024-02-15 is a
+    Thursday."""
+    import duckdb
+
+    [r] = spark.sql(
+        "SELECT dayofweek(DATE'2024-02-15') dw, weekday(DATE'2024-02-15') wd"
+    ).collect()
+    assert (r["dw"], r["wd"] + 1) == (5, 4)
+    con = duckdb.connect()
+    dw, iso = con.execute(
+        "SELECT dayofweek(DATE'2024-02-15'), isodow(DATE'2024-02-15')"
+    ).fetchone()
+    assert (dw, iso) == (4, 4)
+
+
+def test_bitmap_rollup_matches_exact_distinct(spark):
+    """q365: the bitmap_or_agg rollup must equal the exact global
+    distinct, and per-priority bitmap counts the exact per-priority
+    distinct — on real sf0.001 orders."""
+    from product_analytics_spark.driver_queries_ext64 import q365_bitmap_distinct
+    from product_analytics_spark.qcommon import _t
+
+    rows = q365_bitmap_distinct(spark, "/root/testdata/sf0.001").collect()
+    o = _t(spark, "/root/testdata/sf0.001", "orders")
+    total = o.select("o_custkey").distinct().count()
+    assert all(r["n_custs_total"] == total for r in rows)
+    exact = {
+        r["o_orderpriority"]: r["n"]
+        for r in o.groupBy("o_orderpriority")
+        .agg(__import__("pyspark.sql.functions", fromlist=["F"]).countDistinct(
+            "o_custkey").alias("n"))
+        .collect()
+    }
+    assert {r["priority"]: r["n_custs"] for r in rows} == exact
+
+
+def test_avro_interchange_gate(spark):
+    """Round-probed env gate (like tws/protobuf): when the Avro data
+    source is loadable, certify a to_avro/from_avro round-trip;
+    auto-skip while the package is absent from the sandbox."""
+    import pytest
+
+    try:
+        from pyspark.sql.avro.functions import from_avro, to_avro
+
+        df = spark.sql("SELECT id FROM range(3)")
+        df.select(to_avro("id").alias("b")).collect()
+    except Exception:
+        pytest.skip("Avro data source not loaded in this environment")
+    schema = '{"type":"long"}'
+    out = df.select(
+        from_avro(to_avro("id"), schema).alias("rt"), "id"
+    ).collect()
+    assert all(r["rt"] == r["id"] for r in out)
