@@ -5022,3 +5022,11 @@ from product_analytics_spark.driver_queries_ext64 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT64)
 ORACLES.update(_oracles_ext64())
+
+from product_analytics_spark.driver_queries_ext65 import (  # noqa: E402
+    QUERIES_EXT65,
+    _oracles_ext65,
+)
+
+QUERIES.update(QUERIES_EXT65)
+ORACLES.update(_oracles_ext65())

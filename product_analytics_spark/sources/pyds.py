@@ -313,14 +313,18 @@ class CdcStreamReader(SimpleDataSourceStreamReader):
         return {"pos": 0}
 
     def read(self, start):
+        # Concrete lists, not generators: the prefetcher PICKLES the
+        # returned batch to hand it to the micro-batch that commits it.
         s = int(start["pos"])
         if s >= self.total:
             return iter(()), {"pos": s}
         e = min(s + self.batch, self.total)
-        return (cdc_row(i) for i in range(s, e)), {"pos": e}
+        return iter([cdc_row(i) for i in range(s, e)]), {"pos": e}
 
     def readBetweenOffsets(self, start, end):
-        return (cdc_row(i) for i in range(int(start["pos"]), int(end["pos"])))
+        return iter(
+            [cdc_row(i) for i in range(int(start["pos"]), int(end["pos"]))]
+        )
 
 
 class CdcStreamDataSource(DataSource):
