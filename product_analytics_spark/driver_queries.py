@@ -5030,3 +5030,11 @@ from product_analytics_spark.driver_queries_ext65 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT65)
 ORACLES.update(_oracles_ext65())
+
+from product_analytics_spark.driver_queries_ext66 import (  # noqa: E402
+    QUERIES_EXT66,
+    _oracles_ext66,
+)
+
+QUERIES.update(QUERIES_EXT66)
+ORACLES.update(_oracles_ext66())

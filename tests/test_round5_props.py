@@ -427,3 +427,62 @@ def test_stream_source_restart_continues_from_checkpoint(spark, tmp_path):
 
     assert run(96) == (96, 95 * 96 // 2)
     assert run(160) == (160, 159 * 160 // 2)
+
+
+# ----------------------------------------------- batch-66 certificates
+
+
+def test_cast_narrowing_divergence(spark):
+    """q369-documented divergence #1: CAST(double AS INT) truncates
+    toward zero in Spark, rounds in DuckDB — the portable form is an
+    explicit floor()/ceil() before the cast."""
+    import duckdb
+
+    [r] = spark.sql(
+        "SELECT CAST(2.7D AS INT) a, CAST(-2.7D AS INT) b"
+    ).collect()
+    assert (r["a"], r["b"]) == (2, -2)
+    con = duckdb.connect()
+    a, b = con.execute(
+        "SELECT CAST(CAST(2.7 AS DOUBLE) AS INT), CAST(CAST(-2.7 AS DOUBLE) AS INT)"
+    ).fetchone()
+    assert (a, b) == (3, -3)
+
+
+def test_overflow_and_widening_divergence(spark):
+    """q369-documented divergence #2: both engines refuse int64*int64
+    overflow, but sum(BIGINT) silently widens to HUGEINT in DuckDB
+    while Spark (ANSI) raises past 2^63 — DECIMAL(38,0) is the
+    portable widening and stays exact in both."""
+    import duckdb
+    import pytest
+    from pyspark.errors import PySparkException
+
+    i64max = 9223372036854775807
+    with pytest.raises(PySparkException):
+        spark.sql(f"SELECT {i64max}L * 2L").collect()
+    con = duckdb.connect()
+    with pytest.raises(duckdb.OutOfRangeException):
+        con.execute(f"SELECT CAST({i64max} AS BIGINT) * CAST(2 AS BIGINT)")
+    # sum widening: DuckDB exact past 2^63; Spark ANSI raises.
+    big = con.execute(
+        f"SELECT sum(x) FROM (VALUES (CAST({i64max} AS BIGINT)),"
+        f" (CAST({i64max} AS BIGINT))) t(x)"
+    ).fetchone()[0]
+    assert int(big) == 2 * i64max
+    with pytest.raises(PySparkException):
+        spark.sql(
+            f"SELECT sum(x) FROM VALUES ({i64max}L), ({i64max}L) t(x)"
+        ).collect()
+    # the portable widening, identical in both engines:
+    [r] = spark.sql(
+        f"SELECT CAST(sum(CAST(x AS DECIMAL(38,0))) AS STRING) s"
+        f" FROM VALUES ({i64max}L), ({i64max}L) t(x)"
+    ).collect()
+    assert r["s"] == str(2 * i64max)
+    ds = con.execute(
+        f"SELECT CAST(CAST(sum(CAST(x AS DECIMAL(38,0))) AS DECIMAL(38,0))"
+        f" AS VARCHAR) FROM (VALUES (CAST({i64max} AS BIGINT)),"
+        f" (CAST({i64max} AS BIGINT))) t(x)"
+    ).fetchone()[0]
+    assert ds == str(2 * i64max)
