@@ -5038,3 +5038,11 @@ from product_analytics_spark.driver_queries_ext66 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT66)
 ORACLES.update(_oracles_ext66())
+
+from product_analytics_spark.driver_queries_ext67 import (  # noqa: E402
+    QUERIES_EXT67,
+    _oracles_ext67,
+)
+
+QUERIES.update(QUERIES_EXT67)
+ORACLES.update(_oracles_ext67())

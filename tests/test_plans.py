@@ -239,3 +239,13 @@ class TestRound5Plans:
         assert "Expand" in p
         assert "Join" not in p
         assert p.count("Scan parquet") <= 2  # one scan: tree + detail
+
+    def test_bloom_filter_join_prunes_at_the_scan(self, plans):
+        # q371: the runtime bloom filter must reach the fact scan —
+        # a bloom_filter_agg subquery on the filtered dim side and a
+        # might_contain predicate on the orders side; and the conf
+        # scoping must have pinned it into the CACHED plan (this
+        # fixture explains AFTER the builder restored the confs).
+        p = plans["q371_bloom_filter_join"]
+        assert "bloom_filter_agg" in p
+        assert "might_contain" in p
