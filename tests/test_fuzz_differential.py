@@ -215,3 +215,90 @@ def test_fuzz_window_differential(engines):
         if srows != orows:
             failures.append((qi, sql, srows[:3], orows[:3]))
     assert not failures, failures
+
+
+# ---------------------------------------------------------------- datetime
+
+DT_SEED = 20260816
+N_DT_QUERIES = 20
+
+_D = "CAST(o_orderdate AS DATE)"
+DT_DIMS = [
+    f"CAST(year({_D}) AS INT)",
+    f"CAST(quarter({_D}) AS INT)",
+    f"CAST(month({_D}) AS INT)",
+    f"CAST(weekofyear({_D}) AS INT)",
+    f"CAST(year({_D}) * 12 + month({_D}) AS INT)",
+]
+DT_PROJ = [
+    f"CAST(last_day({_D}) AS STRING)",
+    f"CAST(CAST(date_trunc('week', {_D}) AS DATE) AS STRING)",
+    f"CAST(CAST({_D} + INTERVAL {{m}} MONTH AS DATE) AS STRING)",
+    f"CAST(greatest({_D}, DATE '1997-06-15') AS STRING)",
+    f"CAST(least({_D}, DATE '1996-09-01') AS STRING)",
+    f"CAST(dayofmonth({_D}) AS INT)",
+]
+DT_PREDS = [
+    f"{_D} BETWEEN DATE '199{{y1}}-01-01' AND DATE '199{{y2}}-12-31'",
+    f"month({_D}) = {{mo}}",
+    f"quarter({_D}) <> {{q}}",
+]
+
+
+def _gen_datetime(rng: random.Random) -> str:
+    """Verbatim-shared datetime subset (certificate #15's portable
+    core, fuzzed): grouped calendar rollups and per-row date
+    expressions — every function here is name- and value-identical in
+    both engines (the divergent ones — dayofweek, months_between,
+    datediff, next_day — are excluded BY the certificate and routed
+    through their portable forms in real queries)."""
+    if rng.random() < 0.5:  # grouped calendar rollup
+        dims = rng.sample(DT_DIMS, rng.randint(1, 2))
+        cols = [f"{d} AS g{i}" for i, d in enumerate(dims)] + [
+            "CAST(count(*) AS BIGINT) AS n",
+            "CAST(min(o_orderkey) AS BIGINT) AS mn",
+        ]
+        sql = f"SELECT {', '.join(cols)} FROM orders"
+        preds = rng.sample(DT_PREDS, rng.randint(0, 2))
+    else:  # per-row projection, bounded + totally ordered
+        projs = rng.sample(DT_PROJ, rng.randint(2, 4))
+        cols = ["CAST(o_orderkey AS BIGINT) AS k"] + [
+            p.format(m=rng.randint(1, 23)) + f" AS p{i}"
+            for i, p in enumerate(projs)
+        ]
+        sql = (
+            f"SELECT {', '.join(cols)} FROM orders"
+            f" WHERE o_orderkey % {rng.randint(5, 17)} = 0"
+        )
+        preds = []
+    bound = [
+        p.format(
+            y1=rng.randint(2, 5),
+            y2=rng.randint(6, 9),
+            mo=rng.randint(1, 12),
+            q=rng.randint(1, 4),
+        )
+        for p in preds
+    ]
+    if bound:
+        sql += (" AND " if " WHERE " in sql else " WHERE ") + " AND ".join(bound)
+    if " AS g0" in sql:
+        n_dims = sql.count(" AS g")
+        sql += " GROUP BY " + ", ".join(str(i + 1) for i in range(n_dims))
+    else:
+        sql += " ORDER BY k"
+    return sql
+
+
+def test_fuzz_datetime_differential(engines):
+    spark, con = engines
+    rng = random.Random(DT_SEED)
+    failures = []
+    for qi in range(N_DT_QUERIES):
+        sql = _gen_datetime(rng)
+        sdf = spark.sql(sql)
+        srows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+        orows = _normalize(con.execute(sql).fetchall(), None)
+        if srows != orows:
+            failures.append((qi, sql, srows[:3], orows[:3]))
+    assert not failures, failures

@@ -486,26 +486,3 @@ def test_overflow_and_widening_divergence(spark):
         f" (CAST({i64max} AS BIGINT))) t(x)"
     ).fetchone()[0]
     assert ds == str(2 * i64max)
-
-
-# ----------------------------------------------- batch-67 certificates
-
-
-def test_observe_rides_the_single_pass(spark):
-    """q370: the observed metrics must equal a direct recomputation,
-    and the main aggregate the observation rode on must itself be
-    right (n_rows_via_groups == n_rows)."""
-    from pyspark.sql import functions as F
-
-    from product_analytics_spark.driver_queries_ext67 import q370_observe_metrics
-    from product_analytics_spark.qcommon import _money_cents, _t
-
-    [r] = q370_observe_metrics(spark, "/root/testdata/sf0.001").collect()
-    o = _t(spark, "/root/testdata/sf0.001", "orders")
-    [d] = o.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum(_money_cents("o_totalprice")).alias("c"),
-    ).collect()
-    assert r["n_rows"] == d["n"] == r["n_rows_via_groups"]
-    assert r["cents_total"] == d["c"]
-    assert r["n_null_price"] == 0 and r["n_bad_status"] == 0
