@@ -5046,3 +5046,11 @@ from product_analytics_spark.driver_queries_ext67 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT67)
 ORACLES.update(_oracles_ext67())
+
+from product_analytics_spark.driver_queries_ext68 import (  # noqa: E402
+    QUERIES_EXT68,
+    _oracles_ext68,
+)
+
+QUERIES.update(QUERIES_EXT68)
+ORACLES.update(_oracles_ext68())

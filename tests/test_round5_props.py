@@ -486,3 +486,61 @@ def test_overflow_and_widening_divergence(spark):
         f" (CAST({i64max} AS BIGINT))) t(x)"
     ).fetchone()[0]
     assert ds == str(2 * i64max)
+
+
+# ----------------------------------------------- batch-68 properties
+
+
+def test_interp_hits_observations_and_stays_bracketed(spark):
+    """q373: at every observed grid day the lerp must reproduce the
+    observation exactly, and every interpolated value must lie within
+    its bracketing observations."""
+    from pyspark.sql import functions as F
+
+    from product_analytics_spark.driver_queries_ext68 import (
+        INTERP_KEY_MOD,
+        q373_linear_interp_resample,
+    )
+    from product_analytics_spark.qcommon import _money_cents, _t
+
+    sf = "/root/testdata/sf0.001"
+    rows = q373_linear_interp_resample(spark, sf).collect()
+    obs = {
+        r["x"]: r["y"]
+        for r in _t(spark, sf, "orders")
+        .select(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")
+            ).alias("x"),
+            _money_cents("o_totalprice").alias("c"),
+        )
+        .filter(F.col("x") % INTERP_KEY_MOD == 0)
+        .groupBy("x")
+        .agg(F.sum("c").alias("y"))
+        .collect()
+    }
+    xs = sorted(obs)
+    for r in rows:
+        if r["is_observed"]:
+            assert r["cents_interp"] == obs[r["day_idx"]]
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r["seg_start"], []).append(r["cents_interp"])
+    for s, vals in by_seg.items():
+        nxt = xs[xs.index(s) + 1]
+        lo, hi = min(obs[s], obs[nxt]), max(obs[s], obs[nxt])
+        assert all(lo - 1 <= v <= hi for v in vals), (s, lo, hi)
+
+
+def test_lttb_keeps_endpoints_and_one_point_per_bucket(spark):
+    """q372: the LTTB endpoint rule — first bucket keeps the series'
+    first day, last bucket keeps its last day — and exactly one row
+    per bucket."""
+    from product_analytics_spark.driver_queries_ext68 import q372_lttb_downsample
+
+    rows = q372_lttb_downsample(spark, "/root/testdata/sf0.001").collect()
+    bkts = [r["bkt"] for r in rows]
+    assert len(bkts) == len(set(bkts))
+    days = [r["day"] for r in rows]
+    assert days == sorted(days)
+    assert rows[0]["score"] == -1 and rows[-1]["score"] == -1
