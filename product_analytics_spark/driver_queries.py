@@ -5054,3 +5054,19 @@ from product_analytics_spark.driver_queries_ext68 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT68)
 ORACLES.update(_oracles_ext68())
+
+from product_analytics_spark.driver_queries_ext69 import (  # noqa: E402
+    QUERIES_EXT69,
+    _oracles_ext69,
+)
+
+QUERIES.update(QUERIES_EXT69)
+ORACLES.update(_oracles_ext69())
+
+from product_analytics_spark.driver_queries_ext70 import (  # noqa: E402
+    QUERIES_EXT70,
+    _oracles_ext70,
+)
+
+QUERIES.update(QUERIES_EXT70)
+ORACLES.update(_oracles_ext70())

@@ -249,3 +249,16 @@ class TestRound5Plans:
         p = plans["q371_bloom_filter_join"]
         assert "bloom_filter_agg" in p
         assert "might_contain" in p
+
+    def test_cluster_by_distribution_is_reused_by_the_agg(self, plans):
+        # q375: CLUSTER BY compiles to a REPARTITION_BY_COL hash
+        # Exchange; the aggregate (count-distinct included — normally
+        # TWO extra exchanges) REUSES that distribution, so the only
+        # other Exchange is the deterministic orderBy's range
+        # partition. The clause's partition-local sort is correctly
+        # DROPPED by EliminateSorts under an aggregate.
+        p = plans["q375_cluster_by_door"]
+        assert "hashpartitioning(user_id" in p
+        assert "REPARTITION_BY_COL" in p
+        assert p.count("+- Exchange") == 2
+        assert "rangepartitioning" in p

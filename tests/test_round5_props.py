@@ -544,3 +544,46 @@ def test_lttb_keeps_endpoints_and_one_point_per_bucket(spark):
     days = [r["day"] for r in rows]
     assert days == sorted(days)
     assert rows[0]["score"] == -1 and rows[-1]["score"] == -1
+
+
+# ----------------------------------------------- batch-69 certificates
+
+
+def test_dynamic_vs_static_partition_overwrite(spark, tmp_path):
+    """q374's documented divergence: with partitionOverwriteMode=
+    static (the default), INSERT OVERWRITE truncates the whole table
+    before writing — dynamic mode replaces only the incoming
+    partitions. Both modes demonstrated on a 2-partition toy table."""
+    path = str(tmp_path / "t")
+    tbl = "t374_props"
+    spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "a"), (3, "b")], "id int, p string"
+    )
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try:
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .partitionBy("p")
+            .option("path", path)
+            .saveAsTable(tbl)
+        )
+        spark.createDataFrame([(9, "a")], "id int, p string").createOrReplaceTempView(
+            "t374_in"
+        )
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {tbl} PARTITION (p) SELECT id, p FROM t374_in"
+        )
+        rows = {(r["id"], r["p"]) for r in spark.table(tbl).collect()}
+        assert rows == {(9, "a"), (3, "b")}  # partition b untouched
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+        spark.sql(
+            f"INSERT OVERWRITE TABLE {tbl} PARTITION (p) SELECT id, p FROM t374_in"
+        )
+        rows = {(r["id"], r["p"]) for r in spark.table(tbl).collect()}
+        assert rows == {(9, "a")}  # static truncated partition b
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+        spark.sql(f"DROP TABLE IF EXISTS {tbl}")
