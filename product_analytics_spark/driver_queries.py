@@ -5070,3 +5070,11 @@ from product_analytics_spark.driver_queries_ext70 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT70)
 ORACLES.update(_oracles_ext70())
+
+from product_analytics_spark.driver_queries_ext71 import (  # noqa: E402
+    QUERIES_EXT71,
+    _oracles_ext71,
+)
+
+QUERIES.update(QUERIES_EXT71)
+ORACLES.update(_oracles_ext71())

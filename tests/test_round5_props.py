@@ -587,3 +587,20 @@ def test_dynamic_vs_static_partition_overwrite(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
         spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+
+
+# ----------------------------------------------- batch-71 certificates
+
+
+def test_regex_backreference_divergence(spark):
+    """q383-documented divergence: Spark (Java regex) supports
+    backreferences; DuckDB (RE2) rejects the pattern outright —
+    portable regexes must stay backreference-free."""
+    import duckdb
+    import pytest
+
+    [r] = spark.sql(r"SELECT 'abcabc' RLIKE '(abc)\\1' AS m").collect()
+    assert r["m"] is True
+    con = duckdb.connect()
+    with pytest.raises(duckdb.Error):
+        con.execute(r"SELECT regexp_matches('abcabc', '(abc)\1')")
