@@ -5078,3 +5078,11 @@ from product_analytics_spark.driver_queries_ext71 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT71)
 ORACLES.update(_oracles_ext71())
+
+from product_analytics_spark.driver_queries_ext72 import (  # noqa: E402
+    QUERIES_EXT72,
+    _oracles_ext72,
+)
+
+QUERIES.update(QUERIES_EXT72)
+ORACLES.update(_oracles_ext72())
