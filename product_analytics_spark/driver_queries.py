@@ -5086,3 +5086,11 @@ from product_analytics_spark.driver_queries_ext72 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT72)
 ORACLES.update(_oracles_ext72())
+
+from product_analytics_spark.driver_queries_ext73 import (  # noqa: E402
+    QUERIES_EXT73,
+    _oracles_ext73,
+)
+
+QUERIES.update(QUERIES_EXT73)
+ORACLES.update(_oracles_ext73())
