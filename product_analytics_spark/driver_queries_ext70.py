@@ -42,17 +42,26 @@ def q376_theta_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders").select(
         "o_orderstatus", (F.col("o_custkey") % THETA_MOD).alias("k")
     )
-    sk = o.groupBy("o_orderstatus").agg(
-        F.expr("theta_sketch_agg(k)").alias("s"),
-        F.expr("CAST(count(DISTINCT k) AS BIGINT)").alias("n_exact_keys"),
+    # BOTH segment sketches from ONE agg pass via NULL-skipping
+    # conditional aggregation — a two-1-row-relation join on a literal
+    # condition would plan as BroadcastNestedLoopJoin (the q350/q365
+    # lesson, caught by the plan audit on this query's first form).
+    both = o.agg(
+        F.expr(
+            "theta_sketch_agg(CASE WHEN o_orderstatus = 'F' THEN k END)"
+        ).alias("sf"),
+        F.expr(
+            "theta_sketch_agg(CASE WHEN o_orderstatus = 'O' THEN k END)"
+        ).alias("so"),
+        F.expr(
+            "CAST(count(DISTINCT CASE WHEN o_orderstatus = 'F' THEN k END)"
+            " AS BIGINT)"
+        ).alias("nf"),
+        F.expr(
+            "CAST(count(DISTINCT CASE WHEN o_orderstatus = 'O' THEN k END)"
+            " AS BIGINT)"
+        ).alias("no"),
     )
-    f = sk.filter(F.col("o_orderstatus") == "F").select(
-        F.col("s").alias("sf"), F.col("n_exact_keys").alias("nf")
-    )
-    oo = sk.filter(F.col("o_orderstatus") == "O").select(
-        F.col("s").alias("so"), F.col("n_exact_keys").alias("no")
-    )
-    both = f.join(F.broadcast(oo), F.lit(True), "inner")
     return both.select(
         F.col("nf").alias("n_f"),
         F.col("no").alias("n_o"),
