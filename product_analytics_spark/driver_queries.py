@@ -5094,3 +5094,11 @@ from product_analytics_spark.driver_queries_ext73 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT73)
 ORACLES.update(_oracles_ext73())
+
+from product_analytics_spark.driver_queries_ext74 import (  # noqa: E402
+    QUERIES_EXT74,
+    _oracles_ext74,
+)
+
+QUERIES.update(QUERIES_EXT74)
+ORACLES.update(_oracles_ext74())
