@@ -5102,3 +5102,11 @@ from product_analytics_spark.driver_queries_ext74 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT74)
 ORACLES.update(_oracles_ext74())
+
+from product_analytics_spark.driver_queries_ext75 import (  # noqa: E402
+    QUERIES_EXT75,
+    _oracles_ext75,
+)
+
+QUERIES.update(QUERIES_EXT75)
+ORACLES.update(_oracles_ext75())

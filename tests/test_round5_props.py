@@ -604,3 +604,29 @@ def test_regex_backreference_divergence(spark):
     con = duckdb.connect()
     with pytest.raises(duckdb.Error):
         con.execute(r"SELECT regexp_matches('abcabc', '(abc)\1')")
+
+
+# ----------------------------------------------- batch-75 properties
+
+
+def test_corpus_funnel_is_monotone_and_partitions(spark):
+    """q388: survivors must shrink monotonically through the gates,
+    and the three splits must exactly partition the final corpus."""
+    from product_analytics_spark.driver_queries_ext75 import (
+        q388_corpus_build_funnel,
+    )
+
+    rows = {r["stage"]: r["docs"] for r in q388_corpus_build_funnel(
+        spark, "/root/testdata/sf0.001").collect()}
+    assert (
+        rows["ingest"]
+        >= rows["quality_gate"]
+        >= rows["language_policy"]
+        >= rows["exact_dedup"]
+        >= rows["near_dup_dedup"]
+    )
+    assert rows["near_dup_dedup"] > 0
+    assert (
+        rows["split_train"] + rows["split_val"] + rows["split_test"]
+        == rows["near_dup_dedup"]
+    )
