@@ -5110,3 +5110,11 @@ from product_analytics_spark.driver_queries_ext75 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT75)
 ORACLES.update(_oracles_ext75())
+
+from product_analytics_spark.driver_queries_ext76 import (  # noqa: E402
+    QUERIES_EXT76,
+    _oracles_ext76,
+)
+
+QUERIES.update(QUERIES_EXT76)
+ORACLES.update(_oracles_ext76())
