@@ -5118,3 +5118,11 @@ from product_analytics_spark.driver_queries_ext76 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT76)
 ORACLES.update(_oracles_ext76())
+
+from product_analytics_spark.driver_queries_ext77 import (  # noqa: E402
+    QUERIES_EXT77,
+    _oracles_ext77,
+)
+
+QUERIES.update(QUERIES_EXT77)
+ORACLES.update(_oracles_ext77())
