@@ -5126,3 +5126,11 @@ from product_analytics_spark.driver_queries_ext77 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT77)
 ORACLES.update(_oracles_ext77())
+
+from product_analytics_spark.driver_queries_ext78 import (  # noqa: E402
+    QUERIES_EXT78,
+    _oracles_ext78,
+)
+
+QUERIES.update(QUERIES_EXT78)
+ORACLES.update(_oracles_ext78())

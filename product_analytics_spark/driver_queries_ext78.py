@@ -1,0 +1,80 @@
+"""Round-5 driver query families, batch 78 (q392): calendar-name
+conformance — the month/day NAME functions and their one divergence.
+
+Same contract as the other driver_queries modules.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from product_analytics_spark.qcommon import _money_cents, _t
+
+# ------------------------------------------------------------- q392
+
+
+def q392_calendar_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-name conformance: the report axis every business
+    rollup labels with — month/day names per order date, aggregated
+    to a (month_name, day_name) revenue matrix.  The DIVERGENCE this
+    door documents (pinned in pytest): Spark ``monthname``/``dayname``
+    return ABBREVIATED names ('Feb', 'Thu'); DuckDB's same-named
+    functions return FULL names ('February', 'Thursday').  The
+    portable form — used for the compared values here — is the format
+    pattern: Spark ``date_format('MMMM'/'EEEE')`` ≡ DuckDB
+    ``strftime('%B'/'%A')``; the abbreviated Spark form rides along
+    prefix-verified in-row (full name startswith abbreviated).
+
+    Scale: name extraction is per-row codegen; the matrix agg is one
+    (12×7)-group shuffle of pre-aggregated partials."""
+    o = _t(spark, sf_dir, "orders")
+    d = F.to_date("o_orderdate")
+    return (
+        o.select(
+            F.date_format(d, "MMMM").alias("month_name"),
+            F.date_format(d, "EEEE").alias("day_name"),
+            F.month(d).alias("m"),
+            F.weekday(d).alias("wd"),
+            F.expr("monthname(to_date(o_orderdate))").alias("_mn_abbr"),
+            F.expr("dayname(to_date(o_orderdate))").alias("_dn_abbr"),
+            _money_cents("o_totalprice").alias("cents"),
+        )
+        .groupBy("month_name", "day_name")
+        .agg(
+            F.min("m").cast("int").alias("month_num"),
+            F.min("wd").cast("int").alias("weekday0"),
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents") / 100.0).alias("revenue"),
+            F.count_if(
+                F.expr("startswith(month_name, _mn_abbr)")
+                & F.expr("startswith(day_name, _dn_abbr)")
+            ).alias("n_abbr_prefix_ok"),
+        )
+        .orderBy("month_num", "weekday0")
+    )
+
+
+Q392_SQL = """
+SELECT strftime(d, '%B') AS month_name,
+       strftime(d, '%A') AS day_name,
+       CAST(min(month(d)) AS INT) AS month_num,
+       CAST(min(isodow(d) - 1) AS INT) AS weekday0,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) / 100.0 AS revenue,
+       CAST(count(*) AS BIGINT) AS n_abbr_prefix_ok
+FROM (SELECT CAST(o_orderdate AS DATE) AS d, o_totalprice FROM orders)
+GROUP BY 1, 2 ORDER BY month_num, weekday0
+"""
+
+
+QUERIES_EXT78 = {
+    "q392_calendar_names": q392_calendar_names,
+}
+
+
+def _oracles_ext78() -> dict[str, str]:
+    return {
+        "q392_calendar_names": Q392_SQL,
+    }

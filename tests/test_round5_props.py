@@ -630,3 +630,23 @@ def test_corpus_funnel_is_monotone_and_partitions(spark):
         rows["split_train"] + rows["split_val"] + rows["split_test"]
         == rows["near_dup_dedup"]
     )
+
+
+# ----------------------------------------------- batch-78 certificates
+
+
+def test_calendar_name_abbreviation_divergence(spark):
+    """q392-documented divergence: Spark monthname/dayname are
+    ABBREVIATED; DuckDB's same-named functions are FULL names — the
+    portable form is the format pattern (MMMM/EEEE vs %B/%A)."""
+    import duckdb
+
+    [r] = spark.sql(
+        "SELECT monthname(DATE'2024-02-15') m, dayname(DATE'2024-02-15') d"
+    ).collect()
+    assert (r["m"], r["d"]) == ("Feb", "Thu")
+    con = duckdb.connect()
+    m, d = con.execute(
+        "SELECT monthname(DATE'2024-02-15'), dayname(DATE'2024-02-15')"
+    ).fetchone()
+    assert (m, d) == ("February", "Thursday")
