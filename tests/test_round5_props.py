@@ -650,3 +650,59 @@ def test_calendar_name_abbreviation_divergence(spark):
         "SELECT monthname(DATE'2024-02-15'), dayname(DATE'2024-02-15')"
     ).fetchone()
     assert (m, d) == ("February", "Thursday")
+
+
+# ------------------------------------------ corpus pipeline (hypothesis)
+
+
+def test_corpus_pipeline_dedup_completeness(spark):
+    """Property over generated corpora: after the pipeline, no two
+    SURVIVING documents may share identical text (exact-dedup
+    completeness survives composition with every other stage), every
+    survivor must pass the quality/language gates, and the funnel
+    counts must equal direct recomputation."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from product_analytics_spark.pipelines.corpus_build import (
+        KEEP_LANGS,
+        MIN_CHARS,
+        corpus_build,
+    )
+
+    texts = st.sampled_from(
+        [
+            "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3,
+            "one two three four five six seven eight nine ten eleven " * 3,
+            "red green blue cyan magenta yellow black white gray pink " * 3,
+            "short text",  # fails the quality gate
+        ]
+    )
+    langs = st.sampled_from(["en", "de", "zh"])
+
+    @settings(
+        max_examples=5,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(docs=st.lists(st.tuples(texts, langs), min_size=1, max_size=12))
+    def run(docs):
+        df = spark.createDataFrame(
+            [
+                (i, t, lang, len(t))
+                for i, (t, lang) in enumerate(docs)
+            ],
+            "doc_id long, text string, lang string, n_chars long",
+        )
+        final, funnel = corpus_build(spark, df)
+        rows = final.collect()
+        seen = [r["text"] for r in rows]
+        assert len(seen) == len(set(seen)), "exact duplicates survived"
+        for r in rows:
+            assert r["lang"] in KEEP_LANGS
+            assert len(r["text"]) >= MIN_CHARS
+        f = {x["stage"]: x["docs"] for x in funnel.collect()}
+        assert f["ingest"] == len(docs)
+        assert f["near_dup_dedup"] == len(rows)
+
+    run()
