@@ -246,6 +246,25 @@ class SnapshotStore:
 
     # ----------------------------------------------------- compaction
 
+    def _partition_dirs(self, data: str) -> list[tuple[str, list[str]]]:
+        """Every directory under ``data`` that holds parquet files, as
+        (relative subdir, sorted file paths) pairs in deterministic
+        order. Flat tables yield one ``(".", files)`` pair; hive-
+        partitioned tables yield one pair per leaf partition directory
+        (``order_year=1996/order_month=3``). Hidden/metadata entries
+        (``_SUCCESS``, ``.crc``, the pointer/log files) are skipped."""
+        out: list[tuple[str, list[str]]] = []
+        for root, dirs, files in os.walk(data):
+            dirs[:] = sorted(d for d in dirs if not d.startswith((".", "_")))
+            pq = sorted(
+                os.path.join(root, f)
+                for f in files
+                if f.endswith(".parquet") and not f.startswith((".", "_"))
+            )
+            if pq:
+                out.append((os.path.relpath(root, data), pq))
+        return sorted(out)
+
     def plan_compaction(
         self, name: str, target_bytes: int = 128 << 20
     ) -> list[list[str]]:
@@ -254,21 +273,25 @@ class SnapshotStore:
         REAL file manifest: files in deterministic (path) order,
         group = cumulative-size-before div target (≤2x worst-case
         overshoot, the bound file compactors accept). Pure metadata:
-        |files| rows, no data read."""
+        |files| rows, no data read.
+
+        Partitioned tables are planned PER PARTITION DIRECTORY — a
+        group never mixes files from two hive partitions, because the
+        partition-column values live in the directory name, not the
+        files, so a cross-partition rewrite would lose them (exactly
+        what Delta OPTIMIZE does: compaction is within-partition)."""
         data = self.current_data_dir(name)
         if data is None:
             return []
-        files = sorted(
-            os.path.join(data, f)
-            for f in os.listdir(data)
-            if f.endswith(".parquet") and not f.startswith((".", "_"))
-        )
-        groups: dict[int, list[str]] = {}
-        before = 0
-        for f in files:
-            groups.setdefault(before // target_bytes, []).append(f)
-            before += os.path.getsize(f)
-        return [groups[g] for g in sorted(groups)]
+        plan: list[list[str]] = []
+        for _rel, files in self._partition_dirs(data):
+            groups: dict[int, list[str]] = {}
+            before = 0
+            for f in files:
+                groups.setdefault(before // target_bytes, []).append(f)
+                before += os.path.getsize(f)
+            plan.extend(groups[g] for g in sorted(groups))
+        return plan
 
     def compact(self, name: str, target_bytes: int = 128 << 20) -> dict:
         """Execute the compaction plan (OPTIMIZE's rewrite half): each
@@ -280,23 +303,29 @@ class SnapshotStore:
 
         Contents are hash-identical by construction: the groups
         partition the file list, and each rewrite is a plain scan →
-        coalesce(1) → write of exactly those files. Returns
+        coalesce(1) → write of exactly those files. For hive-
+        partitioned tables each group is rewritten into the SAME
+        relative partition subdirectory inside the new version, so the
+        directory-encoded partition columns survive the rewrite and
+        read-back re-infers them unchanged. Returns
         {files_before, files_after, groups} so callers can assert the
         file-count drop."""
         plan = self.plan_compaction(name, target_bytes)
         if not plan:
             return {"files_before": 0, "files_after": 0, "groups": 0}
+        data = self.current_data_dir(name)
+        assert data is not None  # plan non-empty ⇒ committed data exists
         n_before = sum(len(g) for g in plan)
         version = f"v_{uuid.uuid4().hex[:12]}"
         vdir = os.path.join(self.path(name), version)
         for group in plan:
+            rel = os.path.relpath(os.path.dirname(group[0]), data)
+            out_dir = vdir if rel == "." else os.path.join(vdir, rel)
             self.spark.read.parquet(*group).coalesce(1).write.mode(
                 "append"
-            ).parquet(vdir)
+            ).parquet(out_dir)
         self._commit(name, version)
-        n_after = len(
-            [f for f in os.listdir(vdir) if f.endswith(".parquet")]
-        )
+        n_after = sum(len(fs) for _r, fs in self._partition_dirs(vdir))
         return {
             "files_before": n_before,
             "files_after": n_after,

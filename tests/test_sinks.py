@@ -178,3 +178,51 @@ class TestCompaction:
         assert after_rows == before_rows
         prior = store.read("t", version=0)
         assert sorted(tuple(r) for r in prior.collect()) == before_rows
+
+    def test_compact_partitioned_table(self, spark, tmp_path):
+        """Round-6 verdict medium: a hive-partitioned table must plan
+        and execute compaction PER PARTITION DIRECTORY (previously the
+        top-level-only listing yielded an empty plan and compact
+        silently no-oped). Groups never mix partitions; rewritten
+        files land in the same relative subdir so the dir-encoded
+        partition column survives read-back."""
+        from product_analytics_spark.sources.sinks import SnapshotStore
+
+        store = SnapshotStore(spark, str(tmp_path / "whp"), retain_versions=2)
+        base = spark.range(0, 300).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS part", "id * 1.5 AS v"
+        )
+        store.overwrite("tp", base, partition_by=["part"])
+        # Land 3 extra small files per partition via appends.
+        for i in range(3):
+            store.append(
+                "tp",
+                base.withColumn("k", F.col("k") + 1000 * (i + 1)),
+                partition_by=["part"],
+            )
+        data = store.current_data_dir("tp")
+        per_dir_before = {
+            rel: len(fs) for rel, fs in store._partition_dirs(data)
+        }
+        assert set(per_dir_before) == {"part=0", "part=1", "part=2"}
+        assert all(n >= 4 for n in per_dir_before.values())
+        before_rows = sorted(tuple(r) for r in store.read("tp").collect())
+
+        # Huge target -> exactly one group per partition directory.
+        plan = store.plan_compaction("tp", target_bytes=1 << 30)
+        assert len(plan) == 3  # loud, not an empty no-op plan
+        for group in plan:
+            assert len({os.path.dirname(f) for f in group}) == 1
+
+        stats = store.compact("tp", target_bytes=1 << 30)
+        assert stats["groups"] == len(plan)
+        assert stats["files_before"] == sum(per_dir_before.values())
+        assert stats["files_after"] == 3 < stats["files_before"]
+        per_dir_after = {
+            rel: len(fs)
+            for rel, fs in store._partition_dirs(store.current_data_dir("tp"))
+        }
+        assert per_dir_after == {"part=0": 1, "part=1": 1, "part=2": 1}
+        # Contents (incl. the dir-encoded partition column) identical.
+        after_rows = sorted(tuple(r) for r in store.read("tp").collect())
+        assert after_rows == before_rows
