@@ -46,20 +46,43 @@ def clear_all() -> int:
 # co-purchase edge list feeds both the triangle counts and the BFS).
 # At 100 TB those are materialized tables built once per ingest and
 # read by every consumer; the in-session analog is a keyed memo that
-# SURVIVES clear_all() and is only dropped by clear_shared(). Key by
-# (applicationId, name, sf_dir) so a restarted session never sees a
-# stale plan.
+# SURVIVES clear_all() and is only dropped by clear_shared(). Entries
+# are keyed internally by (applicationId, key) — callers pass a plain
+# name+sf_dir key and can never hand one session a plan cached under a
+# previous, stopped session; entries from dead sessions are pruned on
+# the next miss (round-6 verdict: the appId discipline was caller
+# convention before, and nothing ever evicted dead-session entries).
 
-_SHARED: dict[str, DataFrame] = {}
+_SHARED: dict[tuple[str, str], DataFrame] = {}
+
+
+def _current_app_id() -> str:
+    """applicationId of the live session (thread-local active session
+    first; the process default otherwise — getOrCreate never builds a
+    new one while a default exists, e.g. in bench worker threads)."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+    return spark.sparkContext.applicationId
 
 
 def persist_shared(key: str, build) -> DataFrame:
     """Return the memoized persisted relation for ``key``, building it
-    with ``build()`` (a zero-arg callable) on first use."""
-    df = _SHARED.get(key)
+    with ``build()`` (a zero-arg callable) on first use. Keys are
+    scoped to the live session's applicationId internally; a miss also
+    evicts (best-effort unpersists) entries left by stopped sessions."""
+    app_id = _current_app_id()
+    full = (app_id, key)
+    df = _SHARED.get(full)
     if df is None:
+        for stale_key in [k for k in _SHARED if k[0] != app_id]:
+            stale = _SHARED.pop(stale_key)
+            try:
+                stale.unpersist(False)
+            except Exception:  # noqa: BLE001 — its session is already gone
+                pass
         df = build().persist(StorageLevel.MEMORY_AND_DISK)
-        _SHARED[key] = df
+        _SHARED[full] = df
     return df
 
 

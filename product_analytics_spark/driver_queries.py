@@ -2157,8 +2157,7 @@ def _dup_clusters_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs = text.minhash_near_dup_pairs(d, threshold=0.5)
         return graph.dup_clusters(d.select("doc_id"), pairs)
 
-    key = f"dup_clusters:{spark.sparkContext.applicationId}:{sf_dir}"
-    return cache.persist_shared(key, build)
+    return cache.persist_shared(f"dup_clusters:{sf_dir}", build)
 
 
 def q56_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

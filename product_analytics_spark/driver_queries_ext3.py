@@ -205,7 +205,7 @@ def _copurchase_edges_shared(spark: SparkSession, sf_dir: str) -> DataFrame:
     (cache.persist_shared survives the sweep's per-query clear_all)."""
     from product_analytics_spark import cache
 
-    key = f"copurchase_edges:{spark.sparkContext.applicationId}:{sf_dir}"
+    key = f"copurchase_edges:{sf_dir}"
     return cache.persist_shared(key, lambda: _copurchase_edges(spark, sf_dir))
 
 

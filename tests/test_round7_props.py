@@ -1,0 +1,111 @@
+"""Round-7 fixes, pinned (round-6 verdict ADVICE items).
+
+- persist_shared keys by applicationId internally and prunes entries
+  left by stopped sessions (cache.py).
+- run_available_now_stateful requires a data batch before accepting
+  "drained" and raises on timeout (streaming/ops.py) — see
+  test_streaming.py for its happy path.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from product_analytics_spark import cache
+
+
+class TestPersistShared:
+    def test_memoizes_within_session(self, spark):
+        calls = {"n": 0}
+
+        def build():
+            calls["n"] += 1
+            return spark.range(5)
+
+        a = cache.persist_shared("r7_memo_key", build)
+        b = cache.persist_shared("r7_memo_key", build)
+        assert calls["n"] == 1
+        assert a is b
+        assert a.count() == 5
+        cache.clear_shared()
+
+    def test_key_is_scoped_to_application_id(self, spark):
+        cache.persist_shared("r7_scope_key", lambda: spark.range(3))
+        app_id = spark.sparkContext.applicationId
+        assert ("", "r7_scope_key") not in cache._SHARED
+        assert (app_id, "r7_scope_key") in cache._SHARED
+        cache.clear_shared()
+
+    def test_dead_session_entries_pruned_on_miss(self, spark):
+        # Simulate a leftover from a stopped session: an entry whose
+        # applicationId can never match the live session's.
+        cache._SHARED[("app-from-a-stopped-session", "old")] = spark.range(1)
+        cache.persist_shared("r7_prune_key", lambda: spark.range(2))
+        assert ("app-from-a-stopped-session", "old") not in cache._SHARED
+        app_id = spark.sparkContext.applicationId
+        assert (app_id, "r7_prune_key") in cache._SHARED
+        cache.clear_shared()
+
+    def test_clear_shared_empties_registry(self, spark):
+        cache.persist_shared("r7_clear_key", lambda: spark.range(2))
+        n = cache.clear_shared()
+        assert n >= 1
+        assert not cache._SHARED
+
+
+class _StubQuery:
+    """Scripted StreamingQuery stand-in: a list of lastProgress frames
+    (None = no progress yet); isActive until the script says stop."""
+
+    def __init__(self, frames, active_after=True):
+        self._frames = list(frames)
+        self._active_after = active_after
+
+    @property
+    def isActive(self):
+        return bool(self._frames) or self._active_after
+
+    @property
+    def lastProgress(self):
+        if self._frames:
+            return self._frames.pop(0)
+        return {"numInputRows": 0}
+
+
+class TestPollDrained:
+    def test_drained_after_data_batch(self):
+        from product_analytics_spark.streaming.ops import _poll_drained
+
+        q = _StubQuery(
+            [None, {"numInputRows": 5}, {"numInputRows": 0}], active_after=True
+        )
+        _poll_drained(q, timeout_s=2.0, sink_name="s", sleep_s=0.0)
+
+    def test_leading_empty_batch_not_mistaken_for_drain(self):
+        # First progress frame has zero rows (source still warming up):
+        # the old heuristic stopped HERE; now it must wait for the data
+        # batch and the empty batch after it.
+        from product_analytics_spark.streaming.ops import _poll_drained
+
+        frames = [{"numInputRows": 0}, {"numInputRows": 7}, {"numInputRows": 0}]
+        q = _StubQuery(frames, active_after=True)
+        _poll_drained(q, timeout_s=2.0, sink_name="s", sleep_s=0.0)
+        assert not q._frames  # consumed past the leading empty frame
+
+    def test_natural_termination_is_drained(self):
+        from product_analytics_spark.streaming.ops import _poll_drained
+
+        q = _StubQuery([{"numInputRows": 3}], active_after=False)
+        _poll_drained(q, timeout_s=2.0, sink_name="s", sleep_s=0.0)
+
+    def test_timeout_raises_instead_of_silent_partial(self):
+        from product_analytics_spark.streaming.ops import _poll_drained
+
+        # Query stays active but never yields a zero-input batch after
+        # data (e.g. wedged source): must raise, not return silently.
+        class _Wedged:
+            isActive = True
+            lastProgress = {"numInputRows": 1}
+
+        with pytest.raises(TimeoutError, match="not drained"):
+            _poll_drained(_Wedged(), timeout_s=0.2, sink_name="s", sleep_s=0.01)
