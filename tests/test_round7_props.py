@@ -53,6 +53,37 @@ class TestPersistShared:
         assert not cache._SHARED
 
 
+class TestCalendarNameLocale:
+    def test_calendar_names_pinned_to_english_under_foreign_locale(self, spark):
+        """q392's oracle compares English month/day names. This pins
+        WHY that is safe on any host: Spark hardcodes Locale.US in its
+        datetime formatters, so date_format('MMMM'/'EEEE') and
+        monthname/dayname stay English even when the JVM default
+        locale is not — proven by switching the live JVM default to
+        fr_FR and re-running (fresh SQL string defeats plan caching).
+        DuckDB's strftime has no locale support at all."""
+        jvm = spark._jvm
+        Locale = jvm.java.util.Locale
+        prev = Locale.getDefault()
+        Locale.setDefault(jvm.java.util.Locale("fr", "FR"))
+        try:
+            assert Locale.getDefault().toString() == "fr_FR"
+            r = spark.sql(
+                "SELECT monthname(DATE'1996-02-08') AS mn, "
+                "dayname(DATE'1996-02-08') AS dn, "
+                "date_format(DATE'1996-02-08', 'MMMM') AS fullm, "
+                "date_format(DATE'1996-02-08', 'EEEE') AS fulld"
+            ).collect()[0]
+            assert (r.mn, r.dn, r.fullm, r.fulld) == (
+                "Feb",
+                "Thu",
+                "February",
+                "Thursday",
+            )
+        finally:
+            Locale.setDefault(prev)
+
+
 class _StubQuery:
     """Scripted StreamingQuery stand-in: a list of lastProgress frames
     (None = no progress yet); isActive until the script says stop."""
