@@ -60,10 +60,19 @@ def main() -> None:
     # FAIR must be a SparkConf at context creation (it is NOT a job-local
     # property; round-4 set it via setLocalProperty, which is a no-op).
     # Within one pool FAIR mode still runs jobs FIFO, so each worker
-    # thread below also pins its own ad-hoc pool — unnamed pools are
-    # created on demand with weight 1 and scheduled fairly against each
-    # other, giving true per-thread fair sharing without an XML file.
-    spark = get_spark("throughput", extra_conf={"spark.scheduler.mode": "FAIR"})
+    # thread below pins its own pool; the pools are DECLARED in
+    # tools/fairscheduler.xml rather than created on demand, because
+    # on-demand pools log a "pool not configured" warning per thread
+    # (noise in the stdout tail the bench driver parses).
+    spark = get_spark(
+        "throughput",
+        extra_conf={
+            "spark.scheduler.mode": "FAIR",
+            "spark.scheduler.allocation.file": os.path.join(
+                os.path.dirname(os.path.abspath(__file__)), "fairscheduler.xml"
+            ),
+        },
+    )
     if spark.sparkContext.getConf().get("spark.scheduler.mode") != "FAIR":
         print("warning: session pre-existed with FIFO scheduler", file=sys.stderr)
 
