@@ -655,27 +655,24 @@ JOIN totals tb ON tb.t = p.type_b
 Q113_LAND = os.path.join(_REPO, ".q113_stream_land")
 
 
-#: Landing dirs already written this process, keyed by (sf_dir, land).
-#: The landed layout is a pure function of the source table, so the
-#: second plain-events stream query in a run (q114 after q113) reuses
-#: the first one's files instead of rewriting an identical dir.
-_EVENTS_LANDED: set[tuple[str, str]] = set()
-
-
 def _events_stream(spark: SparkSession, sf_dir: str, land: str):
     """Land events as micros-timestamp parquet (the landing-zone
     layout a file-source stream ingests) and open a file stream over
     it. Timestamps are micros-exact vs the oracle's nanos read: the
-    test data carries no sub-microsecond components."""
+    test data carries no sub-microsecond components. Landed once per
+    process (qcommon.land_once): q113/q114/q169 all stream this one
+    dir, and bench best-of-2 reps reuse it too."""
+    from product_analytics_spark.qcommon import land_once
     from product_analytics_spark.streaming import ops as st
 
-    key = (sf_dir, land)
-    if key not in _EVENTS_LANDED or not os.path.isdir(land):
-        shutil.rmtree(land, ignore_errors=True)
-        _t(spark, sf_dir, "events").repartition(4).write.mode(
-            "overwrite"
-        ).parquet(land)
-        _EVENTS_LANDED.add(key)
+    land_once(
+        land,
+        sf_dir,
+        lambda: _t(spark, sf_dir, "events")
+        .repartition(4)
+        .write.mode("overwrite")
+        .parquet(land),
+    )
     schema = spark.read.parquet(land).schema
     stream = st.stream_table(spark, land, schema)
     return stream.withColumn("ts", F.col("ts").cast("timestamp"))  # NTZ→LTZ id (UTC)

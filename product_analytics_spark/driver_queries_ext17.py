@@ -47,19 +47,26 @@ def q200_streaming_merge_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     from product_analytics_spark.operators.dedup import latest_by_key
     from product_analytics_spark.streaming import ops as st
 
-    shutil.rmtree(Q200_LAND, ignore_errors=True)
+    from product_analytics_spark.qcommon import land_once
+
+    # Checkpoint must be cleared EVERY run (a completed availableNow
+    # checkpoint would replay zero batches); the landing is memoized.
     shutil.rmtree(Q200_CKPT, ignore_errors=True)
-    o = _t(spark, sf_dir, "orders").select(
-        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate"
-    )
-    cut = F.lit(Q200_SPLIT).cast("timestamp")
-    # file 1 = NEW data, file 2 = OLD data (deliberately out of order)
-    o.filter(F.col("o_orderdate") >= cut).repartition(1).write.mode(
-        "overwrite"
-    ).parquet(Q200_LAND)
-    o.filter(F.col("o_orderdate") < cut).repartition(1).write.mode(
-        "append"
-    ).parquet(Q200_LAND)
+
+    def _land() -> None:
+        o = _t(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate"
+        )
+        cut = F.lit(Q200_SPLIT).cast("timestamp")
+        # file 1 = NEW data, file 2 = OLD data (deliberately out of order)
+        o.filter(F.col("o_orderdate") >= cut).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(Q200_LAND)
+        o.filter(F.col("o_orderdate") < cut).repartition(1).write.mode(
+            "append"
+        ).parquet(Q200_LAND)
+
+    land_once(Q200_LAND, sf_dir, _land)
     schema = spark.read.parquet(Q200_LAND).schema
 
     state = {"snap": None}
@@ -144,25 +151,30 @@ def q201_append_mode_finalization(spark: SparkSession, sf_dir: str) -> DataFrame
     pattern to force tail-window emission."""
     from product_analytics_spark.streaming import ops as st
 
-    shutil.rmtree(Q201_LAND, ignore_errors=True)
-    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
-    cut = F.lit(Q201_CUT).cast("timestamp")
-    ev.filter(F.col("ts") >= cut).repartition(1).write.mode("overwrite").parquet(
-        Q201_LAND
-    )
-    ev.filter(F.col("ts") < cut).repartition(1).write.mode("append").parquet(
-        Q201_LAND
-    )
-    # terminal FLUSH file: one far-future sentinel event whose arrival
-    # pushes the watermark past every real window's end, forcing the
-    # append-mode sink to emit them (without it the final days' windows
-    # never finalize before availableNow terminates); its own window
-    # never appears in the output because the watermark never passes
-    # its end, so append mode never emits it
-    flush = spark.createDataFrame(
-        [(-1, "2024-02-15 00:00:00", "flush")], "event_id long, ts string, event_type string"
-    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
-    flush.repartition(1).write.mode("append").parquet(Q201_LAND)
+    from product_analytics_spark.qcommon import land_once
+
+    def _land() -> None:
+        ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+        cut = F.lit(Q201_CUT).cast("timestamp")
+        ev.filter(F.col("ts") >= cut).repartition(1).write.mode(
+            "overwrite"
+        ).parquet(Q201_LAND)
+        ev.filter(F.col("ts") < cut).repartition(1).write.mode("append").parquet(
+            Q201_LAND
+        )
+        # terminal FLUSH file: one far-future sentinel event whose arrival
+        # pushes the watermark past every real window's end, forcing the
+        # append-mode sink to emit them (without it the final days' windows
+        # never finalize before availableNow terminates); its own window
+        # never appears in the output because the watermark never passes
+        # its end, so append mode never emits it
+        flush = spark.createDataFrame(
+            [(-1, "2024-02-15 00:00:00", "flush")],
+            "event_id long, ts string, event_type string",
+        ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")
+        flush.repartition(1).write.mode("append").parquet(Q201_LAND)
+
+    land_once(Q201_LAND, sf_dir, _land)
     schema = spark.read.parquet(Q201_LAND).schema
     stream = (
         st.stream_table(spark, Q201_LAND, schema, max_files_per_trigger=1)

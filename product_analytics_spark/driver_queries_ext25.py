@@ -11,7 +11,6 @@ per-row expressions.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -57,45 +56,49 @@ def q218_streaming_outer_join_finalization(
     shuffle keyed on user_id both sides; the 4-per-partition state
     stores argue for sizing shuffle partitions to the cluster, scoped
     down here for the harness."""
+    from product_analytics_spark.qcommon import land_once
     from product_analytics_spark.streaming import ops as st
 
-    shutil.rmtree(Q218_LAND, ignore_errors=True)
-    ev = _t(spark, sf_dir, "events").filter(
-        F.col("event_type").isin("click", "purchase")
-    )
-    # ALL real data lands in one write → one micro-batch: the batch
-    # runs at watermark -inf, so nothing can be late-dropped and every
-    # inner match emits. (If data spanned multiple batches they would
-    # have to arrive time-ordered, or the advancing watermark would
-    # discard older files' rows — the landing-zone ordering contract.)
-    ev.repartition(4).write.mode("overwrite").parquet(Q218_LAND)
-    schema = spark.read.parquet(Q218_LAND).schema
-    # TWO flush files, landed as separate micro-batches: the first
-    # sentinel pair advances both sides' watermarks past every real
-    # event AT THE END of its batch; the second batch is what actually
-    # EMITS the tail unmatched clicks that advance freed (outer rows
-    # materialize one batch after the watermark move — availableNow
-    # schedules no empty finalization batch, so the batch must carry
-    # real input). Each sentinel passes both side filters so both
-    # watermark operators see it; neither ever emits (the watermark
-    # never passes its own ts).
-    known = {"event_id", "ts", "user_id", "event_type"}
-    for sid, when in ((-1, "2024-03-01 00:00:00"), (-3, "2024-04-01 00:00:00")):
-        base = spark.createDataFrame(
-            [(sid, when, -1, "click"), (sid - 1, when, -1, "purchase")],
-            "event_id long, ts string, user_id long, event_type string",
-        ).withColumn("ts", F.col("ts").cast("timestamp"))
-        sentinels = base.select(
-            *[
-                (
-                    F.col(fld.name).cast(fld.dataType)
-                    if fld.name in known
-                    else F.lit(None).cast(fld.dataType)
-                ).alias(fld.name)
-                for fld in schema.fields
-            ]
+    def _land() -> None:
+        ev = _t(spark, sf_dir, "events").filter(
+            F.col("event_type").isin("click", "purchase")
         )
-        sentinels.repartition(1).write.mode("append").parquet(Q218_LAND)
+        # ALL real data lands in one write → one micro-batch: the batch
+        # runs at watermark -inf, so nothing can be late-dropped and every
+        # inner match emits. (If data spanned multiple batches they would
+        # have to arrive time-ordered, or the advancing watermark would
+        # discard older files' rows — the landing-zone ordering contract.)
+        ev.repartition(4).write.mode("overwrite").parquet(Q218_LAND)
+        landed_schema = spark.read.parquet(Q218_LAND).schema
+        # TWO flush files, landed as separate micro-batches: the first
+        # sentinel pair advances both sides' watermarks past every real
+        # event AT THE END of its batch; the second batch is what actually
+        # EMITS the tail unmatched clicks that advance freed (outer rows
+        # materialize one batch after the watermark move — availableNow
+        # schedules no empty finalization batch, so the batch must carry
+        # real input). Each sentinel passes both side filters so both
+        # watermark operators see it; neither ever emits (the watermark
+        # never passes its own ts).
+        known = {"event_id", "ts", "user_id", "event_type"}
+        for sid, when in ((-1, "2024-03-01 00:00:00"), (-3, "2024-04-01 00:00:00")):
+            base = spark.createDataFrame(
+                [(sid, when, -1, "click"), (sid - 1, when, -1, "purchase")],
+                "event_id long, ts string, user_id long, event_type string",
+            ).withColumn("ts", F.col("ts").cast("timestamp"))
+            sentinels = base.select(
+                *[
+                    (
+                        F.col(fld.name).cast(fld.dataType)
+                        if fld.name in known
+                        else F.lit(None).cast(fld.dataType)
+                    ).alias(fld.name)
+                    for fld in landed_schema.fields
+                ]
+            )
+            sentinels.repartition(1).write.mode("append").parquet(Q218_LAND)
+
+    land_once(Q218_LAND, sf_dir, _land)
+    schema = spark.read.parquet(Q218_LAND).schema
 
     def stream():
         # 4 = the data write's file count: batch 1 takes all real data

@@ -8,7 +8,6 @@ Same contract as the other driver_queries modules.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -231,21 +230,24 @@ def q244_update_mode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     mode's cost) and not late finalization (append's latency) — the
     mode of choice for continuously-served aggregates; state is the
     running per-key aggregate, watermark-bounded."""
+    from product_analytics_spark.qcommon import land_once
     from product_analytics_spark.streaming import ops as st
 
-    shutil.rmtree(Q244_LAND, ignore_errors=True)
-    ev = _t(spark, sf_dir, "events").select(
-        "event_id",
-        F.col("ts").cast("timestamp").alias("ts"),
-        "event_type",
-    )
-    cut = F.lit("2024-01-15").cast("timestamp")
-    ev.filter(F.col("ts") < cut).repartition(1).write.mode("append").parquet(
-        Q244_LAND
-    )
-    ev.filter(F.col("ts") >= cut).repartition(1).write.mode("append").parquet(
-        Q244_LAND
-    )
+    def _land() -> None:
+        ev = _t(spark, sf_dir, "events").select(
+            "event_id",
+            F.col("ts").cast("timestamp").alias("ts"),
+            "event_type",
+        )
+        cut = F.lit("2024-01-15").cast("timestamp")
+        ev.filter(F.col("ts") < cut).repartition(1).write.mode("append").parquet(
+            Q244_LAND
+        )
+        ev.filter(F.col("ts") >= cut).repartition(1).write.mode("append").parquet(
+            Q244_LAND
+        )
+
+    land_once(Q244_LAND, sf_dir, _land)
     schema = spark.read.parquet(Q244_LAND).schema
     stream = (
         st.stream_table(spark, Q244_LAND, schema, max_files_per_trigger=1)

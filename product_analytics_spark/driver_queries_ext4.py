@@ -11,7 +11,6 @@ oracle mirrors expression-for-expression.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -36,18 +35,23 @@ def q126_streaming_interval_join_parity(spark: SparkSession, sf_dir: str) -> Dat
     into a memory sink and checked against the identical static SQL
     join. Append output mode: stream-stream inner joins emit exactly
     the rows the batch join produces."""
+    from product_analytics_spark.qcommon import land_once
     from product_analytics_spark.streaming import ops as st
 
-    shutil.rmtree(Q126_LAND, ignore_errors=True)
     # Land only the two joined event types: the landing-zone filter is
     # semantics-preserving (no other type reaches either join side) and
-    # keeps the stateful join's input 60% smaller.
-    (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("event_type").isin("click", "purchase"))
-        .repartition(4)
-        .write.mode("overwrite")
-        .parquet(Q126_LAND)
+    # keeps the stateful join's input 60% smaller. Landed once per
+    # process (layout is a pure function of sf_dir).
+    land_once(
+        Q126_LAND,
+        sf_dir,
+        lambda: (
+            _t(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin("click", "purchase"))
+            .repartition(4)
+            .write.mode("overwrite")
+            .parquet(Q126_LAND)
+        ),
     )
     schema = spark.read.parquet(Q126_LAND).schema
 

@@ -730,12 +730,15 @@ def q149_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     evicted past the watermark). The deduped stream lands append-mode
     in the memory sink; the readout aggregates it and must equal the
     plain batch aggregate over the ORIGINAL table."""
+    from product_analytics_spark.qcommon import land_once
     from product_analytics_spark.streaming import ops as st
 
-    shutil.rmtree(Q149_LAND, ignore_errors=True)
-    ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
-    ev.repartition(1).write.mode("overwrite").parquet(Q149_LAND)
-    ev.repartition(1).write.mode("append").parquet(Q149_LAND)
+    def _land() -> None:
+        ev = _t(spark, sf_dir, "events").select("event_id", "ts", "event_type")
+        ev.repartition(1).write.mode("overwrite").parquet(Q149_LAND)
+        ev.repartition(1).write.mode("append").parquet(Q149_LAND)
+
+    land_once(Q149_LAND, sf_dir, _land)
     schema = spark.read.parquet(Q149_LAND).schema
     stream = (
         st.stream_table(spark, Q149_LAND, schema, max_files_per_trigger=1)

@@ -327,44 +327,46 @@ def q332_stateful_sessionize_parity(
     by the group key; Arrow batches the per-group pandas calls; the
     sentinel trick is exactly how a production backfill drains tail
     state (a high-watermark barrier event per key)."""
+    from product_analytics_spark.qcommon import land_once
     from product_analytics_spark.streaming import ops as st
 
-    _shutil.rmtree(Q332_LAND, ignore_errors=True)
-    # Deterministic 1-in-3 user subset: the stateful door pays one
-    # Arrow'd pandas call PER GROUP per batch, so group count IS the
-    # cost dial (the cogroup lesson); a third of the users exercises
-    # the identical machinery at a third of the wall time.
-    ev = (
-        _t(spark, sf_dir, "events")
-        .filter(F.col("user_id") % 3 == 0)
-        .select(
-            "user_id",
-            F.col("ts").cast("timestamp").alias("ts"),
-            (F.col("value").cast("decimal(18,2)") * 100)
-            .cast("long")
-            .cast("double")
-            .alias("v_cents"),
+    def _land() -> None:
+        # Deterministic 1-in-3 user subset: the stateful door pays one
+        # Arrow'd pandas call PER GROUP per batch, so group count IS the
+        # cost dial (the cogroup lesson); a third of the users exercises
+        # the identical machinery at a third of the wall time.
+        ev = (
+            _t(spark, sf_dir, "events")
+            .filter(F.col("user_id") % 3 == 0)
+            .select(
+                "user_id",
+                F.col("ts").cast("timestamp").alias("ts"),
+                (F.col("value").cast("decimal(18,2)") * 100)
+                .cast("long")
+                .cast("double")
+                .alias("v_cents"),
+            )
         )
-    )
-    ev.repartition(4).write.mode("overwrite").parquet(Q332_LAND)
-    sentinels = ev.groupBy("user_id").agg(
-        (F.max("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
-        F.lit(0.0).alias("v_cents"),
-    ).select("user_id", "ts", "v_cents")
-    sentinels.coalesce(1).write.mode("append").parquet(Q332_LAND)
-    # Pin sentinel files to a later mtime so the file source replays
-    # them strictly AFTER the real events on coarse-mtime filesystems.
-    import pathlib
-    import time as _time
+        ev.repartition(4).write.mode("overwrite").parquet(Q332_LAND)
+        sentinels = ev.groupBy("user_id").agg(
+            (F.max("ts") + F.expr("INTERVAL 10 DAYS")).alias("ts"),
+            F.lit(0.0).alias("v_cents"),
+        ).select("user_id", "ts", "v_cents")
+        sentinels.coalesce(1).write.mode("append").parquet(Q332_LAND)
+        # Pin sentinel files to a later mtime so the file source replays
+        # them strictly AFTER the real events on coarse-mtime filesystems.
+        import pathlib
+        import time as _time
 
-    stamp = _time.time() + 3600
-    newest = sorted(
-        pathlib.Path(Q332_LAND).glob("*.parquet"),
-        key=lambda f: f.stat().st_mtime,
-    )[-1:]
-    for f in newest:
-        _os.utime(f, (stamp, stamp))
+        stamp = _time.time() + 3600
+        newest = sorted(
+            pathlib.Path(Q332_LAND).glob("*.parquet"),
+            key=lambda f: f.stat().st_mtime,
+        )[-1:]
+        for f in newest:
+            _os.utime(f, (stamp, stamp))
 
+    land_once(Q332_LAND, sf_dir, _land)
     schema = spark.read.parquet(Q332_LAND).schema
     stream = st.stream_table(spark, Q332_LAND, schema).withColumn(
         "ts", F.col("ts").cast("timestamp")

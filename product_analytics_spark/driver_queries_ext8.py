@@ -9,7 +9,6 @@ Same contract as the other driver_queries modules.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -317,8 +316,6 @@ FROM li JOIN d USING (l_returnflag)
 
 # ------------------------------------------------------------- q169
 
-Q169_LAND = os.path.join(_REPO, ".q169_stream_land")
-
 
 def q169_stream_static_join_parity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming evidence #5: stream-STATIC dimension join — the
@@ -331,12 +328,15 @@ def q169_stream_static_join_parity(spark: SparkSession, sf_dir: str) -> DataFram
     24×7 stream); state is |nations| rows under complete mode."""
     from product_analytics_spark.streaming import ops as st
 
-    shutil.rmtree(Q169_LAND, ignore_errors=True)
-    _t(spark, sf_dir, "events").repartition(4).write.mode("overwrite").parquet(
-        Q169_LAND
+    # Landing layout is IDENTICAL to q113/q114's (full events,
+    # repartition(4)) — share their memoized landing dir instead of
+    # writing a third copy of the same files.
+    from product_analytics_spark.driver_queries_ext import (
+        Q113_LAND,
+        _events_stream,
     )
-    schema = spark.read.parquet(Q169_LAND).schema
-    stream = st.stream_table(spark, Q169_LAND, schema)
+
+    stream = _events_stream(spark, sf_dir, Q113_LAND)
     dim = (
         _t(spark, sf_dir, "customer")
         .select("c_custkey", "c_nationkey")

@@ -288,7 +288,7 @@ def run_available_now(
                 and not status["isTriggerActive"]
             ):
                 break
-            time.sleep(0.3)
+            time.sleep(0.1)
     finally:
         q.stop()
     q.awaitTermination()
@@ -332,7 +332,7 @@ def run_available_now_stateful(
     q.awaitTermination()
 
 
-def _poll_drained(q, timeout_s: float, sink_name: str, sleep_s: float = 0.2) -> None:
+def _poll_drained(q, timeout_s: float, sink_name: str, sleep_s: float = 0.1) -> None:
     """Poll ``q`` until drained (zero-input batch after ≥1 data batch,
     or the query terminates on its own); raise TimeoutError otherwise.
     Split out so the drain/timeout contract is unit-testable against a

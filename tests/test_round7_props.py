@@ -84,6 +84,65 @@ class TestCalendarNameLocale:
             Locale.setDefault(prev)
 
 
+class TestLandingMemo:
+    SF = "/root/testdata/sf0.001"
+
+    def test_streaming_landing_reused_within_process(self, spark):
+        import os
+
+        # The ext modules are loaded via the driver_queries aggregator;
+        # importing one directly first trips the circular chain.
+        import product_analytics_spark.driver_queries  # noqa: F401
+        from product_analytics_spark.driver_queries_ext5 import (
+            Q149_LAND,
+            q149_streaming_dedup_parity,
+        )
+
+        r1 = sorted(
+            tuple(r) for r in q149_streaming_dedup_parity(spark, self.SF).collect()
+        )
+        sig1 = {
+            f: os.stat(os.path.join(Q149_LAND, f)).st_mtime_ns
+            for f in os.listdir(Q149_LAND)
+            if f.endswith(".parquet")
+        }
+        r2 = sorted(
+            tuple(r) for r in q149_streaming_dedup_parity(spark, self.SF).collect()
+        )
+        sig2 = {
+            f: os.stat(os.path.join(Q149_LAND, f)).st_mtime_ns
+            for f in os.listdir(Q149_LAND)
+            if f.endswith(".parquet")
+        }
+        assert r1 == r2  # rerun is value-identical
+        assert sig1 == sig2  # and reused the landed files verbatim
+
+    def test_land_once_rewrites_on_token_change(self, spark, tmp_path):
+        import os
+
+        from product_analytics_spark.qcommon import land_once
+
+        land = str(tmp_path / "land")
+        calls = {"n": 0}
+
+        def build():
+            calls["n"] += 1
+            spark.range(3).write.mode("overwrite").parquet(land)
+
+        land_once(land, "sfA", build)
+        land_once(land, "sfA", build)
+        assert calls["n"] == 1  # same token: reused
+        land_once(land, "sfB", build)
+        assert calls["n"] == 2  # different token: rewritten
+        # Dir deleted out-of-band: re-landed even with a seen token.
+        import shutil
+
+        shutil.rmtree(land)
+        land_once(land, "sfB", build)
+        assert calls["n"] == 3
+        assert os.path.isdir(land)
+
+
 class _StubQuery:
     """Scripted StreamingQuery stand-in: a list of lastProgress frames
     (None = no progress yet); isActive until the script says stop."""
