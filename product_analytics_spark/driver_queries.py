@@ -5133,3 +5133,11 @@ from product_analytics_spark.driver_queries_ext78 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT78)
 ORACLES.update(_oracles_ext78())
+
+from product_analytics_spark.driver_queries_ext79 import (  # noqa: E402
+    QUERIES_EXT79,
+    _oracles_ext79,
+)
+
+QUERIES.update(QUERIES_EXT79)
+ORACLES.update(_oracles_ext79())

@@ -262,3 +262,26 @@ class TestRound5Plans:
         assert "REPARTITION_BY_COL" in p
         assert p.count("+- Exchange") == 2
         assert "rangepartitioning" in p
+
+
+class TestRound7Plans:
+    def test_advised_cobucket_join_is_exchange_free(self, plans):
+        # q393: LAYOUT_ADVICE.json's custkey bucketing applied to BOTH
+        # join sides with the same bucket count — the merge join and
+        # the per-custkey aggregate both ride the bucket partitioning,
+        # so the ONLY Exchange in the plan is the deterministic
+        # orderBy's range partitioning over post-agg rows.
+        p = plans["q393_advised_cobucket_join"]
+        assert p.count("Bucketed: true") == 2
+        assert "SortMergeJoin" in p
+        assert "hashpartitioning" not in p
+        assert p.count("+- Exchange") == 1
+        assert "rangepartitioning" in p
+
+    def test_advised_partition_prune_reaches_the_scan(self, plans):
+        # q394: the event_type filter over the hive-partitioned
+        # snapshot must prune DIRECTORIES (PartitionFilters), not rows
+        # (PushedFilters) — the scan lists 1 of the 5 type dirs.
+        p = plans["q394_advised_partition_prune"]
+        assert "PartitionFilters" in p
+        assert "purchase" in p
