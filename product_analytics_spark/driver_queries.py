@@ -5141,3 +5141,27 @@ from product_analytics_spark.driver_queries_ext79 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT79)
 ORACLES.update(_oracles_ext79())
+
+from product_analytics_spark.driver_queries_ext80 import (  # noqa: E402
+    QUERIES_EXT80,
+    _oracles_ext80,
+)
+
+QUERIES.update(QUERIES_EXT80)
+ORACLES.update(_oracles_ext80())
+
+from product_analytics_spark.driver_queries_ext81 import (  # noqa: E402
+    QUERIES_EXT81,
+    _oracles_ext81,
+)
+
+QUERIES.update(QUERIES_EXT81)
+ORACLES.update(_oracles_ext81())
+
+from product_analytics_spark.driver_queries_ext82 import (  # noqa: E402
+    QUERIES_EXT82,
+    _oracles_ext82,
+)
+
+QUERIES.update(QUERIES_EXT82)
+ORACLES.update(_oracles_ext82())
