@@ -302,3 +302,122 @@ def test_fuzz_datetime_differential(engines):
         if srows != orows:
             failures.append((qi, sql, srows[:3], orows[:3]))
     assert not failures, failures
+
+
+# ------------------------------------------- correlated scalar subqueries
+
+CORR_SEED = 20260817
+N_CORR_QUERIES = 15
+
+#: Correlated shapes: scalar-aggregate subqueries in SELECT (count —
+#: which must be 0, not NULL, on empty groups — vs min/max — which must
+#: be NULL), EXISTS / NOT EXISTS, and IN. This family is where
+#: decorrelation rewrites diverge most across engines: a wrong rewrite
+#: turns the empty-group scalar into a dropped row or a NULL count.
+CORR_SCALARS = [
+    "(SELECT CAST(count(*) AS BIGINT) FROM orders o"
+    " WHERE o.o_custkey = c.c_custkey AND o.o_orderkey % {m} = 0)",
+    "(SELECT CAST(max(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100"
+    " AS BIGINT)) AS BIGINT) FROM orders o"
+    " WHERE o.o_custkey = c.c_custkey)",
+    "(SELECT CAST(min(o.o_orderkey) AS BIGINT) FROM orders o"
+    " WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus <> 'O')",
+    "(SELECT CAST(count(DISTINCT o.o_orderstatus) AS BIGINT) FROM orders o"
+    " WHERE o.o_custkey = c.c_custkey AND o.o_orderkey % {m} <> 1)",
+]
+CORR_PREDS = [
+    "EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+    " AND o.o_orderkey % {m} = 0)",
+    "NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey"
+    " AND o.o_orderpriority >= '4')",
+    "c.c_custkey IN (SELECT o.o_custkey FROM orders o"
+    " WHERE o.o_orderkey % {m} = 0)",
+    "c.c_custkey > (SELECT min(o.o_custkey) + {m} FROM orders o)",
+]
+
+
+def _gen_correlated(rng: random.Random) -> str:
+    scalars = rng.sample(CORR_SCALARS, rng.randint(1, 3))
+    cols = ["CAST(c.c_custkey AS BIGINT) AS k"] + [
+        s.format(m=rng.randint(2, 6)) + f" AS s{i}"
+        for i, s in enumerate(scalars)
+    ]
+    sql = f"SELECT {', '.join(cols)} FROM customer c"
+    preds = [f"c.c_custkey % {rng.randint(3, 9)} = 0"]
+    if rng.random() < 0.7:
+        preds.append(rng.choice(CORR_PREDS).format(m=rng.randint(2, 6)))
+    sql += " WHERE " + " AND ".join(preds) + " ORDER BY k"
+    return sql
+
+
+def test_fuzz_correlated_subquery_differential(engines):
+    spark, con = engines
+    rng = random.Random(CORR_SEED)
+    failures = []
+    for qi in range(N_CORR_QUERIES):
+        sql = _gen_correlated(rng)
+        sdf = spark.sql(sql)
+        srows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+        orows = _normalize(con.execute(sql).fetchall(), None)
+        if srows != orows:
+            failures.append((qi, sql, srows[:3], orows[:3]))
+    assert not failures, failures
+
+
+# ------------------------------------------------ grouping sets / rollup
+
+GS_SEED = 20260818
+N_GS_QUERIES = 15
+
+GS_DIMS = [
+    "o_orderstatus",
+    "o_orderpriority",
+    "CAST(year(CAST(o_orderdate AS DATE)) AS INT)",
+    "CAST(o_custkey % 5 AS BIGINT)",
+]
+
+
+def _gen_grouping_sets(rng: random.Random) -> str:
+    """ROLLUP / CUBE / explicit GROUPING SETS with GROUPING() markers:
+    super-aggregate rows carry NULL dims, so every output row is
+    disambiguated by its grouping-function bitmap — the family where
+    Expand-rewrite semantics (duplicate dims, partial sets, the grand
+    total) diverge most across engines."""
+    k = rng.randint(2, 3)
+    dims = rng.sample(GS_DIMS, k)
+    form = rng.choice(["ROLLUP", "CUBE", "SETS"])
+    if form == "SETS":
+        subsets = [dims, dims[:1], []]
+        if rng.random() < 0.5:
+            subsets.insert(1, dims[1:])
+        sets_sql = ", ".join("(" + ", ".join(s) + ")" for s in subsets)
+        group_by = f"GROUPING SETS ({sets_sql})"
+    else:
+        group_by = f"{form}({', '.join(dims)})"
+    cols = (
+        [f"{d} AS g{i}" for i, d in enumerate(dims)]
+        + [f"CAST(GROUPING({d}) AS INT) AS gf{i}" for i, d in enumerate(dims)]
+        + [
+            "CAST(count(*) AS BIGINT) AS n",
+            f"CAST(sum({_CENTS}) AS BIGINT) AS s",
+        ]
+    )
+    sql = f"SELECT {', '.join(cols)} FROM orders"
+    if rng.random() < 0.5:
+        sql += f" WHERE o_orderkey % {rng.randint(2, 4)} = 0"
+    sql += f" GROUP BY {group_by}"
+    return sql
+
+
+def test_fuzz_grouping_sets_differential(engines):
+    spark, con = engines
+    rng = random.Random(GS_SEED)
+    failures = []
+    for qi in range(N_GS_QUERIES):
+        sql = _gen_grouping_sets(rng)
+        sdf = spark.sql(sql)
+        srows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+        orows = _normalize(con.execute(sql).fetchall(), None)
+        if srows != orows:
+            failures.append((qi, sql, srows[:3], orows[:3]))
+    assert not failures, failures
