@@ -5165,3 +5165,19 @@ from product_analytics_spark.driver_queries_ext82 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT82)
 ORACLES.update(_oracles_ext82())
+
+from product_analytics_spark.driver_queries_ext83 import (  # noqa: E402
+    QUERIES_EXT83,
+    _oracles_ext83,
+)
+
+QUERIES.update(QUERIES_EXT83)
+ORACLES.update(_oracles_ext83())
+
+from product_analytics_spark.driver_queries_ext84 import (  # noqa: E402
+    QUERIES_EXT84,
+    _oracles_ext84,
+)
+
+QUERIES.update(QUERIES_EXT84)
+ORACLES.update(_oracles_ext84())

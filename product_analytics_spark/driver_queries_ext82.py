@@ -364,10 +364,13 @@ def q401_sketch_gap_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bitmap_count(F.bitmap_and_agg("bm")).alias("n_and"),
         F.count(F.lit(1)).alias("n_types"),
     )
+    from product_analytics_spark.qcommon import combine_single_rows
+
     est = F.hll_sketch_estimate(F.hll_union(F.col("h0"), F.col("h1")))
+    # Join-free single-row combine (1-row cross joins = banned BNLJ);
+    # max-per-column passes the sketch binaries through untouched.
     out = (
-        stats.crossJoin(F.broadcast(paired))
-        .crossJoin(F.broadcast(bm))
+        combine_single_rows(stats, paired, bm)
         .select(
             F.col("n").cast("bigint").alias("n"),
             F.col("n_users").cast("bigint").alias("n_users"),

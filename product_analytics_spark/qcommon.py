@@ -30,6 +30,19 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
+def combine_single_rows(*dfs: DataFrame) -> DataFrame:
+    """Fold K SINGLE-ROW aggregate frames into one row WITHOUT a join:
+    1-row cross joins compile to BroadcastNestedLoopJoin, which the
+    plan guard bans everywhere (tests/test_plans.py). Union with
+    missing columns as NULL, then one max-per-column agg over the K
+    rows (max ignores the NULL fill; every column appears in exactly
+    one input). All aggregates — no join node of any kind."""
+    base = dfs[0]
+    for d in dfs[1:]:
+        base = base.unionByName(d, allowMissingColumns=True)
+    return base.groupBy().agg(*[F.max(c).alias(c) for c in base.columns])
+
+
 #: Landing dirs already written by this process, keyed (dir, token).
 #: Every streaming-parity landing layout is a pure function of
 #: (source table, split constants), so repeated runs in one process —

@@ -72,13 +72,16 @@ def test_table_columns_maps_schema(tmp_path):
 
 def test_function_surface_coverage_floor():
     """The exercised share of pyspark.sql.functions must never regress
-    below the round-7 floor (388/501, raised from round-5's 254 by the
-    q395-q401 surface doors); new Spark versions may add functions, so
-    the guard is on the absolute used-count."""
+    below the round-7 floor (459/501 = 91.6%, raised from round-5's
+    254 by the q395-q406 surface doors); the residue is
+    nondeterministic (now/current_*), env-gated (st_* geo, from_avro/
+    from_protobuf), or Python-API-only (udf/arrow_udf/overload/
+    unwrap_udt). New Spark versions may add functions, so the guard is
+    on the absolute used-count."""
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
     from surface_audit import audit
 
     out = audit()
-    assert out["n_used"] >= 380, out["n_used"]
+    assert out["n_used"] >= 450, out["n_used"]
