@@ -5181,3 +5181,11 @@ from product_analytics_spark.driver_queries_ext84 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT84)
 ORACLES.update(_oracles_ext84())
+
+from product_analytics_spark.driver_queries_ext85 import (  # noqa: E402
+    QUERIES_EXT85,
+    _oracles_ext85,
+)
+
+QUERIES.update(QUERIES_EXT85)
+ORACLES.update(_oracles_ext85())
