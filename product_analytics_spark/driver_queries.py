@@ -5189,3 +5189,11 @@ from product_analytics_spark.driver_queries_ext85 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT85)
 ORACLES.update(_oracles_ext85())
+
+from product_analytics_spark.driver_queries_ext86 import (  # noqa: E402
+    QUERIES_EXT86,
+    _oracles_ext86,
+)
+
+QUERIES.update(QUERIES_EXT86)
+ORACLES.update(_oracles_ext86())

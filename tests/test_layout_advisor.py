@@ -72,16 +72,20 @@ def test_table_columns_maps_schema(tmp_path):
 
 def test_function_surface_coverage_floor():
     """The exercised share of pyspark.sql.functions must never regress
-    below the round-7 floor (459/501 = 91.6%, raised from round-5's
-    254 by the q395-q406 surface doors); the residue is
-    nondeterministic (now/current_*), env-gated (st_* geo, from_avro/
-    from_protobuf), or Python-API-only (udf/arrow_udf/overload/
-    unwrap_udt). New Spark versions may add functions, so the guard is
-    on the absolute used-count."""
+    below the round-7 floor (493/501 = 98.4%, raised from round-5's
+    254 by the q395-q409 surface doors). The 8-function residue is
+    Python-API machinery with no query-shaped surface — udf/call_udf
+    (row-Python, banned by the plan guard), arrow_udf/arrow_udtf/
+    overload/unwrap_udt (decorator/registration plumbing; the
+    pandas_udf/udtf forms ARE exercised), and hours/months (DSv2
+    write-path partition transforms — the default catalog's v1 parquet
+    tables reject them, and writing them in a SELECT is a type error).
+    New Spark versions may add functions, so the guard is on the
+    absolute used-count."""
     import sys
 
     sys.path.insert(0, "/root/repo/tools")
     from surface_audit import audit
 
     out = audit()
-    assert out["n_used"] >= 450, out["n_used"]
+    assert out["n_used"] >= 485, out["n_used"]
