@@ -5197,3 +5197,11 @@ from product_analytics_spark.driver_queries_ext86 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT86)
 ORACLES.update(_oracles_ext86())
+
+from product_analytics_spark.driver_queries_ext87 import (  # noqa: E402
+    QUERIES_EXT87,
+    _oracles_ext87,
+)
+
+QUERIES.update(QUERIES_EXT87)
+ORACLES.update(_oracles_ext87())

@@ -42,6 +42,7 @@ import uuid
 from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from product_analytics_spark.operators.incremental import merge_upsert
 
@@ -331,3 +332,150 @@ class SnapshotStore:
             "files_after": n_after,
             "groups": len(plan),
         }
+
+    # ------------------------------------------- copy-on-write DML
+
+    @staticmethod
+    def _partition_literals(rel: str) -> list[tuple[str, str]]:
+        """Decode a hive-relative path ('event_type=click/…') into
+        (column, string-value) pairs; flat tables ('.') decode to []."""
+        if rel == ".":
+            return []
+        out = []
+        for seg in rel.split(os.sep):
+            col, _, val = seg.partition("=")
+            out.append((col, val))
+        return out
+
+    def _rewrite_where(
+        self,
+        name: str,
+        predicate: str,
+        transform,
+    ) -> dict:
+        """Copy-on-write rewrite — the kernel under DELETE and UPDATE
+        (Delta/Iceberg COW semantics): only files that CONTAIN a
+        matching row are rewritten; every untouched file is HARDLINKED
+        into the new version (zero data movement), and the pointer
+        commit flips readers atomically.
+
+        Touched files are discovered by Spark itself: one filtered
+        scan projecting input_file_name() — partition pruning and
+        parquet row-group stats make this the cheap metadata-shaped
+        pass it is at any scale, and the driver receives a FILE
+        MANIFEST (|files| rows), not data (the documented
+        driver-scalar collect pattern). Each touched hive directory is
+        rewritten with its partition values injected as literals (the
+        dir name carries them, so predicates over partition columns
+        work), transformed, then written back into the same relative
+        subdir with the partition columns dropped again.
+
+        ``transform(df, pred_col)`` receives the file's rows plus the
+        evaluated predicate column and returns the replacement rows.
+        Returns {files_total, files_rewritten, files_linked,
+        rows_before, rows_after}.
+        """
+        data = self.current_data_dir(name)
+        if data is None:
+            raise ValueError(f"unknown table {name!r}")
+        parts = self._partition_dirs(data)
+        all_files = [f for _rel, fs in parts for f in fs]
+        full = self.spark.read.option("basePath", data).parquet(data)
+        rows_before = full.count()
+        touched = {
+            r[0]
+            for r in full.where(predicate)
+            .select(F.input_file_name())
+            .distinct()
+            .collect()
+        }
+
+        def _local(p: str) -> str:
+            return p[len("file:") :] if p.startswith("file:") else p
+
+        touched_local = {os.path.normpath(_local(p)) for p in touched}
+        version = f"v_{uuid.uuid4().hex[:12]}"
+        vdir = os.path.join(self.path(name), version)
+        n_link = n_rewrite = 0
+        for rel, files in parts:
+            out_dir = vdir if rel == "." else os.path.join(vdir, rel)
+            os.makedirs(out_dir, exist_ok=True)
+            dir_touched = [
+                f for f in files if os.path.normpath(f) in touched_local
+            ]
+            for f in files:
+                if os.path.normpath(f) not in touched_local:
+                    os.link(f, os.path.join(out_dir, os.path.basename(f)))
+                    n_link += 1
+            if dir_touched:
+                df = self.spark.read.parquet(*dir_touched)
+                for col, val in self._partition_literals(rel):
+                    df = df.withColumn(col, F.lit(val).cast("string"))
+                replaced = transform(df, F.expr(predicate))
+                drop_cols = [c for c, _v in self._partition_literals(rel)]
+                if drop_cols:
+                    replaced = replaced.drop(*drop_cols)
+                replaced.write.mode("append").parquet(out_dir)
+                n_rewrite += len(dir_touched)
+        self._commit(name, version)
+        after = self.read(name)
+        assert after is not None
+        return {
+            "files_total": len(all_files),
+            "files_rewritten": n_rewrite,
+            "files_linked": n_link,
+            "rows_before": rows_before,
+            "rows_after": after.count(),
+        }
+
+    def delete_where(self, name: str, predicate: str) -> dict:
+        """Copy-on-write DELETE (Delta ``DELETE FROM t WHERE``): drop
+        matching rows, rewriting ONLY the files that contain one —
+        with a partition-column predicate the scan prunes to the
+        matching hive dirs, so whole untouched partitions survive as
+        hardlinks. Time travel to the pre-delete version still works
+        within the retention window."""
+        return self._rewrite_where(
+            name, predicate, lambda df, pred: df.where(~pred)
+        )
+
+    def update_where(
+        self, name: str, predicate: str, assignments: dict[str, str]
+    ) -> dict:
+        """Copy-on-write UPDATE (Delta ``UPDATE t SET ... WHERE``):
+        ``assignments`` maps column -> SQL expression, applied only to
+        matching rows (CASE WHEN predicate THEN expr ELSE old END) in
+        the files that contain one. Updating a PARTITION column would
+        move rows across directories — raise loudly rather than
+        silently corrupting the layout (Delta requires a
+        delete+insert for that too)."""
+        data = self.current_data_dir(name)
+        if data is not None:
+            part_cols = {
+                c
+                for rel, _fs in self._partition_dirs(data)
+                for c, _v in self._partition_literals(rel)
+            }
+            bad = part_cols & set(assignments)
+            if bad:
+                raise ValueError(
+                    f"update_where cannot reassign partition columns {sorted(bad)}; "
+                    "delete + re-append moves rows across partitions"
+                )
+
+        def _apply(df: DataFrame, pred) -> DataFrame:
+            for col, expr_sql in assignments.items():
+                # Cast back to the column's ORIGINAL type: SQL literal
+                # arithmetic widens (double + 1000.0 -> wider DECIMAL),
+                # and a rewritten file whose column type drifted from
+                # the hardlinked files' would poison every later read
+                # (schema enforcement — Delta does the same cast).
+                df = df.withColumn(
+                    col,
+                    F.when(pred, F.expr(expr_sql))
+                    .otherwise(F.col(col))
+                    .cast(df.schema[col].dataType),
+                )
+            return df
+
+        return self._rewrite_where(name, predicate, _apply)

@@ -226,3 +226,75 @@ class TestCompaction:
         # Contents (incl. the dir-encoded partition column) identical.
         after_rows = sorted(tuple(r) for r in store.read("tp").collect())
         assert after_rows == before_rows
+
+
+class TestCopyOnWriteDML:
+    """Delta-style COW DELETE/UPDATE: only files containing a matching
+    row are rewritten; untouched files are HARDLINKED into the new
+    version (same inode — zero data movement); pointer commit flips
+    readers atomically; prior version stays time-travelable."""
+
+    def test_delete_where_rewrites_only_touched_files(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "dml"), retain_versions=2)
+        df = spark.range(0, 800).selectExpr("id AS k", "id % 10 AS v")
+        # range-partitioned 8 files => the k-range predicate touches 1-2
+        store.overwrite("t", df.repartitionByRange(8, "k").sortWithinPartitions("k"))
+        before = store.current_data_dir("t")
+        inodes_before = {
+            os.path.basename(f): os.stat(f).st_ino
+            for _r, fs in store._partition_dirs(before)
+            for f in fs
+        }
+        stats = store.delete_where("t", "k >= 700")
+        assert stats["rows_before"] == 800
+        assert stats["rows_after"] == 700
+        assert stats["files_rewritten"] <= 2
+        assert stats["files_linked"] == stats["files_total"] - stats["files_rewritten"]
+        # linked files are the SAME inodes (no copy)
+        after = store.current_data_dir("t")
+        inodes_after = {
+            os.path.basename(f): os.stat(f).st_ino
+            for _r, fs in store._partition_dirs(after)
+            for f in fs
+        }
+        shared = set(inodes_before) & set(inodes_after)
+        assert sum(inodes_before[b] == inodes_after[b] for b in shared) >= stats[
+            "files_linked"
+        ]
+        got = {r.k for r in store.read("t").collect()}
+        assert got == set(range(700))
+        # pre-delete version still readable
+        prior = store.read("t", version=0)
+        assert prior.count() == 800
+
+    def test_update_where_partitioned_touches_one_dir(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "dml2"), retain_versions=2)
+        df = spark.range(0, 300).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS part", "id * 1.0 AS v"
+        )
+        store.overwrite("tp", df, partition_by=["part"])
+        stats = store.update_where(
+            "tp", "part = '1' AND k % 2 = 0", {"v": "v + 1000.0"}
+        )
+        assert stats["rows_before"] == stats["rows_after"] == 300
+        # only part=1's file(s) contain matches; part=0/2 hardlinked
+        assert stats["files_rewritten"] >= 1
+        assert stats["files_linked"] >= 2
+        rows = {(r.k, r.part, r.v) for r in store.read("tp").collect()}
+        for k in range(300):
+            part = str(k % 3)
+            expect_v = k + 1000.0 if (part == "1" and k % 2 == 0) else float(k)
+            assert (k, int(part) if False else part, expect_v) in rows or (
+                k,
+                int(part),
+                expect_v,
+            ) in {(r[0], r[1], r[2]) for r in rows}
+
+    def test_update_partition_column_raises(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "dml3"))
+        df = spark.range(0, 30).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS part"
+        )
+        store.overwrite("tq", df, partition_by=["part"])
+        with pytest.raises(ValueError, match="partition columns"):
+            store.update_where("tq", "k > 5", {"part": "'9'"})
