@@ -335,8 +335,18 @@ def q401_sketch_gap_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
             "h1"
         ),
     )
-    stats = ev.groupBy().agg(
+    from product_analytics_spark.qcommon import combine_single_rows
+
+    # Exact distinct counts live in their OWN aggregate: co-aggregating
+    # countDistinct with TypedImperativeAggregate buffers (percentile,
+    # histogram_numeric, count_min_sketch) rewrites the whole agg
+    # through Expand — 2x rows through every object buffer (the q155
+    # lesson; measured 4.1s -> ~1.5s for this door at sf0.1).
+    distincts = ev.groupBy().agg(
         F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct("bucket").alias("n_buckets_exact"),
+    )
+    sketches_and_stats = ev.groupBy().agg(
         F.count(F.lit(1)).alias("n"),
         F.percentile(F.col("cents"), F.lit(0.45)).alias("p45"),
         F.percentile(F.col("cents"), F.lit(0.55)).alias("p55"),
@@ -353,8 +363,8 @@ def q401_sketch_gap_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "event_type", F.lit(CMS_EPS), F.lit(CMS_CONF), F.lit(CMS_SEED)
             )
         ).cast("bigint").alias("cms_bytes"),
-        F.countDistinct("bucket").alias("n_buckets_exact"),
     )
+    stats = combine_single_rows(distincts, sketches_and_stats)
     # per-type bucket bitmaps -> and/or across the 5 types
     per_type = ev.groupBy("event_type").agg(
         F.bitmap_construct_agg(F.bitmap_bit_position("bucket")).alias("bm")
@@ -364,8 +374,6 @@ def q401_sketch_gap_cert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.bitmap_count(F.bitmap_and_agg("bm")).alias("n_and"),
         F.count(F.lit(1)).alias("n_types"),
     )
-    from product_analytics_spark.qcommon import combine_single_rows
-
     est = F.hll_sketch_estimate(F.hll_union(F.col("h0"), F.col("h1")))
     # Join-free single-row combine (1-row cross joins = banned BNLJ);
     # max-per-column passes the sketch binaries through untouched.
