@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _money_cents, _t
+from product_analytics_spark.qcommon import _t
 
 # ------------------------------------------------------------- q395
 
