@@ -194,9 +194,121 @@ FROM upd GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+# ------------------------------------------------------------- q412
+
+Q412_WH = os.path.join(_REPO, ".q412_warehouse")
+
+
+def q412_occ_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimistic concurrency control, executed end-to-end (the
+    Delta/Iceberg commit-conflict protocol on the SnapshotStore):
+    writer A snapshots the account table at version vA; writer B's
+    merge commits FIRST; A's commit — carrying expected_version=vA —
+    must be REFUSED (ConcurrentWriteError, its uncommitted version dir
+    cleaned up, B's rows intact), because a last-writer-wins overwrite
+    here would silently drop B's update. A then retries through the
+    ``merge(isolated=True)`` loop: re-read, re-merge, commit against
+    the fresh version — and the final table carries BOTH writers'
+    changes with A-over-B on the overlap (serializable order B→A).
+
+    The oracle replays the same serial history in SQL (two sequential
+    keyed merges); the compared values are the per-segment balance
+    aggregates of the final state plus the protocol booleans
+    (conflict_raised / loser_cleaned / retry_committed).
+
+    Scale: the conflict check is a pointer compare inside a
+    microsecond lock — version data is on disk before commit, so
+    contention cost is retry WORK, never corruption; on object stores
+    the table format's log putIfAbsent is the same check."""
+    from product_analytics_spark.operators.incremental import merge_upsert
+    from product_analytics_spark.sources.sinks import (
+        ConcurrentWriteError,
+        SnapshotStore,
+    )
+
+    shutil.rmtree(Q412_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q412_WH, retain_versions=3)
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("acct", base)
+
+    # --- writer A snapshots ---
+    v_a = store.current_version("acct")
+    prev_a = store.read("acct")
+    batch_a = base.filter(F.col("k") % 7 == 0).withColumn(
+        "cents", F.col("cents") + 700
+    )
+    # --- writer B commits first ---
+    batch_b = base.filter(F.col("k") % 10 == 0).withColumn(
+        "cents", F.col("cents") + 500
+    )
+    store.merge("acct", batch_b, "k")
+
+    # --- A's stale commit must be refused, leaving B intact ---
+    conflict_raised = False
+    try:
+        store.overwrite(
+            "acct", merge_upsert(prev_a, batch_a, "k"), expected_version=v_a
+        )
+    except ConcurrentWriteError:
+        conflict_raised = True
+    n_version_dirs = len(
+        [d for d in os.listdir(store.path("acct")) if d.startswith("v_")]
+    )
+    loser_cleaned = n_version_dirs <= 3  # retention window only, no orphan
+
+    # --- A retries through the isolated-merge loop ---
+    store.merge("acct", batch_a, "k", isolated=True)
+
+    final = store.read("acct")
+    return (
+        final.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("cents") / 100.0).cast("double").alias("balance_sum"),
+        )
+        .select(
+            "seg",
+            "n",
+            "balance_sum",
+            F.lit(bool(conflict_raised)).alias("conflict_raised"),
+            F.lit(bool(loser_cleaned)).alias("loser_cleaned"),
+            F.lit(True).alias("retry_committed"),
+        )
+        .orderBy("seg")
+    )
+
+
+Q412_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+final AS (
+  SELECT k, seg,
+         CASE WHEN k % 7 = 0 THEN cents + 700
+              WHEN k % 10 = 0 THEN cents + 500
+              ELSE cents END AS cents
+  FROM base
+)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(cents) AS BIGINT) / 100.0 AS DOUBLE) AS balance_sum,
+       TRUE AS conflict_raised,
+       TRUE AS loser_cleaned,
+       TRUE AS retry_committed
+FROM final GROUP BY seg ORDER BY seg
+"""
+
+
 QUERIES_EXT87 = {
     "q410_cow_delete": q410_cow_delete,
     "q411_cow_update": q411_cow_update,
+    "q412_occ_conflict_retry": q412_occ_conflict_retry,
 }
 
 
@@ -204,4 +316,5 @@ def _oracles_ext87() -> dict[str, str]:
     return {
         "q410_cow_delete": Q410_SQL,
         "q411_cow_update": Q411_SQL,
+        "q412_occ_conflict_retry": Q412_SQL,
     }

@@ -56,6 +56,17 @@ except Exception:  # pragma: no cover
 _POINTER = "_CURRENT"
 _LOG = "_LOG"
 
+#: Sentinel default for ``expected_version`` — distinct from None,
+#: which is a MEANINGFUL expectation (first write: no pointer yet).
+UNCHECKED = object()
+
+
+class ConcurrentWriteError(RuntimeError):
+    """Optimistic-concurrency conflict: the table's committed version
+    moved between a transaction's snapshot read and its commit. The
+    caller re-reads and retries (the Delta/Iceberg commit-retry loop);
+    blind retry would silently drop the other writer's rows."""
+
 
 class SnapshotStore:
     """Keyed SCD-1 snapshots in a warehouse directory, one table per
@@ -115,6 +126,17 @@ class SnapshotStore:
             vdir = os.path.join(table, version)
             return vdir if os.path.isdir(vdir) else None
         return table if os.path.isdir(table) else None
+
+    def current_version(self, name: str) -> str | None:
+        """The committed version id (pointer contents) — the snapshot
+        identity an optimistic transaction reads and later presents as
+        ``expected_version`` at commit. None before the first commit
+        (and for plain pre-existing dirs, which have no pointer)."""
+        ptr = self._pointer_path(name)
+        if not os.path.isfile(ptr):
+            return None
+        with open(ptr, encoding="utf-8") as fh:
+            return fh.read().strip()
 
     def exists(self, name: str) -> bool:
         return self.current_data_dir(name) is not None
@@ -177,17 +199,76 @@ class SnapshotStore:
         writer.parquet(os.path.join(self.path(name), version))
         return version
 
-    def _commit(self, name: str, version: str) -> None:
+    def _commit_lock(self, name: str):
+        """Short mutex around the compare-and-commit critical section:
+        an O_EXCL lock file (held for microseconds — the version data
+        is already on disk before _commit runs). A crash inside the
+        section leaves a stale lock, broken after 30s by age — the
+        local-FS analog of a lease; on object stores the table
+        format's log-entry putIfAbsent plays this role natively."""
+        import contextlib
+        import time
+
+        lock = os.path.join(self.path(name), "_COMMIT_LOCK")
+
+        @contextlib.contextmanager
+        def _held():
+            deadline = time.time() + 10.0
+            while True:
+                try:
+                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+                    os.close(fd)
+                    break
+                except FileExistsError:
+                    try:
+                        if time.time() - os.path.getmtime(lock) > 30.0:
+                            os.unlink(lock)  # break a stale lease
+                            continue
+                    except OSError:
+                        continue
+                    if time.time() > deadline:
+                        raise TimeoutError(f"commit lock busy: {lock}")
+                    time.sleep(0.01)
+            try:
+                yield
+            finally:
+                try:
+                    os.unlink(lock)
+                except OSError:
+                    pass
+
+        return _held()
+
+    def _commit(
+        self, name: str, version: str, expected_version=UNCHECKED
+    ) -> None:
         """Atomically point ``_CURRENT`` at ``version`` (the commit
         point), append it to the commit log, then garbage-collect
-        versions that fell off the retention window."""
+        versions that fell off the retention window.
+
+        Optimistic concurrency: with ``expected_version`` set (the
+        version the transaction READ — ``current_version()`` at its
+        start, None for first-write), the pointer must still name it
+        inside the locked section, or ConcurrentWriteError is raised
+        and NOTHING commits — the Delta/Iceberg conflict check. The
+        default stays last-writer-wins (dbt full-refresh semantics)."""
         table = self.path(name)
         tmp = os.path.join(table, f"_ptr_{uuid.uuid4().hex[:8]}")
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(version)
-        os.replace(tmp, self._pointer_path(name))  # POSIX-atomic
-        with open(self._log_path(name), "a", encoding="utf-8") as fh:
-            fh.write(version + "\n")
+        with self._commit_lock(name):
+            if expected_version is not UNCHECKED:
+                cur = self.current_version(name)
+                if cur != expected_version:
+                    os.unlink(tmp)
+                    raise ConcurrentWriteError(
+                        f"table {name!r}: committed version moved "
+                        f"{expected_version!r} -> {cur!r} since this "
+                        "transaction's snapshot read; re-read and retry"
+                    )
+            os.replace(tmp, self._pointer_path(name))  # POSIX-atomic
+            with open(self._log_path(name), "a", encoding="utf-8") as fh:
+                fh.write(version + "\n")
         retained = set(self.versions(name)[-self.retain_versions :]) | {version}
         for entry in os.listdir(table):
             if entry.startswith("v_") and entry not in retained:
@@ -201,12 +282,26 @@ class SnapshotStore:
         df: DataFrame,
         partition_by: Sequence[str] = (),
         cluster_by: Sequence[str] = (),
+        expected_version=UNCHECKED,
     ) -> None:
-        """Atomic full replace: write a version dir, commit the pointer."""
+        """Atomic full replace: write a version dir, commit the pointer.
+
+        ``expected_version`` (optional) turns the commit into an
+        optimistic transaction: pass ``current_version(name)`` from
+        the transaction's snapshot read and the commit refuses
+        (ConcurrentWriteError, uncommitted version cleaned up) if
+        another writer got there first — a blind overwrite would drop
+        that writer's rows."""
         version = self._write_version(
             name, df, partition_by=partition_by, cluster_by=cluster_by
         )
-        self._commit(name, version)
+        try:
+            self._commit(name, version, expected_version=expected_version)
+        except ConcurrentWriteError:
+            shutil.rmtree(
+                os.path.join(self.path(name), version), ignore_errors=True
+            )
+            raise
 
     def append(self, name: str, df: DataFrame, partition_by: Sequence[str] = ()) -> None:
         """S5: plain append materialization.
@@ -229,6 +324,8 @@ class SnapshotStore:
         key: str | Sequence[str],
         partition_by: Sequence[str] = (),
         cluster_by: Sequence[str] = (),
+        isolated: bool = False,
+        max_retries: int = 3,
     ) -> DataFrame:
         """S4: MERGE batch into the named snapshot on ``key``;
         returns the merged snapshot DataFrame (freshly readable).
@@ -237,13 +334,37 @@ class SnapshotStore:
         writing the new version before the pointer commit means the
         read and the write never race — the commit happens only after
         the new version is fully on disk.
+
+        ``isolated=True`` makes the read-merge-commit an optimistic
+        TRANSACTION: the commit presents the version this merge read,
+        and if another writer committed in between the merge re-reads
+        and retries (up to ``max_retries``) instead of silently
+        clobbering the other writer's rows — the Delta MERGE
+        commit-retry loop. Default stays last-writer-wins (dbt
+        incremental semantics, q17's contract).
         """
-        prev = self.read(name)
-        merged = merge_upsert(prev, batch, key)
-        self.overwrite(name, merged, partition_by=partition_by, cluster_by=cluster_by)
-        out = self.read(name)
-        assert out is not None
-        return out
+        attempts = max_retries if isolated else 1
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(attempts):
+            snapshot_version = self.current_version(name) if isolated else UNCHECKED
+            prev = self.read(name)
+            merged = merge_upsert(prev, batch, key)
+            try:
+                self.overwrite(
+                    name,
+                    merged,
+                    partition_by=partition_by,
+                    cluster_by=cluster_by,
+                    expected_version=snapshot_version,
+                )
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                continue
+            out = self.read(name)
+            assert out is not None
+            return out
+        assert last_err is not None
+        raise last_err
 
     # ----------------------------------------------------- compaction
 

@@ -298,3 +298,102 @@ class TestCopyOnWriteDML:
         store.overwrite("tq", df, partition_by=["part"])
         with pytest.raises(ValueError, match="partition columns"):
             store.update_where("tq", "k > 5", {"part": "'9'"})
+
+
+class TestOptimisticConcurrency:
+    """Delta-style optimistic concurrency on the pointer commit: a
+    transaction presents the version it READ; if another writer moved
+    the pointer in between, the commit refuses (nothing flips, the
+    uncommitted version dir is cleaned up) instead of silently
+    dropping the other writer's rows. isolated merge retries."""
+
+    def test_conflicting_overwrite_raises_and_cleans_up(self, spark, tmp_path):
+        from product_analytics_spark.sources.sinks import (
+            ConcurrentWriteError,
+            SnapshotStore,
+        )
+
+        store = SnapshotStore(spark, str(tmp_path / "occ"))
+        store.overwrite("t", spark.range(5).selectExpr("id AS k"))
+        v0 = store.current_version("t")
+        # Another writer commits in between.
+        store.overwrite("t", spark.range(5, 9).selectExpr("id AS k"))
+        with pytest.raises(ConcurrentWriteError, match="version moved"):
+            store.overwrite(
+                "t",
+                spark.range(100, 103).selectExpr("id AS k"),
+                expected_version=v0,
+            )
+        # Loser's uncommitted version dir was cleaned; winner intact.
+        dirs = [d for d in os.listdir(store.path("t")) if d.startswith("v_")]
+        assert len(dirs) == 1
+        assert {r.k for r in store.read("t").collect()} == {5, 6, 7, 8}
+
+    def test_first_write_expects_none(self, spark, tmp_path):
+        from product_analytics_spark.sources.sinks import SnapshotStore
+
+        store = SnapshotStore(spark, str(tmp_path / "occ2"))
+        assert store.current_version("fresh") is None
+        store.overwrite(
+            "fresh", spark.range(3).selectExpr("id AS k"), expected_version=None
+        )
+        assert store.read("fresh").count() == 3
+
+    def test_isolated_merge_retries_after_conflict(
+        self, spark, tmp_path, monkeypatch
+    ):
+        from product_analytics_spark.sources.sinks import SnapshotStore
+
+        store = SnapshotStore(spark, str(tmp_path / "occ3"))
+        store.overwrite(
+            "t", spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+        )
+        # First snapshot read returns a STALE version (simulating a
+        # concurrent commit between read and commit); later reads are
+        # real, so the retry succeeds.
+        real = store.current_version
+        calls = {"n": 0}
+
+        def stale_once(name):
+            calls["n"] += 1
+            if calls["n"] == 1:
+                return "v_gone_stale"
+            return real(name)
+
+        monkeypatch.setattr(store, "current_version", stale_once)
+        out = store.merge(
+            "t",
+            spark.createDataFrame([(2, 99.0), (3, 30.0)], "k long, v double"),
+            "k",
+            isolated=True,
+        )
+        got = {(r.k, r.v) for r in out.collect()}
+        assert got == {(1, 10.0), (2, 99.0), (3, 30.0)}
+        assert calls["n"] >= 3  # stale read + conflict check + retry
+
+    def test_isolated_merge_exhausts_retries(self, spark, tmp_path, monkeypatch):
+        from product_analytics_spark.sources.sinks import (
+            ConcurrentWriteError,
+            SnapshotStore,
+        )
+
+        store = SnapshotStore(spark, str(tmp_path / "occ4"))
+        store.overwrite("t", spark.range(3).selectExpr("id AS k"))
+        # Odd calls = the merge's snapshot read (stale), even calls =
+        # the commit's conflict check (real) -> every attempt conflicts.
+        real = store.current_version
+        calls = {"n": 0}
+
+        def alternating(name):
+            calls["n"] += 1
+            return "v_always_stale" if calls["n"] % 2 == 1 else real(name)
+
+        monkeypatch.setattr(store, "current_version", alternating)
+        with pytest.raises(ConcurrentWriteError):
+            store.merge(
+                "t",
+                spark.range(3, 5).selectExpr("id AS k"),
+                "k",
+                isolated=True,
+                max_retries=2,
+            )
