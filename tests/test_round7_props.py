@@ -199,3 +199,63 @@ class TestPollDrained:
 
         with pytest.raises(TimeoutError, match="not drained"):
             _poll_drained(_Wedged(), timeout_s=0.2, sink_name="s", sleep_s=0.01)
+
+
+# ----------------------------------------- COW DML property (round 7)
+
+from hypothesis import HealthCheck, given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+_SETTLE = dict(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+class TestCopyOnWriteProperty:
+    @settings(**_SETTLE)
+    @given(
+        n_rows=st.integers(min_value=20, max_value=120),
+        n_files=st.integers(min_value=1, max_value=6),
+        mod=st.integers(min_value=2, max_value=9),
+        res=st.integers(min_value=0, max_value=8),
+        partitioned=st.booleans(),
+    )
+    def test_delete_where_equals_filter(
+        self, spark, tmp_path_factory, n_rows, n_files, mod, res, partitioned
+    ):
+        """For ANY generated table layout (file count, hive
+        partitioning) and ANY modulus predicate — including all-match
+        and no-match — copy-on-write delete must be value-equal to the
+        plain anti-filter, with the file accounting consistent
+        (linked + rewritten == total) and row accounting exact."""
+        from product_analytics_spark.sources.sinks import SnapshotStore
+
+        res = res % mod
+        wh = tmp_path_factory.mktemp("cowprop")
+        store = SnapshotStore(spark, str(wh), retain_versions=1)
+        df = spark.range(n_rows).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS part", "id * 7 AS v"
+        )
+        if partitioned:
+            store.overwrite("t", df, partition_by=["part"])
+        else:
+            store.overwrite("t", df.repartition(n_files))
+        pred = f"k % {mod} = {res}"
+        stats = store.delete_where("t", pred)
+        assert stats["files_linked"] + stats["files_rewritten"] == stats[
+            "files_total"
+        ]
+        expect = {
+            (r.k, str(r.part), r.v)
+            for r in df.where(f"NOT ({pred})").collect()
+        }
+        got = {
+            (r.k, str(r.part), r.v)
+            for r in store.read("t").select("k", "part", "v").collect()
+        }
+        assert got == expect
+        assert stats["rows_before"] - stats["rows_after"] == n_rows - len(
+            expect
+        )
