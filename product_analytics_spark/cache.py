@@ -14,6 +14,8 @@ in-session analog of that lifecycle.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.storagelevel import StorageLevel
 
@@ -54,6 +56,11 @@ def clear_all() -> int:
 # convention before, and nothing ever evicted dead-session entries).
 
 _SHARED: dict[tuple[str, str], DataFrame] = {}
+#: bench.py drives QUERIES through 8 worker threads; the miss path
+#: (stale-entry eviction + build + insert) must be serialized or two
+#: concurrent misses pop the same stale key (KeyError) and double-build
+#: the same relation (two persisted copies, one leaked).
+_SHARED_LOCK = threading.Lock()
 
 
 def _current_app_id() -> str:
@@ -75,25 +82,31 @@ def persist_shared(key: str, build) -> DataFrame:
     full = (app_id, key)
     df = _SHARED.get(full)
     if df is None:
-        for stale_key in [k for k in _SHARED if k[0] != app_id]:
-            stale = _SHARED.pop(stale_key)
-            try:
-                stale.unpersist(False)
-            except Exception:  # noqa: BLE001 — its session is already gone
-                pass
-        df = build().persist(StorageLevel.MEMORY_AND_DISK)
-        _SHARED[full] = df
+        with _SHARED_LOCK:
+            df = _SHARED.get(full)  # double-checked: a racer may have built
+            if df is None:
+                for stale_key in [k for k in _SHARED if k[0] != app_id]:
+                    stale = _SHARED.pop(stale_key, None)
+                    if stale is None:
+                        continue
+                    try:
+                        stale.unpersist(False)
+                    except Exception:  # noqa: BLE001 — session already gone
+                        pass
+                df = build().persist(StorageLevel.MEMORY_AND_DISK)
+                _SHARED[full] = df
     return df
 
 
 def clear_shared() -> int:
     """Unpersist every shared relation; returns how many."""
     n = 0
-    for df in list(_SHARED.values()):
-        try:
-            df.unpersist(False)
-            n += 1
-        except Exception:  # noqa: BLE001
-            pass
-    _SHARED.clear()
+    with _SHARED_LOCK:
+        for df in list(_SHARED.values()):
+            try:
+                df.unpersist(False)
+                n += 1
+            except Exception:  # noqa: BLE001
+                pass
+        _SHARED.clear()
     return n

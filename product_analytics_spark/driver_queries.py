@@ -5205,3 +5205,11 @@ from product_analytics_spark.driver_queries_ext87 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT87)
 ORACLES.update(_oracles_ext87())
+
+from product_analytics_spark.driver_queries_ext88 import (  # noqa: E402
+    QUERIES_EXT88,
+    _oracles_ext88,
+)
+
+QUERIES.update(QUERIES_EXT88)
+ORACLES.update(_oracles_ext88())

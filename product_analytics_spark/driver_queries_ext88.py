@@ -1,0 +1,255 @@
+"""Round-8 driver query families, batch 88 (q413-q414): optimistic
+concurrency control threaded through the copy-on-write DML and
+compaction commit paths — the round-7 verdict's top item. A concurrent
+merge landing between a DML/compaction snapshot scan and its pointer
+commit must be detected (ConcurrentWriteError), never silently lost;
+the loser re-scans the fresh version and retries, yielding the serial
+history the DuckDB oracle replays.
+
+Reference mapping: Delta/Iceberg commit-conflict protocol under
+``DELETE FROM``/``OPTIMIZE`` (the reference's dbt project materializes
+with Delta, dbt_project.yml:39, where concurrent MERGE vs DELETE gets
+exactly this resolution).
+
+Same contract as the other driver_queries modules.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from product_analytics_spark.qcommon import _money_cents, _t
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# ------------------------------------------------------------- q413
+
+Q413_WH = os.path.join(_REPO, ".q413_warehouse")
+
+
+def q413_occ_dml_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCC across a COW DELETE interleaved with a concurrent MERGE —
+    the exact lost-update VERDICT r7 flagged (sinks.py committed DML
+    rewrites UNCHECKED before this round). The interleaving is made
+    deterministic with the fault-injection hook: ``delete_where``
+    scans version v0's files, then — inside the scan→commit window —
+    a merge commits v1 (+500 cents on every k%10 account). The
+    delete's commit presents expected_version=v0, is REFUSED, and the
+    retry loop re-scans v1 and commits against it: serial history
+    merge→delete, both writers preserved.
+
+    The compared values are the per-segment aggregates of the final
+    table (oracle replays merge-then-delete in SQL) plus the protocol
+    certs: ``conflict_retried`` (the hook saw a second scan),
+    ``merge_preserved`` (survivor k%10 rows carry the concurrent
+    writer's +500 — with the pre-fix unchecked commit this is exactly
+    the boolean that flips false), and ``n_survivor_merged`` so the
+    overlap the lost update would erase is a compared COUNT, not just
+    a flag.
+
+    Scale: conflict detection is a pointer compare in a microsecond
+    critical section; the retry re-pays only the touched-file scan
+    (one input_file_name() manifest pass) — contention costs retry
+    work, never correctness, same as Delta's commit-retry loop."""
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q413_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q413_WH, retain_versions=3)
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("acct", base)
+
+    batch_b = base.filter(F.col("k") % 10 == 0).withColumn(
+        "cents", F.col("cents") + 500
+    )
+    scans = {"n": 0}
+
+    def _concurrent_merge():
+        scans["n"] += 1
+        if scans["n"] == 1:  # land B's commit inside A's scan→commit window
+            store.merge("acct", batch_b, "k")
+
+    store.delete_where("acct", "k % 3 = 0", post_scan=_concurrent_merge)
+    conflict_retried = scans["n"] >= 2
+
+    final = store.read("acct")
+    # Lost-update detector: every surviving k%10 account must carry the
+    # concurrent merge's +500. Blind v0-based commit loses all of them.
+    exp_cnt, exp_sum = (
+        base.filter((F.col("k") % 10 == 0) & (F.col("k") % 3 != 0))
+        .agg(F.count(F.lit(1)), F.sum("cents"))
+        .collect()[0]
+    )
+    got_sum = (
+        final.filter(F.col("k") % 10 == 0).agg(F.sum("cents")).collect()[0][0]
+    )
+    merge_preserved = got_sum == exp_sum + 500 * exp_cnt
+
+    return (
+        final.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("cents") / 100.0).cast("double").alias("balance_sum"),
+            F.sum(((F.col("k") % 10) == 0).cast("bigint")).alias(
+                "n_survivor_merged"
+            ),
+        )
+        .select(
+            "seg",
+            "n",
+            "balance_sum",
+            "n_survivor_merged",
+            F.lit(bool(conflict_retried)).alias("conflict_retried"),
+            F.lit(bool(merge_preserved)).alias("merge_preserved"),
+        )
+        .orderBy("seg")
+    )
+
+
+Q413_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+merged AS (  -- writer B commits first: serial order is merge -> delete
+  SELECT k, seg,
+         CASE WHEN k % 10 = 0 THEN cents + 500 ELSE cents END AS cents
+  FROM base
+),
+final AS (
+  SELECT * FROM merged WHERE NOT (k % 3 = 0)
+)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(cents) AS BIGINT) / 100.0 AS DOUBLE) AS balance_sum,
+       CAST(sum(CASE WHEN k % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_survivor_merged,
+       TRUE AS conflict_retried,
+       TRUE AS merge_preserved
+FROM final GROUP BY seg ORDER BY seg
+"""
+
+
+# ------------------------------------------------------------- q414
+
+Q414_WH = os.path.join(_REPO, ".q414_warehouse")
+
+
+def q414_occ_compact_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OCC across a compaction interleaved with a concurrent MERGE —
+    the second unchecked commit path VERDICT r7 flagged
+    (sinks.py compact). Orders land as 8 small range-clustered files;
+    ``compact`` plans the 8-file manifest, then — inside its
+    plan→commit window — a merge commits a +100-cent adjustment on
+    every F-status order. The compaction's stale single-file rewrite
+    (built from pre-merge bytes) must be REFUSED and discarded, the
+    plan re-drawn against the merged version, and the second commit
+    accepted: the final table is BOTH compacted (8 files → 1) and
+    merged — a blind commit would resurrect the pre-merge balances
+    wholesale.
+
+    Compared values: per-status aggregates of the final table (oracle
+    applies the merge), files_after as a compared column, and the
+    protocol certs (replanned / merge_preserved).
+
+    Scale: compaction is the archetypal rewrite-only transaction —
+    Delta OPTIMIZE retries it cheaply on conflict because it changes
+    layout, not logical content; re-planning costs one metadata pass
+    over the new manifest."""
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q414_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q414_WH, retain_versions=3)
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        _money_cents("o_totalprice").alias("cents"),
+    )
+    store.overwrite(
+        "ord", o.repartitionByRange(8, "k").sortWithinPartitions("k")
+    )
+
+    batch = o.filter(F.col("status") == "F").withColumn(
+        "cents", F.col("cents") + 100
+    )
+    plans = {"n": 0}
+
+    def _concurrent_merge():
+        plans["n"] += 1
+        if plans["n"] == 1:
+            store.merge("ord", batch, "k")
+
+    stats = store.compact("ord", post_scan=_concurrent_merge)
+    replanned = plans["n"] >= 2
+
+    final = store.read("ord")
+    exp_cnt, exp_sum = (
+        o.filter(F.col("status") == "F")
+        .agg(F.count(F.lit(1)), F.sum("cents"))
+        .collect()[0]
+    )
+    got_sum = (
+        final.filter(F.col("status") == "F")
+        .agg(F.sum("cents"))
+        .collect()[0][0]
+    )
+    merge_preserved = got_sum == exp_sum + 100 * exp_cnt
+
+    return (
+        final.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents") / 100.0).cast("double").alias("total"),
+        )
+        .select(
+            "status",
+            "n_orders",
+            "total",
+            F.lit(int(stats["files_after"])).cast("bigint").alias("files_after"),
+            F.lit(bool(replanned)).alias("replanned"),
+            F.lit(bool(merge_preserved)).alias("merge_preserved"),
+        )
+        .orderBy("status")
+    )
+
+
+Q414_SQL = """
+WITH o AS (
+  SELECT o_orderkey AS k, o_orderstatus AS status,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+merged AS (
+  SELECT k, status,
+         CASE WHEN status = 'F' THEN cents + 100 ELSE cents END AS cents
+  FROM o
+)
+SELECT status,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(CAST(sum(cents) AS BIGINT) / 100.0 AS DOUBLE) AS total,
+       CAST(1 AS BIGINT) AS files_after,
+       TRUE AS replanned,
+       TRUE AS merge_preserved
+FROM merged GROUP BY status ORDER BY status
+"""
+
+
+QUERIES_EXT88 = {
+    "q413_occ_dml_interleave": q413_occ_dml_interleave,
+    "q414_occ_compact_interleave": q414_occ_compact_interleave,
+}
+
+
+def _oracles_ext88() -> dict[str, str]:
+    return {
+        "q413_occ_dml_interleave": Q413_SQL,
+        "q414_occ_compact_interleave": Q414_SQL,
+    }

@@ -222,7 +222,23 @@ class SnapshotStore:
                 except FileExistsError:
                     try:
                         if time.time() - os.path.getmtime(lock) > 30.0:
-                            os.unlink(lock)  # break a stale lease
+                            # Break the stale lease via rename-then-unlink:
+                            # N waiters can all judge the SAME lock stale,
+                            # but os.rename of a given path succeeds for
+                            # exactly one of them — the losers see ENOENT
+                            # and loop back to O_EXCL. A bare unlink here
+                            # would let a second waiter unlink the FIRST
+                            # breaker's freshly acquired lock, putting two
+                            # writers inside the critical section.
+                            claim = f"{lock}.stale_{uuid.uuid4().hex[:8]}"
+                            os.rename(lock, claim)
+                            if time.time() - os.path.getmtime(claim) > 30.0:
+                                os.unlink(claim)
+                            else:
+                                # Judged stale, but the path held a FRESH
+                                # lock by rename time (holder swapped in
+                                # between) — put it back untouched.
+                                os.rename(claim, lock)
                             continue
                     except OSError:
                         continue
@@ -415,7 +431,13 @@ class SnapshotStore:
             plan.extend(groups[g] for g in sorted(groups))
         return plan
 
-    def compact(self, name: str, target_bytes: int = 128 << 20) -> dict:
+    def compact(
+        self,
+        name: str,
+        target_bytes: int = 128 << 20,
+        max_retries: int = 3,
+        post_scan=None,
+    ) -> dict:
         """Execute the compaction plan (OPTIMIZE's rewrite half): each
         planned group is rewritten as ONE file into a fresh version
         dir, then the pointer commits atomically — readers switch from
@@ -431,28 +453,66 @@ class SnapshotStore:
         directory-encoded partition columns survive the rewrite and
         read-back re-infers them unchanged. Returns
         {files_before, files_after, groups} so callers can assert the
-        file-count drop."""
-        plan = self.plan_compaction(name, target_bytes)
-        if not plan:
-            return {"files_before": 0, "files_after": 0, "groups": 0}
-        data = self.current_data_dir(name)
-        assert data is not None  # plan non-empty ⇒ committed data exists
-        n_before = sum(len(g) for g in plan)
-        version = f"v_{uuid.uuid4().hex[:12]}"
-        vdir = os.path.join(self.path(name), version)
-        for group in plan:
-            rel = os.path.relpath(os.path.dirname(group[0]), data)
-            out_dir = vdir if rel == "." else os.path.join(vdir, rel)
-            self.spark.read.parquet(*group).coalesce(1).write.mode(
-                "append"
-            ).parquet(out_dir)
-        self._commit(name, version)
-        n_after = sum(len(fs) for _r, fs in self._partition_dirs(vdir))
-        return {
-            "files_before": n_before,
-            "files_after": n_after,
-            "groups": len(plan),
-        }
+        file-count drop.
+
+        Optimistic transaction: the commit presents the version whose
+        file manifest was planned; if a writer (merge/overwrite/DML)
+        committed in between, the stale rewrite is discarded and the
+        compaction REPLANS against the new manifest (up to
+        ``max_retries``) — blind commit would resurrect rows the
+        concurrent writer deleted or drop rows it merged (lost
+        update). Delta's OPTIMIZE resolves the same conflict the same
+        way: rewrite-only transactions retry cheaply.
+
+        ``post_scan`` (optional zero-arg callable) is a fault-injection
+        point fired after each attempt's manifest plan and before its
+        commit — interleaving tests use it to land a concurrent commit
+        inside the window the OCC check must catch."""
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            expected = self.current_version(name)
+            plan = self.plan_compaction(name, target_bytes)
+            if post_scan is not None:
+                post_scan()
+            if not plan:
+                return {"files_before": 0, "files_after": 0, "groups": 0}
+            data = self.current_data_dir(name)
+            assert data is not None  # plan non-empty ⇒ committed data exists
+            n_before = sum(len(g) for g in plan)
+            version = f"v_{uuid.uuid4().hex[:12]}"
+            vdir = os.path.join(self.path(name), version)
+            try:
+                for group in plan:
+                    rel = os.path.relpath(os.path.dirname(group[0]), data)
+                    out_dir = vdir if rel == "." else os.path.join(vdir, rel)
+                    self.spark.read.parquet(*group).coalesce(1).write.mode(
+                        "append"
+                    ).parquet(out_dir)
+                self._commit(name, version, expected_version=expected)
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                shutil.rmtree(vdir, ignore_errors=True)
+                continue
+            except Exception:
+                # A concurrent commit may have GC'd this attempt's
+                # snapshot mid-rewrite (retention window) — same
+                # conflict, detected one step earlier. Anything with
+                # the version UNMOVED is a real error: re-raise.
+                shutil.rmtree(vdir, ignore_errors=True)
+                if self.current_version(name) == expected:
+                    raise
+                last_err = ConcurrentWriteError(
+                    f"table {name!r}: snapshot GC'd under compaction"
+                )
+                continue
+            n_after = sum(len(fs) for _r, fs in self._partition_dirs(vdir))
+            return {
+                "files_before": n_before,
+                "files_after": n_after,
+                "groups": len(plan),
+            }
+        assert last_err is not None
+        raise last_err
 
     # ------------------------------------------- copy-on-write DML
 
@@ -473,6 +533,8 @@ class SnapshotStore:
         name: str,
         predicate: str,
         transform,
+        max_retries: int = 3,
+        post_scan=None,
     ) -> dict:
         """Copy-on-write rewrite — the kernel under DELETE and UPDATE
         (Delta/Iceberg COW semantics): only files that CONTAIN a
@@ -495,73 +557,133 @@ class SnapshotStore:
         evaluated predicate column and returns the replacement rows.
         Returns {files_total, files_rewritten, files_linked,
         rows_before, rows_after}.
+
+        Optimistic transaction: the commit presents the version whose
+        files were scanned and hardlinked; if a writer committed in
+        between (merge/overwrite/compact), this rewrite is discarded
+        and the DML re-scans the NEW version (up to ``max_retries``) —
+        committing blind would resurrect that writer's deleted rows or
+        drop its merged ones (the lost-update VERDICT r7 flagged).
+
+        ``post_scan`` (optional zero-arg callable) is a fault-injection
+        point fired after each attempt's touched-file scan and before
+        its commit — interleaving certs (q413) land a concurrent merge
+        there to exercise the conflict-and-retry path deterministically.
         """
-        data = self.current_data_dir(name)
-        if data is None:
-            raise ValueError(f"unknown table {name!r}")
-        parts = self._partition_dirs(data)
-        all_files = [f for _rel, fs in parts for f in fs]
-        full = self.spark.read.option("basePath", data).parquet(data)
-        rows_before = full.count()
-        touched = {
-            r[0]
-            for r in full.where(predicate)
-            .select(F.input_file_name())
-            .distinct()
-            .collect()
-        }
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            expected = self.current_version(name)
+            data = self.current_data_dir(name)
+            if data is None:
+                raise ValueError(f"unknown table {name!r}")
+            parts = self._partition_dirs(data)
+            all_files = [f for _rel, fs in parts for f in fs]
+            manifest_local = {os.path.normpath(f) for f in all_files}
+            full = self.spark.read.option("basePath", data).parquet(data)
+            rows_before = full.count()
+            touched = {
+                r[0]
+                for r in full.where(predicate)
+                .select(F.input_file_name())
+                .distinct()
+                .collect()
+            }
 
-        def _local(p: str) -> str:
-            return p[len("file:") :] if p.startswith("file:") else p
+            def _local(p: str) -> str:
+                # input_file_name() yields a percent-encoded file: URI;
+                # decode it or paths/hive values with encoded chars
+                # (space, %, #, non-ASCII) never match the os.walk
+                # manifest and their files silently escape the rewrite.
+                from urllib.parse import unquote, urlparse
 
-        touched_local = {os.path.normpath(_local(p)) for p in touched}
-        version = f"v_{uuid.uuid4().hex[:12]}"
-        vdir = os.path.join(self.path(name), version)
-        n_link = n_rewrite = 0
-        for rel, files in parts:
-            out_dir = vdir if rel == "." else os.path.join(vdir, rel)
-            os.makedirs(out_dir, exist_ok=True)
-            dir_touched = [
-                f for f in files if os.path.normpath(f) in touched_local
-            ]
-            for f in files:
-                if os.path.normpath(f) not in touched_local:
-                    os.link(f, os.path.join(out_dir, os.path.basename(f)))
-                    n_link += 1
-            if dir_touched:
-                df = self.spark.read.parquet(*dir_touched)
-                for col, val in self._partition_literals(rel):
-                    df = df.withColumn(col, F.lit(val).cast("string"))
-                replaced = transform(df, F.expr(predicate))
-                drop_cols = [c for c, _v in self._partition_literals(rel)]
-                if drop_cols:
-                    replaced = replaced.drop(*drop_cols)
-                replaced.write.mode("append").parquet(out_dir)
-                n_rewrite += len(dir_touched)
-        self._commit(name, version)
-        after = self.read(name)
-        assert after is not None
-        return {
-            "files_total": len(all_files),
-            "files_rewritten": n_rewrite,
-            "files_linked": n_link,
-            "rows_before": rows_before,
-            "rows_after": after.count(),
-        }
+                parsed = urlparse(p)
+                return unquote(parsed.path) if parsed.scheme else unquote(p)
 
-    def delete_where(self, name: str, predicate: str) -> dict:
+            touched_local = {os.path.normpath(_local(p)) for p in touched}
+            if post_scan is not None:
+                post_scan()
+            stray = touched_local - manifest_local
+            if stray:
+                raise RuntimeError(
+                    f"COW rewrite of {name!r}: {len(stray)} scanned file(s) "
+                    f"missing from the on-disk manifest (URI decode "
+                    f"mismatch?): {sorted(stray)[:3]}"
+                )
+            version = f"v_{uuid.uuid4().hex[:12]}"
+            vdir = os.path.join(self.path(name), version)
+            n_link = n_rewrite = 0
+            try:
+                for rel, files in parts:
+                    out_dir = vdir if rel == "." else os.path.join(vdir, rel)
+                    os.makedirs(out_dir, exist_ok=True)
+                    dir_touched = [
+                        f for f in files if os.path.normpath(f) in touched_local
+                    ]
+                    for f in files:
+                        if os.path.normpath(f) not in touched_local:
+                            os.link(
+                                f, os.path.join(out_dir, os.path.basename(f))
+                            )
+                            n_link += 1
+                    if dir_touched:
+                        df = self.spark.read.parquet(*dir_touched)
+                        for col, val in self._partition_literals(rel):
+                            df = df.withColumn(col, F.lit(val).cast("string"))
+                        replaced = transform(df, F.expr(predicate))
+                        drop_cols = [
+                            c for c, _v in self._partition_literals(rel)
+                        ]
+                        if drop_cols:
+                            replaced = replaced.drop(*drop_cols)
+                        replaced.write.mode("append").parquet(out_dir)
+                        n_rewrite += len(dir_touched)
+                self._commit(name, version, expected_version=expected)
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                shutil.rmtree(vdir, ignore_errors=True)
+                continue
+            except Exception:
+                # A concurrent commit may have GC'd this attempt's
+                # snapshot mid-rewrite (hardlink source vanished) —
+                # same conflict, surfaced earlier. Version unmoved ⇒
+                # genuine failure: re-raise.
+                shutil.rmtree(vdir, ignore_errors=True)
+                if self.current_version(name) == expected:
+                    raise
+                last_err = ConcurrentWriteError(
+                    f"table {name!r}: snapshot GC'd under COW rewrite"
+                )
+                continue
+            after = self.read(name)
+            assert after is not None
+            return {
+                "files_total": len(all_files),
+                "files_rewritten": n_rewrite,
+                "files_linked": n_link,
+                "rows_before": rows_before,
+                "rows_after": after.count(),
+            }
+        assert last_err is not None
+        raise last_err
+
+    def delete_where(self, name: str, predicate: str, post_scan=None) -> dict:
         """Copy-on-write DELETE (Delta ``DELETE FROM t WHERE``): drop
         matching rows, rewriting ONLY the files that contain one —
         with a partition-column predicate the scan prunes to the
         matching hive dirs, so whole untouched partitions survive as
         hardlinks. Time travel to the pre-delete version still works
-        within the retention window."""
+        within the retention window. Commits are optimistic (see
+        ``_rewrite_where``); ``post_scan`` is the fault-injection hook."""
         return self._rewrite_where(
-            name, predicate, lambda df, pred: df.where(~pred)
+            name, predicate, lambda df, pred: df.where(~pred), post_scan=post_scan
         )
 
     def update_where(
-        self, name: str, predicate: str, assignments: dict[str, str]
+        self,
+        name: str,
+        predicate: str,
+        assignments: dict[str, str],
+        post_scan=None,
     ) -> dict:
         """Copy-on-write UPDATE (Delta ``UPDATE t SET ... WHERE``):
         ``assignments`` maps column -> SQL expression, applied only to
@@ -599,4 +721,4 @@ class SnapshotStore:
                 )
             return df
 
-        return self._rewrite_where(name, predicate, _apply)
+        return self._rewrite_where(name, predicate, _apply, post_scan=post_scan)

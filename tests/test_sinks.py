@@ -397,3 +397,207 @@ class TestOptimisticConcurrency:
                 isolated=True,
                 max_retries=2,
             )
+
+
+class TestDmlOptimisticConcurrency:
+    """Round-8: OCC threaded through the COW DML and compaction commit
+    paths (VERDICT r7 item 1 — these committed UNCHECKED before, so a
+    merge landing between a DML scan and its commit was a silent lost
+    update). The fault-injection hook (post_scan) lands the concurrent
+    commit deterministically inside the scan→commit window."""
+
+    def test_delete_where_retries_on_concurrent_merge(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "d1"), retain_versions=3)
+        store.overwrite(
+            "t",
+            spark.createDataFrame(
+                [(k, 100.0) for k in range(10)], "k long, v double"
+            ),
+        )
+        batch = spark.createDataFrame([(1, 999.0), (4, 999.0)], "k long, v double")
+        scans = {"n": 0}
+
+        def merge_once():
+            scans["n"] += 1
+            if scans["n"] == 1:
+                store.merge("t", batch, "k")
+
+        store.delete_where("t", "k % 2 = 0", post_scan=merge_once)
+        assert scans["n"] == 2  # conflict forced a second scan
+        got = {(r.k, r.v) for r in store.read("t").collect()}
+        # Serial merge→delete: k=4's update deleted with it, k=1's kept.
+        assert got == {(1, 999.0), (3, 100.0), (5, 100.0), (7, 100.0), (9, 100.0)}
+
+    def test_update_where_retries_on_concurrent_merge(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "u1"), retain_versions=3)
+        store.overwrite(
+            "t",
+            spark.createDataFrame(
+                [(k, 100.0) for k in range(6)], "k long, v double"
+            ),
+        )
+        batch = spark.createDataFrame([(0, 50.0)], "k long, v double")
+        scans = {"n": 0}
+
+        def merge_once():
+            scans["n"] += 1
+            if scans["n"] == 1:
+                store.merge("t", batch, "k")
+
+        store.update_where("t", "k < 2", {"v": "v + 1"}, post_scan=merge_once)
+        assert scans["n"] == 2
+        got = {(r.k, r.v) for r in store.read("t").collect()}
+        # Serial merge→update: k=0 is 50+1, not 100+1 (lost-update check).
+        assert (0, 51.0) in got and (1, 101.0) in got
+
+    def test_compact_replans_on_concurrent_merge(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "c1"), retain_versions=3)
+        store.overwrite(
+            "t",
+            spark.createDataFrame(
+                [(k, 1.0) for k in range(64)], "k long, v double"
+            ).repartition(8),
+        )
+        batch = spark.createDataFrame([(0, 777.0)], "k long, v double")
+        plans = {"n": 0}
+
+        def merge_once():
+            plans["n"] += 1
+            if plans["n"] == 1:
+                store.merge("t", batch, "k")
+
+        stats = store.compact("t", post_scan=merge_once)
+        assert plans["n"] == 2  # stale rewrite refused, replanned
+        assert stats["files_after"] == 1
+        got = {r.v for r in store.read("t").where("k = 0").collect()}
+        assert got == {777.0}  # the merge survived the compaction
+
+    def test_delete_where_exhausts_retries(self, spark, tmp_path):
+        from product_analytics_spark.sources.sinks import ConcurrentWriteError
+
+        store = SnapshotStore(spark, str(tmp_path / "d2"), retain_versions=3)
+        store.overwrite(
+            "t",
+            spark.createDataFrame([(k, 1.0) for k in range(4)], "k long, v double"),
+        )
+
+        def always_conflict():  # a writer lands inside EVERY attempt
+            store.merge(
+                "t",
+                spark.createDataFrame([(0, 2.0)], "k long, v double"),
+                "k",
+            )
+
+        with pytest.raises(ConcurrentWriteError):
+            store.delete_where(
+                "t", "k >= 0", post_scan=always_conflict
+            )
+        # The table still reflects only committed merges — nothing lost,
+        # nothing half-deleted, and no orphan uncommitted version dirs
+        # beyond the retention window.
+        assert store.read("t").count() == 4
+        dirs = [d for d in os.listdir(store.path("t")) if d.startswith("v_")]
+        assert len(dirs) <= 3
+
+    def test_cow_survives_snapshot_gc(self, spark, tmp_path):
+        # retain_versions=1: the concurrent merge GCs the version the
+        # delete scanned mid-rewrite; the hardlink source vanishing is
+        # the SAME conflict, surfaced earlier — must retry, not crash.
+        store = SnapshotStore(spark, str(tmp_path / "d3"), retain_versions=1)
+        store.overwrite(
+            "t",
+            spark.createDataFrame(
+                [(k, 1.0) for k in range(8)], "k long, v double"
+            ).repartition(4),
+        )
+        scans = {"n": 0}
+
+        def merge_once():
+            scans["n"] += 1
+            if scans["n"] == 1:
+                store.merge(
+                    "t",
+                    spark.createDataFrame([(0, 9.0)], "k long, v double"),
+                    "k",
+                )
+
+        store.delete_where("t", "k >= 6", post_scan=merge_once)
+        assert scans["n"] == 2
+        got = {(r.k, r.v) for r in store.read("t").collect()}
+        assert got == {(0, 9.0)} | {(k, 1.0) for k in range(1, 6)}
+
+
+class TestCowUriDecoding:
+    """ADVICE r7: input_file_name() returns percent-encoded URIs; paths
+    or hive partition values with encoded characters (space, %, #,
+    non-ASCII) must still match the os.walk manifest, or their files
+    silently escape the rewrite (DELETE no-ops on them)."""
+
+    @pytest.mark.parametrize("subdir", ["with space", "pct%40dir", "uni_é"])
+    def test_delete_in_encoded_warehouse_path(self, spark, tmp_path, subdir):
+        store = SnapshotStore(spark, str(tmp_path / subdir / "wh"))
+        store.overwrite(
+            "t",
+            spark.createDataFrame([(k, 1.0) for k in range(6)], "k long, v double"),
+        )
+        stats = store.delete_where("t", "k < 3")
+        assert stats["files_rewritten"] >= 1
+        assert {r.k for r in store.read("t").collect()} == {3, 4, 5}
+
+    def test_delete_with_encoded_partition_values(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "whp"))
+        df = spark.createDataFrame(
+            [(0, "north america", 1.0), (1, "north america", 2.0),
+             (2, "emea#south", 3.0), (3, "100% juice", 4.0)],
+            "k long, region string, v double",
+        )
+        store.overwrite("t", df, partition_by=["region"])
+        stats = store.delete_where("t", "k IN (0, 2)")
+        assert stats["files_rewritten"] >= 2  # both encoded dirs rewritten
+        got = {(r.k, r.region) for r in store.read("t").collect()}
+        assert got == {(1, "north america"), (3, "100% juice")}
+
+    def test_stray_scan_file_fails_loudly(self, spark, tmp_path, monkeypatch):
+        # If decoding ever regresses (scanned URIs no longer resolve to
+        # manifest paths), the manifest-subset assertion must raise
+        # rather than silently hardlink the stray file unchanged.
+        import urllib.parse
+
+        store = SnapshotStore(spark, str(tmp_path / "whs"))
+        store.overwrite(
+            "t", spark.createDataFrame([(1, 1.0)], "k long, v double")
+        )
+        monkeypatch.setattr(
+            urllib.parse, "unquote", lambda s, *a, **kw: s + ".GONE"
+        )
+        with pytest.raises(RuntimeError, match="manifest"):
+            store.delete_where("t", "k = 1")
+
+
+class TestStaleLockBreak:
+    """ADVICE r7: breaking a stale commit lock must not let two waiters
+    both unlink (the second would kill the first breaker's FRESH lock).
+    Break = rename-to-unique-then-unlink; only the renamer proceeds."""
+
+    def test_stale_lock_is_broken_and_commit_proceeds(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "lk"))
+        store.overwrite("t", spark.range(2).selectExpr("id AS k"))
+        lock = os.path.join(store.path("t"), "_COMMIT_LOCK")
+        with open(lock, "w", encoding="utf-8"):
+            pass
+        old = os.path.getmtime(lock) - 120
+        os.utime(lock, (old, old))
+        store.overwrite("t", spark.range(5).selectExpr("id AS k"))
+        assert store.read("t").count() == 5
+        assert not os.path.exists(lock)
+
+    def test_fresh_lock_is_not_stolen(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "lk2"))
+        store.overwrite("t", spark.range(2).selectExpr("id AS k"))
+        lock = os.path.join(store.path("t"), "_COMMIT_LOCK")
+        with open(lock, "w", encoding="utf-8"):
+            pass  # fresh lock held by "another writer"
+        with pytest.raises(TimeoutError, match="commit lock busy"):
+            store.overwrite("t", spark.range(5).selectExpr("id AS k"))
+        assert os.path.exists(lock)  # holder's lock untouched
+        os.unlink(lock)
