@@ -242,9 +242,163 @@ FROM merged GROUP BY status ORDER BY status
 """
 
 
+# ------------------------------------------------------------- q415
+
+Q415_WH = os.path.join(_REPO, ".q415_warehouse")
+
+
+def q415_dag_executor_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dbt's concurrent DAG scheduler, executed end-to-end (reference
+    profiles.yml:8 ``threads: 5``): a diamond DAG — two root models
+    (customer cleanup, watermarked order enrichment) scheduled in the
+    same wave on a 5-thread FAIR-pool executor, then per-customer
+    order metrics, then the dim join — run TWICE through
+    plans/executor.DagExecutor. Run 1 sees a partial bronze slice
+    (o_orderkey % 4 != 0); run 2 sees the CUMULATIVE source, and the
+    incremental model's is_incremental() high-watermark filter must
+    cut its work to rows strictly newer than run 1's max(o_orderdate)
+    — dbt's re-run semantics.
+
+    The compared output IS the run ledger (dbt run_results.json
+    analog): one row per (run, model) with the deterministic fields —
+    topological level (the wave the scheduler releases it in), status,
+    rows_built, incremental flag. The oracle recomputes every
+    rows_built from the same slices in SQL: run 2's ord_enriched count
+    is the post-watermark slice ONLY — re-processing run-1 rows would
+    inflate it and hash-fail.
+
+    Scale: the scheduler is driver-side metadata; model materialization
+    is Spark jobs in a FAIR pool so five concurrent MERGEs share the
+    cluster instead of FIFO-starving (the 100 TB reason dbt sets
+    threads at all). Wall-clock concurrency is asserted in pytest
+    (sleep-pinned builders), not here — timing booleans would be
+    nondeterministic under driver hashing."""
+    from product_analytics_spark.operators import incremental
+    from product_analytics_spark.plans.executor import DagExecutor
+    from product_analytics_spark.plans.registry import Model, ModelRegistry
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q415_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q415_WH, retain_versions=2)
+
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_orderstatus",
+        _money_cents("o_totalprice").alias("cents"),
+    )
+
+    def build_cust_clean(deps, prev, full):
+        return deps["customer_src"].select(
+            F.col("c_custkey").alias("customer_id"),
+            F.trim(F.col("c_name")).alias("name"),
+            F.col("c_mktsegment").alias("segment"),
+            _money_cents("c_acctbal").alias("balance_cents"),
+        )
+
+    def build_ord_enriched(deps, prev, full):
+        batch = deps["orders_src"]
+        if not full and prev is not None:
+            wm = incremental.high_watermark(prev, "o_orderdate")
+            batch = incremental.watermark_filter(batch, "o_orderdate", wm)
+        return batch.withColumn("order_year", F.year("o_orderdate"))
+
+    def build_ord_metrics(deps, prev, full):
+        return (
+            deps["ord_enriched"]
+            .groupBy("o_custkey")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum("cents").alias("spend_cents"),
+            )
+        )
+
+    def build_cust_dim(deps, prev, full):
+        return deps["cust_clean"].join(
+            deps["ord_metrics"],
+            deps["cust_clean"]["customer_id"] == deps["ord_metrics"]["o_custkey"],
+            "left",
+        ).select("customer_id", "name", "segment", "n_orders", "spend_cents")
+
+    reg = ModelRegistry()
+    reg.register(Model(name="cust_clean", deps=("customer_src",),
+                       builder=build_cust_clean))
+    reg.register(Model(name="ord_enriched", deps=("orders_src",),
+                       builder=build_ord_enriched, unique_key="o_orderkey"))
+    reg.register(Model(name="ord_metrics", deps=("ord_enriched",),
+                       builder=build_ord_metrics, unique_key="o_custkey"))
+    reg.register(Model(name="cust_dim", deps=("cust_clean", "ord_metrics"),
+                       builder=build_cust_dim))
+
+    ex = DagExecutor(reg, store, threads=5)
+    batch1 = orders.filter(F.col("o_orderkey") % 4 != 0)
+    ledgers = []
+    for run_no, orders_src in ((1, batch1), (2, orders)):
+        _, ledger = ex.run({"customer_src": cust, "orders_src": orders_src})
+        for e in ledger:
+            e["run"] = run_no
+        ledgers.extend(ledger)
+
+    rows = [
+        (
+            e["run"],
+            e["model"],
+            e["level"],
+            e["status"],
+            int(e["rows_built"]),
+            bool(e["incremental"]),
+        )
+        for e in ledgers
+    ]
+    return spark.createDataFrame(
+        rows,
+        "run bigint, model string, level bigint, status string, "
+        "rows_built bigint, incremental boolean",
+    ).orderBy("run", "model")
+
+
+Q415_SQL = """
+WITH wm AS (
+  SELECT max(o_orderdate) AS w FROM orders WHERE o_orderkey % 4 != 0
+),
+b1 AS (SELECT * FROM orders WHERE o_orderkey % 4 != 0),
+post AS (SELECT * FROM orders WHERE o_orderdate > (SELECT w FROM wm)),
+merged2 AS (SELECT * FROM b1 UNION ALL SELECT * FROM post)
+SELECT * FROM (
+  SELECT 1 AS run, 'cust_clean' AS model, 0 AS level, 'success' AS status,
+         (SELECT CAST(count(*) AS BIGINT) FROM customer) AS rows_built,
+         FALSE AS incremental
+  UNION ALL
+  SELECT 1, 'ord_enriched', 0, 'success',
+         (SELECT CAST(count(*) AS BIGINT) FROM b1), FALSE
+  UNION ALL
+  SELECT 1, 'ord_metrics', 1, 'success',
+         (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM b1), FALSE
+  UNION ALL
+  SELECT 1, 'cust_dim', 2, 'success',
+         (SELECT CAST(count(*) AS BIGINT) FROM customer), FALSE
+  UNION ALL
+  SELECT 2, 'cust_clean', 0, 'success',
+         (SELECT CAST(count(*) AS BIGINT) FROM customer), FALSE
+  UNION ALL
+  SELECT 2, 'ord_enriched', 0, 'success',
+         (SELECT CAST(count(*) AS BIGINT) FROM post), TRUE
+  UNION ALL
+  SELECT 2, 'ord_metrics', 1, 'success',
+         (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM merged2), TRUE
+  UNION ALL
+  SELECT 2, 'cust_dim', 2, 'success',
+         (SELECT CAST(count(*) AS BIGINT) FROM customer), FALSE
+) ORDER BY run, model
+"""
+
+
 QUERIES_EXT88 = {
     "q413_occ_dml_interleave": q413_occ_dml_interleave,
     "q414_occ_compact_interleave": q414_occ_compact_interleave,
+    "q415_dag_executor_ledger": q415_dag_executor_ledger,
 }
 
 
@@ -252,4 +406,5 @@ def _oracles_ext88() -> dict[str, str]:
     return {
         "q413_occ_dml_interleave": Q413_SQL,
         "q414_occ_compact_interleave": Q414_SQL,
+        "q415_dag_executor_ledger": Q415_SQL,
     }
