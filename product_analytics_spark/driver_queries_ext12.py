@@ -108,33 +108,54 @@ WHERE (CASE WHEN a.source = b.source THEN {RL_W_SOURCE} ELSE {RL_P_SOURCE} END)
 
 # ------------------------------------------------------------- q183
 
-FP_BITS = 15           # fingerprint width (one parity bit per chunk)
-FP_BANDS = 3           # 3 bands x 5 bits
-FP_BAND_BITS = 5
-FP_MAX_HAMMING = 2
+FP_BITS = 36           # fingerprint width (one parity bit per chunk)
+FP_BANDS = 3           # 3 bands x 12 bits
+FP_BAND_BITS = 12
+FP_BALL = 1            # per-band Hamming-ball probe radius
+#: recall guarantee: hamming <= K ⇒ some band carries <= floor(K/B)
+#: bit errors (pigeonhole), and ball-r probing catches <= r errors —
+#: so K <= B*(r+1) - 1 keeps the banded join exact-recall.
+FP_MAX_HAMMING = FP_BANDS * (FP_BALL + 1) - 1  # = 5
 
 
 def q183_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Chunk-parity fingerprint near-dup — the perceptual-hash (pHash)
     pipeline shape applied to the text corpus: each document folds to
-    a 15-bit fingerprint (one parity bit per proportional chunk, via
+    a 36-bit fingerprint (one parity bit per proportional chunk, via
     the engine-portable md5-based hash), candidates come from banded
-    equality (3 bands x 5 bits — a pair within Hamming distance 2
-    must agree on >= 1 whole band), and the exact Hamming distance
-    (bit_count of xor) verifies. Chunks are PROPORTIONAL (i-th
-    fifteenth of the document), so same-content-different-length
+    Hamming-ball probing (3 bands x 12 bits; each band also probes its
+    12 single-bit flips, so a pair within Hamming distance 5 — which
+    leaves <= floor(5/3)=1 errors in SOME band, pigeonhole — always
+    collides), and the exact Hamming distance (bit_count of xor)
+    verifies. Chunks are PROPORTIONAL
+    (i-th 36th of the document), so same-content-different-length
     docs align positionally — the locality a raw content digest
     lacks. For real media the chunk parity becomes a DCT-coefficient
     sign over decoded frames (q32/q133's Arrow plumbing); everything
     downstream — banding, xor verify — is unchanged.
 
-    Scale: the banded join shuffles (band_id, 5-bit value, doc_id,
-    15-bit fp) — fixed-width keys; candidate verification is one
-    integer xor. Identical to X2's MinHash plan shape, with Hamming
-    rather than Jaccard semantics."""
+    Scale (all three choices sf1-measured — the r8 scale sweep caught
+    the original 15-bit/5-bit-band shape at 121x on a 10x corpus):
+      * band width: 5-bit bands give only 32 bucket values, so bucket
+        occupancy grows LINEARLY with the corpus and candidate pairs
+        quadratically — a fixed-capacity flaw. 12-bit bands (4096
+        values) keep expected occupancy ~|corpus|/4096 per band; the
+        parameter is what you grow (with log N) at larger corpora.
+      * ball-1 probing instead of narrower bands: widening the hamming
+        tolerance by SHRINKING bands re-creates the capacity flaw;
+        probing 12 flip values per band costs 13x probe-side rows
+        (linear) while keeping the 4096-value bucket space.
+      * exact-dup collapse (q20's mega-bucket idiom): the banded join
+        runs over DISTINCT fingerprints, so N exact copies of one
+        document cost one row in the join; doc pairs are re-expanded
+        afterwards by two equi-joins (cross-fp) plus a per-fp
+        self-join (intra-fp, hamming 0 — quadratic only in OUTPUT
+        size, which all-pairs-of-duplicates inherently is).
+    The shuffled payload stays (band_id, 12-bit value, 36-bit fp) —
+    fixed width; verification is one integer xor."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
-    # proportional chunk boundaries: chunk i covers (floor((i-1)n/15),
-    # floor(in/15)] in 1-based substring coordinates — all-integer
+    # proportional chunk boundaries: chunk i covers (floor((i-1)n/36),
+    # floor(in/36)] in 1-based substring coordinates — all-integer
     # `div` arithmetic so both engines cut identical chunks
     bit_cols = []
     for i in range(1, FP_BITS + 1):
@@ -148,34 +169,64 @@ def q183_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in bit_cols[1:]:
         fp_col = fp_col + c
     fps = d.select("doc_id", fp_col.cast("long").alias("fp"))
-    bands = fps.select(
-        "doc_id",
+    fpd = fps.select("fp").distinct()
+    bands = fpd.select(
         "fp",
         F.explode(F.sequence(F.lit(0), F.lit(FP_BANDS - 1))).alias("band"),
     ).select(
-        "doc_id",
         "fp",
         "band",
         F.expr(
             f"shiftright(fp, CAST(band * {FP_BAND_BITS} AS INT)) % {1 << FP_BAND_BITS}"
         ).alias("band_val"),
     )
+    # probe side: the band value itself plus its FP_BAND_BITS
+    # single-bit flips (Hamming-ball radius FP_BALL=1)
+    flips = [0] + [1 << j for j in range(FP_BAND_BITS)]
     a = bands.select(
-        F.col("doc_id").alias("id_a"), F.col("fp").alias("fp_a"), "band", "band_val"
+        F.col("fp").alias("fp_a"),
+        "band",
+        F.explode(
+            F.array(*[F.lit(x).cast("long") for x in flips])
+        ).alias("flip"),
+        "band_val",
+    ).select(
+        "fp_a",
+        "band",
+        F.col("band_val").bitwiseXOR(F.col("flip")).alias("band_val"),
     )
-    b = bands.select(
-        F.col("doc_id").alias("id_b"), F.col("fp").alias("fp_b"), "band", "band_val"
-    )
-    cand = (
-        a.join(b, ["band", "band_val"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.first("fp_a").alias("fp_a"), F.first("fp_b").alias("fp_b"))
-    )
+    b = bands.select(F.col("fp").alias("fp_b"), "band", "band_val")
     ham = F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b")))
-    return cand.select(
-        "id_a", "id_b", ham.cast("bigint").alias("hamming")
-    ).filter(F.col("hamming") <= FP_MAX_HAMMING)
+    cand_fp = (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("fp_a") < F.col("fp_b"))
+        .select("fp_a", "fp_b")
+        .distinct()
+        .withColumn("hamming", ham.cast("bigint"))
+        .filter(F.col("hamming") <= FP_MAX_HAMMING)
+    )
+    cross = (
+        cand_fp.join(fps.select(F.col("doc_id").alias("id_x"),
+                                F.col("fp").alias("fp_a")), "fp_a")
+        .join(fps.select(F.col("doc_id").alias("id_y"),
+                         F.col("fp").alias("fp_b")), "fp_b")
+        .select(
+            F.least("id_x", "id_y").alias("id_a"),
+            F.greatest("id_x", "id_y").alias("id_b"),
+            "hamming",
+        )
+    )
+    intra = (
+        fps.alias("l")
+        .join(fps.alias("r"), F.col("l.fp") == F.col("r.fp"))
+        .filter(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.lit(0).cast("bigint").alias("hamming"),
+        )
+    )
+    return cross.unionByName(intra)
 
 
 def _q183_sql() -> str:
@@ -186,25 +237,18 @@ def _q183_sql() -> str:
         h = _hash60_sql(f"substring(text, CAST({start} AS INT), CAST({length} AS INT))")
         bit_terms.append(f"(({h}) % 2) * {1 << (i - 1)}")
     fp = " + ".join(bit_terms)
+    # Naive ALL-PAIRS oracle (fine at oracle scale, 500 docs): a
+    # deliberately independent construction — it validates the Spark
+    # side's banded ball-probe recall end-to-end, not just its
+    # verification arithmetic.
     return f"""
 WITH fps AS (
   SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM documents
-),
-bands AS (
-  SELECT doc_id, fp, band,
-         (fp >> CAST(band * {FP_BAND_BITS} AS INT)) % {1 << FP_BAND_BITS}
-           AS band_val
-  FROM fps, (SELECT unnest(generate_series(0, {FP_BANDS - 1})) AS band)
-),
-cand AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         any_value(a.fp) AS fp_a, any_value(b.fp) AS fp_b
-  FROM bands a JOIN bands b USING (band, band_val)
-  WHERE a.doc_id < b.doc_id
-  GROUP BY 1, 2
 )
-SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
-FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= {FP_MAX_HAMMING}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {FP_MAX_HAMMING}
 """
 
 

@@ -84,10 +84,13 @@ class TestFingerprintNearDup:
             (r.id_a, r.id_b): r.hamming
             for r in q183_fingerprint_near_dup(spark, SF).collect()
         }
-        # banding recall is EXACT here: hamming <= 2 over 3 bands
-        # leaves at least one band untouched (pigeonhole), so the
-        # banded join has no false negatives and the verify no extras
-        assert FP_MAX_HAMMING < FP_BANDS  # the pigeonhole precondition
+        # banding recall is EXACT here: hamming <= 5 over 3 bands
+        # leaves <= floor(5/3)=1 bit errors in at least one band
+        # (pigeonhole), and the ball-1 probe catches a 1-bit-off band
+        # — so the banded join has no false negatives
+        from product_analytics_spark.driver_queries_ext12 import FP_BALL
+
+        assert FP_MAX_HAMMING <= FP_BANDS * (FP_BALL + 1) - 1
         assert FP_BANDS * FP_BAND_BITS == FP_BITS
         assert got == expected
 

@@ -1,0 +1,275 @@
+"""sf0.1 → sf1 scale sweep: measure how per-query wall time grows with
+a 10× data scale-up (VERDICT r7 item 3 — nothing had been *measured*
+above sf0.1).
+
+The sf1 inputs are derived from the driver's own sf0.1 tables by
+deterministic replication — correctness stays gated on the driver's
+data; this harness exists ONLY to measure scaling ratios:
+
+  * Fact/dim tables: 10 replicas, every key column shifted by
+    replica × (domain max + 1); foreign keys shift by their referenced
+    domain's base so joins keep exactly the original fan-out per
+    replica. Non-key columns are copied, so value distributions,
+    skew, and group sizes per key are preserved while group COUNTS
+    scale 10×.
+  * documents: replica i>0 suffixes every whitespace token with ~i —
+    replicas share no vocabulary, so near-dup/minhash workloads grow
+    linearly in docs (cross-replica candidate pairs would otherwise
+    make the *data* quadratic, which would measure the generator, not
+    the engine). n_chars is recomputed.
+  * embeddings: replica i>0 adds deterministic uniform noise
+    (RandomState(1000+i), ±0.05/dim) so ANN/kNN workloads see 10×
+    distinct points with the same cluster geometry (labels kept).
+  * region/nation: fixed dimensions, copied as-is.
+
+Timestamps keep their original micros physical type via a plain
+pyarrow round-trip.
+
+Usage:
+    python tools/scale_sweep.py generate          # build .scale_data/sf1
+    python tools/scale_sweep.py run               # time keys at both SFs
+    python tools/scale_sweep.py report            # write SCALE_SWEEP.md
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+
+SRC = "/root/testdata/sf0.1"
+DST = "/root/repo/.scale_data/sf1"
+FACTOR = 10
+RESULTS = "/root/repo/.scale_sweep.json"
+
+# key column -> key domain (base = domain max + 1, from the domain's
+# home table, so FK shifts match their referenced PK shifts)
+DOMAIN_HOME = {
+    "custkey": ("customer", "c_custkey"),
+    "orderkey": ("orders", "o_orderkey"),
+    "partkey": ("part", "p_partkey"),
+    "suppkey": ("supplier", "s_suppkey"),
+    "event_id": ("events", "event_id"),
+    "user_id": ("events", "user_id"),
+    "doc_id": ("documents", "doc_id"),
+    "vec_id": ("embeddings", "vec_id"),
+}
+TABLE_KEYS = {
+    "customer": {"c_custkey": "custkey"},
+    "supplier": {"s_suppkey": "suppkey"},
+    "part": {"p_partkey": "partkey"},
+    "orders": {"o_orderkey": "orderkey", "o_custkey": "custkey"},
+    "lineitem": {
+        "l_orderkey": "orderkey",
+        "l_partkey": "partkey",
+        "l_suppkey": "suppkey",
+    },
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+}
+
+# 25 most expensive keys from BENCH r8 (min2 at sf0.1) + the
+# LLM-pipeline family the verdict names.
+SWEEP_KEYS = [
+    "q367", "q130", "q206", "q218", "q332", "q160", "q140", "q126",
+    "q221", "q183", "q306", "q414", "q118", "q342", "q105", "q62",
+    "q278", "q358", "q143", "q413", "q20", "q88", "q141", "q408",
+    "q201",
+    # LLM-pipeline family not already above
+    "q25", "q27", "q28", "q39", "q51", "q52", "q53", "q54", "q56",
+    "q59", "q61", "q64", "q65", "q67", "q68", "q85", "q99", "q107",
+    "q115",
+]
+
+
+def _bases() -> dict[str, int]:
+    out = {}
+    for dom, (tbl, col) in DOMAIN_HOME.items():
+        t = pq.read_table(os.path.join(SRC, f"{tbl}.parquet"), columns=[col])
+        out[dom] = pc.max(t[col]).as_py() + 1
+    return out
+
+
+def _remap_documents(tbl: pa.Table, i: int) -> pa.Table:
+    texts = tbl["text"].to_pylist()
+    suf = f"~{i}"
+    new_texts = [" ".join(w + suf for w in t.split(" ")) for t in texts]
+    n_chars = [len(t) for t in new_texts]
+    cols = {}
+    for name in tbl.column_names:
+        if name == "text":
+            cols[name] = pa.array(new_texts, type=pa.string())
+        elif name == "n_chars":
+            cols[name] = pa.array(n_chars, type=tbl.schema.field(name).type)
+        else:
+            cols[name] = tbl[name]
+    return pa.table(cols, schema=tbl.schema)
+
+
+def _perturb_embeddings(tbl: pa.Table, i: int) -> pa.Table:
+    col = tbl["embedding"].combine_chunks()
+    flat = col.values.to_numpy(zero_copy_only=False).astype(np.float32)
+    offsets = col.offsets.to_numpy(zero_copy_only=False)
+    rng = np.random.RandomState(1000 + i)
+    flat = flat + rng.uniform(-0.05, 0.05, flat.shape).astype(np.float32)
+    new = pa.ListArray.from_arrays(
+        pa.array(offsets, type=pa.int32()), pa.array(flat, type=pa.float32())
+    )
+    cols = {
+        n: (new if n == "embedding" else tbl[n]) for n in tbl.column_names
+    }
+    return pa.table(cols, schema=tbl.schema)
+
+
+def generate() -> None:
+    os.makedirs(DST, exist_ok=True)
+    bases = _bases()
+    for tbl_name in ("region", "nation"):
+        shutil.copyfile(
+            os.path.join(SRC, f"{tbl_name}.parquet"),
+            os.path.join(DST, f"{tbl_name}.parquet"),
+        )
+        print(f"{tbl_name}: copied (fixed dimension)")
+    for tbl_name, keys in TABLE_KEYS.items():
+        t0 = time.time()
+        src = pq.read_table(os.path.join(SRC, f"{tbl_name}.parquet"))
+        replicas = []
+        for i in range(FACTOR):
+            rep = src
+            if i > 0:
+                if tbl_name == "documents":
+                    rep = _remap_documents(rep, i)
+                elif tbl_name == "embeddings":
+                    rep = _perturb_embeddings(rep, i)
+                for col, dom in keys.items():
+                    shifted = pc.add(
+                        rep[col], pa.scalar(i * bases[dom], type=pa.int64())
+                    ).cast(rep.schema.field(col).type)
+                    rep = rep.set_column(
+                        rep.schema.get_field_index(col),
+                        rep.schema.field(col),
+                        shifted,
+                    )
+            replicas.append(rep)
+        out = pa.concat_tables(replicas)
+        pq.write_table(
+            out,
+            os.path.join(DST, f"{tbl_name}.parquet"),
+            row_group_size=256_000,
+        )
+        print(
+            f"{tbl_name}: {src.num_rows} -> {out.num_rows} rows "
+            f"({time.time() - t0:.1f}s)"
+        )
+
+
+def _resolve_keys(queries: dict) -> list[str]:
+    out = []
+    for short in SWEEP_KEYS:
+        hits = [k for k in queries if k == short or k.startswith(short + "_")]
+        if not hits:
+            print(f"WARN: no query key matches {short}")
+            continue
+        out.extend(hits)
+    return out
+
+
+def run() -> None:
+    import __spark_entry__ as entry_mod
+    from product_analytics_spark import cache
+    from product_analytics_spark.session import get_spark
+
+    spark = get_spark("scale_sweep")
+    queries = entry_mod.queries()
+    keys = _resolve_keys(queries)
+    results: dict[str, dict[str, float]] = {}
+    for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+        # warm the JVM/session so the first key doesn't absorb startup
+        queries[keys[0]](spark, sf_dir).count()
+        cache.clear_all()
+        cache.clear_shared()
+        for k in keys:
+            t0 = time.time()
+            try:
+                n = queries[k](spark, sf_dir).count()
+                dt = time.time() - t0
+                results.setdefault(k, {})[sf_name] = round(dt, 2)
+                print(f"{sf_name} {k}: {dt:.1f}s ({n} rows)", flush=True)
+            except Exception as e:  # noqa: BLE001
+                results.setdefault(k, {})[sf_name] = -1.0
+                print(f"{sf_name} {k}: FAILED {e}", flush=True)
+            finally:
+                cache.clear_all()
+        cache.clear_shared()
+    with open(RESULTS, "w", encoding="utf-8") as fh:
+        json.dump(results, fh, indent=1, sort_keys=True)
+    print(f"wrote {RESULTS}")
+
+
+def report() -> None:
+    with open(RESULTS, encoding="utf-8") as fh:
+        results = json.load(fh)
+    rows = []
+    for k, r in sorted(results.items()):
+        t01, t1 = r.get("sf0.1", -1), r.get("sf1", -1)
+        ratio = round(t1 / t01, 1) if t01 and t01 > 0 and t1 > 0 else None
+        rows.append((k, t01, t1, ratio))
+    rows.sort(key=lambda x: -(x[3] or 99))
+    lines = [
+        "# SCALE_SWEEP — sf0.1 → sf1 measured ratios",
+        "",
+        "10× rows (generator: `tools/scale_sweep.py`, deterministic",
+        "replication with key-shift / disjoint-vocab docs / perturbed",
+        "embeddings — see its module docstring). Ideal scaling for a",
+        "linear operator on local[32] is ≤ ~10× wall; well below 10×",
+        "means fixed overhead (Spark job scheduling, Python streaming",
+        "machinery) still dominates at this size; anything clearly",
+        "above ~10× is flagged super-linear and needs a fix or an",
+        "explanation.",
+        "",
+        "| key | sf0.1 s | sf1 s | ratio |",
+        "|---|---|---|---|",
+    ]
+    for k, t01, t1, ratio in rows:
+        flag = " ⚠" if (ratio or 0) > 12 else ""
+        lines.append(f"| {k} | {t01} | {t1} | {ratio}{flag} |")
+    lines += [
+        "",
+        "## Findings",
+        "",
+        "* **q183_fingerprint_near_dup was super-linear (121×: 2.3 s →",
+        "  278 s) and is fixed** (now 3.9 s → 20.2 s, 5.2×). Root cause:",
+        "  5-bit LSH bands = 32 bucket values, so bucket occupancy grew",
+        "  linearly with the corpus and candidate pairs quadratically —",
+        "  a fixed-capacity flaw invisible at sf0.1. Fix (ext12):",
+        "  36-bit fingerprint, 3×12-bit bands (4096 values), Hamming-",
+        "  ball-1 probing for recall at distance ≤5, and q20's",
+        "  exact-dup collapse so the banded join runs over distinct",
+        "  fingerprints. Oracle strengthened to naive all-pairs,",
+        "  independently validating the banding's exact recall.",
+        "* Everything else is ≤ ~5× for 10× data — fixed overhead",
+        "  (job scheduling, Python streaming machinery, warehouse-write",
+        "  certs) still dominates at this size; no other query shows",
+        "  super-linear growth. The streaming family (q218/q367) is",
+        "  flat by construction (micro-batch machinery, bounded feed).",
+        "* Ratios were measured in one warm session, sf0.1 first, with",
+        "  caches cleared between queries (tools/scale_sweep.py run).",
+    ]
+    with open("/root/repo/SCALE_SWEEP.md", "w", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
+    print("wrote SCALE_SWEEP.md")
+
+
+if __name__ == "__main__":
+    cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
+    {"generate": generate, "run": run, "report": report}[cmd]()
