@@ -395,10 +395,118 @@ SELECT * FROM (
 """
 
 
+# ------------------------------------------------------------- q416
+
+Q416_WH = os.path.join(_REPO, ".q416_warehouse")
+
+
+def q416_zorder_write_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """True multi-column Z-ORDER in the write path, executed and
+    measured (reference orders_cleaned.sql:15 ``OPTIMIZE … ZORDER BY
+    (order_id, customer_id, order_date)``): orders are written twice —
+    once composite-sorted on (o_orderkey, o_custkey) (the previous
+    cluster_by analog) and once Morton-interleaved on the same keys
+    (functions/zorder.py via SnapshotStore ``zorder_by``) — into 16
+    range-partitioned files each. For a SECOND-key predicate
+    (o_custkey in the bottom 1/16 of its range) the parquet footer
+    min/max stats are then read directly: the composite layout's files
+    all span ~the full custkey range (nothing prunable), while the
+    Z-ordered files are locality hyper-rectangles and most are
+    skipped. The cert booleans pin exactly that, with wide margins;
+    the compared aggregates prove the Z-ordered table still returns
+    bit-identical data for the predicate (oracle recomputes from raw
+    orders).
+
+    Scale: the z-value is a pure integer expression (bit extract =
+    div/mod) inside whole-stage codegen — no UDF, no extra shuffle
+    beyond the range partition the clustered write already does; the
+    min/max normalization is one metadata aggregate per write. At
+    100 TB the equal-width bucketization swaps for sampled range ids
+    (equal-depth) if keys skew — interleave unchanged."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q416_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q416_WH)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        _money_cents("o_totalprice").alias("cents"),
+    )
+    store.overwrite(
+        "comp", o, cluster_by=("o_orderkey", "o_custkey"), n_files=16
+    )
+    store.overwrite(
+        "zo", o, zorder_by=("o_orderkey", "o_custkey"), n_files=16
+    )
+    cut = o.agg(F.max("o_custkey")).collect()[0][0] // 16  # bottom 1/16
+
+    def skip_fraction(table: str) -> float:
+        files = sorted(
+            _glob.glob(os.path.join(store.current_data_dir(table), "*.parquet"))
+        )
+        skipped = 0
+        for f in files:
+            md = _pq.ParquetFile(f).metadata
+            overlap = False
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == "o_custkey":
+                        st = c.statistics
+                        if st.min <= cut:  # predicate: o_custkey <= cut
+                            overlap = True
+            if not overlap:
+                skipped += 1
+        return skipped / len(files)
+
+    f_comp, f_zo = skip_fraction("comp"), skip_fraction("zo")
+    per_status = (
+        store.read("zo")
+        .filter(F.col("o_custkey") <= cut)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents") / 100.0).cast("double").alias("total"),
+        )
+    )
+    return per_status.select(
+        "o_orderstatus",
+        "n_orders",
+        "total",
+        F.lit(f_zo >= 0.5).alias("zorder_prunes_second_key"),
+        F.lit(f_comp <= 0.2).alias("composite_cannot_prune"),
+        F.lit(f_zo > f_comp + 0.25).alias("zorder_beats_composite"),
+    ).orderBy("o_orderstatus")
+
+
+Q416_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+cut AS (SELECT max(o_custkey) // 16 AS c FROM o)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(CAST(sum(cents) AS BIGINT) / 100.0 AS DOUBLE) AS total,
+       TRUE AS zorder_prunes_second_key,
+       TRUE AS composite_cannot_prune,
+       TRUE AS zorder_beats_composite
+FROM o WHERE o_custkey <= (SELECT c FROM cut)
+GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES_EXT88 = {
     "q413_occ_dml_interleave": q413_occ_dml_interleave,
     "q414_occ_compact_interleave": q414_occ_compact_interleave,
     "q415_dag_executor_ledger": q415_dag_executor_ledger,
+    "q416_zorder_write_skipping": q416_zorder_write_skipping,
 }
 
 
@@ -407,4 +515,5 @@ def _oracles_ext88() -> dict[str, str]:
         "q413_occ_dml_interleave": Q413_SQL,
         "q414_occ_compact_interleave": Q414_SQL,
         "q415_dag_executor_ledger": Q415_SQL,
+        "q416_zorder_write_skipping": Q416_SQL,
     }

@@ -1,0 +1,73 @@
+"""Multi-column Z-ORDER (Morton) clustering key for the write path.
+
+Reference mapping: ``OPTIMIZE ... ZORDER BY (order_id, customer_id,
+order_date)`` (reference orders_cleaned.sql:15, customers_latest.sql:7).
+A composite lexicographic sort — what ``cluster_by`` alone gives —
+clusters only the FIRST key: every file spans nearly the full range of
+the 2nd/3rd keys, so min/max row-group stats prune nothing for
+predicates on them. Interleaving the bits of all keys (the Morton /
+Z-order curve, q108's arithmetic) makes file ranges hyper-rectangles:
+each file covers ~2^-k of EVERY key's range, and data skipping works
+on all of them.
+
+Normalization: each column is first mapped to a ``bits``-wide integer
+with ``width_bucket`` over its (min, max) — equal-WIDTH buckets, one
+metadata aggregate per write. Delta's OPTIMIZE uses sampled
+range-partition ids (equal-DEPTH) instead, which is the skew-robust
+upgrade at 100 TB: swap ``_bucketize`` for approxQuantile boundaries
+if the cluster keys are heavily skewed; the interleave itself is
+unchanged. Timestamp/date columns participate via their underlying
+epoch value.
+
+The z-value is computed as a pure Spark integer expression (bit
+extract = div/mod, bit place = multiply — q108's engine-portable
+idiom), so it runs at scan speed inside whole-stage codegen; no UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: default per-column resolution: 8 bits x 3 cols = 24-bit z-values —
+#: 16M distinct cells, far beyond file granularity at any table size.
+DEFAULT_BITS = 8
+
+
+def _bucketize(df: DataFrame, col: str, bits: int) -> Column:
+    """Order-preserving map of ``col`` onto [0, 2^bits) via equal-width
+    width_bucket over the column's observed (min, max) — one tiny
+    driver-side aggregate per write (the documented scalar-collect
+    pattern; Delta samples for its range ids the same way)."""
+    dtype = df.schema[col].dataType.simpleString()
+    if dtype.startswith("timestamp"):
+        v = F.unix_micros(F.col(col))
+    elif dtype == "date":
+        v = F.unix_date(F.col(col))
+    else:
+        v = F.col(col)
+    lo, hi = df.select(F.min(v), F.max(v)).first()
+    n = 1 << bits
+    if lo is None or hi is None or lo == hi:
+        return F.lit(0).cast("long")
+    b = F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(n)) - 1
+    return F.least(F.lit(n - 1), F.greatest(F.lit(0), b)).cast("long")
+
+
+def morton_zvalue(
+    df: DataFrame, cols: Sequence[str], bits: int = DEFAULT_BITS
+) -> Column:
+    """The interleaved z-value column for ``cols`` (2+ columns, ~8
+    bits each): bit b of column i lands at z-bit ``b*len(cols)+i``."""
+    if len(cols) < 2:
+        raise ValueError("zorder needs >= 2 columns; use cluster_by for 1")
+    k = len(cols)
+    buckets = [_bucketize(df, c, bits) for c in cols]
+    z = F.lit(0).cast("long")
+    for i, bucket in enumerate(buckets):
+        for b in range(bits):
+            bit = (bucket / F.lit(1 << b)).cast("long") % 2
+            z = z + bit * F.lit(1 << (b * k + i))
+    return z

@@ -172,26 +172,52 @@ class SnapshotStore:
         df: DataFrame,
         partition_by: Sequence[str] = (),
         cluster_by: Sequence[str] = (),
+        zorder_by: Sequence[str] = (),
+        n_files: int | None = None,
     ) -> str:
         """Write a new UNCOMMITTED version directory; return its name.
 
-        ``cluster_by`` is the ZORDER analog (S7): range-partition +
-        sort-within-partitions on the cluster keys, so parquet min/max
-        stats give data skipping on those columns.
+        ``cluster_by`` is the single-key clustering pass (S7):
+        range-partition + sort-within-partitions on the cluster keys,
+        so parquet min/max stats give data skipping on the FIRST key
+        (later keys span nearly their full range in every file).
+
+        ``zorder_by`` is true multi-column Z-ORDER (reference
+        ``OPTIMIZE ... ZORDER BY (order_id, customer_id, order_date)``,
+        orders_cleaned.sql:15): rows are range-partitioned and sorted
+        on the interleaved Morton z-value of ALL the named columns
+        (functions/zorder.py), so every file is a locality
+        hyper-rectangle and min/max skipping works on each column —
+        the q416 cert measures 2nd-key pruning beating the composite
+        sort. Mutually exclusive with cluster_by.
 
         Partitioned writes first hash-repartition on the partition
         columns so each hive partition directory is written by one
         task (one well-sized file per directory instead of
         tasks x partitions small files), then sort within by the
-        cluster keys for row-group stat skipping inside each
-        partition.
+        cluster keys (or z-value) for row-group stat skipping inside
+        each partition. ``n_files`` pins the file count for layout
+        tests; production leaves it None (AQE-sized).
         """
+        if cluster_by and zorder_by:
+            raise ValueError("cluster_by and zorder_by are exclusive")
+        zcol = "__zval"
+        if zorder_by:
+            from product_analytics_spark.functions.zorder import morton_zvalue
+
+            df = df.withColumn(zcol, morton_zvalue(df, list(zorder_by)))
+            cluster_by = (zcol,)
         if partition_by:
             df = df.repartition(*partition_by).sortWithinPartitions(
                 *partition_by, *cluster_by
             )
         elif cluster_by:
-            df = df.repartitionByRange(*cluster_by).sortWithinPartitions(*cluster_by)
+            parts = [n_files] if n_files else []
+            df = df.repartitionByRange(*parts, *cluster_by).sortWithinPartitions(
+                *cluster_by
+            )
+        if zorder_by:
+            df = df.drop(zcol)
         version = f"v_{uuid.uuid4().hex[:12]}"
         writer = df.write.mode("overwrite")
         if partition_by:
@@ -298,18 +324,27 @@ class SnapshotStore:
         df: DataFrame,
         partition_by: Sequence[str] = (),
         cluster_by: Sequence[str] = (),
+        zorder_by: Sequence[str] = (),
+        n_files: int | None = None,
         expected_version=UNCHECKED,
     ) -> None:
         """Atomic full replace: write a version dir, commit the pointer.
 
-        ``expected_version`` (optional) turns the commit into an
-        optimistic transaction: pass ``current_version(name)`` from
-        the transaction's snapshot read and the commit refuses
+        ``zorder_by`` lays the files out on the multi-column Morton
+        curve (see ``_write_version``) — the ``OPTIMIZE ZORDER BY``
+        write path. ``expected_version`` (optional) turns the commit
+        into an optimistic transaction: pass ``current_version(name)``
+        from the transaction's snapshot read and the commit refuses
         (ConcurrentWriteError, uncommitted version cleaned up) if
         another writer got there first — a blind overwrite would drop
         that writer's rows."""
         version = self._write_version(
-            name, df, partition_by=partition_by, cluster_by=cluster_by
+            name,
+            df,
+            partition_by=partition_by,
+            cluster_by=cluster_by,
+            zorder_by=zorder_by,
+            n_files=n_files,
         )
         try:
             self._commit(name, version, expected_version=expected_version)

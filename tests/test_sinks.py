@@ -601,3 +601,83 @@ class TestStaleLockBreak:
             store.overwrite("t", spark.range(5).selectExpr("id AS k"))
         assert os.path.exists(lock)  # holder's lock untouched
         os.unlink(lock)
+
+
+class TestZorderLayout:
+    """Round-8: true multi-column Z-ORDER in the write path (reference
+    orders_cleaned.sql:15 OPTIMIZE ... ZORDER BY). The composite sort
+    clusters only its FIRST key — every file spans nearly the full
+    range of the 2nd key, so min/max stats prune nothing for 2nd-key
+    predicates. The Morton layout must prune most files for the same
+    predicate, with identical data read back."""
+
+    @staticmethod
+    def _skip_fraction(data_dir, col, lo, hi):
+        """Fraction of parquet files whose [min,max] footer stats for
+        ``col`` do NOT overlap [lo, hi] — exactly the files a stats-
+        based reader skips."""
+        import pyarrow.parquet as pq
+
+        files = sorted(
+            glob.glob(os.path.join(data_dir, "*.parquet"))
+        )
+        skipped = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            overlap = False
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col:
+                        st = c.statistics
+                        if st.min <= hi and st.max >= lo:
+                            overlap = True
+            if not overlap:
+                skipped += 1
+        return skipped / len(files), len(files)
+
+    def test_zorder_prunes_second_key_composite_does_not(
+        self, spark, tmp_path
+    ):
+        df = spark.range(256 * 256).selectExpr(
+            "id % 256 AS x", "id div 256 AS y", "id AS payload"
+        )
+        store = SnapshotStore(spark, str(tmp_path / "wh"))
+        store.overwrite("comp", df, cluster_by=("x", "y"), n_files=16)
+        store.overwrite("zo", df, zorder_by=("x", "y"), n_files=16)
+
+        # predicate on the SECOND key: y in the bottom 1/16 of its range
+        f_comp, n_comp = self._skip_fraction(
+            store.current_data_dir("comp"), "y", 0, 15
+        )
+        f_zo, n_zo = self._skip_fraction(
+            store.current_data_dir("zo"), "y", 0, 15
+        )
+        assert n_comp >= 8 and n_zo >= 8  # layout actually split files
+        assert f_comp <= 0.2  # composite: y spans ~everything per file
+        assert f_zo >= 0.5   # z-order: most files are prunable
+        assert f_zo > f_comp + 0.25
+
+        # first key still prunes under zorder too (locality is 2-D)
+        f_zo_x, _ = self._skip_fraction(
+            store.current_data_dir("zo"), "x", 0, 15
+        )
+        assert f_zo_x >= 0.5
+
+        # identical logical content
+        a = {tuple(r) for r in store.read("comp").collect()}
+        b = {tuple(r) for r in store.read("zo").collect()}
+        assert a == b and len(a) == 256 * 256
+
+    def test_zorder_three_columns_and_exclusivity(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "wh3"))
+        df = spark.range(4096).selectExpr(
+            "id % 16 AS a", "(id div 16) % 16 AS b", "id div 256 AS c"
+        )
+        store.overwrite("t", df, zorder_by=("a", "b", "c"), n_files=8)
+        assert store.read("t").count() == 4096
+        assert "__zval" not in store.read("t").columns
+        with pytest.raises(ValueError, match="exclusive"):
+            store.overwrite(
+                "t2", df, cluster_by=("a",), zorder_by=("a", "b")
+            )
