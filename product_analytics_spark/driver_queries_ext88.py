@@ -502,11 +502,140 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+# ------------------------------------------------------------- q417
+
+Q417_WH = os.path.join(_REPO, ".q417_warehouse")
+
+
+def q417_optimize_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``OPTIMIZE`` proper — compaction that RESTORES declared
+    clustering (Delta's OPTIMIZE ZORDER lifecycle, reference
+    orders_cleaned.sql:15 run as the maintenance job it is in
+    production): orders are written Z-ordered on (o_orderkey,
+    o_custkey) — the layout is recorded in the table's _LAYOUT
+    metadata — then degraded by appending a key-shifted batch whose
+    files span the full custkey range (footer-stat skipping for a
+    custkey predicate decays, measured), then ``store.optimize()``
+    rewrites the table re-sorted on the RECOMPUTED Morton z-value:
+    skipping returns, file count drops back, and the logical content
+    is exactly base ∪ appended (the oracle replays the union).
+
+    Compared values: per-status aggregates of the post-optimize table
+    plus the lifecycle booleans (append_degraded / optimize_restored /
+    reclustered / rows_preserved) — each measured from parquet footer
+    stats with wide margins, not assumed.
+
+    Scale: this is the scheduled lakehouse maintenance job; cost is
+    one shuffle of the rewritten bytes on the cluster key. The
+    _LAYOUT record is what lets the job run table-blind — exactly why
+    Delta keeps clustering columns in table metadata."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q417_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q417_WH)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        _money_cents("o_totalprice").alias("cents"),
+    )
+    store.overwrite(
+        "ord", o, zorder_by=("o_orderkey", "o_custkey"), n_files=16
+    )
+    max_k, max_c = o.agg(F.max("o_orderkey"), F.max("o_custkey")).collect()[0]
+    cut = max_c // 16
+
+    def skip_fraction() -> float:
+        files = sorted(
+            _glob.glob(
+                os.path.join(store.current_data_dir("ord"), "*.parquet")
+            )
+        )
+        skipped = 0
+        for f in files:
+            md = _pq.ParquetFile(f).metadata
+            overlap = False
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == "o_custkey" and c.statistics.min <= cut:
+                        overlap = True
+            if not overlap:
+                skipped += 1
+        return skipped / len(files)
+
+    f0 = skip_fraction()
+    extra = o.withColumn("o_orderkey", F.col("o_orderkey") + F.lit(max_k))
+    store.append("ord", extra.repartition(16))
+    f_degraded = skip_fraction()
+    total_bytes = sum(
+        os.path.getsize(f)
+        for f in _glob.glob(
+            os.path.join(store.current_data_dir("ord"), "*.parquet")
+        )
+    )
+    # target ~16 output files: file-level stats need multiple files to
+    # have anything to skip (the default 128 MB target would coalesce
+    # this gate-SF table to one file, where skipping is undefined)
+    stats = store.optimize("ord", target_bytes=max(1, total_bytes // 16))
+    f_restored = skip_fraction()
+
+    per_status = (
+        store.read("ord")
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents") / 100.0).cast("double").alias("total"),
+        )
+    )
+    return per_status.select(
+        "o_orderstatus",
+        "n_orders",
+        "total",
+        F.lit(f_degraded <= f0 - 0.2).alias("append_degraded"),
+        F.lit(
+            f_restored >= 0.5 and f_restored > f_degraded + 0.2
+        ).alias("optimize_restored"),
+        F.lit(bool(stats["reclustered"])).alias("reclustered"),
+        F.lit(stats["files_after"] < stats["files_before"]).alias(
+            "files_compacted"
+        ),
+    ).orderBy("o_orderstatus")
+
+
+Q417_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+both_gen AS (
+  SELECT * FROM o
+  UNION ALL
+  SELECT o_orderkey + (SELECT max(o_orderkey) FROM o), o_orderstatus, cents
+  FROM o
+)
+SELECT o_orderstatus,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(CAST(sum(cents) AS BIGINT) / 100.0 AS DOUBLE) AS total,
+       TRUE AS append_degraded,
+       TRUE AS optimize_restored,
+       TRUE AS reclustered,
+       TRUE AS files_compacted
+FROM both_gen GROUP BY o_orderstatus ORDER BY o_orderstatus
+"""
+
+
 QUERIES_EXT88 = {
     "q413_occ_dml_interleave": q413_occ_dml_interleave,
     "q414_occ_compact_interleave": q414_occ_compact_interleave,
     "q415_dag_executor_ledger": q415_dag_executor_ledger,
     "q416_zorder_write_skipping": q416_zorder_write_skipping,
+    "q417_optimize_recluster": q417_optimize_recluster,
 }
 
 
@@ -516,4 +645,5 @@ def _oracles_ext88() -> dict[str, str]:
         "q414_occ_compact_interleave": Q414_SQL,
         "q415_dag_executor_ledger": Q415_SQL,
         "q416_zorder_write_skipping": Q416_SQL,
+        "q417_optimize_recluster": Q417_SQL,
     }

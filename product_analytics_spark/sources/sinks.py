@@ -55,6 +55,7 @@ except Exception:  # pragma: no cover
 
 _POINTER = "_CURRENT"
 _LOG = "_LOG"
+_LAYOUT = "_LAYOUT"
 
 #: Sentinel default for ``expected_version`` — distinct from None,
 #: which is a MEANINGFUL expectation (first write: no pointer yet).
@@ -99,6 +100,46 @@ class SnapshotStore:
 
     def _log_path(self, name: str) -> str:
         return os.path.join(self.path(name), _LOG)
+
+    # ---------------------------------------------- layout metadata
+
+    def layout(self, name: str) -> dict:
+        """The table's declared physical layout (partition/cluster/
+        zorder keys), recorded at write time — the pointer-file analog
+        of Delta's table properties. ``optimize`` consumes it to
+        restore clustering; empty dict if never declared."""
+        import json
+
+        p = os.path.join(self.path(name), _LAYOUT)
+        if not os.path.isfile(p):
+            return {}
+        with open(p, encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def _record_layout(
+        self,
+        name: str,
+        partition_by: Sequence[str],
+        cluster_by: Sequence[str],
+        zorder_by: Sequence[str],
+    ) -> None:
+        import json
+
+        meta = {
+            "partition_by": list(partition_by),
+            "cluster_by": list(cluster_by),
+            "zorder_by": list(zorder_by),
+        }
+        if not any(meta.values()):
+            # A layout-less write (e.g. merge's internal overwrite)
+            # keeps the standing declaration — dbt model config is
+            # constant across runs, not per-write.
+            return
+        os.makedirs(self.path(name), exist_ok=True)
+        tmp = os.path.join(self.path(name), f"_layout_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(meta, fh)
+        os.replace(tmp, os.path.join(self.path(name), _LAYOUT))
 
     def versions(self, name: str) -> list[str]:
         """Committed versions still on disk, oldest→newest (the
@@ -338,6 +379,7 @@ class SnapshotStore:
         (ConcurrentWriteError, uncommitted version cleaned up) if
         another writer got there first — a blind overwrite would drop
         that writer's rows."""
+        self._record_layout(name, partition_by, cluster_by, zorder_by)
         version = self._write_version(
             name,
             df,
@@ -545,6 +587,100 @@ class SnapshotStore:
                 "files_before": n_before,
                 "files_after": n_after,
                 "groups": len(plan),
+            }
+        assert last_err is not None
+        raise last_err
+
+    def optimize(
+        self,
+        name: str,
+        target_bytes: int = 128 << 20,
+        max_retries: int = 3,
+    ) -> dict:
+        """Delta's ``OPTIMIZE [ZORDER BY …]`` proper: compaction that
+        RESTORES the table's declared clustering. Appends and COW
+        rewrites degrade a clustered layout over time (new files carry
+        arbitrary key ranges, so footer-stat skipping decays);
+        ``compact`` alone bin-packs file bytes but concatenates key
+        ranges. optimize() instead rewrites each partition directory
+        as a whole: re-sorts on the recorded layout keys
+        (``zorder_by`` → recomputed Morton z-value; else
+        ``cluster_by``), range-partitioned into ceil(bytes/target)
+        files — tight per-file min/max again. Falls back to plain
+        ``compact`` when the table never declared clustering.
+
+        Optimistic transaction like compact: the commit presents the
+        scanned version; a concurrent writer forces a re-scan.
+        Returns {files_before, files_after, reclustered}.
+
+        Scale: this is the maintenance job real lakehouses schedule —
+        cost is one shuffle of the rewritten partitions' bytes on the
+        cluster key; untouched partition dirs rewrite too here for
+        simplicity, where Delta would skip dirs already within
+        tolerance (the planner hook to add when partition counts make
+        it matter)."""
+        layout = self.layout(name)
+        keys = list(layout.get("zorder_by") or layout.get("cluster_by") or ())
+        if not keys:
+            out = self.compact(name, target_bytes, max_retries=max_retries)
+            out["reclustered"] = False
+            return out
+        zorder = bool(layout.get("zorder_by"))
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            expected = self.current_version(name)
+            data = self.current_data_dir(name)
+            if data is None:
+                raise ValueError(f"unknown table {name!r}")
+            parts = self._partition_dirs(data)
+            if not parts:
+                return {"files_before": 0, "files_after": 0, "reclustered": False}
+            n_before = sum(len(fs) for _r, fs in parts)
+            version = f"v_{uuid.uuid4().hex[:12]}"
+            vdir = os.path.join(self.path(name), version)
+            try:
+                for rel, files in parts:
+                    out_dir = vdir if rel == "." else os.path.join(vdir, rel)
+                    n_files = max(
+                        1,
+                        -(-sum(os.path.getsize(f) for f in files) // target_bytes),
+                    )
+                    df = self.spark.read.parquet(*files)
+                    if zorder:
+                        from product_analytics_spark.functions.zorder import (
+                            morton_zvalue,
+                        )
+
+                        df = df.withColumn("__zval", morton_zvalue(df, keys))
+                        sort_keys = ["__zval"]
+                    else:
+                        sort_keys = keys
+                    df = df.repartitionByRange(
+                        n_files, *sort_keys
+                    ).sortWithinPartitions(*sort_keys)
+                    if zorder:
+                        df = df.drop("__zval")
+                    df.write.mode("append").parquet(out_dir)
+                self._commit(name, version, expected_version=expected)
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                shutil.rmtree(vdir, ignore_errors=True)
+                continue
+            except Exception:
+                shutil.rmtree(vdir, ignore_errors=True)
+                if self.current_version(name) == expected:
+                    raise
+                last_err = ConcurrentWriteError(
+                    f"table {name!r}: snapshot GC'd under optimize"
+                )
+                continue
+            n_after = sum(
+                len(fs) for _r, fs in self._partition_dirs(vdir)
+            )
+            return {
+                "files_before": n_before,
+                "files_after": n_after,
+                "reclustered": True,
             }
         assert last_err is not None
         raise last_err

@@ -681,3 +681,102 @@ class TestZorderLayout:
             store.overwrite(
                 "t2", df, cluster_by=("a",), zorder_by=("a", "b")
             )
+
+
+class TestOptimizeRecluster:
+    """Round-8: OPTIMIZE proper — compaction that RESTORES the table's
+    declared clustering from the recorded _LAYOUT metadata. Appends
+    degrade footer-stat skipping (new files span arbitrary key
+    ranges); optimize() re-sorts each partition dir on the layout keys
+    (recomputed Morton z-value for zorder_by) and skipping returns."""
+
+    def test_optimize_restores_zorder_after_append(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "wh"))
+        base = spark.range(256 * 256).selectExpr(
+            "id % 256 AS x", "id div 256 AS y", "id AS payload"
+        )
+        store.overwrite("t", base, zorder_by=("x", "y"), n_files=16)
+        f0, _ = TestZorderLayout._skip_fraction(
+            store.current_data_dir("t"), "y", 0, 15
+        )
+        assert f0 >= 0.5
+
+        # degrade: append files spanning the full y range
+        extra = spark.range(16384).selectExpr(
+            "id % 256 AS x", "(id * 37) % 256 AS y", "id + 100000 AS payload"
+        ).repartition(16)
+        store.append("t", extra)
+        f_degraded, n_deg = TestZorderLayout._skip_fraction(
+            store.current_data_dir("t"), "y", 0, 15
+        )
+        assert n_deg >= 30  # appended files landed
+        assert f_degraded <= f0 - 0.3  # skipping decayed materially
+
+        before = {tuple(r) for r in store.read("t").collect()}
+        total = sum(
+            os.path.getsize(f)
+            for f in glob.glob(
+                os.path.join(store.current_data_dir("t"), "*.parquet")
+            )
+        )
+        stats = store.optimize("t", target_bytes=max(1, total // 12))
+        assert stats["reclustered"] is True
+        assert stats["files_after"] < stats["files_before"]
+        f_restored, _ = TestZorderLayout._skip_fraction(
+            store.current_data_dir("t"), "y", 0, 15
+        )
+        assert f_restored >= 0.5 and f_restored > f_degraded + 0.2
+        assert {tuple(r) for r in store.read("t").collect()} == before
+
+    def test_optimize_without_layout_falls_back_to_compact(
+        self, spark, tmp_path
+    ):
+        store = SnapshotStore(spark, str(tmp_path / "wh2"))
+        store.overwrite(
+            "t", spark.range(1000).selectExpr("id AS k").repartition(8)
+        )
+        stats = store.optimize("t")
+        assert stats["reclustered"] is False
+        assert stats["files_after"] == 1
+        assert store.read("t").count() == 1000
+
+    def test_optimize_partitioned_cluster_by(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "wh3"))
+        df = spark.createDataFrame(
+            [(k, f"g{k % 2}", k * 31 % 97) for k in range(2000)],
+            "k long, grp string, v long",
+        )
+        store.overwrite(
+            "t", df, partition_by=["grp"], cluster_by=["v"]
+        )
+        store.append(
+            "t",
+            spark.createDataFrame(
+                [(k + 5000, f"g{k % 2}", 96 - (k * 7 % 97)) for k in range(500)],
+                "k long, grp string, v long",
+            ).repartition(3),
+            partition_by=["grp"],
+        )
+        before = {tuple(r) for r in store.read("t").collect()}
+        stats = store.optimize("t")
+        assert stats["reclustered"] is True
+        # hive dirs survive, files sorted by v within each
+        data = store.current_data_dir("t")
+        dirs = sorted(glob.glob(os.path.join(data, "grp=*")))
+        assert len(dirs) == 2
+        for d in dirs:
+            for f in glob.glob(os.path.join(d, "*.parquet")):
+                vs = [r.v for r in spark.read.parquet(f).select("v").collect()]
+                assert vs == sorted(vs)
+        assert {tuple(r) for r in store.read("t").collect()} == before
+
+    def test_merge_does_not_wipe_layout(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "wh4"))
+        df = spark.range(100).selectExpr("id AS k", "id % 10 AS a", "id % 7 AS b")
+        store.overwrite("t", df, zorder_by=("a", "b"))
+        store.merge(
+            "t",
+            spark.range(100, 110).selectExpr("id AS k", "id % 10 AS a", "id % 7 AS b"),
+            "k",
+        )
+        assert store.layout("t")["zorder_by"] == ["a", "b"]
