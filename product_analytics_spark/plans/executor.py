@@ -67,13 +67,15 @@ class DagExecutor:
         sources: Mapping[str, DataFrame],
         select: set[str] | None = None,
         full_refresh: bool = False,
+        select_exact: bool = False,
     ) -> tuple[dict[str, DataFrame], list[dict]]:
         """Execute the (selected) DAG with up to ``threads`` models in
         flight; returns (outputs, ledger). Semantics match
         ``ModelRegistry.run`` exactly — same builder contract, same
         merge-vs-overwrite materialization — plus concurrency and the
-        ledger."""
-        ordered = self.registry.topo_order(select)
+        ledger. ``select_exact`` runs only the named models, serving
+        their upstreams from ``sources`` (the retry path)."""
+        ordered = self.registry.topo_order(select, exact=select_exact)
         wanted = {m.name for m in ordered}
         level: dict[str, int] = {}
         for m in ordered:  # topo order ⇒ deps resolved first
@@ -206,6 +208,35 @@ class DagExecutor:
         ledger.sort(key=lambda e: (e["level"], e["model"]))
         self._last_max_concurrency = concurrency["max"]
         return outputs, ledger
+
+    def retry(
+        self,
+        sources: Mapping[str, DataFrame],
+        ledger: list[dict],
+        full_refresh: bool = False,
+    ) -> tuple[dict[str, DataFrame], list[dict]]:
+        """``dbt retry``: re-run ONLY the models the given ledger left
+        unfinished (status error/skipped), reusing every successful
+        model's materialized snapshot from the store instead of
+        rebuilding it. The returned ledger covers just the retried
+        subset; successful models don't even get a builder call."""
+        failed = {
+            e["model"] for e in ledger if e["status"] in ("error", "skipped")
+        }
+        if not failed:
+            return dict(sources), []
+        succeeded = [
+            e["model"] for e in ledger if e["status"] == "success"
+        ]
+        outputs: dict[str, DataFrame] = dict(sources)
+        for name in succeeded:
+            df = self.store.read(name)
+            if df is not None:
+                outputs[name] = df
+        return self.run(
+            outputs, select=failed, full_refresh=full_refresh,
+            select_exact=True,
+        )
 
     def ledger_df(self, ledger: list[dict]) -> DataFrame:
         """The run ledger as a DataFrame (dbt run_results.json analog),

@@ -44,9 +44,13 @@ class ModelRegistry:
     def register(self, model: Model) -> None:
         self._models[model.name] = model
 
-    def topo_order(self, select: set[str] | None = None) -> list[Model]:
+    def topo_order(
+        self, select: set[str] | None = None, exact: bool = False
+    ) -> list[Model]:
         """Kahn topo-sort; ``select`` filters by tag or name, pulling
-        in upstream deps (dbt's ``+`` semantics)."""
+        in upstream deps (dbt's ``+`` semantics). ``exact=True``
+        selects ONLY the named models (dbt retry's subset: upstream
+        results are served from their stored snapshots, not rebuilt)."""
         if select:
             wanted: set[str] = set()
             frontier = [
@@ -59,6 +63,8 @@ class ModelRegistry:
                 if n in wanted:
                     continue
                 wanted.add(n)
+                if exact:
+                    continue
                 # deps may name raw sources, which aren't registered models
                 frontier.extend(d for d in self._models[n].deps if d in self._models)
         else:

@@ -180,3 +180,61 @@ class TestExecutorParity:
             "model", "level", "status", "rows_built",
             "incremental", "duration_s", "thread", "error",
         }
+
+
+class TestRetry:
+    """dbt retry parity: re-run only error/skipped models, serving
+    successful upstreams from their stored snapshots (no rebuild)."""
+
+    def test_retry_runs_only_failed_subset(self, spark, tmp_path):
+        reg = ModelRegistry()
+        calls = {"good": 0, "flaky": 0, "child": 0}
+
+        def good(deps, prev, full):
+            calls["good"] += 1
+            return spark.range(5).selectExpr("id AS k")
+
+        state = {"fail": True}
+
+        def flaky(deps, prev, full):
+            calls["flaky"] += 1
+            if state["fail"]:
+                raise RuntimeError("transient")
+            return spark.range(3).selectExpr("id AS k", "id * 2 AS v")
+
+        def child(deps, prev, full):
+            calls["child"] += 1
+            return deps["flaky"].join(deps["good"], "k")
+
+        reg.register(Model(name="good", builder=good))
+        reg.register(Model(name="flaky", builder=flaky))
+        reg.register(
+            Model(name="child", deps=("flaky", "good"), builder=child)
+        )
+        store = SnapshotStore(spark, str(tmp_path / "wh"))
+        ex = DagExecutor(reg, store, threads=3)
+        _, ledger1 = ex.run({})
+        by1 = {e["model"]: e["status"] for e in ledger1}
+        assert by1 == {"good": "success", "flaky": "error", "child": "skipped"}
+
+        state["fail"] = False
+        out, ledger2 = ex.retry({}, ledger1)
+        by2 = {e["model"]: e["status"] for e in ledger2}
+        assert by2 == {"flaky": "success", "child": "success"}
+        assert calls["good"] == 1  # success NOT rebuilt on retry
+        assert calls["flaky"] == 2 and calls["child"] == 1
+        assert out["child"].count() == 3
+
+    def test_retry_noop_when_all_green(self, spark, tmp_path):
+        reg = ModelRegistry()
+        reg.register(
+            Model(
+                name="only",
+                builder=lambda d, p, f: spark.range(2).selectExpr("id AS k"),
+            )
+        )
+        store = SnapshotStore(spark, str(tmp_path / "wh2"))
+        ex = DagExecutor(reg, store, threads=2)
+        _, ledger = ex.run({})
+        out, ledger2 = ex.retry({}, ledger)
+        assert ledger2 == []
