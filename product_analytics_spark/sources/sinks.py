@@ -350,12 +350,66 @@ class SnapshotStore:
                         "transaction's snapshot read; re-read and retry"
                     )
             os.replace(tmp, self._pointer_path(name))  # POSIX-atomic
-            with open(self._log_path(name), "a", encoding="utf-8") as fh:
-                fh.write(version + "\n")
-        retained = set(self.versions(name)[-self.retain_versions :]) | {version}
+            log = self._log_path(name)
+            committed: list[str] = []
+            if os.path.isfile(log):
+                with open(log, encoding="utf-8") as fh:
+                    committed = [ln.strip() for ln in fh if ln.strip()]
+            committed.append(version)
+            live = [
+                v
+                for v in committed
+                if os.path.isdir(os.path.join(table, v))
+            ]
+            retained_list = live[-self.retain_versions :]
+            if version not in retained_list:
+                retained_list.append(version)
+            # Truncate the commit log to the retention window (Delta's
+            # log checkpoint/cleanup analog): without this it grows one
+            # line per commit forever. Inside the lock so a concurrent
+            # committer's fresh append can never be stomped; atomic
+            # replace so readers only ever see a complete log.
+            log_tmp = os.path.join(table, f"_log_{uuid.uuid4().hex[:8]}")
+            with open(log_tmp, "w", encoding="utf-8") as fh:
+                fh.write("".join(v + "\n" for v in retained_list))
+            os.replace(log_tmp, log)
+        # GC deletes ONLY previously COMMITTED versions that fell off
+        # the retention window. A bare "every v_ dir not retained"
+        # sweep (the old rule) could destroy a CONCURRENT writer's
+        # uncommitted version dir — under last-writer-wins that writer
+        # then commits a pointer to a deleted directory (data loss).
+        # Uncommitted dirs belong to in-flight writers; crashed
+        # writers' orphans are vacuumed by age instead.
+        retained = set(retained_list)
+        for v in committed:
+            if v not in retained:
+                shutil.rmtree(os.path.join(table, v), ignore_errors=True)
+        self._vacuum_orphans(name, retained)
+
+    #: age after which an uncommitted version dir is presumed to belong
+    #: to a CRASHED writer and may be vacuumed (in-flight writers finish
+    #: in seconds-to-minutes; Delta's VACUUM uses hours for the same
+    #: reason — err far on the side of not touching live work).
+    ORPHAN_TTL_S = 3600.0
+
+    def _vacuum_orphans(self, name: str, retained: set[str]) -> None:
+        """Delete version dirs that are neither retained nor recently
+        modified — the leftovers of writers that crashed between
+        _write_version and _commit. Age-gated so a concurrent IN-FLIGHT
+        writer's uncommitted dir is never swept."""
+        import time
+
+        table = self.path(name)
+        now = time.time()
         for entry in os.listdir(table):
-            if entry.startswith("v_") and entry not in retained:
-                shutil.rmtree(os.path.join(table, entry), ignore_errors=True)
+            if not entry.startswith("v_") or entry in retained:
+                continue
+            p = os.path.join(table, entry)
+            try:
+                if now - os.path.getmtime(p) > self.ORPHAN_TTL_S:
+                    shutil.rmtree(p, ignore_errors=True)
+            except OSError:
+                pass
 
     # ---------------------------------------------------------- sinks
 

@@ -780,3 +780,52 @@ class TestOptimizeRecluster:
             "k",
         )
         assert store.layout("t")["zorder_by"] == ["a", "b"]
+
+
+class TestCommitLogGc:
+    """Round-8: the commit log truncates to the retention window
+    (Delta log-cleanup analog), GC deletes only previously COMMITTED
+    versions, and a concurrent writer's uncommitted dir survives
+    another writer's commit (the old every-v_-dir sweep destroyed the
+    last writer's data under unchecked concurrency); crashed writers'
+    orphans are vacuumed by age."""
+
+    def test_log_truncates_to_retention_window(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "wh"), retain_versions=2)
+        for i in range(5):
+            store.overwrite("t", spark.range(i + 1).selectExpr("id AS k"))
+        log = store._log_path("t")
+        with open(log, encoding="utf-8") as fh:
+            lines = [ln for ln in fh if ln.strip()]
+        assert len(lines) == 2  # retention window, not 5
+        assert len(store.versions("t")) == 2
+        assert store.read("t", version=0).count() == 4  # time travel intact
+
+    def test_inflight_writer_dir_survives_concurrent_commit(
+        self, spark, tmp_path
+    ):
+        store = SnapshotStore(spark, str(tmp_path / "wh2"))
+        store.overwrite("t", spark.range(3).selectExpr("id AS k"))
+        # writer A stages but has not committed
+        staged = store._write_version(
+            "t", spark.range(100, 105).selectExpr("id AS k")
+        )
+        # writer B commits; its GC must NOT sweep A's uncommitted dir
+        store.overwrite("t", spark.range(7).selectExpr("id AS k"))
+        assert os.path.isdir(os.path.join(store.path("t"), staged))
+        # A (last-writer-wins) now commits; its data must be readable
+        store._commit("t", staged)
+        assert store.read("t").count() == 5
+
+    def test_aged_orphan_is_vacuumed(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "wh3"))
+        store.overwrite("t", spark.range(3).selectExpr("id AS k"))
+        staged = store._write_version(
+            "t", spark.range(9).selectExpr("id AS k")
+        )
+        p = os.path.join(store.path("t"), staged)
+        old = os.path.getmtime(p) - store.ORPHAN_TTL_S - 60
+        os.utime(p, (old, old))
+        store.overwrite("t", spark.range(4).selectExpr("id AS k"))
+        assert not os.path.isdir(p)  # crashed-writer debris vacuumed
+        assert store.read("t").count() == 4
