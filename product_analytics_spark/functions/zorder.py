@@ -36,20 +36,58 @@ from pyspark.sql import functions as F
 DEFAULT_BITS = 8
 
 
-def _bucketize(df: DataFrame, col: str, bits: int) -> Column:
-    """Order-preserving map of ``col`` onto [0, 2^bits) via equal-width
-    width_bucket over the column's observed (min, max) — one tiny
-    driver-side aggregate per write (the documented scalar-collect
-    pattern; Delta samples for its range ids the same way)."""
+def _value_expr(df: DataFrame, col: str) -> Column:
     dtype = df.schema[col].dataType.simpleString()
     if dtype.startswith("timestamp"):
-        v = F.unix_micros(F.col(col))
-    elif dtype == "date":
-        v = F.unix_date(F.col(col))
-    else:
-        v = F.col(col)
-    lo, hi = df.select(F.min(v), F.max(v)).first()
+        return F.unix_micros(F.col(col))
+    if dtype == "date":
+        return F.unix_date(F.col(col))
+    return F.col(col)
+
+
+def _bucketize(
+    df: DataFrame, col: str, bits: int, equal_depth: bool = False
+) -> Column:
+    """Order-preserving map of ``col`` onto [0, 2^bits).
+
+    Equal-WIDTH (default): width_bucket over the observed (min, max) —
+    one tiny driver-side aggregate per write. Right for roughly
+    uniform keys (dense surrogate ids, timestamps).
+
+    Equal-DEPTH (``equal_depth=True``): approxQuantile boundaries, so
+    each lane holds ~equal ROW mass — Delta's sampled range-id scheme.
+    Right for skewed keys, where equal-width collapses the dense
+    region into one lane and z-locality (hence file skipping) inside
+    it is lost. Bucket lookup is a fold over the literal boundary
+    array (pure codegen, O(2^bits) comparisons per row — keep bits
+    modest for very wide configs)."""
+    v = _value_expr(df, col)
     n = 1 << bits
+    if equal_depth:
+        qs = [i / n for i in range(1, n)]
+        stats = df.select(v.cast("double").alias("_zq"))
+        bounds = sorted(
+            set(stats.approxQuantile("_zq", qs, 1.0 / (4 * n)))
+        )
+        if not bounds:
+            return F.lit(0).cast("long")
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        bucket = F.aggregate(
+            barr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(v.cast("double") >= b, F.lit(1)).otherwise(F.lit(0)),
+        )
+        # Rescale onto the FULL [0, 2^bits) lane: heavy repetition
+        # dedups the boundary list (few distinct values ⇒ few distinct
+        # bucket ids), and unscaled those ids live only in the lane's
+        # LOW bits — the interleave then puts every x-distinction below
+        # every y-bit and z-locality on x is lost. Spreading the ids
+        # across the lane keeps each key's distinctions in high bits
+        # proportional to its realized cardinality.
+        scaled = (bucket.cast("long") * F.lit(n - 1)) / F.lit(len(bounds))
+        return F.least(F.lit(n - 1), scaled.cast("long"))
+    lo, hi = df.select(F.min(v), F.max(v)).first()
     if lo is None or hi is None or lo == hi:
         return F.lit(0).cast("long")
     b = F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(n)) - 1
@@ -57,14 +95,19 @@ def _bucketize(df: DataFrame, col: str, bits: int) -> Column:
 
 
 def morton_zvalue(
-    df: DataFrame, cols: Sequence[str], bits: int = DEFAULT_BITS
+    df: DataFrame,
+    cols: Sequence[str],
+    bits: int = DEFAULT_BITS,
+    equal_depth: bool = False,
 ) -> Column:
     """The interleaved z-value column for ``cols`` (2+ columns, ~8
-    bits each): bit b of column i lands at z-bit ``b*len(cols)+i``."""
+    bits each): bit b of column i lands at z-bit ``b*len(cols)+i``.
+    ``equal_depth`` switches lane normalization to quantile range ids
+    (see ``_bucketize``) for skewed cluster keys."""
     if len(cols) < 2:
         raise ValueError("zorder needs >= 2 columns; use cluster_by for 1")
     k = len(cols)
-    buckets = [_bucketize(df, c, bits) for c in cols]
+    buckets = [_bucketize(df, c, bits, equal_depth=equal_depth) for c in cols]
     z = F.lit(0).cast("long")
     for i, bucket in enumerate(buckets):
         for b in range(bits):

@@ -122,6 +122,7 @@ class SnapshotStore:
         partition_by: Sequence[str],
         cluster_by: Sequence[str],
         zorder_by: Sequence[str],
+        zorder_depth: bool = False,
     ) -> None:
         import json
 
@@ -129,8 +130,10 @@ class SnapshotStore:
             "partition_by": list(partition_by),
             "cluster_by": list(cluster_by),
             "zorder_by": list(zorder_by),
+            "zorder_depth": bool(zorder_depth),
         }
-        if not any(meta.values()):
+        meta_keys = {k: v for k, v in meta.items() if k != "zorder_depth"}
+        if not any(meta_keys.values()):
             # A layout-less write (e.g. merge's internal overwrite)
             # keeps the standing declaration — dbt model config is
             # constant across runs, not per-write.
@@ -215,6 +218,7 @@ class SnapshotStore:
         cluster_by: Sequence[str] = (),
         zorder_by: Sequence[str] = (),
         n_files: int | None = None,
+        zorder_depth: bool = False,
     ) -> str:
         """Write a new UNCOMMITTED version directory; return its name.
 
@@ -246,7 +250,10 @@ class SnapshotStore:
         if zorder_by:
             from product_analytics_spark.functions.zorder import morton_zvalue
 
-            df = df.withColumn(zcol, morton_zvalue(df, list(zorder_by)))
+            df = df.withColumn(
+                zcol,
+                morton_zvalue(df, list(zorder_by), equal_depth=zorder_depth),
+            )
             cluster_by = (zcol,)
         if partition_by:
             df = df.repartition(*partition_by).sortWithinPartitions(
@@ -421,6 +428,7 @@ class SnapshotStore:
         cluster_by: Sequence[str] = (),
         zorder_by: Sequence[str] = (),
         n_files: int | None = None,
+        zorder_depth: bool = False,
         expected_version=UNCHECKED,
     ) -> None:
         """Atomic full replace: write a version dir, commit the pointer.
@@ -433,7 +441,9 @@ class SnapshotStore:
         (ConcurrentWriteError, uncommitted version cleaned up) if
         another writer got there first — a blind overwrite would drop
         that writer's rows."""
-        self._record_layout(name, partition_by, cluster_by, zorder_by)
+        self._record_layout(
+            name, partition_by, cluster_by, zorder_by, zorder_depth=zorder_depth
+        )
         version = self._write_version(
             name,
             df,
@@ -441,6 +451,7 @@ class SnapshotStore:
             cluster_by=cluster_by,
             zorder_by=zorder_by,
             n_files=n_files,
+            zorder_depth=zorder_depth,
         )
         try:
             self._commit(name, version, expected_version=expected_version)
@@ -680,6 +691,7 @@ class SnapshotStore:
             out["reclustered"] = False
             return out
         zorder = bool(layout.get("zorder_by"))
+        zdepth = bool(layout.get("zorder_depth"))
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             expected = self.current_version(name)
@@ -705,7 +717,10 @@ class SnapshotStore:
                             morton_zvalue,
                         )
 
-                        df = df.withColumn("__zval", morton_zvalue(df, keys))
+                        df = df.withColumn(
+                            "__zval",
+                            morton_zvalue(df, keys, equal_depth=zdepth),
+                        )
                         sort_keys = ["__zval"]
                     else:
                         sort_keys = keys

@@ -829,3 +829,77 @@ class TestCommitLogGc:
         store.overwrite("t", spark.range(4).selectExpr("id AS k"))
         assert not os.path.isdir(p)  # crashed-writer debris vacuumed
         assert store.read("t").count() == 4
+
+
+class TestEqualDepthZorder:
+    """Skew-robust zorder lanes: equal-WIDTH bucketization collapses a
+    skewed key's dense region into one lane (no z-locality inside 90%
+    of the data → no skipping for predicates there); equal-DEPTH
+    (approxQuantile range ids, Delta's scheme) spreads the mass across
+    all lanes and restores it."""
+
+    def test_equal_depth_prunes_inside_dense_region(self, spark, tmp_path):
+        # 90% of x-values packed into [0, 16), 10% spread to 1e9
+        df = spark.range(60000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN id % 16 "
+            "ELSE (id % 1000) * 1000000 END AS x",
+            "id % 256 AS y",
+            "id AS payload",
+        )
+        store = SnapshotStore(spark, str(tmp_path / "wh"))
+        store.overwrite("w", df, zorder_by=("x", "y"), n_files=16)
+        store.overwrite(
+            "d", df, zorder_by=("x", "y"), n_files=16, zorder_depth=True
+        )
+        assert store.layout("d")["zorder_depth"] is True
+
+        # predicate inside the dense region: x in [2, 3]
+        f_width, _ = TestZorderLayout._skip_fraction(
+            store.current_data_dir("w"), "x", 2, 3
+        )
+        f_depth, _ = TestZorderLayout._skip_fraction(
+            store.current_data_dir("d"), "x", 2, 3
+        )
+        # 16 row-quantile z-cuts on 90%-dense mass: measured 0.375 vs
+        # 0.0625 — a 6x skipping win; the bar is the structural gap,
+        # not an absolute fraction (more files ⇒ higher fractions).
+        assert f_depth >= f_width + 0.25  # depth lanes restore skipping
+        assert f_depth >= 0.3
+        # identical content either way
+        a = {tuple(r) for r in store.read("w").collect()}
+        b = {tuple(r) for r in store.read("d").collect()}
+        assert a == b
+
+    def test_optimize_honors_recorded_depth(self, spark, tmp_path):
+        df = spark.range(20000).selectExpr(
+            "CASE WHEN id % 10 < 9 THEN id % 16 "
+            "ELSE (id % 500) * 1000000 END AS x",
+            "id % 64 AS y",
+            "id AS payload",
+        )
+        store = SnapshotStore(spark, str(tmp_path / "wh2"))
+        store.overwrite(
+            "t", df, zorder_by=("x", "y"), n_files=8, zorder_depth=True
+        )
+        store.append(
+            "t",
+            spark.range(20000, 24000).selectExpr(
+                "id % 16 AS x", "(id * 7) % 64 AS y", "id AS payload"
+            ).repartition(4),
+        )
+        before = {tuple(r) for r in store.read("t").collect()}
+        data = store.current_data_dir("t")
+        total = sum(
+            os.path.getsize(f)
+            for f in glob.glob(os.path.join(data, "*.parquet"))
+        )
+        stats = store.optimize("t", target_bytes=max(1, total // 8))
+        assert stats["reclustered"] is True
+        f_depth, _ = TestZorderLayout._skip_fraction(
+            store.current_data_dir("t"), "x", 2, 3
+        )
+        # ~9 output files ⇒ coarse cells; the bar is that skipping
+        # exists at all inside the dense region post-recluster (the
+        # width-lane layout measures 0 there)
+        assert f_depth >= 0.2  # depth lanes survived the recluster
+        assert {tuple(r) for r in store.read("t").collect()} == before
