@@ -839,17 +839,23 @@ class TestEqualDepthZorder:
     all lanes and restores it."""
 
     def test_equal_depth_prunes_inside_dense_region(self, spark, tmp_path):
-        # 90% of x-values packed into [0, 16), 10% spread to 1e9
-        df = spark.range(60000).selectExpr(
-            "CASE WHEN id % 10 < 9 THEN id % 16 "
+        # 99% of x-values packed into [0, 16), 1% spread to 1e9.
+        # Input partitioning pinned (range numPartitions=16) so
+        # approxQuantile boundaries and range-exchange sampling don't
+        # drift with whatever session state earlier test modules left,
+        # and y DECORRELATED from x (id div 16, not id — id%16 and
+        # id%256 are congruent mod 16, which smuggles x-locality into
+        # y-sorted files and contaminates the width baseline).
+        df = spark.range(0, 60000, 1, 16).selectExpr(
+            "CASE WHEN id % 100 < 99 THEN id % 16 "
             "ELSE (id % 1000) * 1000000 END AS x",
-            "id % 256 AS y",
+            "(id div 16) % 256 AS y",
             "id AS payload",
         )
         store = SnapshotStore(spark, str(tmp_path / "wh"))
-        store.overwrite("w", df, zorder_by=("x", "y"), n_files=16)
+        store.overwrite("w", df, zorder_by=("x", "y"), n_files=32)
         store.overwrite(
-            "d", df, zorder_by=("x", "y"), n_files=16, zorder_depth=True
+            "d", df, zorder_by=("x", "y"), n_files=32, zorder_depth=True
         )
         assert store.layout("d")["zorder_depth"] is True
 
@@ -860,21 +866,22 @@ class TestEqualDepthZorder:
         f_depth, _ = TestZorderLayout._skip_fraction(
             store.current_data_dir("d"), "x", 2, 3
         )
-        # 16 row-quantile z-cuts on 90%-dense mass: measured 0.375 vs
-        # 0.0625 — a 6x skipping win; the bar is the structural gap,
-        # not an absolute fraction (more files ⇒ higher fractions).
-        assert f_depth >= f_width + 0.25  # depth lanes restore skipping
-        assert f_depth >= 0.3
+        # Structural claim (measured 0.0 vs 0.656): width lanes map the
+        # whole dense region to lane 0 — no file can exclude x∈[2,3];
+        # depth lanes spread it and most files skip.
+        assert f_width <= 0.1
+        assert f_depth >= 0.4
+        assert f_depth >= f_width + 0.3
         # identical content either way
         a = {tuple(r) for r in store.read("w").collect()}
         b = {tuple(r) for r in store.read("d").collect()}
         assert a == b
 
     def test_optimize_honors_recorded_depth(self, spark, tmp_path):
-        df = spark.range(20000).selectExpr(
-            "CASE WHEN id % 10 < 9 THEN id % 16 "
+        df = spark.range(0, 20000, 1, 16).selectExpr(
+            "CASE WHEN id % 100 < 99 THEN id % 16 "
             "ELSE (id % 500) * 1000000 END AS x",
-            "id % 64 AS y",
+            "(id div 16) % 64 AS y",
             "id AS payload",
         )
         store = SnapshotStore(spark, str(tmp_path / "wh2"))

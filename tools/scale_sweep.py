@@ -89,6 +89,8 @@ SWEEP_KEYS = [
     "q25", "q27", "q28", "q39", "q51", "q52", "q53", "q54", "q56",
     "q59", "q61", "q64", "q65", "q67", "q68", "q85", "q99", "q107",
     "q115",
+    # round-8 storage/scheduler certs (warehouse-write heavy)
+    "q415", "q416", "q417",
 ]
 
 
