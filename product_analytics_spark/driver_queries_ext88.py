@@ -630,12 +630,116 @@ FROM both_gen GROUP BY o_orderstatus ORDER BY o_orderstatus
 """
 
 
+# ------------------------------------------------------------- q418
+
+Q418_WH = os.path.join(_REPO, ".q418_warehouse")
+
+
+def q418_dag_retry_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``dbt retry``, executed end-to-end: a 3-model DAG where the
+    orders-metrics model fails transiently on its first run — the
+    first ledger must show the dbt statuses (sibling SUCCESS, failing
+    model ERROR, dependent SKIPPED), and the retry must re-run ONLY
+    the failed subset, serving the successful sibling from its stored
+    snapshot (its builder is never called again — the compared
+    ``good_rebuilds`` count pins that at 1). The final dependent model
+    joins the retried metrics with the reused snapshot; its rows_built
+    is oracle-recomputed from the raw tables.
+
+    Scale: re-running a green 10-hour model because its sibling flaked
+    is the expensive mistake retry removes; the ledger (run_results
+    analog) is what makes the failed subset machine-recoverable."""
+    from product_analytics_spark.plans.executor import DagExecutor
+    from product_analytics_spark.plans.registry import Model, ModelRegistry
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q418_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q418_WH)
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    calls = {"cust_clean": 0, "ord_metrics": 0, "dim": 0}
+    attempt = {"n": 0}
+
+    def build_cust_clean(deps, prev, full):
+        calls["cust_clean"] += 1
+        return deps["customer_src"].select(
+            F.col("c_custkey").alias("customer_id"),
+            F.col("c_mktsegment").alias("segment"),
+        )
+
+    def build_ord_metrics(deps, prev, full):
+        calls["ord_metrics"] += 1
+        attempt["n"] += 1
+        if attempt["n"] == 1:
+            raise RuntimeError("transient upstream hiccup")
+        return (
+            deps["orders_src"]
+            .groupBy(F.col("o_custkey").alias("customer_id"))
+            .agg(F.count(F.lit(1)).alias("n_orders"))
+        )
+
+    def build_dim(deps, prev, full):
+        calls["dim"] += 1
+        return deps["cust_clean"].join(
+            deps["ord_metrics"], "customer_id", "left"
+        )
+
+    reg = ModelRegistry()
+    reg.register(Model(name="cust_clean", deps=("customer_src",),
+                       builder=build_cust_clean))
+    reg.register(Model(name="ord_metrics", deps=("orders_src",),
+                       builder=build_ord_metrics))
+    reg.register(Model(name="dim", deps=("cust_clean", "ord_metrics"),
+                       builder=build_dim))
+    ex = DagExecutor(reg, store, threads=5)
+    sources = {"customer_src": cust, "orders_src": orders}
+    _, ledger1 = ex.run(sources)
+    _, ledger2 = ex.retry(sources, ledger1)
+
+    rows = [
+        ("run", e["model"], e["status"], int(e["rows_built"]))
+        for e in ledger1
+    ] + [
+        ("retry", e["model"], e["status"], int(e["rows_built"]))
+        for e in ledger2
+    ]
+    return (
+        spark.createDataFrame(
+            rows, "phase string, model string, status string, rows_built bigint"
+        )
+        .withColumn(
+            "good_rebuilds", F.lit(int(calls["cust_clean"])).cast("bigint")
+        )
+        .orderBy("phase", "model")
+    )
+
+
+Q418_SQL = """
+SELECT * FROM (
+  SELECT 'run' AS phase, 'cust_clean' AS model, 'success' AS status,
+         (SELECT CAST(count(*) AS BIGINT) FROM customer) AS rows_built,
+         CAST(1 AS BIGINT) AS good_rebuilds
+  UNION ALL
+  SELECT 'run', 'ord_metrics', 'error', CAST(-1 AS BIGINT), 1
+  UNION ALL
+  SELECT 'run', 'dim', 'skipped', CAST(-1 AS BIGINT), 1
+  UNION ALL
+  SELECT 'retry', 'ord_metrics', 'success',
+         (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT) FROM orders), 1
+  UNION ALL
+  SELECT 'retry', 'dim', 'success',
+         (SELECT CAST(count(*) AS BIGINT) FROM customer), 1
+) ORDER BY phase, model
+"""
+
+
 QUERIES_EXT88 = {
     "q413_occ_dml_interleave": q413_occ_dml_interleave,
     "q414_occ_compact_interleave": q414_occ_compact_interleave,
     "q415_dag_executor_ledger": q415_dag_executor_ledger,
     "q416_zorder_write_skipping": q416_zorder_write_skipping,
     "q417_optimize_recluster": q417_optimize_recluster,
+    "q418_dag_retry_ledger": q418_dag_retry_ledger,
 }
 
 
@@ -646,4 +750,5 @@ def _oracles_ext88() -> dict[str, str]:
         "q415_dag_executor_ledger": Q415_SQL,
         "q416_zorder_write_skipping": Q416_SQL,
         "q417_optimize_recluster": Q417_SQL,
+        "q418_dag_retry_ledger": Q418_SQL,
     }
