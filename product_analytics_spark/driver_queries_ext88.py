@@ -733,6 +733,126 @@ SELECT * FROM (
 """
 
 
+# ------------------------------------------------------------- q419
+
+Q419_WH = os.path.join(_REPO, ".q419_warehouse")
+
+
+def q419_advised_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Advisor-driven Z-ORDER — the workload→layout loop closed for
+    the MULTI-key case: LAYOUT_ADVICE.json shows orders filtered most
+    on o_custkey (52 plans) AND o_orderdate (40 plans) — two
+    high-cardinality columns, so hive partitioning fits neither and a
+    single-key sort serves only one; that co-occurrence IS the ZORDER
+    trigger (reference orders_cleaned.sql:15 zorders order_id,
+    customer_id, order_date for the same reason). Orders are written
+    z-ordered on the advised pair and parquet footer stats are read
+    directly: a bottom-1/16 slice on EACH key independently prunes
+    most files — one layout serving both predicates, which no
+    lexicographic sort can do.
+
+    In-row certs: advisor_backed (the pair still tops the advisor's
+    partition_or_zorder candidates — drift surfaces, not hides),
+    custkey_prunes / orderdate_prunes (measured fractions ≥ 0.4).
+    Compared values: per-priority aggregates of the custkey-pruned
+    read, recomputed by the oracle from raw orders.
+
+    Scale: the advisor's filter-column histogram is exactly the input
+    Delta users eyeball before OPTIMIZE ZORDER BY; wiring it to the
+    write path makes the layout a derived artifact of the workload."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    from product_analytics_spark.driver_queries_ext79 import (
+        _layout_advice,
+        _top_candidates,
+    )
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    advice = _layout_advice()
+    top = _top_candidates(
+        advice, "orders", "partition_or_zorder_candidates", k=4
+    )
+    advisor_backed = {"o_custkey", "o_orderdate"} <= set(top)
+
+    shutil.rmtree(Q419_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q419_WH)
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderdate",
+        "o_orderpriority",
+        _money_cents("o_totalprice").alias("cents"),
+    )
+    store.overwrite(
+        "ord", o, zorder_by=("o_custkey", "o_orderdate"), n_files=16
+    )
+    max_c, lo_d, hi_d = o.agg(
+        F.max("o_custkey"), F.min("o_orderdate"), F.max("o_orderdate")
+    ).collect()[0]
+    cut_c = max_c // 16
+    cut_d = lo_d + (hi_d - lo_d) / 16
+
+    def skip_fraction(col, overlap_fn) -> float:
+        files = sorted(
+            _glob.glob(
+                os.path.join(store.current_data_dir("ord"), "*.parquet")
+            )
+        )
+        skipped = 0
+        for f in files:
+            md = _pq.ParquetFile(f).metadata
+            overlap = False
+            for rg in range(md.num_row_groups):
+                for ci in range(md.num_columns):
+                    c = md.row_group(rg).column(ci)
+                    if c.path_in_schema == col and overlap_fn(c.statistics):
+                        overlap = True
+            if not overlap:
+                skipped += 1
+        return skipped / len(files)
+
+    f_cust = skip_fraction("o_custkey", lambda st: st.min <= cut_c)
+    f_date = skip_fraction("o_orderdate", lambda st: st.min <= cut_d)
+
+    pruned = (
+        store.read("ord")
+        .filter(F.col("o_custkey") <= cut_c)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum("cents") / 100.0).cast("double").alias("total"),
+        )
+    )
+    return pruned.select(
+        "o_orderpriority",
+        "n_orders",
+        "total",
+        F.lit(bool(advisor_backed)).alias("advisor_backed"),
+        F.lit(f_cust >= 0.4).alias("custkey_prunes"),
+        F.lit(f_date >= 0.4).alias("orderdate_prunes"),
+    ).orderBy("o_orderpriority")
+
+
+Q419_SQL = """
+WITH o AS (
+  SELECT o_custkey, o_orderpriority,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+cut AS (SELECT max(o_custkey) // 16 AS c FROM o)
+SELECT o_orderpriority,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       CAST(CAST(sum(cents) AS BIGINT) / 100.0 AS DOUBLE) AS total,
+       TRUE AS advisor_backed,
+       TRUE AS custkey_prunes,
+       TRUE AS orderdate_prunes
+FROM o WHERE o_custkey <= (SELECT c FROM cut)
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
 QUERIES_EXT88 = {
     "q413_occ_dml_interleave": q413_occ_dml_interleave,
     "q414_occ_compact_interleave": q414_occ_compact_interleave,
@@ -740,6 +860,7 @@ QUERIES_EXT88 = {
     "q416_zorder_write_skipping": q416_zorder_write_skipping,
     "q417_optimize_recluster": q417_optimize_recluster,
     "q418_dag_retry_ledger": q418_dag_retry_ledger,
+    "q419_advised_zorder": q419_advised_zorder,
 }
 
 
@@ -751,4 +872,5 @@ def _oracles_ext88() -> dict[str, str]:
         "q416_zorder_write_skipping": Q416_SQL,
         "q417_optimize_recluster": Q417_SQL,
         "q418_dag_retry_ledger": Q418_SQL,
+        "q419_advised_zorder": Q419_SQL,
     }

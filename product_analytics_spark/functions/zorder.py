@@ -39,7 +39,9 @@ DEFAULT_BITS = 8
 def _value_expr(df: DataFrame, col: str) -> Column:
     dtype = df.schema[col].dataType.simpleString()
     if dtype.startswith("timestamp"):
-        return F.unix_micros(F.col(col))
+        # unix_micros requires TIMESTAMP (ltz); NTZ columns cast first —
+        # the session is pinned UTC so the mapping is order-preserving
+        return F.unix_micros(F.col(col).cast("timestamp"))
     if dtype == "date":
         return F.unix_date(F.col(col))
     return F.col(col)
