@@ -250,22 +250,26 @@ def report() -> None:
         "## Findings",
         "",
         "* **q183_fingerprint_near_dup was super-linear (121×: 2.3 s →",
-        "  278 s) and is fixed** (now 3.9 s → 20.2 s, 5.2×). Root cause:",
+        "  278 s in the first sweep) and is fixed** (clean re-run:",
+        "  2.6 s → 14.6 s, 5.7× — now the table's max). Root cause:",
         "  5-bit LSH bands = 32 bucket values, so bucket occupancy grew",
         "  linearly with the corpus and candidate pairs quadratically —",
         "  a fixed-capacity flaw invisible at sf0.1. Fix (ext12):",
         "  36-bit fingerprint, 3×12-bit bands (4096 values), Hamming-",
-        "  ball-1 probing for recall at distance ≤5, and q20's",
-        "  exact-dup collapse so the banded join runs over distinct",
-        "  fingerprints. Oracle strengthened to naive all-pairs,",
+        "  ball-1 probing for recall at distance ≤5, q20's exact-dup",
+        "  collapse so the banded join runs over distinct fingerprints,",
+        "  and the md5 fingerprint pass persisted once (it feeds five",
+        "  plan branches). Oracle strengthened to naive all-pairs,",
         "  independently validating the banding's exact recall.",
-        "* Everything else is ≤ ~5× for 10× data — fixed overhead",
+        "* Everything else is ≤ ~4× for 10× data — fixed overhead",
         "  (job scheduling, Python streaming machinery, warehouse-write",
-        "  certs) still dominates at this size; no other query shows",
+        "  certs) still dominates at this size; no query shows",
         "  super-linear growth. The streaming family (q218/q367) is",
         "  flat by construction (micro-batch machinery, bounded feed).",
         "* Ratios were measured in one warm session, sf0.1 first, with",
-        "  caches cleared between queries (tools/scale_sweep.py run).",
+        "  caches cleared between queries (tools/scale_sweep.py run);",
+        "  this file reflects the post-fix clean re-run including the",
+        "  round-8 storage/scheduler certs q415–q417.",
     ]
     with open("/root/repo/SCALE_SWEEP.md", "w", encoding="utf-8") as fh:
         fh.write("\n".join(lines) + "\n")
