@@ -853,6 +853,96 @@ GROUP BY o_orderpriority ORDER BY o_orderpriority
 """
 
 
+# ------------------------------------------------------------- q420
+
+P_TOTAL = 3000   # bounded feed
+P_BATCH = 700    # per-trigger availability (ragged last batch)
+P_SHARDS = 3     # InputPartitions per micro-batch (ragged splits)
+P_BUCKETS = 10
+
+
+def q420_parallel_stream_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Executor-PARALLEL custom Python streaming source (Spark 4
+    ``DataSourceStreamReader`` — the partition-planning API): the same
+    deterministic CDC feed as q367, but the driver now only does
+    offset arithmetic (latestOffset advances availability per trigger;
+    partitions() splits each micro-batch's offset range into 3
+    InputPartitions) and row GENERATION runs in read() ON EXECUTORS —
+    the corpus-scale path q367's Simple-reader docstring fences off,
+    now implemented rather than promised. Slice (700) and shard (3)
+    sizes are deliberately ragged so batch AND shard boundaries land
+    unevenly; the closed-form oracle replays the whole feed with
+    generate_series, certifying both boundary kinds answer-invariant.
+
+    Scale: this is the shape a real high-volume source needs —
+    per-trigger work spreads across the cluster (one task per
+    InputPartition), offsets are plain positions so restart re-plans
+    identical partitions (exactly-once by construction), and the
+    driver never materializes rows."""
+    from product_analytics_spark.sources import pyds
+
+    pyds.register_parallel_stream(spark)
+    src = (
+        spark.readStream.format("cdc_pstream")
+        .option("total_rows", str(P_TOTAL))
+        .option("batch_rows", str(P_BATCH))
+        .option("shards", str(P_SHARDS))
+        .load()
+    )
+    agg = src.groupBy(
+        (F.col("customer_id") % P_BUCKETS).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("n_ops"),
+        F.count_if(F.col("op") == "INSERT").alias("n_ins"),
+        F.count_if(F.col("op") == "UPDATE").alias("n_upd"),
+        F.count_if(F.col("op") == "DELETE").alias("n_del"),
+        F.sum(
+            F.when(F.col("op") == "DELETE", -F.col("amount_cents")).otherwise(
+                F.col("amount_cents")
+            )
+        ).alias("net_cents"),
+        F.max("op_id").alias("hwm_op_id"),
+    )
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("q420_sink")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination(60)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    return spark.table("q420_sink").orderBy("bucket")
+
+
+Q420_SQL = f"""
+WITH feed AS (
+  SELECT i AS op_id,
+         i % 1500 AS customer_id,
+         CASE WHEN i % 10 <= 6 THEN 'INSERT'
+              WHEN i % 10 <= 8 THEN 'UPDATE' ELSE 'DELETE' END AS op,
+         (i * 1103515245 + 12345) % 10000000 AS amount_cents
+  FROM generate_series(0, {P_TOTAL - 1}) t(i)
+)
+SELECT customer_id % {P_BUCKETS} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_ops,
+       CAST(count(*) FILTER (WHERE op = 'INSERT') AS BIGINT) AS n_ins,
+       CAST(count(*) FILTER (WHERE op = 'UPDATE') AS BIGINT) AS n_upd,
+       CAST(count(*) FILTER (WHERE op = 'DELETE') AS BIGINT) AS n_del,
+       CAST(sum(CASE WHEN op = 'DELETE' THEN -amount_cents
+                     ELSE amount_cents END) AS BIGINT) AS net_cents,
+       max(op_id) AS hwm_op_id
+FROM feed GROUP BY 1 ORDER BY bucket
+"""
+
+
 QUERIES_EXT88 = {
     "q413_occ_dml_interleave": q413_occ_dml_interleave,
     "q414_occ_compact_interleave": q414_occ_compact_interleave,
@@ -861,6 +951,7 @@ QUERIES_EXT88 = {
     "q417_optimize_recluster": q417_optimize_recluster,
     "q418_dag_retry_ledger": q418_dag_retry_ledger,
     "q419_advised_zorder": q419_advised_zorder,
+    "q420_parallel_stream_source": q420_parallel_stream_source,
 }
 
 
@@ -873,4 +964,5 @@ def _oracles_ext88() -> dict[str, str]:
         "q417_optimize_recluster": Q417_SQL,
         "q418_dag_retry_ledger": Q418_SQL,
         "q419_advised_zorder": Q419_SQL,
+        "q420_parallel_stream_source": Q420_SQL,
     }

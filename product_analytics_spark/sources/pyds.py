@@ -31,6 +31,7 @@ from typing import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -341,3 +342,84 @@ class CdcStreamDataSource(DataSource):
 
 def register_stream(spark) -> None:
     spark.dataSource.register(CdcStreamDataSource)
+
+
+# Executor-parallel streaming half: the PARTITION-PLANNING
+# DataSourceStreamReader — the corpus-scale path the Simple reader's
+# docstring fences off. The driver only does offset arithmetic
+# (latestOffset/partitions); row GENERATION happens in read(), which
+# Spark executes ON EXECUTORS, one task per InputPartition — so a
+# micro-batch's work spreads across the cluster instead of being
+# prefetched on the driver.
+
+
+@dataclass
+class _StreamSlice(InputPartition):
+    start: int
+    end: int
+
+
+class CdcParallelStreamReader(DataSourceStreamReader):
+    """Offset-range planner for the deterministic CDC feed.
+
+    Per trigger: ``latestOffset`` advances the available watermark by
+    ``batch_rows`` (a feed producing that much per trigger — for a
+    real source this is "what has arrived"); ``partitions(start, end)``
+    splits the micro-batch's offset range into ``shards``
+    InputPartitions; ``read(partition)`` regenerates exactly that
+    slice on an executor. Offsets are plain positions, so restart
+    replay re-plans the same partitions and regenerates identical rows
+    — exactly-once by construction, same contract the Simple reader's
+    readBetweenOffsets gives, now with executor-side parallel reads.
+    Batch boundaries AND shard boundaries must never change any
+    downstream answer — q420's closed-form oracle certifies both."""
+
+    def __init__(self, options):
+        self.total = int(options.get("total_rows", "4000"))
+        self.batch = int(options.get("batch_rows", "1024"))
+        self.shards = int(options.get("shards", "4"))
+        self._available = 0
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def latestOffset(self):
+        self._available = min(self._available + self.batch, self.total)
+        return {"pos": self._available}
+
+    def partitions(self, start, end):
+        s, e = int(start["pos"]), int(end["pos"])
+        if e <= s:
+            return [_StreamSlice(s, s)]
+        n = max(1, self.shards)
+        step = -(-(e - s) // n)
+        return [
+            _StreamSlice(lo, min(lo + step, e)) for lo in range(s, e, step)
+        ]
+
+    def read(self, partition: _StreamSlice) -> Iterator:
+        # Runs on an EXECUTOR: regenerate this slice only.
+        for i in range(partition.start, partition.end):
+            yield cdc_row(i)
+
+    def commit(self, end):
+        # Positions below ``end`` are durable in the checkpoint; a real
+        # source would release upstream resources here. The generator
+        # is stateless, so nothing to do.
+        pass
+
+
+class CdcParallelStreamDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "cdc_pstream"
+
+    def schema(self):
+        return CDC_SCHEMA
+
+    def streamReader(self, schema) -> CdcParallelStreamReader:
+        return CdcParallelStreamReader(self.options)
+
+
+def register_parallel_stream(spark) -> None:
+    spark.dataSource.register(CdcParallelStreamDataSource)

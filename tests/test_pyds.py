@@ -79,3 +79,79 @@ class TestEndToEnd:
         got = sorted(tuple(r) for r in df.collect())
         expected = sorted(pyds.cdc_row(i) for i in range(450))
         assert got == expected
+
+
+class TestParallelStreamReader:
+    """Partition-planning DataSourceStreamReader (q420): driver does
+    offset arithmetic only; row generation is executor-side per
+    InputPartition. Planning must tile offset ranges exactly (ragged
+    batches and shards), and replanning the same range must regenerate
+    identical rows (restart replay = exactly-once)."""
+
+    def test_partitions_tile_the_offset_range(self):
+        from product_analytics_spark.sources.pyds import (
+            CdcParallelStreamReader,
+        )
+
+        r = CdcParallelStreamReader(
+            {"total_rows": "3000", "batch_rows": "700", "shards": "3"}
+        )
+        assert r.initialOffset() == {"pos": 0}
+        start = {"pos": 0}
+        seen = []
+        while int(start["pos"]) < 3000:
+            end = r.latestOffset()
+            parts = r.partitions(start, end)
+            # exact tiling: contiguous, non-overlapping, covers [s, e)
+            lo = int(start["pos"])
+            for p in parts:
+                assert p.start == lo
+                assert p.end >= p.start
+                lo = p.end
+            assert lo == int(end["pos"])
+            assert len(parts) <= 3
+            seen.extend((p.start, p.end) for p in parts)
+            start = end
+        # availability clamps at the bound; final batch is ragged (200)
+        assert int(start["pos"]) == 3000
+        assert seen[-1][1] == 3000
+
+    def test_replay_regenerates_identical_rows(self):
+        from product_analytics_spark.sources.pyds import (
+            CdcParallelStreamReader,
+            _StreamSlice,
+        )
+
+        r = CdcParallelStreamReader({"total_rows": "100", "batch_rows": "40"})
+        a = list(r.read(_StreamSlice(20, 60)))
+        b = list(r.read(_StreamSlice(20, 60)))  # restart replay
+        assert a == b and len(a) == 40
+        # shard-boundary invariance: two half slices == the full slice
+        halves = list(r.read(_StreamSlice(20, 40))) + list(
+            r.read(_StreamSlice(40, 60))
+        )
+        assert halves == a
+
+    def test_stream_equals_batch_closed_form(self, spark):
+        from product_analytics_spark.sources import pyds
+
+        pyds.register_parallel_stream(spark)
+        src = (
+            spark.readStream.format("cdc_pstream")
+            .option("total_rows", "500")
+            .option("batch_rows", "123")  # ragged on purpose
+            .option("shards", "4")
+            .load()
+        )
+        q = (
+            src.groupBy().count()
+            .writeStream.format("memory")
+            .queryName("pstream_cnt")
+            .outputMode("complete")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        assert spark.table("pstream_cnt").collect()[0][0] == 500
