@@ -69,7 +69,9 @@ def test_fuzz_dml_interleavings(spark, tmp_path, partitioned):
         init = [(k, f"g{k % 4}", k * 3 - 100) for k in range(KEYSPACE)]
         df = spark.createDataFrame(init, "k long, grp string, v long")
         part = ["grp"] if partitioned else []
-        store.overwrite("t", df, partition_by=part)
+        # declare clustering so the optimize op exercises the recluster
+        # path (layout-only: must never change logical content)
+        store.overwrite("t", df, partition_by=part, cluster_by=["v"])
 
         con = duckdb.connect()
         con.execute("CREATE TABLE t (k BIGINT, grp VARCHAR, v BIGINT)")
@@ -91,7 +93,7 @@ def test_fuzz_dml_interleavings(spark, tmp_path, partitioned):
 
         for step in range(N_OPS):
             op = rng.choice(
-                ["merge", "delete", "update", "compact",
+                ["merge", "delete", "update", "compact", "optimize",
                  "delete_conflict", "update_conflict"]
             )
             if op == "merge":
@@ -108,6 +110,8 @@ def test_fuzz_dml_interleavings(spark, tmp_path, partitioned):
                 con.execute(f"UPDATE t SET v = v + {d} WHERE {p}")
             elif op == "compact":
                 store.compact("t")  # layout-only: no replay
+            elif op == "optimize":
+                store.optimize("t")  # recluster: layout-only, no replay
             else:
                 # OCC interleave: a merge lands inside the DML's
                 # scan->commit window; serial history = merge, then DML
