@@ -372,7 +372,14 @@ class CdcParallelStreamReader(DataSourceStreamReader):
     — exactly-once by construction, same contract the Simple reader's
     readBetweenOffsets gives, now with executor-side parallel reads.
     Batch boundaries AND shard boundaries must never change any
-    downstream answer — q420's closed-form oracle certifies both."""
+    downstream answer — q420's closed-form oracle certifies both.
+
+    Availability (``_available``) is per-driver-lifetime state; after
+    a checkpoint restart it is RE-SEEDED from the engine's replayed
+    offsets (``partitions``/``commit`` clamp it up to the durable
+    position, ADVICE r8), so ``latestOffset`` resumes from the
+    checkpoint instead of stalling below it until the counter catches
+    back up."""
 
     def __init__(self, options):
         self.total = int(options.get("total_rows", "4000"))
@@ -389,6 +396,11 @@ class CdcParallelStreamReader(DataSourceStreamReader):
 
     def partitions(self, start, end):
         s, e = int(start["pos"]), int(end["pos"])
+        # Restart re-seed: the engine re-plans from the durable offset
+        # log while a fresh driver's _available restarts at 0 — clamp
+        # availability up to the replayed range so the next
+        # latestOffset never returns below the checkpoint.
+        self._available = max(self._available, min(max(s, e), self.total))
         if e <= s:
             return [_StreamSlice(s, s)]
         n = max(1, self.shards)
@@ -405,8 +417,9 @@ class CdcParallelStreamReader(DataSourceStreamReader):
     def commit(self, end):
         # Positions below ``end`` are durable in the checkpoint; a real
         # source would release upstream resources here. The generator
-        # is stateless, so nothing to do.
-        pass
+        # is stateless — just keep the availability watermark at least
+        # at the durable position (restart re-seed, see class doc).
+        self._available = max(self._available, min(int(end["pos"]), self.total))
 
 
 class CdcParallelStreamDataSource(DataSource):

@@ -256,7 +256,12 @@ class SnapshotStore:
             )
             cluster_by = (zcol,)
         if partition_by:
-            df = df.repartition(*partition_by).sortWithinPartitions(
+            # n_files pins the TASK count here (ADVICE r8: it used to be
+            # silently ignored on partitioned writes); each hive dir
+            # still gets whole files since tasks are keyed on the
+            # partition columns.
+            parts = [n_files] if n_files else []
+            df = df.repartition(*parts, *partition_by).sortWithinPartitions(
                 *partition_by, *cluster_by
             )
         elif cluster_by:
@@ -274,58 +279,43 @@ class SnapshotStore:
         return version
 
     def _commit_lock(self, name: str):
-        """Short mutex around the compare-and-commit critical section:
-        an O_EXCL lock file (held for microseconds — the version data
-        is already on disk before _commit runs). A crash inside the
-        section leaves a stale lock, broken after 30s by age — the
-        local-FS analog of a lease; on object stores the table
-        format's log-entry putIfAbsent plays this role natively."""
+        """Short mutex around the compare-and-commit critical section
+        (held for microseconds — the version data is already on disk
+        before _commit runs): an exclusive ``fcntl.flock`` on a
+        PERSISTENT lock file. The kernel releases the lock when the
+        holder's fd closes — including on crash — so there is no
+        staleness heuristic at all, and therefore none of the
+        lease-breaking races an age-judged O_EXCL file has (ADVICE r8:
+        the rename-back window let a second waiter slip in). The lock
+        file itself is never unlinked: unlink+recreate would let two
+        waiters lock DIFFERENT inodes under the same path. On object
+        stores the table format's log-entry putIfAbsent plays this
+        role natively."""
         import contextlib
+        import fcntl
         import time
 
         lock = os.path.join(self.path(name), "_COMMIT_LOCK")
 
         @contextlib.contextmanager
         def _held():
-            deadline = time.time() + 10.0
-            while True:
-                try:
-                    fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-                    os.close(fd)
-                    break
-                except FileExistsError:
-                    try:
-                        if time.time() - os.path.getmtime(lock) > 30.0:
-                            # Break the stale lease via rename-then-unlink:
-                            # N waiters can all judge the SAME lock stale,
-                            # but os.rename of a given path succeeds for
-                            # exactly one of them — the losers see ENOENT
-                            # and loop back to O_EXCL. A bare unlink here
-                            # would let a second waiter unlink the FIRST
-                            # breaker's freshly acquired lock, putting two
-                            # writers inside the critical section.
-                            claim = f"{lock}.stale_{uuid.uuid4().hex[:8]}"
-                            os.rename(lock, claim)
-                            if time.time() - os.path.getmtime(claim) > 30.0:
-                                os.unlink(claim)
-                            else:
-                                # Judged stale, but the path held a FRESH
-                                # lock by rename time (holder swapped in
-                                # between) — put it back untouched.
-                                os.rename(claim, lock)
-                            continue
-                    except OSError:
-                        continue
-                    if time.time() > deadline:
-                        raise TimeoutError(f"commit lock busy: {lock}")
-                    time.sleep(0.01)
+            fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
             try:
-                yield
-            finally:
+                deadline = time.time() + 10.0
+                while True:
+                    try:
+                        fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
+                        break
+                    except OSError:
+                        if time.time() > deadline:
+                            raise TimeoutError(f"commit lock busy: {lock}")
+                        time.sleep(0.01)
                 try:
-                    os.unlink(lock)
-                except OSError:
-                    pass
+                    yield
+                finally:
+                    fcntl.flock(fd, fcntl.LOCK_UN)
+            finally:
+                os.close(fd)
 
         return _held()
 
@@ -441,9 +431,6 @@ class SnapshotStore:
         (ConcurrentWriteError, uncommitted version cleaned up) if
         another writer got there first — a blind overwrite would drop
         that writer's rows."""
-        self._record_layout(
-            name, partition_by, cluster_by, zorder_by, zorder_depth=zorder_depth
-        )
         version = self._write_version(
             name,
             df,
@@ -460,6 +447,13 @@ class SnapshotStore:
                 os.path.join(self.path(name), version), ignore_errors=True
             )
             raise
+        # Record the layout declaration only AFTER the commit succeeds
+        # (ADVICE r8): a transaction that loses the OCC race committed
+        # nothing, so it must not redefine the clustering a later
+        # optimize() applies either.
+        self._record_layout(
+            name, partition_by, cluster_by, zorder_by, zorder_depth=zorder_depth
+        )
 
     def append(self, name: str, df: DataFrame, partition_by: Sequence[str] = ()) -> None:
         """S5: plain append materialization.
@@ -613,17 +607,22 @@ class SnapshotStore:
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             expected = self.current_version(name)
-            plan = self.plan_compaction(name, target_bytes)
-            if post_scan is not None:
-                post_scan()
-            if not plan:
-                return {"files_before": 0, "files_after": 0, "groups": 0}
-            data = self.current_data_dir(name)
-            assert data is not None  # plan non-empty ⇒ committed data exists
-            n_before = sum(len(g) for g in plan)
             version = f"v_{uuid.uuid4().hex[:12]}"
             vdir = os.path.join(self.path(name), version)
+            # The try covers the SCAN phase too (plan_compaction's
+            # getsize walk), not just the rewrite: with a small
+            # retention window a concurrent commit can GC the scanned
+            # version mid-plan, and that must surface as a conflict
+            # retry, not a raw OSError (ADVICE r8).
             try:
+                plan = self.plan_compaction(name, target_bytes)
+                if post_scan is not None:
+                    post_scan()
+                if not plan:
+                    return {"files_before": 0, "files_after": 0, "groups": 0}
+                data = self.current_data_dir(name)
+                assert data is not None  # plan non-empty ⇒ data exists
+                n_before = sum(len(g) for g in plan)
                 for group in plan:
                     rel = os.path.relpath(os.path.dirname(group[0]), data)
                     out_dir = vdir if rel == "." else os.path.join(vdir, rel)
@@ -695,16 +694,23 @@ class SnapshotStore:
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             expected = self.current_version(name)
-            data = self.current_data_dir(name)
-            if data is None:
-                raise ValueError(f"unknown table {name!r}")
-            parts = self._partition_dirs(data)
-            if not parts:
-                return {"files_before": 0, "files_after": 0, "reclustered": False}
-            n_before = sum(len(fs) for _r, fs in parts)
             version = f"v_{uuid.uuid4().hex[:12]}"
             vdir = os.path.join(self.path(name), version)
+            # Scan phase inside the try: getsize/walk over a snapshot a
+            # concurrent commit may GC mid-scan must become a conflict
+            # retry, not a raw OSError (ADVICE r8).
             try:
+                data = self.current_data_dir(name)
+                if data is None:
+                    raise ValueError(f"unknown table {name!r}")
+                parts = self._partition_dirs(data)
+                if not parts:
+                    return {
+                        "files_before": 0,
+                        "files_after": 0,
+                        "reclustered": False,
+                    }
+                n_before = sum(len(fs) for _r, fs in parts)
                 for rel, files in parts:
                     out_dir = vdir if rel == "." else os.path.join(vdir, rel)
                     n_files = max(
@@ -813,46 +819,52 @@ class SnapshotStore:
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             expected = self.current_version(name)
-            data = self.current_data_dir(name)
-            if data is None:
-                raise ValueError(f"unknown table {name!r}")
-            parts = self._partition_dirs(data)
-            all_files = [f for _rel, fs in parts for f in fs]
-            manifest_local = {os.path.normpath(f) for f in all_files}
-            full = self.spark.read.option("basePath", data).parquet(data)
-            rows_before = full.count()
-            touched = {
-                r[0]
-                for r in full.where(predicate)
-                .select(F.input_file_name())
-                .distinct()
-                .collect()
-            }
-
-            def _local(p: str) -> str:
-                # input_file_name() yields a percent-encoded file: URI;
-                # decode it or paths/hive values with encoded chars
-                # (space, %, #, non-ASCII) never match the os.walk
-                # manifest and their files silently escape the rewrite.
-                from urllib.parse import unquote, urlparse
-
-                parsed = urlparse(p)
-                return unquote(parsed.path) if parsed.scheme else unquote(p)
-
-            touched_local = {os.path.normpath(_local(p)) for p in touched}
-            if post_scan is not None:
-                post_scan()
-            stray = touched_local - manifest_local
-            if stray:
-                raise RuntimeError(
-                    f"COW rewrite of {name!r}: {len(stray)} scanned file(s) "
-                    f"missing from the on-disk manifest (URI decode "
-                    f"mismatch?): {sorted(stray)[:3]}"
-                )
             version = f"v_{uuid.uuid4().hex[:12]}"
             vdir = os.path.join(self.path(name), version)
             n_link = n_rewrite = 0
+            # Scan phase inside the try (ADVICE r8): the full.count()
+            # and input_file_name() collect read a snapshot a concurrent
+            # commit can GC mid-scan under a small retention window —
+            # that must take the version-moved ⇒ retry path, not
+            # surface as a raw Spark/OS error.
             try:
+                data = self.current_data_dir(name)
+                if data is None:
+                    raise ValueError(f"unknown table {name!r}")
+                parts = self._partition_dirs(data)
+                all_files = [f for _rel, fs in parts for f in fs]
+                manifest_local = {os.path.normpath(f) for f in all_files}
+                full = self.spark.read.option("basePath", data).parquet(data)
+                rows_before = full.count()
+                touched = {
+                    r[0]
+                    for r in full.where(predicate)
+                    .select(F.input_file_name())
+                    .distinct()
+                    .collect()
+                }
+
+                def _local(p: str) -> str:
+                    # input_file_name() yields a percent-encoded file:
+                    # URI; decode it or paths/hive values with encoded
+                    # chars (space, %, #, non-ASCII) never match the
+                    # os.walk manifest and their files silently escape
+                    # the rewrite.
+                    from urllib.parse import unquote, urlparse
+
+                    parsed = urlparse(p)
+                    return unquote(parsed.path) if parsed.scheme else unquote(p)
+
+                touched_local = {os.path.normpath(_local(p)) for p in touched}
+                if post_scan is not None:
+                    post_scan()
+                stray = touched_local - manifest_local
+                if stray:
+                    raise RuntimeError(
+                        f"COW rewrite of {name!r}: {len(stray)} scanned "
+                        f"file(s) missing from the on-disk manifest (URI "
+                        f"decode mismatch?): {sorted(stray)[:3]}"
+                    )
                 for rel, files in parts:
                     out_dir = vdir if rel == "." else os.path.join(vdir, rel)
                     os.makedirs(out_dir, exist_ok=True)

@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import glob
 import os
+import time
 
 import pytest
 from pyspark.sql import functions as F
@@ -574,33 +575,43 @@ class TestCowUriDecoding:
             store.delete_where("t", "k = 1")
 
 
-class TestStaleLockBreak:
-    """ADVICE r7: breaking a stale commit lock must not let two waiters
-    both unlink (the second would kill the first breaker's FRESH lock).
-    Break = rename-to-unique-then-unlink; only the renamer proceeds."""
+class TestCommitLockLease:
+    """ADVICE r7+r8: the commit mutex is an fcntl.flock on a PERSISTENT
+    lock file — the kernel releases it when the holder's fd closes
+    (including on crash), so there is no staleness heuristic and none
+    of the lease-breaking races an age-judged O_EXCL file has."""
 
-    def test_stale_lock_is_broken_and_commit_proceeds(self, spark, tmp_path):
+    def test_crashed_holder_lock_is_instantly_acquirable(
+        self, spark, tmp_path
+    ):
         store = SnapshotStore(spark, str(tmp_path / "lk"))
         store.overwrite("t", spark.range(2).selectExpr("id AS k"))
         lock = os.path.join(store.path("t"), "_COMMIT_LOCK")
-        with open(lock, "w", encoding="utf-8"):
-            pass
-        old = os.path.getmtime(lock) - 120
-        os.utime(lock, (old, old))
+        # A crashed writer leaves the FILE but no kernel lock — the
+        # next committer proceeds immediately (no 30s lease wait).
+        assert os.path.exists(lock)
+        t0 = time.time()
         store.overwrite("t", spark.range(5).selectExpr("id AS k"))
+        assert time.time() - t0 < 8.0  # no lease timeout was waited
         assert store.read("t").count() == 5
-        assert not os.path.exists(lock)
 
-    def test_fresh_lock_is_not_stolen(self, spark, tmp_path):
+    def test_held_lock_blocks_until_timeout(self, spark, tmp_path):
+        import fcntl
+
         store = SnapshotStore(spark, str(tmp_path / "lk2"))
         store.overwrite("t", spark.range(2).selectExpr("id AS k"))
         lock = os.path.join(store.path("t"), "_COMMIT_LOCK")
-        with open(lock, "w", encoding="utf-8"):
-            pass  # fresh lock held by "another writer"
-        with pytest.raises(TimeoutError, match="commit lock busy"):
-            store.overwrite("t", spark.range(5).selectExpr("id AS k"))
-        assert os.path.exists(lock)  # holder's lock untouched
-        os.unlink(lock)
+        fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
+        fcntl.flock(fd, fcntl.LOCK_EX)  # live holder (other writer)
+        try:
+            with pytest.raises(TimeoutError, match="commit lock busy"):
+                store.overwrite("t", spark.range(5).selectExpr("id AS k"))
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+        # Holder released ⇒ the same commit now goes through.
+        store.overwrite("t", spark.range(7).selectExpr("id AS k"))
+        assert store.read("t").count() == 7
 
 
 class TestZorderLayout:
