@@ -1,0 +1,648 @@
+"""Pure-Python Delta Lake transaction log (``_delta_log``) — writer,
+reader, and stats-based scan planner.
+
+The reference materializes every model as a Delta table
+(``dbt_project.yml:39`` ``+file_format: delta``; ``orders_cleaned.sql``
+post-hook ``OPTIMIZE``). delta-spark is not installable in this
+container, but the transaction-log format itself is a PUBLIC protocol
+(delta.io PROTOCOL.md): a table is a directory of parquet data files
+plus ``_delta_log/`` holding one newline-delimited-JSON *commit* per
+version (zero-padded 20-digit filenames), each a list of actions:
+
+  {"protocol": {"minReaderVersion": 1, "minWriterVersion": 2}}
+  {"metaData": {"id": ..., "format": {"provider": "parquet", ...},
+                "schemaString": <Spark schema JSON>,
+                "partitionColumns": [...], "configuration": {}, ...}}
+  {"add":    {"path": ..., "partitionValues": {...}, "size": ...,
+              "modificationTime": ..., "dataChange": true,
+              "stats": "{\"numRecords\":N,\"minValues\":{...},
+                         \"maxValues\":{...},\"nullCount\":{...}}"}}
+  {"remove": {"path": ..., "deletionTimestamp": ..., "dataChange": true}}
+  {"commitInfo": {...}}                     (informational)
+
+plus optional parquet *checkpoints* (``NNN.checkpoint.parquet`` +
+``_last_checkpoint``) so readers replay a bounded JSON tail.
+
+This module implements that protocol in pure Python:
+
+* **Commit = putIfAbsent.** The version-N JSON file is created by
+  writing a temp file and hard-linking it to the final name —
+  ``os.link`` fails with EEXIST if version N already exists, which is
+  the local-FS analog of the object-store putIfAbsent Delta's LogStore
+  contract requires: two racing writers of the same version conflict
+  deterministically, and readers can never observe a partial commit
+  (the link appears with its full content or not at all).
+
+* **Stats at write time, planning from the log.** ``add.stats``
+  carries per-file numRecords / minValues / maxValues / nullCount,
+  collected from the parquet footer ONCE when the file is committed.
+  Scan planning (``DeltaSnapshot.plan_files``) then prunes files from
+  the log alone — zero parquet footer opens at read time. At 100 TB
+  this is the difference between a metadata lookup and a
+  million-file footer storm: Delta, Iceberg and Hudi all plan from
+  log/manifest stats for exactly this reason.
+
+* **Snapshot reconstruction.** Replay: latest checkpoint (if any),
+  then JSON commits in version order; ``add`` inserts into the live
+  set keyed by path, ``remove`` deletes. Time travel = replay to an
+  older version (valid while the data files are retained — after GC/
+  VACUUM old versions are unreadable, same as Delta).
+
+Cross-engine conformance: the q421/q423 driver certs parse the SAME
+log with DuckDB's ``read_json_auto`` as an independent oracle, and
+``tests/test_delta_log.py`` asserts planner decisions involve no file
+opens.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import uuid
+from dataclasses import dataclass, field
+from datetime import date, datetime
+from decimal import Decimal
+
+LOG_DIR = "_delta_log"
+_COMMIT_RE = re.compile(r"^(\d{20})\.json$")
+_CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+
+#: Fixed timestamp written into protocol-required *Time fields.
+#: The engine's certs compare log CONTENT cross-engine; wall-clock
+#: would make commits non-reproducible (and Date.now-style calls are
+#: banned in the driver harness). Real writers put wall-clock here;
+#: nothing in the protocol reads these fields for correctness.
+_FIXED_TIME_MS = 0
+
+
+class DeltaProtocolError(RuntimeError):
+    """The log on disk violates the protocol (gap in versions, missing
+    metaData, unparseable commit)."""
+
+
+class DeltaConflictError(RuntimeError):
+    """putIfAbsent lost: the target commit version already exists.
+    The writer must re-read the snapshot and retry at the new version
+    — the same commit-retry loop ConcurrentWriteError drives for the
+    pointer store."""
+
+
+# ------------------------------------------------------------------
+# JSON-safe stats values
+# ------------------------------------------------------------------
+
+
+def _stats_value(v):
+    """Parquet-footer stat -> JSON-safe value. Timestamps/dates/
+    decimals/bytes go to strings (ISO-8601 / repr), matching how Delta
+    serializes non-JSON-native types in ``add.stats``."""
+    if v is None or isinstance(v, (bool, int, float, str)):
+        return v
+    if isinstance(v, datetime):
+        return v.isoformat()
+    if isinstance(v, date):
+        return v.isoformat()
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, bytes):
+        try:
+            return v.decode("utf-8")
+        except UnicodeDecodeError:
+            return None  # binary stats are not comparable — drop
+    return None
+
+
+def _coerce_like(raw, template):
+    """Parse a JSON-stored stat back to the LITERAL's type so pruning
+    compares like with like. Unknown combinations return None (caller
+    keeps the file — pruning must stay conservative)."""
+    if raw is None:
+        return None
+    t = type(template)
+    try:
+        if t is bool:
+            return bool(raw)
+        if t is int:
+            return int(raw) if not isinstance(raw, str) else int(float(raw))
+        if t is float:
+            return float(raw)
+        if t is Decimal:
+            return Decimal(str(raw))
+        if t is datetime:
+            return datetime.fromisoformat(str(raw))
+        if t is date:
+            return date.fromisoformat(str(raw)[:10])
+        if t is str:
+            return str(raw)
+    except (ValueError, TypeError):
+        return None
+    return None
+
+
+def file_stats(path: str) -> dict:
+    """Per-file stats from ONE parquet footer read — called at WRITE/
+    commit time only (see module doc). Aggregates row-group stats;
+    columns without usable stats are simply absent from min/max
+    (planner keeps the file). Parquet writers may truncate long binary
+    min/max but guarantee they remain valid bounds, so pruning on them
+    stays sound."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(path).metadata
+    mins: dict = {}
+    maxs: dict = {}
+    nulls: dict = {}
+    names: set[str] = set()
+    # A column's file-level min/max is sound only if EVERY row group
+    # carries usable stats for it — one statless row group could hold
+    # values outside the others' range, so it invalidates the column.
+    bad_minmax: set[str] = set()
+    bad_null: set[str] = set()
+    for rg in range(md.num_row_groups):
+        for ci in range(md.num_columns):
+            col = md.row_group(rg).column(ci)
+            name = col.path_in_schema
+            if "." in name:  # nested leaves: skip (Delta skips too)
+                continue
+            names.add(name)
+            st = col.statistics
+            if st is None or not st.has_null_count:
+                bad_null.add(name)
+            else:
+                nulls[name] = nulls.get(name, 0) + st.null_count
+            if st is None or not st.has_min_max:
+                bad_minmax.add(name)
+                continue
+            lo, hi = _stats_value(st.min), _stats_value(st.max)
+            if lo is None or hi is None:
+                bad_minmax.add(name)
+                continue
+            try:
+                if name not in mins or lo < mins[name]:
+                    mins[name] = lo
+                if name not in maxs or hi > maxs[name]:
+                    maxs[name] = hi
+            except TypeError:  # mixed stat types across row groups
+                bad_minmax.add(name)
+    ok = sorted(names - bad_minmax)
+    return {
+        "numRecords": md.num_rows,
+        "minValues": {k: mins[k] for k in ok if k in mins},
+        "maxValues": {k: maxs[k] for k in ok if k in maxs},
+        "nullCount": {k: nulls[k] for k in sorted(names - bad_null)},
+    }
+
+
+def _partition_values(rel_path: str) -> dict[str, str]:
+    """Hive ``col=value`` segments of a path, as Delta partitionValues."""
+    out: dict[str, str] = {}
+    for seg in rel_path.split("/")[:-1]:
+        col, eq, val = seg.partition("=")
+        if eq:
+            out[col] = val
+    return out
+
+
+def make_add(table_dir: str, abs_path: str, with_stats: bool = True) -> dict:
+    """Build an ``add`` action for one data file under ``table_dir``."""
+    rel = os.path.relpath(abs_path, table_dir).replace(os.sep, "/")
+    add = {
+        "path": rel,
+        "partitionValues": _partition_values(rel),
+        "size": os.path.getsize(abs_path),
+        "modificationTime": _FIXED_TIME_MS,
+        "dataChange": True,
+    }
+    if with_stats:
+        add["stats"] = json.dumps(
+            file_stats(abs_path), separators=(",", ":"), sort_keys=True
+        )
+    return add
+
+
+def make_remove(rel_path: str) -> dict:
+    return {
+        "path": rel_path,
+        "deletionTimestamp": _FIXED_TIME_MS,
+        "dataChange": True,
+    }
+
+
+def make_metadata(
+    schema_string: str,
+    partition_columns: list[str] | tuple[str, ...] = (),
+    table_id: str | None = None,
+) -> dict:
+    return {
+        "id": table_id or str(uuid.uuid4()),
+        "format": {"provider": "parquet", "options": {}},
+        "schemaString": schema_string,
+        "partitionColumns": list(partition_columns),
+        "configuration": {},
+        "createdTime": _FIXED_TIME_MS,
+    }
+
+
+PROTOCOL_ACTION = {"minReaderVersion": 1, "minWriterVersion": 2}
+
+
+# ------------------------------------------------------------------
+# Snapshot
+# ------------------------------------------------------------------
+
+
+@dataclass
+class DeltaSnapshot:
+    """The reconstructed state of a Delta table at one version: the
+    live file set (path -> add action) plus table metadata."""
+
+    version: int
+    protocol: dict = field(default_factory=dict)
+    metadata: dict = field(default_factory=dict)
+    files: dict[str, dict] = field(default_factory=dict)
+
+    def num_records(self) -> int | None:
+        """Total rows from log stats alone (None if any file lacks
+        stats) — Delta's ``SELECT count(*)`` metadata-only fast path."""
+        total = 0
+        for add in self.files.values():
+            s = add.get("stats")
+            if not s:
+                return None
+            total += json.loads(s)["numRecords"]
+        return total
+
+    # ---------------------------------------------- data skipping
+
+    @staticmethod
+    def _file_overlaps(add: dict, col: str, op: str, lit) -> bool:
+        """True iff the file MAY contain a row satisfying
+        ``col <op> lit``, judged from log stats / partition values
+        only. Conservative: missing information keeps the file."""
+        pv = add.get("partitionValues") or {}
+        if col in pv:
+            v = _coerce_like(pv[col], lit)
+            if v is None:
+                return True
+            lo = hi = v
+        else:
+            s = add.get("stats")
+            if not s:
+                return True
+            stats = json.loads(s)
+            n = stats.get("numRecords")
+            nulls = (stats.get("nullCount") or {}).get(col)
+            if n is not None and nulls is not None and nulls == n:
+                return False  # all-null column can satisfy no comparison
+            lo = _coerce_like((stats.get("minValues") or {}).get(col), lit)
+            hi = _coerce_like((stats.get("maxValues") or {}).get(col), lit)
+            if lo is None or hi is None:
+                return True
+        try:
+            if op == "=":
+                return lo <= lit <= hi
+            if op == "<":
+                return lo < lit
+            if op == "<=":
+                return lo <= lit
+            if op == ">":
+                return hi > lit
+            if op == ">=":
+                return hi >= lit
+            if op == "between":  # lit = (lo_lit, hi_lit) inclusive
+                a, b = lit
+                return lo <= b and hi >= a
+        except TypeError:
+            return True
+        return True  # unknown op: never prune on it
+
+    def plan_files(
+        self, conjuncts: list[tuple[str, str, object]] | None = None
+    ) -> list[str]:
+        """Relative paths of live files that may satisfy ALL conjuncts
+        — the data-skipping scan plan, computed from the log with zero
+        parquet footer opens. ``conjuncts``: (column, op, literal)
+        with op in =, <, <=, >, >=, between."""
+        out = []
+        for path in sorted(self.files):
+            add = self.files[path]
+            if all(
+                self._file_overlaps(add, c, op, lit)
+                for (c, op, lit) in (conjuncts or [])
+            ):
+                out.append(path)
+        return out
+
+
+# ------------------------------------------------------------------
+# The log
+# ------------------------------------------------------------------
+
+
+class DeltaLog:
+    """Reader/writer for one table's ``_delta_log`` directory."""
+
+    #: write a parquet checkpoint every N commits (Delta defaults to 10)
+    CHECKPOINT_INTERVAL = 10
+
+    def __init__(self, table_dir: str):
+        self.table_dir = table_dir
+        self.log_dir = os.path.join(table_dir, LOG_DIR)
+
+    def exists(self) -> bool:
+        return os.path.isdir(self.log_dir) and self.latest_version() is not None
+
+    # -------------------------------------------------- file listing
+
+    def _commits(self) -> list[tuple[int, str]]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for f in os.listdir(self.log_dir):
+            m = _COMMIT_RE.match(f)
+            if m:
+                out.append((int(m.group(1)), os.path.join(self.log_dir, f)))
+        return sorted(out)
+
+    def _checkpoints(self) -> list[tuple[int, str]]:
+        if not os.path.isdir(self.log_dir):
+            return []
+        out = []
+        for f in os.listdir(self.log_dir):
+            m = _CHECKPOINT_RE.match(f)
+            if m:
+                out.append((int(m.group(1)), os.path.join(self.log_dir, f)))
+        return sorted(out)
+
+    def latest_version(self) -> int | None:
+        commits = self._commits()
+        return commits[-1][0] if commits else None
+
+    # ------------------------------------------------------- commit
+
+    def commit(
+        self,
+        actions: list[dict],
+        version: int | None = None,
+        operation: str = "WRITE",
+    ) -> int:
+        """Append one commit. ``version`` defaults to latest+1; if that
+        file already exists the putIfAbsent link fails and
+        DeltaConflictError tells the caller to re-read and retry.
+        Readers never see partial content: the name appears only via
+        os.link of a fully-written temp file."""
+        os.makedirs(self.log_dir, exist_ok=True)
+        if version is None:
+            latest = self.latest_version()
+            version = 0 if latest is None else latest + 1
+        target = os.path.join(self.log_dir, f"{version:020d}.json")
+        lines = [
+            json.dumps(
+                {
+                    "commitInfo": {
+                        "timestamp": _FIXED_TIME_MS,
+                        "operation": operation,
+                        "engineInfo": "product-analytics-spark",
+                    }
+                },
+                separators=(",", ":"),
+            )
+        ]
+        lines += [
+            json.dumps(a, separators=(",", ":"), sort_keys=True)
+            for a in actions
+        ]
+        tmp = os.path.join(self.log_dir, f"_tmp_{uuid.uuid4().hex[:12]}.json")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write("".join(ln + "\n" for ln in lines))
+        try:
+            os.link(tmp, target)  # putIfAbsent: EEXIST on conflict
+        except FileExistsError:
+            raise DeltaConflictError(
+                f"delta commit {version} already exists in {self.log_dir}; "
+                "re-read the snapshot and retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        if (version + 1) % self.CHECKPOINT_INTERVAL == 0:
+            try:
+                self.write_checkpoint(version)
+            except Exception:  # noqa: BLE001 — checkpoint is an optimization
+                pass
+        return version
+
+    # ------------------------------------------------------ snapshot
+
+    @staticmethod
+    def _apply(snap: DeltaSnapshot, action: dict) -> None:
+        if "metaData" in action and action["metaData"] is not None:
+            snap.metadata = action["metaData"]
+        elif "protocol" in action and action["protocol"] is not None:
+            snap.protocol = action["protocol"]
+        elif "add" in action and action["add"] is not None:
+            snap.files[action["add"]["path"]] = action["add"]
+        elif "remove" in action and action["remove"] is not None:
+            snap.files.pop(action["remove"]["path"], None)
+
+    def snapshot(self, version: int | None = None) -> DeltaSnapshot:
+        """Reconstruct the table state at ``version`` (default:
+        latest): start from the newest checkpoint at or below it, then
+        replay the JSON commits after it in order."""
+        commits = self._commits()
+        if not commits:
+            raise DeltaProtocolError(f"no commits in {self.log_dir}")
+        if version is None:
+            version = commits[-1][0]
+        snap = DeltaSnapshot(version=version)
+        start = 0
+        cps = [c for c in self._checkpoints() if c[0] <= version]
+        if cps:
+            cp_version, cp_path = cps[-1]
+            self._load_checkpoint(snap, cp_path)
+            start = cp_version + 1
+        expected = start
+        for v, path in commits:
+            if v < start or v > version:
+                continue
+            if v != expected:
+                raise DeltaProtocolError(
+                    f"version gap in {self.log_dir}: expected {expected}, "
+                    f"found {v}"
+                )
+            expected += 1
+            with open(path, encoding="utf-8") as fh:
+                for line in fh:
+                    line = line.strip()
+                    if line:
+                        self._apply(snap, json.loads(line))
+        if expected <= version:
+            raise DeltaProtocolError(
+                f"missing commits {expected}..{version} in {self.log_dir}"
+            )
+        return snap
+
+    # ---------------------------------------------------- checkpoint
+
+    def write_checkpoint(self, version: int | None = None) -> str:
+        """Parquet checkpoint of the snapshot at ``version`` + the
+        ``_last_checkpoint`` pointer — bounds the JSON tail readers
+        replay. One row per action; struct columns add/metaData/
+        protocol, maps for partitionValues/configuration (the
+        protocol's checkpoint schema)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot(version)
+        version = snap.version
+        pv_type = pa.map_(pa.string(), pa.string())
+        add_t = pa.struct(
+            [
+                ("path", pa.string()),
+                ("partitionValues", pv_type),
+                ("size", pa.int64()),
+                ("modificationTime", pa.int64()),
+                ("dataChange", pa.bool_()),
+                ("stats", pa.string()),
+            ]
+        )
+        meta_t = pa.struct(
+            [
+                ("id", pa.string()),
+                (
+                    "format",
+                    pa.struct(
+                        [("provider", pa.string()), ("options", pv_type)]
+                    ),
+                ),
+                ("schemaString", pa.string()),
+                ("partitionColumns", pa.list_(pa.string())),
+                ("configuration", pv_type),
+                ("createdTime", pa.int64()),
+            ]
+        )
+        proto_t = pa.struct(
+            [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
+        )
+
+        def _map(d):
+            return list((d or {}).items())
+
+        rows_add: list = [None, None]
+        rows_meta: list = [None]
+        rows_proto: list = [snap.protocol or PROTOCOL_ACTION]
+        m = snap.metadata
+        rows_meta.append(
+            {
+                "id": m.get("id"),
+                "format": {
+                    "provider": (m.get("format") or {}).get(
+                        "provider", "parquet"
+                    ),
+                    "options": _map((m.get("format") or {}).get("options")),
+                },
+                "schemaString": m.get("schemaString"),
+                "partitionColumns": m.get("partitionColumns") or [],
+                "configuration": _map(m.get("configuration")),
+                "createdTime": m.get("createdTime", _FIXED_TIME_MS),
+            }
+        )
+        for path in sorted(snap.files):
+            a = snap.files[path]
+            rows_add.append(
+                {
+                    "path": a["path"],
+                    "partitionValues": _map(a.get("partitionValues")),
+                    "size": a.get("size"),
+                    "modificationTime": a.get(
+                        "modificationTime", _FIXED_TIME_MS
+                    ),
+                    "dataChange": False,
+                    "stats": a.get("stats"),
+                }
+            )
+            rows_proto.append(None)
+            rows_meta.append(None)
+        rows_proto += [None] * (len(rows_add) - len(rows_proto))
+        rows_meta += [None] * (len(rows_add) - len(rows_meta))
+        table = pa.table(
+            {
+                "protocol": pa.array(rows_proto, type=proto_t),
+                "metaData": pa.array(rows_meta, type=meta_t),
+                "add": pa.array(rows_add, type=add_t),
+            }
+        )
+        cp_path = os.path.join(
+            self.log_dir, f"{version:020d}.checkpoint.parquet"
+        )
+        tmp = cp_path + f".tmp{uuid.uuid4().hex[:8]}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, cp_path)
+        lc_tmp = os.path.join(self.log_dir, f"_lc_{uuid.uuid4().hex[:8]}")
+        with open(lc_tmp, "w", encoding="utf-8") as fh:
+            json.dump({"version": version, "size": len(rows_add)}, fh)
+        os.replace(lc_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+        return cp_path
+
+    def _load_checkpoint(self, snap: DeltaSnapshot, cp_path: str) -> None:
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(cp_path)
+        for row in table.to_pylist():
+            proto = row.get("protocol")
+            meta = row.get("metaData")
+            add = row.get("add")
+            if proto is not None:
+                snap.protocol = proto
+            if meta is not None:
+                meta = dict(meta)
+                fmt = dict(meta.get("format") or {})
+                fmt["options"] = dict(fmt.get("options") or {})
+                meta["format"] = fmt
+                meta["configuration"] = dict(meta.get("configuration") or {})
+                snap.metadata = meta
+            if add is not None:
+                add = dict(add)
+                add["partitionValues"] = dict(add.get("partitionValues") or {})
+                if add.get("stats") is None:
+                    add.pop("stats", None)
+                snap.files[add["path"]] = add
+
+
+# ------------------------------------------------------------------
+# Standalone consumption
+# ------------------------------------------------------------------
+
+
+def read_delta(spark, table_dir: str, version: int | None = None):
+    """Consume ANY ``_delta_log`` table: plan the live file set from
+    the log and load exactly those files. Partition columns come from
+    the log's partitionValues (Delta stores them in the log, not the
+    files), injected as literal columns per the metadata's declared
+    partitionColumns."""
+    from pyspark.sql import functions as F
+
+    snap = DeltaLog(table_dir).snapshot(version)
+    part_cols = (snap.metadata or {}).get("partitionColumns") or []
+    paths = sorted(snap.files)
+    if not paths:
+        raise DeltaProtocolError(f"empty table at {table_dir}")
+    if not part_cols:
+        return spark.read.parquet(
+            *[os.path.join(table_dir, p) for p in paths]
+        )
+    # Group by partition tuple so each group injects its literals.
+    groups: dict[tuple, list[str]] = {}
+    for p in paths:
+        pv = snap.files[p].get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(p)
+    out = None
+    for key in sorted(groups, key=lambda k: tuple(str(x) for x in k)):
+        df = spark.read.parquet(
+            *[os.path.join(table_dir, p) for p in groups[key]]
+        )
+        for c, v in zip(part_cols, key):
+            df = df.withColumn(c, F.lit(v).cast("string"))
+        out = df if out is None else out.unionByName(df)
+    return out

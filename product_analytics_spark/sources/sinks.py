@@ -80,16 +80,35 @@ class SnapshotStore:
     """
 
     def __init__(
-        self, spark: SparkSession, warehouse_dir: str, retain_versions: int = 1
+        self,
+        spark: SparkSession,
+        warehouse_dir: str,
+        retain_versions: int = 1,
+        delta_log: bool = False,
     ):
         """``retain_versions`` — how many committed versions to keep on
         disk (≥1). With >1, superseded versions stay readable via
         ``read(name, version=...)`` — the pointer-file analog of
         Delta/Iceberg time travel; GC drops versions that fall off the
-        retention window at the next commit (VACUUM analog)."""
+        retention window at the next commit (VACUUM analog).
+
+        ``delta_log=True`` additionally emits a protocol-conformant
+        Delta Lake ``_delta_log/`` (sources/delta_log.py) inside every
+        commit's locked section: JSON commits with protocol/metaData/
+        add/remove actions and per-file ``stats`` (numRecords +
+        min/max/nullCount collected once from the parquet footer at
+        write time). Readers — including scan planning via
+        ``scan_files``/``read_pruned`` and any independent protocol
+        parser — then plan from the log with ZERO parquet footer
+        opens. Files a COW rewrite hardlinks into the new version
+        reuse their previous add action's stats (same inode, same
+        content — no footer re-read). History older than the
+        retention window references GC'd files, exactly like Delta
+        history after VACUUM."""
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         self.retain_versions = max(1, retain_versions)
+        self.delta_log = bool(delta_log)
         os.makedirs(warehouse_dir, exist_ok=True)
 
     def path(self, name: str) -> str:
@@ -269,6 +288,8 @@ class SnapshotStore:
             df = df.repartitionByRange(*parts, *cluster_by).sortWithinPartitions(
                 *cluster_by
             )
+        elif n_files:
+            df = df.repartition(n_files)
         if zorder_by:
             df = df.drop(zcol)
         version = f"v_{uuid.uuid4().hex[:12]}"
@@ -320,7 +341,11 @@ class SnapshotStore:
         return _held()
 
     def _commit(
-        self, name: str, version: str, expected_version=UNCHECKED
+        self,
+        name: str,
+        version: str,
+        expected_version=UNCHECKED,
+        operation: str = "WRITE",
     ) -> None:
         """Atomically point ``_CURRENT`` at ``version`` (the commit
         point), append it to the commit log, then garbage-collect
@@ -370,6 +395,11 @@ class SnapshotStore:
             with open(log_tmp, "w", encoding="utf-8") as fh:
                 fh.write("".join(v + "\n" for v in retained_list))
             os.replace(log_tmp, log)
+            if self.delta_log:
+                # Inside the lock so delta-log version order matches
+                # pointer-commit order exactly (the log's own
+                # putIfAbsent is a second, independent guard).
+                self._delta_commit(name, operation=operation)
         # GC deletes ONLY previously COMMITTED versions that fell off
         # the retention window. A bare "every v_ dir not retained"
         # sweep (the old rule) could destroy a CONCURRENT writer's
@@ -407,6 +437,190 @@ class SnapshotStore:
                     shutil.rmtree(p, ignore_errors=True)
             except OSError:
                 pass
+
+    # ------------------------------------------- Delta transaction log
+
+    def _delta_commit(self, name: str, operation: str = "WRITE") -> None:
+        """Emit one protocol-conformant ``_delta_log`` commit
+        reconciling the log's live file set against the CURRENT data
+        dir (called inside the commit lock, right after the pointer
+        flip, so log order == commit order):
+
+        * adds    = files on disk the log doesn't know (stats from one
+                    footer read each — or REUSED from the prior add
+                    when the file is a COW hardlink of a live file:
+                    same inode ⇒ same content ⇒ same stats, zero
+                    re-reads for the untouched side of a DML);
+        * removes = live log paths no longer in the data dir (the old
+                    version's files — still on disk for time travel
+                    until GC, exactly Delta's remove-then-VACUUM).
+
+        metaData (Spark schemaString + partitionColumns) is emitted on
+        the first commit and re-emitted when the data files' arrow
+        schema fingerprint changes (schema evolution)."""
+        import hashlib
+
+        from product_analytics_spark.sources import delta_log as dl
+
+        table = self.path(name)
+        data = self.current_data_dir(name)
+        if data is None:
+            return
+        log = dl.DeltaLog(table)
+        latest = log.latest_version()
+        prev = log.snapshot(latest) if latest is not None else None
+
+        parts = self._partition_dirs(data)
+        part_cols = []
+        for rel, _fs in parts:
+            for c, _v in self._partition_literals(rel):
+                if c not in part_cols:
+                    part_cols.append(c)
+        disk: dict[str, str] = {}  # rel path from TABLE root -> abs
+        for _rel, files in parts:
+            for f in files:
+                disk[os.path.relpath(f, table).replace(os.sep, "/")] = f
+
+        old_by_ino: dict[int, dict] = {}
+        if prev is not None:
+            for rel, add in prev.files.items():
+                try:
+                    old_by_ino[os.stat(os.path.join(table, rel)).st_ino] = add
+                except OSError:
+                    pass
+
+        actions: list[dict] = []
+        new_adds: list[dict] = []
+        first_abs = next(iter(disk.values()), None)
+        for rel in sorted(disk):
+            if prev is not None and rel in prev.files:
+                continue  # already live (append case)
+            abs_p = disk[rel]
+            try:
+                old = old_by_ino.get(os.stat(abs_p).st_ino)
+            except OSError:
+                old = None
+            if old is not None and "stats" in old:
+                add = dict(old)
+                add["path"] = rel
+                add["partitionValues"] = dl._partition_values(rel)
+            else:
+                add = dl.make_add(table, abs_p)
+            new_adds.append(add)
+
+        # Schema fingerprint from ONE data file's arrow schema (cheap,
+        # no Spark job); full Spark schemaString only when it changes.
+        schema_hash = None
+        if first_abs is not None:
+            import pyarrow.parquet as pq
+
+            # remove_metadata(): Spark embeds its schema JSON in the
+            # parquet key-value metadata and that varies by write path
+            # — only names/types should fingerprint the schema.
+            schema_hash = hashlib.sha1(
+                str(pq.read_schema(first_abs).remove_metadata()).encode()
+            ).hexdigest()
+        prev_conf = (prev.metadata.get("configuration") or {}) if prev else {}
+        need_meta = (
+            prev is None
+            or not prev.metadata
+            or (
+                schema_hash is not None
+                and prev_conf.get("engine.arrowSchemaHash")
+                not in (None, schema_hash)
+            )
+        )
+        if prev is None:
+            actions.append({"protocol": dict(dl.PROTOCOL_ACTION)})
+        if need_meta:
+            schema_json = self.spark.read.parquet(data).schema.json()
+            table_id = (
+                prev.metadata.get("id") if prev and prev.metadata else None
+            )
+            meta = dl.make_metadata(
+                schema_json, part_cols, table_id=table_id
+            )
+            meta["configuration"] = (
+                {"engine.arrowSchemaHash": schema_hash} if schema_hash else {}
+            )
+            actions.append({"metaData": meta})
+        if prev is not None:
+            for rel in sorted(set(prev.files) - set(disk)):
+                actions.append({"remove": dl.make_remove(rel)})
+        actions.extend({"add": a} for a in new_adds)
+        if prev is not None and not any(
+            k in a for a in actions for k in ("add", "remove", "metaData")
+        ):
+            return  # nothing changed — no empty commits
+        log.commit(
+            actions,
+            version=0 if latest is None else latest + 1,
+            operation=operation,
+        )
+
+    def delta_snapshot(self, name: str, version: int | None = None):
+        """The table's Delta snapshot (live file set + metadata) at a
+        log version — requires ``delta_log=True`` writes."""
+        from product_analytics_spark.sources import delta_log as dl
+
+        return dl.DeltaLog(self.path(name)).snapshot(version)
+
+    def scan_files(
+        self,
+        name: str,
+        conjuncts: Sequence[tuple] = (),
+        version: int | None = None,
+    ) -> tuple[list[str], int]:
+        """Data-skipping scan plan from the transaction log ALONE
+        (zero parquet footer opens — the log's per-file stats decide):
+        returns (kept relative paths, total live files). ``conjuncts``
+        are (column, op, literal) with op in =, <, <=, >, >=,
+        between."""
+        snap = self.delta_snapshot(name, version)
+        kept = snap.plan_files(list(conjuncts))
+        return kept, len(snap.files)
+
+    def read_pruned(
+        self,
+        name: str,
+        conjuncts: Sequence[tuple] = (),
+        version: int | None = None,
+    ) -> DataFrame:
+        """Read only the files the log-stats planner keeps (Delta's
+        data-skipping scan): prune via ``scan_files``, then load
+        exactly those files. The caller still applies the row-level
+        filter — file pruning is a superset guarantee, same contract
+        as Delta/Iceberg. Partition columns come back as string
+        literals from the log's partitionValues."""
+        from product_analytics_spark.sources import delta_log as dl
+
+        snap = self.delta_snapshot(name, version)
+        kept = snap.plan_files(list(conjuncts))
+        table = self.path(name)
+        part_cols = (snap.metadata or {}).get("partitionColumns") or []
+        if not kept:
+            schema = self.spark.read.parquet(
+                self.current_data_dir(name)
+            ).schema
+            return self.spark.createDataFrame([], schema)
+        if not part_cols:
+            return self.spark.read.parquet(
+                *[os.path.join(table, p) for p in kept]
+            )
+        groups: dict[tuple, list[str]] = {}
+        for p in kept:
+            pv = snap.files[p].get("partitionValues") or {}
+            key = tuple(pv.get(c) for c in part_cols)
+            groups.setdefault(key, []).append(p)
+        out = None
+        for key in sorted(groups, key=lambda k: tuple(str(x) for x in k)):
+            df = self.spark.read.parquet(
+                *[os.path.join(table, p) for p in groups[key]]
+            )
+            for c, v in zip(part_cols, key):
+                df = df.withColumn(c, F.lit(v).cast("string"))
+            out = df if out is None else out.unionByName(df)
+        return out
 
     # ---------------------------------------------------------- sinks
 
@@ -468,6 +682,11 @@ class SnapshotStore:
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(data)
+        if self.delta_log:
+            # An append IS a commit in Delta terms: add actions for the
+            # new files (reconciled: disk minus log-live), no removes.
+            with self._commit_lock(name):
+                self._delta_commit(name, operation="WRITE")
 
     def merge(
         self,
@@ -629,7 +848,7 @@ class SnapshotStore:
                     self.spark.read.parquet(*group).coalesce(1).write.mode(
                         "append"
                     ).parquet(out_dir)
-                self._commit(name, version, expected_version=expected)
+                self._commit(name, version, expected_version=expected, operation="OPTIMIZE")
             except ConcurrentWriteError as exc:
                 last_err = exc
                 shutil.rmtree(vdir, ignore_errors=True)
@@ -736,7 +955,7 @@ class SnapshotStore:
                     if zorder:
                         df = df.drop("__zval")
                     df.write.mode("append").parquet(out_dir)
-                self._commit(name, version, expected_version=expected)
+                self._commit(name, version, expected_version=expected, operation="OPTIMIZE")
             except ConcurrentWriteError as exc:
                 last_err = exc
                 shutil.rmtree(vdir, ignore_errors=True)
@@ -889,7 +1108,7 @@ class SnapshotStore:
                             replaced = replaced.drop(*drop_cols)
                         replaced.write.mode("append").parquet(out_dir)
                         n_rewrite += len(dir_touched)
-                self._commit(name, version, expected_version=expected)
+                self._commit(name, version, expected_version=expected, operation="DML")
             except ConcurrentWriteError as exc:
                 last_err = exc
                 shutil.rmtree(vdir, ignore_errors=True)
