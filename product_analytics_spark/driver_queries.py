@@ -5213,3 +5213,11 @@ from product_analytics_spark.driver_queries_ext88 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT88)
 ORACLES.update(_oracles_ext88())
+
+from product_analytics_spark.driver_queries_ext89 import (  # noqa: E402
+    QUERIES_EXT89,
+    _oracles_ext89,
+)
+
+QUERIES.update(QUERIES_EXT89)
+ORACLES.update(_oracles_ext89())

@@ -280,9 +280,10 @@ class DeltaSnapshot:
         """True iff the file MAY contain a row satisfying
         ``col <op> lit``, judged from log stats / partition values
         only. Conservative: missing information keeps the file."""
+        template = lit[0] if op == "between" else lit
         pv = add.get("partitionValues") or {}
         if col in pv:
-            v = _coerce_like(pv[col], lit)
+            v = _coerce_like(pv[col], template)
             if v is None:
                 return True
             lo = hi = v
@@ -295,8 +296,8 @@ class DeltaSnapshot:
             nulls = (stats.get("nullCount") or {}).get(col)
             if n is not None and nulls is not None and nulls == n:
                 return False  # all-null column can satisfy no comparison
-            lo = _coerce_like((stats.get("minValues") or {}).get(col), lit)
-            hi = _coerce_like((stats.get("maxValues") or {}).get(col), lit)
+            lo = _coerce_like((stats.get("minValues") or {}).get(col), template)
+            hi = _coerce_like((stats.get("maxValues") or {}).get(col), template)
             if lo is None or hi is None:
                 return True
         try:

@@ -245,6 +245,9 @@ class TestZeroFooterPlanning:
         )
         store.overwrite("t", df, cluster_by=("k",), n_files=10)
         for lo, hi in [(0, 499), (2000, 2200), (4900, 4999)]:
+            kept, total = store.scan_files("t", [("k", "between", (lo, hi))])
+            assert total == 10
+            assert len(kept) <= 3  # clustered: the range spans ≤2 files
             pruned = store.read_pruned(
                 "t", [("k", "between", (lo, hi))]
             ).where(f"k BETWEEN {lo} AND {hi}")
