@@ -5221,3 +5221,11 @@ from product_analytics_spark.driver_queries_ext89 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT89)
 ORACLES.update(_oracles_ext89())
+
+from product_analytics_spark.driver_queries_ext90 import (  # noqa: E402
+    QUERIES_EXT90,
+    _oracles_ext90,
+)
+
+QUERIES.update(QUERIES_EXT90)
+ORACLES.update(_oracles_ext90())

@@ -1,0 +1,203 @@
+"""Round-9 driver family, batch 90 (q424): exactly-once streaming
+delivery through ``foreachBatch`` + idempotent merge, certified under
+a REAL injected batch replay — the missing recovery leg of the
+streaming story (q126/q201/q218/q367/q420 certify semantics; this one
+kills the stream after the sink applied a batch but BEFORE the engine
+committed its offsets, restarts from the checkpoint, and proves the
+replayed delivery is absorbed).
+
+Reference mapping: Delta's idempotent ``foreachBatch`` MERGE pattern —
+the documented recipe for exactly-once sinks over an at-least-once
+micro-batch engine (dbt incremental merge on unique_key plays the same
+role, customers_latest.sql:3-6).
+
+Same contract as the other driver_queries modules.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+Q424_WH = os.path.join(_REPO, ".q424_warehouse")
+Q424_TOTAL = 2100
+Q424_BATCH = 700  # 3 micro-batches
+Q424_SHARDS = 3
+Q424_BUCKETS = 6
+Q424_CRASH_BATCH = 1  # crash after the sink applied batch 1
+
+
+def q424_exactly_once_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-once across a checkpoint restart with the failure
+    injected at the worst point: ``foreachBatch`` MERGES micro-batch 1
+    into the warehouse table AND appends it to a plain parquet table,
+    then the driver dies BEFORE the engine commits batch 1's offsets.
+    The restart (same checkpoint) replays batch 1 with the same epoch:
+
+    * the APPEND side table receives the batch twice — the compared
+      ``appended_rows`` carries exactly one extra batch of rows, the
+      measured proof that delivery is at-least-once and the replay
+      really happened (not a no-op restart);
+    * the MERGE side table (unique key op_id) absorbs the replay —
+      ``merged_rows`` equals the closed-form feed exactly, zero
+      duplicates, zero losses;
+    * the delivery ledger shows batch 1 delivered twice and batches
+      0/2 once (``n_batch_deliveries`` = 4 = 3 + 1 replay).
+
+    The restart also exercises the ADVICE-r8 availability reseed: a
+    fresh driver's stream reader resumes from the checkpointed offset
+    instead of stalling below it.
+
+    Scale: this is THE production streaming-sink recipe — at-least-
+    once delivery from the engine, idempotence from a keyed merge; no
+    coordination, no two-phase commit, replay cost bounded by one
+    micro-batch."""
+    from product_analytics_spark.sources import pyds
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q424_WH, ignore_errors=True)
+    os.makedirs(Q424_WH)
+    pyds.register_parallel_stream(spark)
+    store = SnapshotStore(spark, Q424_WH)
+    ledger_path = os.path.join(Q424_WH, "deliveries.jsonl")
+    append_dir = os.path.join(Q424_WH, "append_sink")
+    ckpt = os.path.join(Q424_WH, "ckpt")
+
+    def _make_sink(crash_at: int | None):
+        def _sink(batch_df: DataFrame, batch_id: int) -> None:
+            rows = batch_df.persist()
+            n = rows.count()
+            # plain append: at-least-once delivery lands here verbatim
+            rows.write.mode("append").parquet(append_dir)
+            # idempotent merge: unique key op_id absorbs replays
+            store.merge("ledger", rows, "op_id")
+            rows.unpersist()
+            with open(ledger_path, "a", encoding="utf-8") as fh:
+                fh.write(json.dumps({"batch_id": batch_id, "n": n}) + "\n")
+            if crash_at is not None and batch_id == crash_at:
+                # die AFTER the sink applied the batch, BEFORE the
+                # engine records the batch as complete
+                raise RuntimeError("injected crash before offset commit")
+
+        return _sink
+
+    def _run(crash_at: int | None) -> None:
+        src = (
+            spark.readStream.format("cdc_pstream")
+            .option("total_rows", str(Q424_TOTAL))
+            .option("batch_rows", str(Q424_BATCH))
+            .option("shards", str(Q424_SHARDS))
+            .load()
+        )
+        q = (
+            src.writeStream.foreachBatch(_make_sink(crash_at))
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        expect_failure = crash_at is not None
+        try:
+            q.processAllAvailable()
+            q.stop()
+            q.awaitTermination(60)
+        except Exception:  # noqa: BLE001 — the injected crash
+            if not expect_failure:
+                raise
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001
+                pass
+
+    # Control-plane-sized feed: 4-partition shuffles keep the merge
+    # anti-joins from paying 32-way task overhead (same q420 discipline).
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        _run(Q424_CRASH_BATCH)  # applies batches 0,1; dies mid-commit of 1
+        _run(None)  # replays batch 1, then finishes 2
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    deliveries: dict[int, int] = {}
+    with open(ledger_path, encoding="utf-8") as fh:
+        for line in fh:
+            b = json.loads(line)["batch_id"]
+            deliveries[b] = deliveries.get(b, 0) + 1
+    n_deliveries = sum(deliveries.values())
+    replayed_once = deliveries.get(Q424_CRASH_BATCH) == 2 and all(
+        v == 1 for b, v in deliveries.items() if b != Q424_CRASH_BATCH
+    )
+
+    merged = store.read("ledger")
+    appended = spark.read.parquet(append_dir)
+    merged_rows = merged.count()
+    merged_distinct = merged.select("op_id").distinct().count()
+    appended_rows = appended.count()
+
+    agg = (
+        merged.groupBy((F.col("customer_id") % Q424_BUCKETS).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_ops"),
+            F.sum(
+                F.when(
+                    F.col("op") == "DELETE", -F.col("amount_cents")
+                ).otherwise(F.col("amount_cents"))
+            ).alias("net_cents"),
+            F.max("op_id").alias("hwm_op_id"),
+        )
+        .select(
+            "bucket",
+            "n_ops",
+            "net_cents",
+            "hwm_op_id",
+            F.lit(int(merged_rows)).cast("long").alias("merged_rows"),
+            F.lit(int(appended_rows)).cast("long").alias("appended_rows"),
+            F.lit(int(n_deliveries)).cast("long").alias("n_batch_deliveries"),
+            F.lit(bool(replayed_once)).alias("replayed_once"),
+            F.lit(bool(merged_rows == merged_distinct)).alias(
+                "merge_no_duplicates"
+            ),
+        )
+        .orderBy("bucket")
+    )
+    return agg
+
+
+Q424_SQL = f"""
+WITH feed AS (
+  SELECT i AS op_id,
+         i % 1500 AS customer_id,
+         CASE WHEN i % 10 <= 6 THEN 'INSERT'
+              WHEN i % 10 <= 8 THEN 'UPDATE' ELSE 'DELETE' END AS op,
+         (i * 1103515245 + 12345) % 10000000 AS amount_cents
+  FROM generate_series(0, {Q424_TOTAL - 1}) t(i)
+)
+SELECT customer_id % {Q424_BUCKETS} AS bucket,
+       CAST(count(*) AS BIGINT) AS n_ops,
+       CAST(sum(CASE WHEN op = 'DELETE' THEN -amount_cents
+                     ELSE amount_cents END) AS BIGINT) AS net_cents,
+       max(op_id) AS hwm_op_id,
+       CAST({Q424_TOTAL} AS BIGINT) AS merged_rows,
+       CAST({Q424_TOTAL + Q424_BATCH} AS BIGINT) AS appended_rows,
+       CAST(4 AS BIGINT) AS n_batch_deliveries,
+       TRUE AS replayed_once,
+       TRUE AS merge_no_duplicates
+FROM feed GROUP BY 1 ORDER BY bucket
+"""
+
+
+QUERIES_EXT90 = {
+    "q424_exactly_once_restart": q424_exactly_once_restart,
+}
+
+
+def _oracles_ext90() -> dict[str, str]:
+    return {
+        "q424_exactly_once_restart": Q424_SQL,
+    }
