@@ -192,12 +192,175 @@ FROM feed GROUP BY 1 ORDER BY bucket
 """
 
 
+# ------------------------------------------------------------- q425
+
+Q425_WH = os.path.join(_REPO, ".q425_warehouse")
+
+
+def q425_concurrent_dag_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO DagExecutors racing ONE warehouse — scheduler-level writes
+    through the OCC path (q413/q414 certify single-writer DML
+    interleaves; dbt users run overlapping JOBS, so the conflict must
+    also be survived when both writers are schedulers).
+
+    Deterministic interleaving via the executor's ``merge_hooks``
+    (the sinks post_scan fault-injection point): executor A (isolated
+    merges) starts its incremental model's merge against the seeded
+    snapshot; INSIDE A's scan→commit window the hook launches executor
+    B's ENTIRE run to completion — B's scheduler commits the same
+    table first. A's commit presents the pre-B version, is refused,
+    and the executor-level retry loop re-reads B's commit and merges
+    against it: serial history seed → B → A, both schedulers' rows
+    preserved. A's independent sibling model (audit) is untouched by
+    the conflict and succeeds in the same run.
+
+    Compared: per-segment aggregates of the final table (oracle
+    replays seed→B→A in SQL), the count of keys carrying each
+    writer's marker (the overlap k%6==0 must carry A's — exactly what
+    an unchecked scheduler merge loses), ``conflict_retried`` (the
+    hook saw A's second attempt), and both ledgers' success flags.
+
+    Scale: scheduler concurrency costs retry work, never correctness —
+    the same pointer-compare critical section as single-writer OCC;
+    retries re-pay one merge plan, not the DAG."""
+    from product_analytics_spark.plans.executor import DagExecutor
+    from product_analytics_spark.plans.registry import Model, ModelRegistry
+    from product_analytics_spark.qcommon import _money_cents, _t
+
+    shutil.rmtree(Q425_WH, ignore_errors=True)
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    store = SnapshotStore(spark, Q425_WH, retain_versions=3)
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("acct", base)  # the seeded warehouse both jobs share
+
+    batch_a = base.filter(F.col("k") % 2 == 0).withColumn(
+        "cents", F.col("cents") + 1000
+    )
+    batch_b = base.filter(F.col("k") % 3 == 0).withColumn(
+        "cents", F.col("cents") + 2000
+    )
+
+    reg_b = ModelRegistry()
+    reg_b.register(
+        Model(
+            name="acct",
+            builder=lambda deps, prev, full: batch_b,
+            unique_key="k",
+        )
+    )
+    exec_b = DagExecutor(reg_b, store, threads=2, isolated=True)
+    b_result = {}
+    scans = {"n": 0}
+
+    def _launch_b_inside_a_window():
+        scans["n"] += 1
+        if scans["n"] == 1:
+            _outs, ledger_b = exec_b.run({})
+            b_result["ledger"] = ledger_b
+
+    reg_a = ModelRegistry()
+    reg_a.register(
+        Model(
+            name="acct",
+            builder=lambda deps, prev, full: batch_a,
+            unique_key="k",
+        )
+    )
+    reg_a.register(
+        Model(
+            name="audit",
+            builder=lambda deps, prev, full: batch_a.groupBy("seg").agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+        )
+    )
+    exec_a = DagExecutor(
+        reg_a,
+        store,
+        threads=2,
+        isolated=True,
+        merge_hooks={"acct": _launch_b_inside_a_window},
+    )
+    _outs, ledger_a = exec_a.run({})
+
+    conflict_retried = scans["n"] >= 2
+    a_status = {e["model"]: e["status"] for e in ledger_a}
+    b_status = {e["model"]: e["status"] for e in b_result.get("ledger", [])}
+    a_success = a_status.get("acct") == "success" and a_status.get(
+        "audit"
+    ) == "success"
+    b_success = b_status.get("acct") == "success"
+
+    final = store.read("acct")
+    return (
+        final.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("cents") / 100.0).cast("double").alias("balance_sum"),
+            F.sum(((F.col("k") % 2) == 0).cast("bigint")).alias("n_a_rows"),
+            F.sum(
+                (((F.col("k") % 3) == 0) & ((F.col("k") % 2) != 0)).cast(
+                    "bigint"
+                )
+            ).alias("n_b_only_rows"),
+            F.sum(((F.col("k") % 6) == 0).cast("bigint")).alias(
+                "n_overlap_rows"
+            ),
+        )
+        .select(
+            "seg",
+            "n",
+            "balance_sum",
+            "n_a_rows",
+            "n_b_only_rows",
+            "n_overlap_rows",
+            F.lit(bool(conflict_retried)).alias("conflict_retried"),
+            F.lit(bool(a_success)).alias("a_success"),
+            F.lit(bool(b_success)).alias("b_success"),
+        )
+        .orderBy("seg")
+    )
+
+
+Q425_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+serial AS (  -- seed -> B commits first -> A retries and wins matched keys
+  SELECT k, seg,
+         CASE WHEN k % 2 = 0 THEN cents + 1000       -- A's merge last
+              WHEN k % 3 = 0 THEN cents + 2000       -- B's surviving rows
+              ELSE cents END AS cents
+  FROM base
+)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(cents) AS BIGINT) / 100.0 AS DOUBLE) AS balance_sum,
+       CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a_rows,
+       CAST(sum(CASE WHEN k % 3 = 0 AND k % 2 <> 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_b_only_rows,
+       CAST(sum(CASE WHEN k % 6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_overlap_rows,
+       TRUE AS conflict_retried, TRUE AS a_success, TRUE AS b_success
+FROM serial GROUP BY seg ORDER BY seg
+"""
+
+
 QUERIES_EXT90 = {
     "q424_exactly_once_restart": q424_exactly_once_restart,
+    "q425_concurrent_dag_occ": q425_concurrent_dag_occ,
 }
 
 
 def _oracles_ext90() -> dict[str, str]:
     return {
         "q424_exactly_once_restart": Q424_SQL,
+        "q425_concurrent_dag_occ": Q425_SQL,
     }

@@ -54,11 +54,24 @@ class DagExecutor:
         store: SnapshotStore,
         threads: int = 5,
         pool: str | None = "dag",
+        isolated: bool = False,
+        merge_hooks: Mapping[str, object] | None = None,
     ):
+        """``isolated=True`` turns every incremental model's MERGE into
+        an optimistic transaction (sinks.merge ``isolated``): when TWO
+        schedulers run overlapping jobs against one warehouse — dbt
+        users do — a merge that loses the commit race re-reads the
+        other run's commit and retries instead of silently clobbering
+        it (q425's cert). ``merge_hooks`` maps model name → zero-arg
+        callable fired inside each merge attempt's scan→commit window
+        (the sinks post_scan fault-injection point) so interleavings
+        are DETERMINISTIC in tests, never timing-dependent."""
         self.registry = registry
         self.store = store
         self.threads = max(1, threads)
         self.pool = pool
+        self.isolated = bool(isolated)
+        self.merge_hooks = dict(merge_hooks or {})
 
     # ------------------------------------------------------------ run
 
@@ -126,6 +139,9 @@ class DagExecutor:
                         m.unique_key,
                         partition_by=m.partition_by,
                         cluster_by=m.cluster_by,
+                        isolated=self.isolated,
+                        max_retries=5 if self.isolated else 3,
+                        post_scan=self.merge_hooks.get(m.name),
                     )
                 else:
                     self.store.overwrite(

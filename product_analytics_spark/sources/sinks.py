@@ -697,6 +697,7 @@ class SnapshotStore:
         cluster_by: Sequence[str] = (),
         isolated: bool = False,
         max_retries: int = 3,
+        post_scan=None,
     ) -> DataFrame:
         """S4: MERGE batch into the named snapshot on ``key``;
         returns the merged snapshot DataFrame (freshly readable).
@@ -713,6 +714,12 @@ class SnapshotStore:
         clobbering the other writer's rows — the Delta MERGE
         commit-retry loop. Default stays last-writer-wins (dbt
         incremental semantics, q17's contract).
+
+        ``post_scan`` (optional zero-arg callable) is the same
+        fault-injection point the DML/compaction paths expose: fired
+        after each attempt's snapshot read and before its commit, so
+        interleaving certs (q425) can land a concurrent commit inside
+        the exact window the OCC check must catch.
         """
         attempts = max_retries if isolated else 1
         last_err: ConcurrentWriteError | None = None
@@ -720,6 +727,8 @@ class SnapshotStore:
             snapshot_version = self.current_version(name) if isolated else UNCHECKED
             prev = self.read(name)
             merged = merge_upsert(prev, batch, key)
+            if post_scan is not None:
+                post_scan()
             try:
                 self.overwrite(
                     name,
@@ -730,6 +739,21 @@ class SnapshotStore:
                 )
             except ConcurrentWriteError as exc:
                 last_err = exc
+                continue
+            except Exception:
+                # A concurrent commit may have GC'd the snapshot this
+                # merge's plan lazily reads (retention window) — with
+                # isolation on, that is the same conflict surfaced
+                # during the write instead of at the pointer compare.
+                # Version unmoved ⇒ genuine failure: re-raise.
+                if (
+                    not isolated
+                    or self.current_version(name) == snapshot_version
+                ):
+                    raise
+                last_err = ConcurrentWriteError(
+                    f"table {name!r}: snapshot GC'd under merge"
+                )
                 continue
             out = self.read(name)
             assert out is not None

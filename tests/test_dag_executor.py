@@ -238,3 +238,94 @@ class TestRetry:
         _, ledger = ex.run({})
         out, ledger2 = ex.retry({}, ledger)
         assert ledger2 == []
+
+
+class TestConcurrentExecutorsOCC:
+    """VERDICT r9: two schedulers racing one warehouse — the isolated
+    merge path must detect the interleaved commit and retry, never
+    silently clobber the other run's rows (q425's cert, pinned here
+    with a minimal deterministic interleave)."""
+
+    def test_interleaved_executor_merge_retries_and_preserves_both(
+        self, spark, tmp_path
+    ):
+        store = SnapshotStore(spark, str(tmp_path / "wh"))
+        base = spark.range(60).selectExpr("id AS k", "CAST(0 AS LONG) AS v")
+        store.overwrite("t", base)
+
+        batch_a = spark.range(60).selectExpr(
+            "id AS k", "CAST(1 AS LONG) AS v"
+        ).where("k % 2 = 0")
+        batch_b = spark.range(60).selectExpr(
+            "id AS k", "CAST(2 AS LONG) AS v"
+        ).where("k % 3 = 0")
+
+        reg_b = ModelRegistry()
+        reg_b.register(
+            Model(name="t", builder=lambda d, p, f: batch_b, unique_key="k")
+        )
+        exec_b = DagExecutor(reg_b, store, threads=1, isolated=True)
+
+        scans = {"n": 0}
+
+        def hook():
+            scans["n"] += 1
+            if scans["n"] == 1:
+                _, lb = exec_b.run({})
+                assert {e["status"] for e in lb} == {"success"}
+
+        reg_a = ModelRegistry()
+        reg_a.register(
+            Model(name="t", builder=lambda d, p, f: batch_a, unique_key="k")
+        )
+        exec_a = DagExecutor(
+            reg_a, store, threads=1, isolated=True, merge_hooks={"t": hook}
+        )
+        _, la = exec_a.run({})
+        assert {e["status"] for e in la} == {"success"}
+        assert scans["n"] >= 2  # A's merge re-scanned after the conflict
+
+        got = {r.k: r.v for r in store.read("t").collect()}
+        for k in range(60):
+            exp = 1 if k % 2 == 0 else (2 if k % 3 == 0 else 0)
+            assert got[k] == exp, (k, got[k], exp)
+
+    def test_unisolated_executor_is_last_writer_wins(self, spark, tmp_path):
+        """Without isolated=True the interleaved commit is silently
+        overwritten — documents WHY q425 runs isolated (dbt default
+        incremental semantics are last-writer-wins)."""
+        store = SnapshotStore(spark, str(tmp_path / "wh2"), retain_versions=3)
+        store.overwrite(
+            "t", spark.range(6).selectExpr("id AS k", "CAST(0 AS LONG) AS v")
+        )
+        batch_a = spark.range(6).selectExpr(
+            "id AS k", "CAST(1 AS LONG) AS v"
+        ).where("k % 2 = 0")
+        batch_b = spark.range(6).selectExpr(
+            "id AS k", "CAST(2 AS LONG) AS v"
+        ).where("k % 3 = 0")
+
+        reg_b = ModelRegistry()
+        reg_b.register(
+            Model(name="t", builder=lambda d, p, f: batch_b, unique_key="k")
+        )
+        exec_b = DagExecutor(reg_b, store, threads=1)
+        fired = {"n": 0}
+
+        def hook():
+            fired["n"] += 1
+            if fired["n"] == 1:
+                exec_b.run({})
+
+        reg_a = ModelRegistry()
+        reg_a.register(
+            Model(name="t", builder=lambda d, p, f: batch_a, unique_key="k")
+        )
+        exec_a = DagExecutor(
+            reg_a, store, threads=1, merge_hooks={"t": hook}
+        )
+        exec_a.run({})
+        got = {r.k: r.v for r in store.read("t").collect()}
+        # B's non-overlapping row (k=3) was LOST: A merged against the
+        # pre-B snapshot and committed blind.
+        assert got[3] == 0
