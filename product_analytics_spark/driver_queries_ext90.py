@@ -24,6 +24,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from product_analytics_spark.qcommon import _money_cents, _t  # noqa: F401
+
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 Q424_WH = os.path.join(_REPO, ".q424_warehouse")
@@ -225,7 +227,6 @@ def q425_concurrent_dag_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
     retries re-pay one merge plan, not the DAG."""
     from product_analytics_spark.plans.executor import DagExecutor
     from product_analytics_spark.plans.registry import Model, ModelRegistry
-    from product_analytics_spark.qcommon import _money_cents, _t
 
     shutil.rmtree(Q425_WH, ignore_errors=True)
     from product_analytics_spark.sources.sinks import SnapshotStore
@@ -353,9 +354,177 @@ FROM serial GROUP BY seg ORDER BY seg
 """
 
 
+
+
+
+# ------------------------------------------------------------- q426
+
+Q426_WH = os.path.join(_REPO, ".q426_warehouse")
+Q426_FILES = 16
+Q426_Y_EXPR = (
+    "CASE WHEN k % 100 < 99 THEN k % 1000 ELSE 1000000 + k END"
+)  # 99% dense head, 1% far tail — the equal-width killer
+
+
+def q426_advised_equal_depth_zorder(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Advisor-selected equal-DEPTH Z-ORDER under skew (VERDICT r8
+    item 7: functions/zorder.py shipped equal-depth lanes but the
+    advisor path always picked equal-width). A customer-derived grid
+    has one uniform key (x = k%64) and one heavy-tailed key (y: 99% of
+    rows in [0,1000), 1% scattered past 10^6). Equal-WIDTH lanes
+    collapse the dense y-mass into lane 0 — the Morton curve carries
+    no y information there and a dense-range y predicate prunes
+    nothing. The skew detector (range/IQR ≥ 8 ⇒ skewed,
+    ``choose_equal_depth``) flips the ``zorder_depth="auto"`` write to
+    quantile lanes, restoring y-skipping while the uniform key keeps
+    parity.
+
+    Both layouts are written delta-enabled and ALL pruning decisions
+    come from the transaction log's per-file stats (scan_files — zero
+    footer opens); DuckDB recomputes every kept-count from the raw log
+    JSON with the same interval-overlap rule. Compared per
+    (layout, predicate): total/kept files and the pruned-read row
+    count (recomputed from the source table), plus the advisor certs:
+    ``auto_chose_depth`` (the resolved layout records equal-depth),
+    ``depth_y_wins`` (strictly fewer files kept for the dense-y
+    predicate), ``x_parity`` (uniform-key skipping within 2 files of
+    each other).
+
+    Scale: the detector is one approxQuantile pass per key at write
+    time — the price of not silently shipping a layout whose skipping
+    decays to zero exactly on the key users filter hardest."""
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q426_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q426_WH, delta_log=True)
+    grid = (
+        _t(spark, sf_dir, "customer")
+        .selectExpr("c_custkey AS k")
+        .selectExpr("k", "k % 64 AS x", f"{Q426_Y_EXPR} AS y")
+    )
+    store.overwrite(
+        "width", grid, zorder_by=("x", "y"), n_files=Q426_FILES,
+        zorder_depth=False,
+    )
+    store.overwrite(
+        "auto", grid, zorder_by=("x", "y"), n_files=Q426_FILES,
+        zorder_depth="auto",
+    )
+    auto_chose_depth = bool(store.layout("auto").get("zorder_depth"))
+    width_is_width = not store.layout("width").get("zorder_depth")
+
+    preds = {
+        "x_low": ("x", [("x", "between", (0, 3))], "x BETWEEN 0 AND 3"),
+        "y_dense": ("y", [("y", "between", (100, 199))],
+                    "y BETWEEN 100 AND 199"),
+    }
+    kept: dict[tuple[str, str], int] = {}
+    rows = []
+    for layout in ("auto", "width"):
+        for pname, (_col, conj, where) in preds.items():
+            files, total = store.scan_files(layout, conj)
+            kept[(layout, pname)] = len(files)
+            n_rows = store.read_pruned(layout, conj).where(where).count()
+            full_rows = store.read(layout).where(where).count()
+            rows.append(
+                (layout, pname, total, len(files), n_rows,
+                 bool(n_rows == full_rows))
+            )
+    depth_y_wins = kept[("auto", "y_dense")] < kept[("width", "y_dense")]
+    x_parity = abs(kept[("auto", "x_low")] - kept[("width", "x_low")]) <= 2
+
+    schema = T.StructType(
+        [
+            T.StructField("layout", T.StringType()),
+            T.StructField("pred", T.StringType()),
+            T.StructField("n_files", T.LongType()),
+            T.StructField("n_kept", T.LongType()),
+            T.StructField("n_rows", T.LongType()),
+            T.StructField("pruned_equals_full", T.BooleanType()),
+        ]
+    )
+    return (
+        spark.createDataFrame(rows, schema)
+        .select(
+            "*",
+            F.lit(bool(auto_chose_depth)).alias("auto_chose_depth"),
+            F.lit(bool(width_is_width)).alias("width_recorded_width"),
+            F.lit(bool(depth_y_wins)).alias("depth_y_wins"),
+            F.lit(bool(x_parity)).alias("x_parity"),
+        )
+        .orderBy("layout", "pred")
+    )
+
+
+Q426_SQL = f"""
+WITH adds AS (
+  SELECT CASE WHEN filename LIKE '%/auto/%' THEN 'auto' ELSE 'width' END
+           AS layout,
+         CAST(json_extract_string(add.stats, '$.minValues.x') AS BIGINT)
+           AS min_x,
+         CAST(json_extract_string(add.stats, '$.maxValues.x') AS BIGINT)
+           AS max_x,
+         CAST(json_extract_string(add.stats, '$.minValues.y') AS BIGINT)
+           AS min_y,
+         CAST(json_extract_string(add.stats, '$.maxValues.y') AS BIGINT)
+           AS max_y
+  FROM read_json_auto(
+         ['{Q426_WH}/auto/_delta_log/*.json',
+          '{Q426_WH}/width/_delta_log/*.json'],
+         filename=true, union_by_name=true, format='newline_delimited')
+  WHERE add IS NOT NULL
+),
+kept AS (
+  SELECT layout, 'x_low' AS pred,
+         CAST(count(*) AS BIGINT) AS n_files,
+         CAST(count(*) FILTER (WHERE min_x <= 3 AND max_x >= 0) AS BIGINT)
+           AS n_kept
+  FROM adds GROUP BY layout
+  UNION ALL
+  SELECT layout, 'y_dense',
+         CAST(count(*) AS BIGINT),
+         CAST(count(*) FILTER (WHERE min_y <= 199 AND max_y >= 100)
+              AS BIGINT)
+  FROM adds GROUP BY layout
+),
+src AS (
+  SELECT c_custkey AS k, c_custkey % 64 AS x,
+         CASE WHEN c_custkey % 100 < 99 THEN c_custkey % 1000
+              ELSE 1000000 + c_custkey END AS y
+  FROM customer
+),
+nrows AS (
+  SELECT 'x_low' AS pred,
+         CAST(count(*) FILTER (WHERE x BETWEEN 0 AND 3) AS BIGINT) AS n_rows
+  FROM src
+  UNION ALL
+  SELECT 'y_dense',
+         CAST(count(*) FILTER (WHERE y BETWEEN 100 AND 199) AS BIGINT)
+  FROM src
+),
+wins AS (
+  SELECT (SELECT n_kept FROM kept WHERE layout='auto' AND pred='y_dense')
+       < (SELECT n_kept FROM kept WHERE layout='width' AND pred='y_dense')
+         AS depth_y_wins,
+       abs((SELECT n_kept FROM kept WHERE layout='auto' AND pred='x_low')
+         - (SELECT n_kept FROM kept WHERE layout='width' AND pred='x_low'))
+         <= 2 AS x_parity
+)
+SELECT k.layout, k.pred, k.n_files, k.n_kept, r.n_rows,
+       TRUE AS pruned_equals_full,
+       TRUE AS auto_chose_depth, TRUE AS width_recorded_width,
+       depth_y_wins, x_parity
+FROM kept k JOIN nrows r USING (pred), wins
+ORDER BY k.layout, k.pred
+"""
+
+
 QUERIES_EXT90 = {
     "q424_exactly_once_restart": q424_exactly_once_restart,
     "q425_concurrent_dag_occ": q425_concurrent_dag_occ,
+    "q426_advised_equal_depth_zorder": q426_advised_equal_depth_zorder,
 }
 
 
@@ -363,4 +532,5 @@ def _oracles_ext90() -> dict[str, str]:
     return {
         "q424_exactly_once_restart": Q424_SQL,
         "q425_concurrent_dag_occ": Q425_SQL,
+        "q426_advised_equal_depth_zorder": Q426_SQL,
     }

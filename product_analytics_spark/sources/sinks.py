@@ -632,7 +632,7 @@ class SnapshotStore:
         cluster_by: Sequence[str] = (),
         zorder_by: Sequence[str] = (),
         n_files: int | None = None,
-        zorder_depth: bool = False,
+        zorder_depth: bool | str = False,
         expected_version=UNCHECKED,
     ) -> None:
         """Atomic full replace: write a version dir, commit the pointer.
@@ -644,7 +644,19 @@ class SnapshotStore:
         from the transaction's snapshot read and the commit refuses
         (ConcurrentWriteError, uncommitted version cleaned up) if
         another writer got there first — a blind overwrite would drop
-        that writer's rows."""
+        that writer's rows.
+
+        ``zorder_depth="auto"`` lets the skew advisor pick the lane
+        scheme (functions/zorder.choose_equal_depth): any skewed
+        z-order key flips the write to equal-DEPTH quantile lanes; the
+        RESOLVED boolean is what gets recorded in the layout, so a
+        later ``optimize()`` reclusters with the same scheme."""
+        if zorder_by and zorder_depth == "auto":
+            from product_analytics_spark.functions.zorder import (
+                choose_equal_depth,
+            )
+
+            zorder_depth = choose_equal_depth(df, list(zorder_by))
         version = self._write_version(
             name,
             df,

@@ -89,3 +89,55 @@ def test_function_surface_coverage_floor():
 
     out = audit()
     assert out["n_used"] >= 485, out["n_used"]
+
+
+class TestZorderSkewAdvisor:
+    """VERDICT r9 item 7: the write path auto-selects equal-depth
+    lanes when any z-order key is skewed (functions/zorder.py)."""
+
+    def test_skew_ratio_uniform_vs_heavy_tail(self, spark):
+        from product_analytics_spark.functions.zorder import (
+            SKEW_RATIO_THRESHOLD,
+            choose_equal_depth,
+            key_skew_ratio,
+        )
+
+        df = spark.range(4000).selectExpr(
+            "id % 64 AS x",
+            "CASE WHEN id % 100 < 99 THEN id % 1000 "
+            "ELSE 1000000 + id END AS y",
+        )
+        assert key_skew_ratio(df, "x") < SKEW_RATIO_THRESHOLD
+        assert key_skew_ratio(df, "y") >= SKEW_RATIO_THRESHOLD
+        assert choose_equal_depth(df, ["x", "y"])
+        assert not choose_equal_depth(df, ["x"])
+
+    def test_auto_depth_recorded_and_restored_by_optimize(
+        self, spark, tmp_path
+    ):
+        from product_analytics_spark.sources.sinks import SnapshotStore
+
+        store = SnapshotStore(spark, str(tmp_path / "wh"))
+        skewed = spark.range(2000).selectExpr(
+            "id % 64 AS x",
+            "CASE WHEN id % 100 < 99 THEN id % 1000 "
+            "ELSE 1000000 + id END AS y",
+            "id AS payload",
+        )
+        store.overwrite(
+            "t", skewed, zorder_by=("x", "y"), n_files=8,
+            zorder_depth="auto",
+        )
+        assert store.layout("t")["zorder_depth"] is True  # resolved bool
+        uniform = spark.range(2000).selectExpr(
+            "id % 64 AS x", "id % 50 AS y", "id AS payload"
+        )
+        store.overwrite(
+            "u", uniform, zorder_by=("x", "y"), n_files=8,
+            zorder_depth="auto",
+        )
+        assert store.layout("u")["zorder_depth"] is False
+        # optimize reclusters with the recorded (resolved) scheme
+        out = store.optimize("t", target_bytes=1 << 30)
+        assert out["reclustered"] is True
+        assert store.read("t").count() == 2000
