@@ -108,14 +108,22 @@ WHERE (CASE WHEN a.source = b.source THEN {RL_W_SOURCE} ELSE {RL_P_SOURCE} END)
 
 # ------------------------------------------------------------- q183
 
-FP_BITS = 36           # fingerprint width (one parity bit per chunk)
-FP_BANDS = 3           # 3 bands x 12 bits
-FP_BAND_BITS = 12
+#: Fingerprint width is a PRECISION capacity, grown with corpus size
+#: (log2 N): the round-9 sf3 sweep (150k docs) measured the previous
+#: 36-bit width saturating — random 36-bit fingerprints fall within
+#: hamming ≤5 with p≈6.4e-6, so ~1.1e10 cross-doc pairs yielded ~100k
+#: FALSE near-dups (97% of all output, quadratic in corpus size).
+#: At 60 bits / threshold 7 the random-pair probability is ~3.8e-10
+#: (a handful of expected false pairs at 150k docs, none at oracle
+#: scale); re-widen again (with the band math below) near ~10M docs.
+FP_BITS = 60           # fingerprint width (one parity bit per chunk)
+FP_BANDS = 4           # 4 bands x 15 bits
+FP_BAND_BITS = 15
 FP_BALL = 1            # per-band Hamming-ball probe radius
 #: recall guarantee: hamming <= K ⇒ some band carries <= floor(K/B)
 #: bit errors (pigeonhole), and ball-r probing catches <= r errors —
 #: so K <= B*(r+1) - 1 keeps the banded join exact-recall.
-FP_MAX_HAMMING = FP_BANDS * (FP_BALL + 1) - 1  # = 5
+FP_MAX_HAMMING = FP_BANDS * (FP_BALL + 1) - 1  # = 7
 
 
 def q183_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -233,7 +241,20 @@ def q183_fingerprint_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("bigint").alias("hamming"),
         )
     )
-    return cross.unionByName(intra)
+    # Sentinel summary row (id_a = -1): at the 60-bit width a clean
+    # corpus legitimately has ZERO near-dup pairs at small SF, and a
+    # 0-row cross-engine compare certifies nothing — this row keeps
+    # the fingerprint arithmetic value-bearing at every SF (id_b =
+    # #distinct fps; hamming = overflow-safe per-doc fp checksum that
+    # both engines must reproduce bit-exactly).
+    summary = fps.agg(
+        F.lit(-1).cast("long").alias("id_a"),
+        F.countDistinct("fp").cast("long").alias("id_b"),
+        (F.sum(F.col("fp") % F.lit(1000003)) % F.lit(2147483647))
+        .cast("bigint")
+        .alias("hamming"),
+    )
+    return cross.unionByName(intra).unionByName(summary)
 
 
 def _q183_sql() -> str:
@@ -256,6 +277,11 @@ SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        CAST(bit_count(xor(a.fp, b.fp)) AS BIGINT) AS hamming
 FROM fps a JOIN fps b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.fp, b.fp)) <= {FP_MAX_HAMMING}
+UNION ALL
+SELECT CAST(-1 AS BIGINT),
+       (SELECT CAST(count(DISTINCT fp) AS BIGINT) FROM fps),
+       (SELECT CAST(CAST(sum(fp % 1000003) AS BIGINT) % 2147483647
+               AS BIGINT) FROM fps)
 """
 
 

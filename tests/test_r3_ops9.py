@@ -80,12 +80,12 @@ class TestFingerprintNearDup:
                 ham = bin(fps[a] ^ fps[b]).count("1")
                 if ham <= FP_MAX_HAMMING:
                     expected[(a, b)] = ham
+        rows = q183_fingerprint_near_dup(spark, SF).collect()
         got = {
-            (r.id_a, r.id_b): r.hamming
-            for r in q183_fingerprint_near_dup(spark, SF).collect()
+            (r.id_a, r.id_b): r.hamming for r in rows if r.id_a != -1
         }
-        # banding recall is EXACT here: hamming <= 5 over 3 bands
-        # leaves <= floor(5/3)=1 bit errors in at least one band
+        # banding recall is EXACT here: hamming <= K over B bands
+        # leaves <= floor(K/B)=1 bit errors in at least one band
         # (pigeonhole), and the ball-1 probe catches a 1-bit-off band
         # — so the banded join has no false negatives
         from product_analytics_spark.driver_queries_ext12 import FP_BALL
@@ -93,6 +93,45 @@ class TestFingerprintNearDup:
         assert FP_MAX_HAMMING <= FP_BANDS * (FP_BALL + 1) - 1
         assert FP_BANDS * FP_BAND_BITS == FP_BITS
         assert got == expected
+        # the sentinel summary row carries the fp checksum both
+        # engines must reproduce even when the pair set is empty
+        sent = [r for r in rows if r.id_a == -1]
+        assert len(sent) == 1
+        assert sent[0].id_b == len(set(fps.values()))
+        assert sent[0].hamming == (
+            sum(v % 1000003 for v in fps.values()) % 2147483647
+        )
+
+    def test_planted_near_dups_are_found(self, spark, tmp_path):
+        """Deterministic recall proof at the 60-bit width: same-length
+        docs differing in <= FP_MAX_HAMMING chunk regions have hamming
+        <= that GUARANTEED (unchanged chunks hash identically because
+        proportional boundaries depend only on n_chars), so the banded
+        ball-probe must surface every planted pair."""
+        base = "the quick brown fox jumps over the lazy dog " * 20  # 900
+        docs = [(0, base), (1, base)]  # exact dup -> hamming 0
+        n = len(base)
+        mut = list(base)
+        for j in range(3):  # mutate inside 3 distinct chunks
+            pos = (n * (10 + j * 7)) // FP_BITS + 2
+            mut[pos] = "X"
+        docs.append((2, "".join(mut)))  # <=3 chunk parities differ
+        docs.append((3, "completely unrelated content " * 31))
+        df = spark.createDataFrame(
+            [
+                (i, t, "en", "synthetic", len(t))
+                for i, t in docs
+            ],
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long",
+        )
+        df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+        rows = q183_fingerprint_near_dup(spark, str(tmp_path)).collect()
+        got = {(r.id_a, r.id_b): r.hamming for r in rows if r.id_a != -1}
+        assert got.get((0, 1)) == 0  # exact dup, intra-fp path
+        assert (0, 2) in got and got[(0, 2)] <= 3  # planted near-dup
+        assert (1, 2) in got
+        assert not any(3 in p for p in got)  # unrelated doc clean
 
 
 class TestAutocorrelation:

@@ -12,11 +12,21 @@ data; this harness exists ONLY to measure scaling ratios:
     replica. Non-key columns are copied, so value distributions,
     skew, and group sizes per key are preserved while group COUNTS
     scale 10×.
-  * documents: replica i>0 suffixes every whitespace token with ~i —
-    replicas share no vocabulary, so near-dup/minhash workloads grow
-    linearly in docs (cross-replica candidate pairs would otherwise
-    make the *data* quadratic, which would measure the generator, not
-    the engine). n_chars is recomputed.
+  * documents: replica i>0 applies a per-replica affine substitution
+    over printable ASCII (every NON-SPACE character shifts by
+    i·7919 mod 94 — distinct for 30 replicas since 7919 ⊥ 94;
+    whitespace kept so tokenization is unchanged). Replicas share no
+    vocabulary AND no character content, so token-level (minhash/
+    jaccard) and character-level (chunk-parity fingerprint) near-dup
+    workloads both grow linearly in docs. The round-8 scheme (suffix
+    every token with ~i) was vocabulary-disjoint but left ~95% of the
+    CHARACTER stream identical across replicas — short docs were then
+    genuinely near-identical under chunk-parity fingerprints and the
+    sweep measured quadratic TRUE-pair growth, i.e. the generator,
+    not the engine (diagnosed in round 9: 65k of 66k sf3 pairs were
+    same-original cross-replica). Lengths are preserved exactly, so
+    n_chars, chunk boundaries, and length-bucket groupings match the
+    original distribution.
   * embeddings: replica i>0 adds deterministic uniform noise
     (RandomState(1000+i), ±0.05/dim) so ANN/kNN workloads see 10×
     distinct points with the same cluster geometry (labels kept).
@@ -25,10 +35,17 @@ data; this harness exists ONLY to measure scaling ratios:
 Timestamps keep their original micros physical type via a plain
 pyarrow round-trip.
 
+Round 9 extends the harness to sf3 (30 replicas — VERDICT r8 item 4):
+the q183 class of bug (fixed band/bucket/cell capacities ⇒ quadratic
+candidate growth) is invisible at small SF *by construction*, so the
+families with capacity parameters (MinHash/SimHash/fingerprint
+banding, IVF cells, label-propagation rounds, corpus-side bucket
+occupancy, kNN cells) get a second, deeper point on the curve.
+
 Usage:
-    python tools/scale_sweep.py generate          # build .scale_data/sf1
-    python tools/scale_sweep.py run               # time keys at both SFs
-    python tools/scale_sweep.py report            # write SCALE_SWEEP.md
+    python tools/scale_sweep.py generate [sf1|sf3]   # build replicas
+    python tools/scale_sweep.py run [sf1|sf3]        # time keys
+    python tools/scale_sweep.py report               # write SCALE_SWEEP.md
 """
 
 from __future__ import annotations
@@ -47,9 +64,18 @@ import pyarrow.compute as pc
 import pyarrow.parquet as pq
 
 SRC = "/root/testdata/sf0.1"
-DST = "/root/repo/.scale_data/sf1"
+TARGETS = {  # name -> (replica factor, data dir, results file)
+    "sf1": (10, "/root/repo/.scale_data/sf1", "/root/repo/.scale_sweep.json"),
+    "sf3": (
+        30,
+        "/root/repo/.scale_data/sf3",
+        "/root/repo/.scale_sweep_sf3.json",
+    ),
+}
+# sf1 defaults preserved for the existing entry points
 FACTOR = 10
-RESULTS = "/root/repo/.scale_sweep.json"
+DST = TARGETS["sf1"][1]
+RESULTS = TARGETS["sf1"][2]
 
 # key column -> key domain (base = domain max + 1, from the domain's
 # home table, so FK shifts match their referenced PK shifts)
@@ -93,6 +119,16 @@ SWEEP_KEYS = [
     "q415", "q416", "q417",
 ]
 
+#: the fixed-capacity-risk families (VERDICT r8 item 4): banding
+#: (q20/q25/q26/q183), IVF cells under replica-correlated embeddings
+#: (q27/q28/q39), kNN/mutual-NN/k-means cells (q85/q99/q61),
+#: label-propagation rounds (q56), corpus-side bucket occupancy (q88),
+#: inverted-index + prefix-filter joins (q115/q173), containment (q146)
+SF3_KEYS = [
+    "q20", "q25", "q26", "q183", "q27", "q28", "q39",
+    "q85", "q99", "q61", "q56", "q88", "q115", "q173", "q146",
+]
+
 
 def _bases() -> dict[str, int]:
     out = {}
@@ -103,9 +139,14 @@ def _bases() -> dict[str, int]:
 
 
 def _remap_documents(tbl: pa.Table, i: int) -> pa.Table:
+    shift = (i * 7919) % 94  # distinct per replica (7919 coprime to 94)
+    table = {
+        c: chr((c - 33 + shift) % 94 + 33) if 33 <= c <= 126 else chr(c)
+        for c in range(128)
+    }
+    trans = str.maketrans(table)
     texts = tbl["text"].to_pylist()
-    suf = f"~{i}"
-    new_texts = [" ".join(w + suf for w in t.split(" ")) for t in texts]
+    new_texts = [t.translate(trans) for t in texts]
     n_chars = [len(t) for t in new_texts]
     cols = {}
     for name in tbl.column_names:
@@ -133,20 +174,21 @@ def _perturb_embeddings(tbl: pa.Table, i: int) -> pa.Table:
     return pa.table(cols, schema=tbl.schema)
 
 
-def generate() -> None:
-    os.makedirs(DST, exist_ok=True)
+def generate(target: str = "sf1") -> None:
+    factor, dst, _results = TARGETS[target]
+    os.makedirs(dst, exist_ok=True)
     bases = _bases()
     for tbl_name in ("region", "nation"):
         shutil.copyfile(
             os.path.join(SRC, f"{tbl_name}.parquet"),
-            os.path.join(DST, f"{tbl_name}.parquet"),
+            os.path.join(dst, f"{tbl_name}.parquet"),
         )
         print(f"{tbl_name}: copied (fixed dimension)")
     for tbl_name, keys in TABLE_KEYS.items():
         t0 = time.time()
         src = pq.read_table(os.path.join(SRC, f"{tbl_name}.parquet"))
         replicas = []
-        for i in range(FACTOR):
+        for i in range(factor):
             rep = src
             if i > 0:
                 if tbl_name == "documents":
@@ -166,7 +208,7 @@ def generate() -> None:
         out = pa.concat_tables(replicas)
         pq.write_table(
             out,
-            os.path.join(DST, f"{tbl_name}.parquet"),
+            os.path.join(dst, f"{tbl_name}.parquet"),
             row_group_size=256_000,
         )
         print(
@@ -175,9 +217,9 @@ def generate() -> None:
         )
 
 
-def _resolve_keys(queries: dict) -> list[str]:
+def _resolve_keys(queries: dict, shorts: list[str] | None = None) -> list[str]:
     out = []
-    for short in SWEEP_KEYS:
+    for short in shorts if shorts is not None else SWEEP_KEYS:
         hits = [k for k in queries if k == short or k.startswith(short + "_")]
         if not hits:
             print(f"WARN: no query key matches {short}")
@@ -186,16 +228,17 @@ def _resolve_keys(queries: dict) -> list[str]:
     return out
 
 
-def run() -> None:
+def run(target: str = "sf1") -> None:
     import __spark_entry__ as entry_mod
     from product_analytics_spark import cache
     from product_analytics_spark.session import get_spark
 
+    _factor, dst, results_path = TARGETS[target]
     spark = get_spark("scale_sweep")
     queries = entry_mod.queries()
-    keys = _resolve_keys(queries)
+    keys = _resolve_keys(queries, SF3_KEYS if target == "sf3" else SWEEP_KEYS)
     results: dict[str, dict[str, float]] = {}
-    for sf_name, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+    for sf_name, sf_dir in (("sf0.1", SRC), (target, dst)):
         # warm the JVM/session so the first key doesn't absorb startup
         queries[keys[0]](spark, sf_dir).count()
         cache.clear_all()
@@ -213,9 +256,9 @@ def run() -> None:
             finally:
                 cache.clear_all()
         cache.clear_shared()
-    with open(RESULTS, "w", encoding="utf-8") as fh:
+    with open(results_path, "w", encoding="utf-8") as fh:
         json.dump(results, fh, indent=1, sort_keys=True)
-    print(f"wrote {RESULTS}")
+    print(f"wrote {results_path}")
 
 
 def report() -> None:
@@ -278,4 +321,8 @@ def report() -> None:
 
 if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
-    {"generate": generate, "run": run, "report": report}[cmd]()
+    if cmd == "report":
+        report()
+    else:
+        target = sys.argv[2] if len(sys.argv) > 2 else "sf1"
+        {"generate": generate, "run": run}[cmd](target)
