@@ -261,58 +261,106 @@ def run(target: str = "sf1") -> None:
     print(f"wrote {results_path}")
 
 
-def report() -> None:
-    with open(RESULTS, encoding="utf-8") as fh:
-        results = json.load(fh)
+def _table(results: dict, tgt: str, factor: int) -> list[str]:
     rows = []
     for k, r in sorted(results.items()):
-        t01, t1 = r.get("sf0.1", -1), r.get("sf1", -1)
+        t01, t1 = r.get("sf0.1", -1), r.get(tgt, -1)
         ratio = round(t1 / t01, 1) if t01 and t01 > 0 and t1 > 0 else None
         rows.append((k, t01, t1, ratio))
     rows.sort(key=lambda x: -(x[3] or 99))
     lines = [
-        "# SCALE_SWEEP — sf0.1 → sf1 measured ratios",
-        "",
-        "10× rows (generator: `tools/scale_sweep.py`, deterministic",
-        "replication with key-shift / disjoint-vocab docs / perturbed",
-        "embeddings — see its module docstring). Ideal scaling for a",
-        "linear operator on local[32] is ≤ ~10× wall; well below 10×",
-        "means fixed overhead (Spark job scheduling, Python streaming",
-        "machinery) still dominates at this size; anything clearly",
-        "above ~10× is flagged super-linear and needs a fix or an",
-        "explanation.",
-        "",
-        "| key | sf0.1 s | sf1 s | ratio |",
+        f"| key | sf0.1 s | {tgt} s | ratio (ideal ≤{factor}×) |",
         "|---|---|---|---|",
     ]
     for k, t01, t1, ratio in rows:
-        flag = " ⚠" if (ratio or 0) > 12 else ""
+        flag = " ⚠" if (ratio or 0) > factor * 1.2 else ""
         lines.append(f"| {k} | {t01} | {t1} | {ratio}{flag} |")
+    return lines
+
+
+def report() -> None:
+    with open(RESULTS, encoding="utf-8") as fh:
+        sf1 = json.load(fh)
+    lines = [
+        "# SCALE_SWEEP — measured scaling ratios (sf0.1 → sf1 → sf3)",
+        "",
+        "Inputs are derived from the driver's sf0.1 tables by",
+        "deterministic replication (`tools/scale_sweep.py` module",
+        "docstring: key-shift joins, per-replica printable-ASCII",
+        "substitution for documents, perturbed embeddings). Ideal",
+        "scaling for a linear operator on local[32] is ≤ the replica",
+        "factor; well below it means fixed overhead still dominates;",
+        "anything clearly above is flagged super-linear and needs a",
+        "fix or an explanation.",
+        "",
+        "## sf0.1 → sf1 (10× rows, broad 47-key sweep)",
+        "",
+    ]
+    lines += _table(sf1, "sf1", 10)
+    sf3_path = TARGETS["sf3"][2]
+    if os.path.isfile(sf3_path):
+        with open(sf3_path, encoding="utf-8") as fh:
+            sf3 = json.load(fh)
+        lines += [
+            "",
+            "## sf0.1 → sf3 (30× rows, fixed-capacity-risk families)",
+            "",
+            "VERDICT r8 item 4: the q183 class of bug (fixed band/",
+            "bucket/cell capacities ⇒ quadratic candidate growth) is",
+            "invisible at small SF by construction, so the families",
+            "with capacity parameters get a deeper point on the curve:",
+            "banding (q20/q25/q26/q183), IVF cells under 30",
+            "perturbed-replica embeddings (q27/q28/q39), kNN/mutual-NN/",
+            "k-means cells (q85/q99/q61), label-propagation rounds",
+            "(q56), corpus-side bucket occupancy (q88), inverted index +",
+            "prefix-filter join (q115/q173), containment (q146).",
+            "",
+        ]
+        lines += _table(sf3, "sf3", 30)
     lines += [
         "",
-        "## Findings",
+        "## Findings (round 9)",
         "",
-        "* **q183_fingerprint_near_dup was super-linear (121×: 2.3 s →",
-        "  278 s in the first sweep) and is fixed** (clean re-run:",
-        "  2.6 s → 14.6 s, 5.7× — now the table's max). Root cause:",
-        "  5-bit LSH bands = 32 bucket values, so bucket occupancy grew",
-        "  linearly with the corpus and candidate pairs quadratically —",
-        "  a fixed-capacity flaw invisible at sf0.1. Fix (ext12):",
-        "  36-bit fingerprint, 3×12-bit bands (4096 values), Hamming-",
-        "  ball-1 probing for recall at distance ≤5, q20's exact-dup",
-        "  collapse so the banded join runs over distinct fingerprints,",
-        "  and the md5 fingerprint pass persisted once (it feeds five",
-        "  plan branches). Oracle strengthened to naive all-pairs,",
-        "  independently validating the banding's exact recall.",
-        "* Everything else is ≤ ~4× for 10× data — fixed overhead",
-        "  (job scheduling, Python streaming machinery, warehouse-write",
-        "  certs) still dominates at this size; no query shows",
-        "  super-linear growth. The streaming family (q218/q367) is",
-        "  flat by construction (micro-batch machinery, bounded feed).",
-        "* Ratios were measured in one warm session, sf0.1 first, with",
-        "  caches cleared between queries (tools/scale_sweep.py run);",
-        "  this file reflects the post-fix clean re-run including the",
-        "  round-8 storage/scheduler certs q415–q417.",
+        "* **All 15 sf3 ratios are sublinear** (max 11.5× for 30×",
+        "  data, q183 — dominated by its 60 md5 chunk hashes per doc,",
+        "  linear work). No capacity parameter saturated after the two",
+        "  fixes below.",
+        "* **q183's 36-bit fingerprint WIDTH saturated at 150k docs**",
+        "  (the round-9 capacity catch, same class as round 8's 5-bit",
+        "  bands): random 36-bit fingerprints fall within hamming ≤5",
+        "  with p≈6.4e-6, so the 1.1e10 cross-doc pairs at sf3 yielded",
+        "  ~100k FALSE near-dups — quadratic in corpus size, and 96 of",
+        "  the 104 sf0.1 'pairs' were already this noise. Fixed in",
+        "  ext12: 60-bit fingerprints, 4×15-bit bands, ball-1 probing",
+        "  (threshold 7 by the same pigeonhole recall guarantee);",
+        "  false-pair expectation ~4 at 150k docs; re-widen near ~10M",
+        "  docs (the width grows with log N — now documented at the",
+        "  constants). A sentinel summary row keeps the cert",
+        "  value-bearing at SFs whose corpus has no true near-dups.",
+        "* **The round-8 replica transform manufactured TRUE near-dups**",
+        "  (generator bug, caught by diagnosing the residual q183",
+        "  pairs): suffixing every token with ~i is vocabulary-disjoint",
+        "  but leaves ~95% of the CHARACTER stream identical, so short",
+        "  same-origin docs across replicas were genuinely",
+        "  near-identical under chunk parity (65k of 66k sf3 pairs).",
+        "  The transform is now a per-replica affine substitution over",
+        "  printable ASCII — disjoint at token AND character level,",
+        "  lengths preserved exactly. Post-fix: q183 output 859 pairs",
+        "  (≈30× the per-corpus count), q25 cross-replica pairs = 6.",
+        "* q25's larger-than-30× OUTPUT (2.75M pairs) is per-replica",
+        "  hash-realization variance at its hamming-8/60 threshold —",
+        "  each substituted replica draws its own near-threshold tail;",
+        "  cross-replica pairs are 6, so growth is linear in replicas",
+        "  and wall time scaled 3.9× for 30× data.",
+        "* q173 (9.3×) and q115 (8.2×) are pure output/shuffle volume",
+        "  (5.7M pairs; full posting lists) — linear work, no capacity",
+        "  parameter involved.",
+        "* History: round 8's first sweep caught q183's 5-bit bands at",
+        "  121× (fixed to 12-bit bands); the sf1 table above is the",
+        "  round-9 re-run with the substitution generator and the",
+        "  60-bit fingerprint.",
+        "* Ratios were measured in one warm session per target, sf0.1",
+        "  first, caches cleared between queries.",
     ]
     with open("/root/repo/SCALE_SWEEP.md", "w", encoding="utf-8") as fh:
         fh.write("\n".join(lines) + "\n")
