@@ -521,10 +521,241 @@ ORDER BY k.layout, k.pred
 """
 
 
+
+
+# ------------------------------------------------------------- q427
+
+Q427_WH = os.path.join(_REPO, ".q427_warehouse")
+
+
+def q427_convert_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``CONVERT TO DELTA`` — retrofit the transaction log onto an
+    EXISTING hive-partitioned plain-parquet table (delta_log.py:
+    convert_to_delta): one metadata-only commit (protocol + metaData
+    with partitionColumns from the directory layout + one
+    stats-bearing add per file), data files untouched. The engine
+    then consumes the table THROUGH THE LOG (read_delta) and plans a
+    partition-pruned scan from it (scan_files on the partition
+    column — partitionValues live in the log, zero footer opens).
+
+    Compared: per-segment aggregates read back via the log (oracle
+    recomputes from the source table), the add/file count and
+    stats-row total from the raw log JSON (DuckDB parses it
+    independently), kept-file counts for the partition predicate, and
+    the conversion certs (protocol+metaData present, version 0).
+
+    Scale: conversion is O(files) metadata — the reason Delta converts
+    petabyte tables in minutes; the data never moves."""
+    from product_analytics_spark.sources.delta_log import (
+        DeltaLog,
+        convert_to_delta,
+        read_delta,
+    )
+
+    shutil.rmtree(Q427_WH, ignore_errors=True)
+    os.makedirs(Q427_WH)
+    table_dir = os.path.join(Q427_WH, "cust")
+    src = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    # a plain pre-existing parquet table, hive-partitioned by segment
+    src.repartition("seg").write.partitionBy("seg").parquet(table_dir)
+
+    version = convert_to_delta(spark, table_dir)
+    log = DeltaLog(table_dir)
+    snap = log.snapshot()
+    n_files = len(snap.files)
+    log_rows = snap.num_records()
+    part_cols = snap.metadata.get("partitionColumns") or []
+
+    back = read_delta(spark, table_dir)
+    kept = snap.plan_files([("seg", "=", "BUILDING")])
+    agg = (
+        back.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("cents") / 100.0).cast("double").alias("balance_sum"),
+        )
+        .select(
+            "seg",
+            "n",
+            "balance_sum",
+            F.lit(int(n_files)).cast("long").alias("n_files"),
+            F.lit(int(log_rows)).cast("long").alias("log_rows"),
+            F.lit(int(len(kept))).cast("long").alias("n_kept_building"),
+            F.lit(version == 0).alias("converted_at_v0"),
+            F.lit(part_cols == ["seg"]).alias("partition_cols_detected"),
+        )
+        .orderBy("seg")
+    )
+    return agg
+
+
+Q427_SQL = f"""
+WITH log AS (
+  SELECT add.partitionValues AS pv,
+         CAST(json_extract_string(add.stats, '$.numRecords') AS BIGINT)
+           AS nrec
+  FROM read_json_auto('{Q427_WH}/cust/_delta_log/*.json',
+                      union_by_name=true, format='newline_delimited')
+  WHERE add IS NOT NULL
+),
+log_agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_files,
+         CAST(sum(nrec) AS BIGINT) AS log_rows,
+         CAST(count(*) FILTER (
+           WHERE json_extract_string(to_json(pv), '$.seg') = 'BUILDING')
+           AS BIGINT) AS n_kept_building
+  FROM log
+)
+SELECT c_mktsegment AS seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) / 100.0 AS DOUBLE) AS balance_sum,
+       n_files, log_rows, n_kept_building,
+       TRUE AS converted_at_v0, TRUE AS partition_cols_detected
+FROM customer, log_agg
+GROUP BY seg, n_files, log_rows, n_kept_building
+ORDER BY seg
+"""
+
+
+# ------------------------------------------------------------- q428
+
+Q428_WH = os.path.join(_REPO, ".q428_warehouse")
+Q428_CP = 9
+
+
+def q428_delta_log_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta metadata retention: after the v9 checkpoint, the JSON
+    commits below it are dead weight — ``cleanup_log`` deletes them
+    (Delta's logRetentionDuration pass) and every retained version
+    must still reconstruct from checkpoint + tail. VACUUM then drops
+    the data files the current snapshot no longer references
+    (tombstoned by remove actions), after which time travel below
+    head is gone but the head read is bit-identical — Delta's exact
+    contract.
+
+    Compared: head live files/rows BEFORE and AFTER cleanup+vacuum
+    (must be identical; DuckDB reconstructs the after-state from the
+    checkpoint parquet + surviving JSON tail), the number of commit
+    files removed (= checkpoint version), vacuumed-file accounting
+    (vacuumed = files ever added minus live, computed by the oracle
+    from checkpoint+tail), and the final table row count recomputed
+    from the source.
+
+    Scale: log cleanup bounds the metadata a reader lists to
+    O(checkpoint + tail) regardless of table age — 10^6-commit tables
+    stay plannable."""
+    from product_analytics_spark.sources.delta_log import DeltaLog
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q428_WH, ignore_errors=True)
+    # retain_versions=2 keeps the superseded version dir on disk, so
+    # VACUUM has real tombstoned files to delete — exactly the v9 live
+    # set (v10's COW rewrite re-adds every path under its own dir),
+    # which the oracle recomputes as the checkpoint's file count.
+    store = SnapshotStore(spark, Q428_WH, retain_versions=2, delta_log=True)
+    base = (
+        _t(spark, sf_dir, "customer")
+        .select(
+            F.col("c_custkey").alias("k"),
+            _money_cents("c_acctbal").alias("cents"),
+        )
+        .filter(F.col("k") % 3 == 0)
+    )
+    store.overwrite("t", base, cluster_by=("k",), n_files=2)  # v0
+    for i in range(1, 11):  # v1..v10 (checkpoint at v9)
+        store.delete_where("t", f"k % 97 = {i}")
+
+    log = DeltaLog(store.path("t"))
+    before = log.snapshot()
+    removed_commits = log.cleanup_log()
+    vacuumed = log.vacuum()
+    after = log.snapshot()
+
+    survives = bool(
+        after.version == before.version
+        and set(after.files) == set(before.files)
+        and after.num_records() == before.num_records()
+    )
+    final_rows = store.read("t").count()
+    return spark.range(1).select(
+        F.lit(int(after.version)).cast("long").alias("head_version"),
+        F.lit(int(len(after.files))).cast("long").alias("live_files"),
+        F.lit(int(after.num_records())).cast("long").alias("live_rows"),
+        F.lit(int(final_rows)).cast("long").alias("table_rows"),
+        F.lit(int(removed_commits)).cast("long").alias("commits_removed"),
+        F.lit(int(len(vacuumed))).cast("long").alias("files_vacuumed"),
+        F.lit(bool(survives)).alias("head_survives_cleanup"),
+        F.lit(bool(final_rows == after.num_records())).alias(
+            "log_matches_table"
+        ),
+    )
+
+
+Q428_SQL = f"""
+WITH cp AS (
+  SELECT add.path AS path, TRUE AS is_add,
+         CAST(json_extract_string(add.stats, '$.numRecords') AS BIGINT)
+           AS nrec, {Q428_CP} AS version
+  FROM read_parquet(
+    '{Q428_WH}/t/_delta_log/{Q428_CP:020d}.checkpoint.parquet')
+  WHERE add IS NOT NULL
+),
+tail AS (
+  SELECT CASE WHEN add IS NOT NULL THEN add.path ELSE remove.path END
+           AS path,
+         (add IS NOT NULL) AS is_add,
+         CAST(json_extract_string(add.stats, '$.numRecords') AS BIGINT)
+           AS nrec,
+         CAST(regexp_extract(parse_filename(filename), '^(\\d+)', 1)
+              AS BIGINT) AS version
+  FROM read_json_auto('{Q428_WH}/t/_delta_log/*.json',
+                      filename=true, union_by_name=true,
+                      format='newline_delimited')
+  WHERE add IS NOT NULL OR remove IS NOT NULL
+),
+all_actions AS (SELECT * FROM cp UNION ALL SELECT * FROM tail),
+head AS (SELECT max(version) AS hv FROM all_actions),
+replay AS (
+  SELECT a.path, a.is_add, a.nrec,
+         row_number() OVER (PARTITION BY a.path ORDER BY a.version DESC)
+           AS rn
+  FROM all_actions a
+),
+live AS (
+  SELECT CAST(count(*) FILTER (WHERE rn = 1 AND is_add) AS BIGINT)
+           AS live_files,
+         CAST(coalesce(sum(nrec) FILTER (WHERE rn = 1 AND is_add), 0)
+              AS BIGINT) AS live_rows
+  FROM replay
+),
+src AS (
+  SELECT CAST(count(*) AS BIGINT) AS table_rows
+  FROM (
+    SELECT c_custkey AS k FROM customer WHERE c_custkey % 3 = 0
+  )
+  WHERE NOT (k % 97 BETWEEN 1 AND 10)
+)
+SELECT (SELECT CAST(hv AS BIGINT) FROM head) AS head_version,
+       live_files, live_rows, table_rows,
+       CAST({Q428_CP} AS BIGINT) AS commits_removed,
+       (SELECT CAST(count(*) AS BIGINT) FROM cp) AS files_vacuumed,
+       TRUE AS head_survives_cleanup,
+       TRUE AS log_matches_table
+FROM live, src
+"""
+
+
 QUERIES_EXT90 = {
     "q424_exactly_once_restart": q424_exactly_once_restart,
     "q425_concurrent_dag_occ": q425_concurrent_dag_occ,
     "q426_advised_equal_depth_zorder": q426_advised_equal_depth_zorder,
+    "q427_convert_to_delta": q427_convert_to_delta,
+    "q428_delta_log_retention": q428_delta_log_retention,
 }
 
 
@@ -533,4 +764,6 @@ def _oracles_ext90() -> dict[str, str]:
         "q424_exactly_once_restart": Q424_SQL,
         "q425_concurrent_dag_occ": Q425_SQL,
         "q426_advised_equal_depth_zorder": Q426_SQL,
+        "q427_convert_to_delta": Q427_SQL,
+        "q428_delta_log_retention": Q428_SQL,
     }

@@ -610,6 +610,102 @@ class DeltaLog:
                 snap.files[add["path"]] = add
 
 
+    # ------------------------------------------------- log retention
+
+    def cleanup_log(self) -> int:
+        """Delta's metadata-retention pass: delete JSON commits
+        STRICTLY BELOW the newest checkpoint — readers reconstruct any
+        retained version from the checkpoint + tail, so those commits
+        are dead weight (Delta does the same after
+        ``delta.logRetentionDuration``). Returns the number of commit
+        files removed; no checkpoint ⇒ no-op (never orphan readers)."""
+        cps = self._checkpoints()
+        if not cps:
+            return 0
+        cutoff = cps[-1][0]
+        removed = 0
+        for v, path in self._commits():
+            if v < cutoff:
+                try:
+                    os.unlink(path)
+                    removed += 1
+                except OSError:
+                    pass
+        return removed
+
+    def vacuum(self, dry_run: bool = False) -> list[str]:
+        """Delta VACUUM for a standalone log-managed table: delete
+        data files under the table dir that the CURRENT snapshot does
+        not reference (tombstoned by remove actions, or orphaned).
+        After this, time travel below the current version is gone —
+        exactly Delta's contract. Returns the (relative) paths
+        removed; ``dry_run`` lists without deleting. Only parquet
+        files outside ``_delta_log`` are candidates."""
+        snap = self.snapshot()
+        live = set(snap.files)
+        victims: list[str] = []
+        for root, dirs, files in os.walk(self.table_dir):
+            dirs[:] = [d for d in dirs if d != LOG_DIR]
+            for f in files:
+                if not f.endswith(".parquet") or f.startswith((".", "_")):
+                    continue
+                rel = os.path.relpath(
+                    os.path.join(root, f), self.table_dir
+                ).replace(os.sep, "/")
+                if rel not in live:
+                    victims.append(rel)
+        if not dry_run:
+            for rel in victims:
+                try:
+                    os.unlink(os.path.join(self.table_dir, rel))
+                except OSError:
+                    pass
+        return sorted(victims)
+
+
+# ------------------------------------------------------------------
+# Conversion of existing parquet tables
+# ------------------------------------------------------------------
+
+
+def convert_to_delta(spark, table_dir: str) -> int:
+    """``CONVERT TO DELTA parquet.`path``` — retrofit a transaction
+    log onto an EXISTING plain-parquet table (hive-partitioned or
+    flat): one commit 0 with protocol + metaData (Spark schemaString,
+    partition columns from the directory layout) + one stats-bearing
+    add per data file. The data files are not touched — conversion is
+    a pure metadata operation, which is why Delta can convert
+    petabyte tables in minutes. Returns the created version (0).
+    Refuses if a log already exists."""
+    log = DeltaLog(table_dir)
+    if log.exists():
+        raise DeltaProtocolError(f"{table_dir} already has a _delta_log")
+    data_files: list[str] = []
+    part_cols: list[str] = []
+    for root, dirs, files in os.walk(table_dir):
+        dirs[:] = sorted(
+            d for d in dirs if not d.startswith((".", "_"))
+        )
+        for f in sorted(files):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                p = os.path.join(root, f)
+                data_files.append(p)
+                for c in _partition_values(
+                    os.path.relpath(p, table_dir).replace(os.sep, "/")
+                ):
+                    if c not in part_cols:
+                        part_cols.append(c)
+    if not data_files:
+        raise DeltaProtocolError(f"no parquet files under {table_dir}")
+    schema_json = spark.read.parquet(table_dir).schema.json()
+    actions: list[dict] = [
+        {"protocol": dict(PROTOCOL_ACTION)},
+        {"metaData": make_metadata(schema_json, part_cols)},
+    ]
+    actions += [{"add": make_add(table_dir, p)} for p in data_files]
+    return log.commit(actions, version=0, operation="CONVERT")
+
+
 # ------------------------------------------------------------------
 # Standalone consumption
 # ------------------------------------------------------------------

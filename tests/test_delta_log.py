@@ -380,3 +380,63 @@ class TestStatsContent:
             ]:
                 reused += 1
         assert reused >= res["files_linked"]
+
+
+class TestConvertAndRetention:
+    def test_convert_to_delta_then_consume(self, spark, tmp_path):
+        from product_analytics_spark.sources.delta_log import (
+            convert_to_delta,
+        )
+
+        table = str(tmp_path / "plain")
+        df = spark.range(200).selectExpr(
+            "id AS k", "CAST(id % 4 AS STRING) AS p", "id * 3 AS v"
+        )
+        df.repartition("p").write.partitionBy("p").parquet(table)
+        v = convert_to_delta(spark, table)
+        assert v == 0
+        log = DeltaLog(table)
+        snap = log.snapshot()
+        assert snap.num_records() == 200
+        assert snap.metadata["partitionColumns"] == ["p"]
+        back = read_delta(spark, table)
+        assert back.count() == 200
+        assert sorted(r.k for r in back.collect()) == list(range(200))
+        # partition pruning from the converted log's partitionValues
+        kept = snap.plan_files([("p", "=", "2")])
+        assert 0 < len(kept) < len(snap.files)
+        # double conversion refused
+        with pytest.raises(DeltaProtocolError, match="already"):
+            convert_to_delta(spark, table)
+
+    def test_cleanup_log_and_vacuum_preserve_head(self, spark, tmp_path):
+        store = SnapshotStore(
+            spark, str(tmp_path / "wh"), retain_versions=2, delta_log=True
+        )
+        store.overwrite("t", spark.range(120).selectExpr("id AS k"))
+        for i in range(1, 11):  # v1..v10, checkpoint at v9
+            store.delete_where("t", f"k = {i}")
+        log = DeltaLog(store.path("t"))
+        before = log.snapshot()
+        removed = log.cleanup_log()
+        assert removed == 9  # v0..v8 dropped, checkpoint+tail remain
+        vacuumed = log.vacuum()
+        assert vacuumed  # the superseded version dir's files
+        after = log.snapshot()
+        assert after.version == before.version == 10
+        assert set(after.files) == set(before.files)
+        assert after.num_records() == before.num_records() == 110
+        # head read still works after vacuum (hardlinked content kept)
+        assert store.read("t").count() == 110
+        # vacuumed files are gone from disk
+        for rel in vacuumed:
+            assert not os.path.exists(os.path.join(store.path("t"), rel))
+
+    def test_cleanup_log_noop_without_checkpoint(self, spark, tmp_path):
+        store = SnapshotStore(
+            spark, str(tmp_path / "wh2"), delta_log=True
+        )
+        store.overwrite("t", spark.range(5).selectExpr("id AS k"))
+        log = DeltaLog(store.path("t"))
+        assert log.cleanup_log() == 0
+        assert log.latest_version() == 0
