@@ -1,15 +1,23 @@
-"""Round-9 driver family, batch 90 (q424): exactly-once streaming
-delivery through ``foreachBatch`` + idempotent merge, certified under
-a REAL injected batch replay — the missing recovery leg of the
-streaming story (q126/q201/q218/q367/q420 certify semantics; this one
-kills the stream after the sink applied a batch but BEFORE the engine
-committed its offsets, restarts from the checkpoint, and proves the
-replayed delivery is absorbed).
+"""Round-9 driver family, batch 90 (q424-q428): the recovery and
+multi-writer legs of the warehouse story, plus the Delta-log
+lifecycle operations.
 
-Reference mapping: Delta's idempotent ``foreachBatch`` MERGE pattern —
-the documented recipe for exactly-once sinks over an at-least-once
-micro-batch engine (dbt incremental merge on unique_key plays the same
-role, customers_latest.sql:3-6).
+* q424 — exactly-once streaming delivery through ``foreachBatch`` +
+  idempotent merge under a REAL injected batch replay (kill after the
+  sink applied a batch, before its offsets committed; restart from
+  the checkpoint) — the missing recovery leg of the streaming story.
+* q425 — TWO DagExecutors racing ONE warehouse: scheduler-level
+  writes through the OCC path with a deterministic interleave.
+* q426 — skew-aware Z-ORDER lane selection (``zorder_depth="auto"``).
+* q427 — CONVERT TO DELTA: retrofit the transaction log onto an
+  existing plain-parquet table, metadata-only.
+* q428 — Delta log retention (``cleanup_log``) + VACUUM, head
+  reconstruction from checkpoint + surviving tail.
+
+Reference mapping: Delta's idempotent ``foreachBatch`` MERGE recipe,
+overlapping dbt job runs, ``OPTIMIZE ZORDER BY``, ``CONVERT TO
+DELTA``, ``VACUUM`` / ``delta.logRetentionDuration`` (the reference
+materializes every model as Delta — dbt_project.yml:39).
 
 Same contract as the other driver_queries modules.
 """
