@@ -758,12 +758,188 @@ FROM live, src
 """
 
 
+
+
+# ------------------------------------------------------------- q429
+
+Q429_WH = os.path.join(_REPO, ".q429_warehouse")
+
+
+def q429_delta_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version-diff audit from the transaction log (the accounting
+    half of Delta's Change Data Feed): for every commit, the log's
+    per-file stats must balance — live_rows(v) − live_rows(v−1) =
+    Σ numRecords(adds at v) − Σ numRecords(removes at v, looked up
+    from each removed path's prior add) — and that NET must equal the
+    actual row-level content diff (exceptAll inserted − deleted)
+    across the retained snapshots, even though a COW/merge rewrite
+    churns every path (re-adding unchanged rows is add+remove noise
+    that cancels EXACTLY iff the stats are right).
+
+    Lifecycle: overwrite (v0) → append (pure insert, v1) → merge
+    (update-in-place, v2) → COW delete (v3). Compared per transition:
+    log-derived rows added/removed/net, actual inserted/deleted
+    (both engines replay the same deterministic lifecycle — the
+    oracle in closed-form SQL), and ``net_matches``.
+
+    Scale: this audit is O(log) — it reads no data files; it is the
+    invariant a lakehouse monitors to catch stats corruption before
+    planners consume them."""
+    import json as _json
+
+    from product_analytics_spark.sources.delta_log import DeltaLog
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q429_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q429_WH, retain_versions=8, delta_log=True)
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("t", base, cluster_by=("k",), n_files=2)  # v0
+    store.append(  # v1: pure insert, disjoint keys
+        "t", base.filter(F.col("k") % 5 == 0).withColumn(
+            "k", F.col("k") + 10_000_000
+        )
+    )
+    store.merge(  # v2: in-place update of k%10==0 rows
+        "t",
+        base.filter(F.col("k") % 10 == 0).withColumn(
+            "cents", F.col("cents") + 777
+        ),
+        "k",
+    )
+    store.delete_where("t", "k % 6 = 0")  # v3
+
+    log = DeltaLog(store.path("t"))
+    snaps = {v: log.snapshot(v) for v in range(log.latest_version() + 1)}
+
+    def _nrec(add: dict) -> int:
+        return _json.loads(add["stats"])["numRecords"]
+
+    rows = []
+    for v in range(1, log.latest_version() + 1):
+        commit = os.path.join(log.log_dir, f"{v:020d}.json")
+        added = removed = 0
+        prev = snaps[v - 1]
+        with open(commit, encoding="utf-8") as fh:
+            for line in fh:
+                a = _json.loads(line)
+                if a.get("add"):
+                    added += _nrec(a["add"])
+                elif a.get("remove"):
+                    removed += _nrec(prev.files[a["remove"]["path"]])
+        net = added - removed
+        live_delta = snaps[v].num_records() - prev.num_records()
+        # content diff THROUGH THE LOG: each delta version's live file
+        # set (retained on disk) — pointer time travel can't see the
+        # append commit, the log can.
+        table = store.path("t")
+
+        def _at(version: int) -> DataFrame:
+            return spark.read.parquet(
+                *[os.path.join(table, p) for p in snaps[version].files]
+            )
+
+        cur_df, prev_df = _at(v), _at(v - 1)
+        inserted = cur_df.exceptAll(prev_df).count()
+        deleted = prev_df.exceptAll(cur_df).count()
+        rows.append(
+            (
+                v,
+                added,
+                removed,
+                net,
+                inserted,
+                deleted,
+                bool(net == live_delta == inserted - deleted),
+            )
+        )
+    schema = T.StructType(
+        [
+            T.StructField("version", T.LongType()),
+            T.StructField("rows_added", T.LongType()),
+            T.StructField("rows_removed", T.LongType()),
+            T.StructField("net_change", T.LongType()),
+            T.StructField("actual_inserted", T.LongType()),
+            T.StructField("actual_deleted", T.LongType()),
+            T.StructField("net_matches", T.BooleanType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema).orderBy("version")
+
+
+Q429_SQL = f"""
+WITH raw AS (
+  SELECT CAST(regexp_extract(parse_filename(filename), '^(\\d+)', 1)
+              AS BIGINT) AS version, *
+  FROM read_json_auto('{Q429_WH}/t/_delta_log/*.json',
+                      filename=true, union_by_name=true,
+                      format='newline_delimited')
+),
+adds AS (
+  SELECT version, add.path AS path,
+         CAST(json_extract_string(add.stats, '$.numRecords') AS BIGINT)
+           AS nrec
+  FROM raw WHERE add IS NOT NULL
+),
+removes AS (
+  SELECT r.version, r.remove.path AS path,
+         (SELECT a.nrec FROM adds a
+          WHERE a.path = r.remove.path AND a.version < r.version
+          ORDER BY a.version DESC LIMIT 1) AS nrec
+  FROM raw r WHERE r.remove IS NOT NULL
+),
+log_side AS (
+  SELECT v.version,
+         CAST(coalesce((SELECT sum(nrec) FROM adds a
+                        WHERE a.version = v.version), 0) AS BIGINT)
+           AS rows_added,
+         CAST(coalesce((SELECT sum(nrec) FROM removes x
+                        WHERE x.version = v.version), 0) AS BIGINT)
+           AS rows_removed
+  FROM (SELECT DISTINCT version FROM raw WHERE version > 0) v
+),
+base AS (
+  SELECT c_custkey AS k FROM customer
+),
+sizes AS (
+  SELECT (SELECT count(*) FROM base) AS n0,
+         (SELECT count(*) FROM base WHERE k % 5 = 0) AS n_app,
+         (SELECT count(*) FROM base WHERE k % 10 = 0) AS n_upd,
+         -- v3 deletes k%6=0 across base ∪ appended (appended keys are
+         -- k+10,000,000; 10^7 % 6 = 4, so (k+10^7)%6=0 ⟺ k%6=2 within
+         -- the k%5=0 slice)
+         (SELECT count(*) FROM base WHERE k % 6 = 0) +
+         (SELECT count(*) FROM base WHERE k % 5 = 0 AND k % 6 = 2)
+           AS n_del
+),
+actual AS (
+  SELECT 1 AS version, n_app AS actual_inserted,
+         CAST(0 AS BIGINT) AS actual_deleted FROM sizes
+  UNION ALL
+  SELECT 2, n_upd, n_upd FROM sizes
+  UNION ALL
+  SELECT 3, CAST(0 AS BIGINT), n_del FROM sizes
+)
+SELECT l.version,
+       rows_added, rows_removed,
+       CAST(rows_added - rows_removed AS BIGINT) AS net_change,
+       CAST(actual_inserted AS BIGINT) AS actual_inserted,
+       CAST(actual_deleted AS BIGINT) AS actual_deleted,
+       TRUE AS net_matches
+FROM log_side l JOIN actual USING (version)
+ORDER BY l.version
+"""
+
+
 QUERIES_EXT90 = {
     "q424_exactly_once_restart": q424_exactly_once_restart,
     "q425_concurrent_dag_occ": q425_concurrent_dag_occ,
     "q426_advised_equal_depth_zorder": q426_advised_equal_depth_zorder,
     "q427_convert_to_delta": q427_convert_to_delta,
     "q428_delta_log_retention": q428_delta_log_retention,
+    "q429_delta_version_diff": q429_delta_version_diff,
 }
 
 
@@ -774,4 +950,5 @@ def _oracles_ext90() -> dict[str, str]:
         "q426_advised_equal_depth_zorder": Q426_SQL,
         "q427_convert_to_delta": Q427_SQL,
         "q428_delta_log_retention": Q428_SQL,
+        "q429_delta_version_diff": Q429_SQL,
     }
