@@ -1,4 +1,4 @@
-"""Round-9 driver family, batch 90 (q424-q428): the recovery and
+"""Round-9 driver family, batch 90 (q424-q430): the recovery and
 multi-writer legs of the warehouse story, plus the Delta-log
 lifecycle operations.
 
@@ -13,6 +13,11 @@ lifecycle operations.
   existing plain-parquet table, metadata-only.
 * q428 — Delta log retention (``cleanup_log``) + VACUUM, head
   reconstruction from checkpoint + surviving tail.
+* q429 — version-diff audit: per-commit row accounting from log
+  stats must cancel exactly through COW churn (CDF accounting).
+* q430 — merge-on-read DELETE via deletion vectors: zero files
+  rewritten, reader-side broadcast anti-join on _metadata.row_index,
+  OPTIMIZE materializes and purges the DV.
 
 Reference mapping: Delta's idempotent ``foreachBatch`` MERGE recipe,
 overlapping dbt job runs, ``OPTIMIZE ZORDER BY``, ``CONVERT TO
@@ -933,6 +938,107 @@ ORDER BY l.version
 """
 
 
+
+
+# ------------------------------------------------------------- q430
+
+Q430_WH = os.path.join(_REPO, ".q430_warehouse")
+
+
+def q430_mor_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read DELETE via deletion vectors, end to end
+    (sinks.delete_where_mor) — the q290 MoR-vs-CoW cost model's MoR
+    half IMPLEMENTED: two successive deletes rewrite ZERO data files
+    (every file hardlinked; tombstoned (file, row_index) positions
+    land in the version's ``_dv`` and readers apply them as a
+    broadcast anti-join on ``_metadata.row_index``), then OPTIMIZE
+    materializes the outstanding DV (purges it, rewrites clustered)
+    with bit-identical rows.
+
+    Compared: per-segment aggregates after both deletes (oracle
+    replays the two predicates in SQL), the DV cardinalities after
+    each delete (closed-form counts), ``files_rewritten_total`` (must
+    be 0 across both deletes), and the purge certs (DV present before
+    OPTIMIZE, absent after, rows unchanged).
+
+    Scale: deleting a few rows from a 128 MB file costs DV bytes, not
+    a 128 MB rewrite — write amplification drops from O(file) to
+    O(deleted positions); reads pay one broadcast anti-join until the
+    next OPTIMIZE materializes, which is exactly the trade q290's
+    cost model prices."""
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q430_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q430_WH, retain_versions=4)
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("acct", base, cluster_by=("k",), n_files=4)
+
+    r1 = store.delete_where_mor("acct", "k % 5 = 0")
+    r2 = store.delete_where_mor("acct", "cents < 0")
+    rewrites = r1["files_rewritten"] + r2["files_rewritten"]
+
+    expect = store.read("acct")
+    rows_before_purge = expect.count()
+    dv_before = store._has_dv("acct")
+    out = store.optimize("acct", target_bytes=1 << 30)
+    dv_after = store._has_dv("acct")
+    rows_after_purge = store.read("acct").count()
+
+    return (
+        store.read("acct")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("cents") / 100.0).cast("double").alias("balance_sum"),
+        )
+        .select(
+            "seg",
+            "n",
+            "balance_sum",
+            F.lit(int(r1["dv_rows"])).cast("long").alias("dv_rows_1"),
+            F.lit(int(r2["dv_rows"])).cast("long").alias("dv_rows_2"),
+            F.lit(int(rewrites)).cast("long").alias("files_rewritten_total"),
+            F.lit(bool(dv_before and not dv_after)).alias("dv_purged"),
+            F.lit(bool(rows_before_purge == rows_after_purge)).alias(
+                "rows_stable_after_purge"
+            ),
+            F.lit(bool(out["reclustered"])).alias("reclustered"),
+        )
+        .orderBy("seg")
+    )
+
+
+Q430_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+dv AS (
+  SELECT CAST(count(*) FILTER (WHERE k % 5 = 0) AS BIGINT) AS dv1,
+         CAST(count(*) FILTER (WHERE k % 5 = 0
+                               OR (cents < 0 AND k % 5 <> 0)) AS BIGINT)
+           AS dv2
+  FROM base
+),
+live AS (
+  SELECT * FROM base WHERE k % 5 <> 0 AND cents >= 0
+)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(cents) AS BIGINT) / 100.0 AS DOUBLE) AS balance_sum,
+       dv1 AS dv_rows_1, dv2 AS dv_rows_2,
+       CAST(0 AS BIGINT) AS files_rewritten_total,
+       TRUE AS dv_purged, TRUE AS rows_stable_after_purge,
+       TRUE AS reclustered
+FROM live, dv GROUP BY seg, dv1, dv2 ORDER BY seg
+"""
+
+
 QUERIES_EXT90 = {
     "q424_exactly_once_restart": q424_exactly_once_restart,
     "q425_concurrent_dag_occ": q425_concurrent_dag_occ,
@@ -940,6 +1046,7 @@ QUERIES_EXT90 = {
     "q427_convert_to_delta": q427_convert_to_delta,
     "q428_delta_log_retention": q428_delta_log_retention,
     "q429_delta_version_diff": q429_delta_version_diff,
+    "q430_mor_delete_lifecycle": q430_mor_delete_lifecycle,
 }
 
 
@@ -951,4 +1058,5 @@ def _oracles_ext90() -> dict[str, str]:
         "q427_convert_to_delta": Q427_SQL,
         "q428_delta_log_retention": Q428_SQL,
         "q429_delta_version_diff": Q429_SQL,
+        "q430_mor_delete_lifecycle": Q430_SQL,
     }

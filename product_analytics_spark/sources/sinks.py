@@ -211,12 +211,18 @@ class SnapshotStore:
         indexes ``versions()`` (0 = oldest retained, -1 = current), a
         str names a version directory directly. Requires the store to
         have been created with ``retain_versions > 1`` for anything
-        but the current version to still exist."""
+        but the current version to still exist.
+
+        If the version carries a deletion vector (``_dv/`` — written
+        by ``delete_where_mor``), the tombstoned row positions are
+        filtered out via a broadcast anti-join on
+        (file basename, ``_metadata.row_index``) — the merge-on-read
+        half of the DELETE cost model (q290)."""
         if version is None:
             data = self.current_data_dir(name)
             if data is None:
                 return None
-            return self.spark.read.parquet(data)
+            return self._apply_dv(data)
         if isinstance(version, int):
             vs = self.versions(name)
             if not vs:
@@ -225,7 +231,176 @@ class SnapshotStore:
         vdir = os.path.join(self.path(name), version)
         if not os.path.isdir(vdir):
             return None
-        return self.spark.read.parquet(vdir)
+        return self._apply_dv(vdir)
+
+    # ------------------------------------------ deletion vectors (MoR)
+
+    @staticmethod
+    def _dv_dir(data_dir: str) -> str:
+        # underscore prefix ⇒ invisible to spark.read.parquet(data_dir)
+        # and to _partition_dirs, like _delta_log / _SUCCESS
+        return os.path.join(data_dir, "_dv")
+
+    def _has_dv(self, name: str) -> bool:
+        data = self.current_data_dir(name)
+        return data is not None and os.path.isdir(self._dv_dir(data))
+
+    @staticmethod
+    def _file_name_col():
+        return F.element_at(
+            F.split(F.col("_metadata.file_path"), "/"), -1
+        )
+
+    def _apply_dv(self, data_dir: str) -> DataFrame:
+        """Read a version dir, filtering deletion-vectored positions.
+        The DV is (file_name, row_index) — file BASENAMES stay stable
+        across hardlinked versions while absolute paths change, and
+        part-file names are UUID-unique within a table."""
+        base = self.spark.read.parquet(data_dir)
+        dv_dir = self._dv_dir(data_dir)
+        if not os.path.isdir(dv_dir):
+            return base
+        dv = self.spark.read.parquet(dv_dir)
+        cols = base.columns
+        return (
+            base.select(
+                "*",
+                self._file_name_col().alias("__dv_f"),
+                F.col("_metadata.row_index").alias("__dv_ri"),
+            )
+            .join(
+                F.broadcast(dv),
+                (F.col("__dv_f") == dv["file_name"])
+                & (F.col("__dv_ri") == dv["row_index"]),
+                "left_anti",
+            )
+            .select(*cols)
+        )
+
+    def delete_where_mor(
+        self,
+        name: str,
+        predicate: str,
+        max_retries: int = 3,
+        post_scan=None,
+    ) -> dict:
+        """Merge-on-read DELETE (Delta deletion vectors' semantics):
+        NO data file is rewritten — matching LIVE rows' (file,
+        row_index) positions are appended to the version's deletion
+        vector, every data file is hardlinked into the new version,
+        and readers apply the DV as a broadcast anti-join. This is
+        the low-write-amplification half of the q290 cost model:
+        deleting 3 rows from a 128 MB file costs a few DV bytes, not
+        a 128 MB rewrite; reads pay one broadcast anti-join until the
+        next OPTIMIZE/compact/merge materializes the deletes and drops
+        the DV. Optimistic transaction like the COW paths
+        (``post_scan`` = the same fault-injection window).
+
+        Engine-level feature of the pointer store: with
+        ``delta_log=True`` this raises — our log emits protocol v1/v2
+        stats-bearing adds, and claiming DV conformance would require
+        the v3 deletionVector descriptors + roaring bitmap encoding;
+        use copy-on-write ``delete_where`` there instead."""
+        if self.delta_log:
+            raise ValueError(
+                "delete_where_mor is not supported with delta_log=True "
+                "(protocol v3 deletion vectors are not emitted); use "
+                "delete_where (copy-on-write) instead"
+            )
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            expected = self.current_version(name)
+            version = f"v_{uuid.uuid4().hex[:12]}"
+            vdir = os.path.join(self.path(name), version)
+            try:
+                data = self.current_data_dir(name)
+                if data is None:
+                    raise ValueError(f"unknown table {name!r}")
+                # positions of matching rows among LIVE rows only
+                live = self._apply_dv(data)
+                new_pos = (
+                    live.where(predicate)
+                    .select(
+                        self._file_name_col().alias("file_name"),
+                        F.col("_metadata.row_index").alias("row_index"),
+                    )
+                )
+                old_dv_dir = self._dv_dir(data)
+                if os.path.isdir(old_dv_dir):
+                    merged_dv = (
+                        self.spark.read.parquet(old_dv_dir)
+                        .unionByName(new_pos)
+                        .distinct()
+                    )
+                else:
+                    merged_dv = new_pos.distinct()
+                if post_scan is not None:
+                    post_scan()
+                n_link = 0
+                for rel, files in self._partition_dirs(data):
+                    out_dir = vdir if rel == "." else os.path.join(vdir, rel)
+                    os.makedirs(out_dir, exist_ok=True)
+                    for f in files:
+                        os.link(f, os.path.join(out_dir, os.path.basename(f)))
+                        n_link += 1
+                merged_dv.coalesce(1).write.parquet(self._dv_dir(vdir))
+                self._commit(
+                    name, version, expected_version=expected,
+                    operation="DELETE",
+                )
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                shutil.rmtree(vdir, ignore_errors=True)
+                continue
+            except Exception:
+                shutil.rmtree(vdir, ignore_errors=True)
+                if self.current_version(name) == expected:
+                    raise
+                last_err = ConcurrentWriteError(
+                    f"table {name!r}: snapshot GC'd under MoR delete"
+                )
+                continue
+            dv_rows = self.spark.read.parquet(
+                self._dv_dir(os.path.join(self.path(name), version))
+            ).count()
+            return {
+                "files_linked": n_link,
+                "files_rewritten": 0,
+                "dv_rows": dv_rows,
+            }
+        assert last_err is not None
+        raise last_err
+
+    def purge_dv(self, name: str, max_retries: int = 3) -> bool:
+        """Materialize outstanding deletion vectors: rewrite the table
+        through the DV-aware reader (restoring the recorded layout)
+        so the new version has plain files and no ``_dv`` — what Delta
+        does when OPTIMIZE or a rewrite touches DV'd files. Returns
+        True if a purge happened. OCC with retry."""
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            if not self._has_dv(name):
+                return False
+            expected = self.current_version(name)
+            layout = self.layout(name)
+            df = self.read(name)
+            assert df is not None
+            try:
+                self.overwrite(
+                    name,
+                    df,
+                    partition_by=tuple(layout.get("partition_by") or ()),
+                    cluster_by=tuple(layout.get("cluster_by") or ()),
+                    zorder_by=tuple(layout.get("zorder_by") or ()),
+                    zorder_depth=bool(layout.get("zorder_depth")),
+                    expected_version=expected,
+                )
+                return True
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                continue
+        assert last_err is not None
+        raise last_err
 
     # -------------------------------------------------- commit protocol
 
@@ -861,6 +1036,12 @@ class SnapshotStore:
         inside the window the OCC check must catch."""
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
+            # A pending deletion vector must be MATERIALIZED before a
+            # raw-file rewrite: these paths read data files directly,
+            # so committing without applying the DV would resurrect
+            # MoR-deleted rows (and the new version drops the _dv).
+            if self._has_dv(name):
+                self.purge_dv(name)
             expected = self.current_version(name)
             version = f"v_{uuid.uuid4().hex[:12]}"
             vdir = os.path.join(self.path(name), version)
@@ -948,6 +1129,12 @@ class SnapshotStore:
         zdepth = bool(layout.get("zorder_depth"))
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
+            # A pending deletion vector must be MATERIALIZED before a
+            # raw-file rewrite: these paths read data files directly,
+            # so committing without applying the DV would resurrect
+            # MoR-deleted rows (and the new version drops the _dv).
+            if self._has_dv(name):
+                self.purge_dv(name)
             expected = self.current_version(name)
             version = f"v_{uuid.uuid4().hex[:12]}"
             vdir = os.path.join(self.path(name), version)
@@ -1073,6 +1260,12 @@ class SnapshotStore:
         """
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
+            # A pending deletion vector must be MATERIALIZED before a
+            # raw-file rewrite: these paths read data files directly,
+            # so committing without applying the DV would resurrect
+            # MoR-deleted rows (and the new version drops the _dv).
+            if self._has_dv(name):
+                self.purge_dv(name)
             expected = self.current_version(name)
             version = f"v_{uuid.uuid4().hex[:12]}"
             vdir = os.path.join(self.path(name), version)

@@ -1,0 +1,135 @@
+"""Merge-on-read DELETE via deletion vectors (sinks.delete_where_mor):
+the low-write-amplification half of the q290 MoR-vs-CoW cost model,
+implemented — no data file rewritten, tombstoned (file, row_index)
+positions applied by the reader as a broadcast anti-join, and every
+raw-file rewrite path (compact/optimize/COW DML) materializes pending
+DVs first so deleted rows can never be resurrected."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from product_analytics_spark.sources.sinks import SnapshotStore
+
+
+def _base(spark, n=500):
+    return spark.range(n).selectExpr(
+        "id AS k", "id % 7 AS seg", "id * 3 AS v"
+    )
+
+
+class TestMorDelete:
+    def test_mor_equals_cow_and_rewrites_nothing(self, spark, tmp_path):
+        mor = SnapshotStore(spark, str(tmp_path / "mor"))
+        cow = SnapshotStore(spark, str(tmp_path / "cow"))
+        df = _base(spark)
+        mor.overwrite("t", df, cluster_by=("k",), n_files=4)
+        cow.overwrite("t", df, cluster_by=("k",), n_files=4)
+
+        res = mor.delete_where_mor("t", "k % 5 = 0")
+        cow.delete_where("t", "k % 5 = 0")
+        assert res["files_rewritten"] == 0
+        assert res["files_linked"] == 4
+        assert res["dv_rows"] == 100
+        got = sorted(tuple(r) for r in mor.read("t").collect())
+        exp = sorted(tuple(r) for r in cow.read("t").collect())
+        assert got == exp and len(got) == 400
+
+    def test_dv_accumulates_across_deletes(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "wh"))
+        store.overwrite("t", _base(spark), cluster_by=("k",), n_files=4)
+        store.delete_where_mor("t", "k < 100")
+        res2 = store.delete_where_mor("t", "k >= 400")
+        assert res2["dv_rows"] == 200  # both waves in the merged DV
+        assert store.read("t").count() == 300
+        # a position already deleted is not re-added (LIVE-rows scan)
+        res3 = store.delete_where_mor("t", "k < 150")
+        assert res3["dv_rows"] == 250
+        assert store.read("t").count() == 250
+
+    def test_optimize_purges_dv_and_preserves_rows(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "wh"))
+        store.overwrite("t", _base(spark), cluster_by=("k",), n_files=4)
+        store.delete_where_mor("t", "seg = 3")
+        expect = sorted(tuple(r) for r in store.read("t").collect())
+        assert store._has_dv("t")
+        out = store.optimize("t", target_bytes=1 << 30)
+        assert not store._has_dv("t")  # materialized
+        assert out["reclustered"] is True
+        assert sorted(tuple(r) for r in store.read("t").collect()) == expect
+
+    def test_cow_rewrite_over_dv_does_not_resurrect(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "wh"))
+        store.overwrite("t", _base(spark), cluster_by=("k",), n_files=4)
+        store.delete_where_mor("t", "k % 2 = 0")  # MoR: 250 gone
+        store.delete_where("t", "k % 3 = 0")  # CoW path must purge first
+        got = {r.k for r in store.read("t").collect()}
+        assert got == {
+            k for k in range(500) if k % 2 != 0 and k % 3 != 0
+        }
+        assert not store._has_dv("t")
+
+    def test_merge_over_dv_does_not_resurrect(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "wh"))
+        store.overwrite("t", _base(spark), cluster_by=("k",), n_files=4)
+        store.delete_where_mor("t", "k >= 450")
+        batch = spark.range(10).selectExpr(
+            "id AS k", "CAST(99 AS LONG) AS seg", "id AS v"
+        )
+        store.merge("t", batch, "k")
+        out = store.read("t")
+        assert out.count() == 450  # 500 - 50 deleted; batch all matched
+        assert out.where("k >= 450").count() == 0  # stayed deleted
+        assert out.where("seg = 99").count() == 10
+
+    def test_time_travel_sees_per_version_dv_state(self, spark, tmp_path):
+        store = SnapshotStore(
+            spark, str(tmp_path / "wh"), retain_versions=4
+        )
+        store.overwrite("t", _base(spark), cluster_by=("k",), n_files=4)
+        store.delete_where_mor("t", "k < 50")
+        store.delete_where_mor("t", "k >= 450")
+        assert store.read("t", version=0).count() == 500
+        assert store.read("t", version=1).count() == 450
+        assert store.read("t", version=2).count() == 400
+
+    def test_mor_rejected_with_delta_log(self, spark, tmp_path):
+        store = SnapshotStore(
+            spark, str(tmp_path / "wh"), delta_log=True
+        )
+        store.overwrite("t", _base(spark))
+        with pytest.raises(ValueError, match="delete_where_mor"):
+            store.delete_where_mor("t", "k = 1")
+
+    def test_mor_occ_conflict_retries(self, spark, tmp_path):
+        store = SnapshotStore(
+            spark, str(tmp_path / "wh"), retain_versions=3
+        )
+        store.overwrite("t", _base(spark), cluster_by=("k",), n_files=4)
+        calls = {"n": 0}
+
+        def concurrent_merge():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                store.merge(
+                    "t",
+                    spark.range(5).selectExpr(
+                        "id + 1000 AS k", "CAST(0 AS LONG) AS seg",
+                        "id AS v",
+                    ),
+                    "k",
+                )
+
+        store.delete_where_mor("t", "k % 10 = 0", post_scan=concurrent_merge)
+        assert calls["n"] >= 2  # conflict forced a re-scan
+        out = store.read("t")
+        # serial history merge→delete: the retry re-scans AFTER the
+        # merge, so merged k=1000 (matching k%10=0) is deleted too and
+        # 1001..1004 survive — exactly what a serializable schedule says
+        assert {r.k for r in out.where("k >= 1000").collect()} == {
+            1001, 1002, 1003, 1004,
+        }
+        assert out.where("k % 10 = 0").count() == 0
