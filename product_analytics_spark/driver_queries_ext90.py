@@ -1039,6 +1039,108 @@ FROM live, dv GROUP BY seg, dv1, dv2 ORDER BY seg
 """
 
 
+
+
+# ------------------------------------------------------------- q431
+
+Q431_WH = os.path.join(_REPO, ".q431_warehouse")
+
+
+def q431_mor_update_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read UPDATE via deletion vectors
+    (sinks.update_where_mor — Delta's DV UPDATE shape): matching live
+    rows are tombstoned into the DV and their UPDATED versions written
+    as NEW files into the same hive-partitioned version — every
+    pre-existing file hardlinked, write amplification O(matched rows)
+    instead of O(touched files). A second MoR update composes on the
+    first (re-reads through the DV), then a COW delete must
+    materialize both layers before rewriting (no resurrection), after
+    which the DV is gone.
+
+    Compared: per-segment aggregates after update→update→delete
+    (oracle replays the three ops in SQL), DV cardinalities after each
+    update (closed-form), ``files_rewritten_total`` = 0 across both
+    updates, and ``dv_materialized`` (no DV survives the COW delete).
+
+    Scale: the MoR update is the high-frequency-small-update answer —
+    a 10-row correction against a 100 TB table writes 10 rows + DV
+    bytes; the read-side anti-join cost is bounded by DV cardinality
+    until OPTIMIZE folds it in."""
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q431_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q431_WH, retain_versions=4)
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("acct", base, partition_by=("seg",), cluster_by=("k",))
+
+    r1 = store.update_where_mor(
+        "acct", "k % 7 = 0", {"cents": "cents + 700"}
+    )
+    r2 = store.update_where_mor(  # composes: sees r1's updated rows
+        "acct", "cents < 0", {"cents": "0"}
+    )
+    rewrites = r1["files_rewritten"] + r2["files_rewritten"]
+    store.delete_where("acct", "k % 11 = 0")  # COW ⇒ materializes DVs
+    dv_materialized = not store._has_dv("acct")
+
+    return (
+        store.read("acct")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("cents") / 100.0).cast("double").alias("balance_sum"),
+        )
+        .select(
+            "seg",
+            "n",
+            "balance_sum",
+            F.lit(int(r1["dv_rows"])).cast("long").alias("dv_rows_1"),
+            F.lit(int(r2["dv_rows"])).cast("long").alias("dv_rows_2"),
+            F.lit(int(rewrites)).cast("long").alias("files_rewritten_total"),
+            F.lit(bool(dv_materialized)).alias("dv_materialized"),
+        )
+        .orderBy("seg")
+    )
+
+
+Q431_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+u1 AS (  -- first MoR update
+  SELECT k, seg,
+         CASE WHEN k % 7 = 0 THEN cents + 700 ELSE cents END AS cents
+  FROM base
+),
+dv AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM base WHERE k % 7 = 0)
+           AS dv1,
+         -- second update tombstones LIVE rows with cents < 0 (post-u1)
+         (SELECT CAST(count(*) AS BIGINT) FROM base WHERE k % 7 = 0) +
+         (SELECT CAST(count(*) AS BIGINT) FROM u1 WHERE cents < 0)
+           AS dv2
+),
+u2 AS (
+  SELECT k, seg, CASE WHEN cents < 0 THEN 0 ELSE cents END AS cents
+  FROM u1
+),
+final AS (SELECT * FROM u2 WHERE k % 11 <> 0)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(cents) AS BIGINT) / 100.0 AS DOUBLE) AS balance_sum,
+       dv1 AS dv_rows_1, dv2 AS dv_rows_2,
+       CAST(0 AS BIGINT) AS files_rewritten_total,
+       TRUE AS dv_materialized
+FROM final, dv GROUP BY seg, dv1, dv2 ORDER BY seg
+"""
+
+
 QUERIES_EXT90 = {
     "q424_exactly_once_restart": q424_exactly_once_restart,
     "q425_concurrent_dag_occ": q425_concurrent_dag_occ,
@@ -1047,6 +1149,7 @@ QUERIES_EXT90 = {
     "q428_delta_log_retention": q428_delta_log_retention,
     "q429_delta_version_diff": q429_delta_version_diff,
     "q430_mor_delete_lifecycle": q430_mor_delete_lifecycle,
+    "q431_mor_update_lifecycle": q431_mor_update_lifecycle,
 }
 
 
@@ -1059,4 +1162,5 @@ def _oracles_ext90() -> dict[str, str]:
         "q428_delta_log_retention": Q428_SQL,
         "q429_delta_version_diff": Q429_SQL,
         "q430_mor_delete_lifecycle": Q430_SQL,
+        "q431_mor_update_lifecycle": Q431_SQL,
     }

@@ -246,16 +246,20 @@ class SnapshotStore:
         return data is not None and os.path.isdir(self._dv_dir(data))
 
     @staticmethod
-    def _file_name_col():
-        return F.element_at(
-            F.split(F.col("_metadata.file_path"), "/"), -1
+    def _rel_path_col(data_dir: str):
+        """``_metadata.file_path`` relative to the version dir — the
+        DV's file key. Basenames alone are NOT unique (a partitionBy
+        task reuses its part-file name in every hive dir it writes),
+        but the version-relative path is, and it stays stable across
+        hardlinked versions because links mirror the relative layout."""
+        prefix = "file:" + os.path.abspath(data_dir).rstrip("/") + "/"
+        return F.substring(
+            F.col("_metadata.file_path"), len(prefix) + 1, 1 << 20
         )
 
     def _apply_dv(self, data_dir: str) -> DataFrame:
-        """Read a version dir, filtering deletion-vectored positions.
-        The DV is (file_name, row_index) — file BASENAMES stay stable
-        across hardlinked versions while absolute paths change, and
-        part-file names are UUID-unique within a table."""
+        """Read a version dir, filtering deletion-vectored positions:
+        broadcast anti-join on (version-relative path, row_index)."""
         base = self.spark.read.parquet(data_dir)
         dv_dir = self._dv_dir(data_dir)
         if not os.path.isdir(dv_dir):
@@ -265,12 +269,12 @@ class SnapshotStore:
         return (
             base.select(
                 "*",
-                self._file_name_col().alias("__dv_f"),
+                self._rel_path_col(data_dir).alias("__dv_f"),
                 F.col("_metadata.row_index").alias("__dv_ri"),
             )
             .join(
                 F.broadcast(dv),
-                (F.col("__dv_f") == dv["file_name"])
+                (F.col("__dv_f") == dv["path"])
                 & (F.col("__dv_ri") == dv["row_index"]),
                 "left_anti",
             )
@@ -318,12 +322,9 @@ class SnapshotStore:
                     raise ValueError(f"unknown table {name!r}")
                 # positions of matching rows among LIVE rows only
                 live = self._apply_dv(data)
-                new_pos = (
-                    live.where(predicate)
-                    .select(
-                        self._file_name_col().alias("file_name"),
-                        F.col("_metadata.row_index").alias("row_index"),
-                    )
+                new_pos = live.where(predicate).select(
+                    self._rel_path_col(data).alias("path"),
+                    F.col("_metadata.row_index").alias("row_index"),
                 )
                 old_dv_dir = self._dv_dir(data)
                 if os.path.isdir(old_dv_dir):
@@ -362,6 +363,121 @@ class SnapshotStore:
                 continue
             dv_rows = self.spark.read.parquet(
                 self._dv_dir(os.path.join(self.path(name), version))
+            ).count()
+            return {
+                "files_linked": n_link,
+                "files_rewritten": 0,
+                "dv_rows": dv_rows,
+            }
+        assert last_err is not None
+        raise last_err
+
+    def update_where_mor(
+        self,
+        name: str,
+        predicate: str,
+        assignments: dict[str, str],
+        max_retries: int = 3,
+        post_scan=None,
+    ) -> dict:
+        """Merge-on-read UPDATE (Delta's deletion-vector UPDATE shape):
+        matching LIVE rows are tombstoned into the deletion vector and
+        their UPDATED versions are written as new data files into the
+        same version — every pre-existing file is hardlinked, so write
+        amplification is O(matched rows), not O(touched files).
+        ``assignments`` maps column -> SQL expression (cast back to the
+        column's original type, same schema-enforcement rule as the
+        COW update). Partition-column reassignment is refused (it
+        would move rows across hive directories). Raises under
+        ``delta_log=True`` like ``delete_where_mor``."""
+        if self.delta_log:
+            raise ValueError(
+                "update_where_mor is not supported with delta_log=True; "
+                "use update_where (copy-on-write) instead"
+            )
+        data0 = self.current_data_dir(name)
+        if data0 is not None:
+            part_cols = {
+                c
+                for rel, _fs in self._partition_dirs(data0)
+                for c, _v in self._partition_literals(rel)
+            }
+            bad = part_cols & set(assignments)
+            if bad:
+                raise ValueError(
+                    f"update_where_mor cannot reassign partition columns "
+                    f"{sorted(bad)}"
+                )
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            expected = self.current_version(name)
+            version = f"v_{uuid.uuid4().hex[:12]}"
+            vdir = os.path.join(self.path(name), version)
+            try:
+                data = self.current_data_dir(name)
+                if data is None:
+                    raise ValueError(f"unknown table {name!r}")
+                live = self._apply_dv(data)
+                part_cols_now = [
+                    c
+                    for rel, _fs in self._partition_dirs(data)
+                    for c, _v in self._partition_literals(rel)
+                ]
+                part_cols_now = list(dict.fromkeys(part_cols_now))
+                matching = live.where(predicate)
+                new_pos = matching.select(
+                    self._rel_path_col(data).alias("path"),
+                    F.col("_metadata.row_index").alias("row_index"),
+                )
+                old_dv_dir = self._dv_dir(data)
+                if os.path.isdir(old_dv_dir):
+                    merged_dv = (
+                        self.spark.read.parquet(old_dv_dir)
+                        .unionByName(new_pos)
+                        .distinct()
+                    )
+                else:
+                    merged_dv = new_pos.distinct()
+                updated = matching
+                for col, expr_sql in assignments.items():
+                    updated = updated.withColumn(
+                        col,
+                        F.expr(expr_sql).cast(live.schema[col].dataType),
+                    )
+                updated = updated.select(*live.columns)
+                if post_scan is not None:
+                    post_scan()
+                n_link = 0
+                for rel, files in self._partition_dirs(data):
+                    out_dir = vdir if rel == "." else os.path.join(vdir, rel)
+                    os.makedirs(out_dir, exist_ok=True)
+                    for f in files:
+                        os.link(f, os.path.join(out_dir, os.path.basename(f)))
+                        n_link += 1
+                writer = updated.write.mode("append")
+                if part_cols_now:
+                    writer = writer.partitionBy(*part_cols_now)
+                writer.parquet(vdir)
+                merged_dv.coalesce(1).write.parquet(self._dv_dir(vdir))
+                self._commit(
+                    name, version, expected_version=expected,
+                    operation="UPDATE",
+                )
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                shutil.rmtree(vdir, ignore_errors=True)
+                continue
+            except Exception:
+                shutil.rmtree(vdir, ignore_errors=True)
+                if self.current_version(name) == expected:
+                    raise
+                last_err = ConcurrentWriteError(
+                    f"table {name!r}: snapshot GC'd under MoR update"
+                )
+                continue
+            vdir_now = os.path.join(self.path(name), version)
+            dv_rows = self.spark.read.parquet(
+                self._dv_dir(vdir_now)
             ).count()
             return {
                 "files_linked": n_link,

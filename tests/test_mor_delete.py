@@ -133,3 +133,48 @@ class TestMorDelete:
             1001, 1002, 1003, 1004,
         }
         assert out.where("k % 10 = 0").count() == 0
+
+
+class TestMorUpdate:
+    def test_mor_update_equals_cow_update(self, spark, tmp_path):
+        mor = SnapshotStore(spark, str(tmp_path / "mor"))
+        cow = SnapshotStore(spark, str(tmp_path / "cow"))
+        df = _base(spark)
+        mor.overwrite("t", df, cluster_by=("k",), n_files=4)
+        cow.overwrite("t", df, cluster_by=("k",), n_files=4)
+        res = mor.update_where_mor("t", "k % 9 = 0", {"v": "v + 1000"})
+        cow.update_where("t", "k % 9 = 0", {"v": "v + 1000"})
+        assert res["files_rewritten"] == 0
+        assert res["dv_rows"] == sum(1 for k in range(500) if k % 9 == 0)
+        got = sorted(tuple(r) for r in mor.read("t").collect())
+        exp = sorted(tuple(r) for r in cow.read("t").collect())
+        assert got == exp and len(got) == 500
+
+    def test_mor_update_then_delete_compose(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "wh"))
+        store.overwrite("t", _base(spark), cluster_by=("k",), n_files=4)
+        store.update_where_mor("t", "k < 10", {"v": "v * 0 + 7"})
+        store.delete_where_mor("t", "v = 7")  # hits the UPDATED rows
+        out = store.read("t")
+        assert out.count() == 490
+        assert out.where("k < 10").count() == 0
+        # purge materializes both layers exactly
+        store.optimize("t", target_bytes=1 << 30)
+        assert not store._has_dv("t")
+        assert store.read("t").count() == 490
+
+    def test_mor_update_partitioned_table(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "wh2"))
+        df = spark.range(300).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS p", "id AS v"
+        )
+        store.overwrite("t", df, partition_by=("p",))
+        res = store.update_where_mor("t", "k % 10 = 0", {"v": "v + 5"})
+        assert res["files_rewritten"] == 0
+        out = store.read("t")
+        assert out.count() == 300
+        got = {r.k: r.v for r in out.collect()}
+        for k in range(300):
+            assert got[k] == (k + 5 if k % 10 == 0 else k)
+        with pytest.raises(ValueError, match="partition columns"):
+            store.update_where_mor("t", "k = 1", {"p": "'9'"})
