@@ -6,6 +6,12 @@ store's committed state must match the serial replay row-for-row
 after EVERY operation: any divergence is a conformance bug (lost
 update, resurrection, partial rewrite), pinned by (seed, run, step).
 
+Round 9 adds the merge-on-read DML pair to the op mix: delete_mor /
+update_mor (deletion vectors) interleave with everything else, so the
+fuzzer probes DV layering, the purge-before-raw-rewrite guard
+(compact/optimize/COW-DML over a DV'd table), and mixed MoR/CoW
+histories — the same SQL replay stays the truth.
+
 Serial order under an injected conflict: the concurrent merge commits
 FIRST, the interrupted DML retries and commits SECOND — so the replay
 applies merge, then the DML. That this matches is exactly the OCC
@@ -25,7 +31,7 @@ from product_analytics_spark.sources.sinks import SnapshotStore
 
 SEED = 20260815
 N_RUNS = 4
-N_OPS = 6
+N_OPS = 8
 KEYSPACE = 120
 
 
@@ -94,7 +100,8 @@ def test_fuzz_dml_interleavings(spark, tmp_path, partitioned):
         for step in range(N_OPS):
             op = rng.choice(
                 ["merge", "delete", "update", "compact", "optimize",
-                 "delete_conflict", "update_conflict"]
+                 "delete_conflict", "update_conflict",
+                 "delete_mor", "update_mor"]
             )
             if op == "merge":
                 b = _batch(rng)
@@ -107,6 +114,14 @@ def test_fuzz_dml_interleavings(spark, tmp_path, partitioned):
             elif op == "update":
                 p, d = _pred(rng), rng.randint(-50, 50)
                 store.update_where("t", p, {"v": f"v + {d}"})
+                con.execute(f"UPDATE t SET v = v + {d} WHERE {p}")
+            elif op == "delete_mor":
+                p = _pred(rng)
+                store.delete_where_mor("t", p)
+                con.execute(f"DELETE FROM t WHERE {p}")
+            elif op == "update_mor":
+                p, d = _pred(rng), rng.randint(-50, 50)
+                store.update_where_mor("t", p, {"v": f"v + {d}"})
                 con.execute(f"UPDATE t SET v = v + {d} WHERE {p}")
             elif op == "compact":
                 store.compact("t")  # layout-only: no replay
