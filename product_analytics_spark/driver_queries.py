@@ -5229,3 +5229,11 @@ from product_analytics_spark.driver_queries_ext90 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT90)
 ORACLES.update(_oracles_ext90())
+
+from product_analytics_spark.driver_queries_ext91 import (  # noqa: E402
+    QUERIES_EXT91,
+    _oracles_ext91,
+)
+
+QUERIES.update(QUERIES_EXT91)
+ORACLES.update(_oracles_ext91())

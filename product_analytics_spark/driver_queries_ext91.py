@@ -1,0 +1,197 @@
+"""Round-9 driver family, batch 91 (q432+): completing the
+merge-on-read DML trio and the Delta-protocol deep cuts.
+
+* q432 — merge-on-read MERGE via deletion vectors
+  (``sinks.merge_mor``): matched live rows tombstoned into the DV,
+  ALL batch rows (replacements + inserts) written as new files, zero
+  pre-existing files rewritten; a second merge composes through the
+  first's DV; matched rows may MOVE partitions (old position
+  tombstoned in its hive dir, replacement lands in the new dir — a
+  partition move with no rewrite).
+
+Reference mapping: Delta Lake's low-shuffle MERGE on DV-enabled
+tables (the reference materializes every incremental model as Delta
+with ``incremental_strategy='merge'`` — dbt_project.yml:39,
+customers_latest.sql:3-6); at 100 TB this is the difference between
+writing O(batch) rows and rewriting every file a batch key touches.
+
+Same contract as the other driver_queries modules: each query takes
+(spark, sf_dir) and returns a DataFrame; ``_oracles_ext91`` maps the
+key to an equivalent DuckDB SQL string over the same parquet tables.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from product_analytics_spark.qcommon import _money_cents, _t
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# ------------------------------------------------------------- q432
+
+Q432_WH = os.path.join(_REPO, ".q432_warehouse")
+
+
+def q432_mor_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge-on-read MERGE via deletion vectors (sinks.merge_mor),
+    end to end — the third leg of the DV DML trio (q430 DELETE, q431
+    UPDATE): two successive merges rewrite ZERO pre-existing files;
+    matched live rows' positions land in the deletion vector and
+    every batch row (replacement or insert) is written as a NEW file
+    in the same hive-partitioned version.
+
+    The lifecycle stresses the two properties a naive implementation
+    gets wrong:
+
+    * COMPOSITION — merge 2 matches rows REPLACED by merge 1 (their
+      live positions are in merge 1's new files, not the hardlinked
+      originals), so the DV must tombstone positions in files the
+      previous MoR op itself wrote;
+    * PARTITION MOVE — merge 2 re-homes previously-inserted rows into
+      a different hive partition: the old position is tombstoned in
+      its dir and the replacement lands in the batch row's dir, no
+      rewrite anywhere (update_where_mor refuses this; MERGE is how
+      Delta moves rows across partitions without COW).
+
+    Compared: per-segment aggregates after merge→merge→OPTIMIZE
+    (oracle replays both merges closed-form in SQL), DV cardinalities
+    after each merge, ``files_rewritten_total = 0``, and the purge
+    certs (DV present before OPTIMIZE, absent after, rows stable).
+
+    Scale: a 100-row upsert against a 100 TB table writes 100 rows +
+    DV bytes instead of rewriting every touched file — Delta's
+    low-shuffle MERGE; reads pay one broadcast anti-join until
+    OPTIMIZE folds the DV in."""
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q432_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q432_WH, retain_versions=4)
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("acct", base, partition_by=("seg",), cluster_by=("k",))
+
+    cust = _t(spark, sf_dir, "customer")
+    # merge 1: update every k%3=0 (+12345 cents), insert a shadow row
+    # (k+10M) for every k%97=0
+    b1 = cust.where("c_custkey % 3 = 0").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        (_money_cents("c_acctbal") + 12345).alias("cents"),
+    ).unionByName(
+        cust.where("c_custkey % 97 = 0").select(
+            (F.col("c_custkey") + 10_000_000).alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+            F.lit(77700).cast("long").alias("cents"),
+        )
+    )
+    r1 = store.merge_mor("acct", b1, "k")
+
+    # merge 2: zero out k%6=0 (rows merge 1 itself REPLACED —
+    # composition through the DV) and MOVE half the inserted shadows
+    # into a new partition
+    b2 = cust.where("c_custkey % 6 = 0").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(0).cast("long").alias("cents"),
+    ).unionByName(
+        cust.where("c_custkey % 97 = 0 AND c_custkey % 2 = 1").select(
+            (F.col("c_custkey") + 10_000_000).alias("k"),
+            F.lit("AFTERMARKET").alias("seg"),
+            F.lit(88800).cast("long").alias("cents"),
+        )
+    )
+    r2 = store.merge_mor("acct", b2, "k")
+    rewrites = r1["files_rewritten"] + r2["files_rewritten"]
+
+    dv_before = store._has_dv("acct")
+    rows_before = store.read("acct").count()
+    store.optimize("acct", target_bytes=1 << 30)
+    dv_after = store._has_dv("acct")
+    rows_after = store.read("acct").count()
+
+    return (
+        store.read("acct")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.sum("cents") / 100.0).cast("double").alias("balance_sum"),
+        )
+        .select(
+            "seg",
+            "n",
+            "balance_sum",
+            F.lit(int(r1["dv_rows"])).cast("long").alias("dv_rows_1"),
+            F.lit(int(r2["dv_rows"])).cast("long").alias("dv_rows_2"),
+            F.lit(int(rewrites)).cast("long").alias("files_rewritten_total"),
+            F.lit(bool(dv_before and not dv_after)).alias("dv_purged"),
+            F.lit(bool(rows_before == rows_after)).alias(
+                "rows_stable_after_purge"
+            ),
+        )
+        .orderBy("seg")
+    )
+
+
+Q432_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+b1 AS (
+  SELECT k, seg, cents + 12345 AS cents FROM base WHERE k % 3 = 0
+  UNION ALL
+  SELECT k + 10000000 AS k, seg, CAST(77700 AS BIGINT) AS cents
+  FROM base WHERE k % 97 = 0
+),
+live1 AS (
+  SELECT * FROM base WHERE k % 3 <> 0
+  UNION ALL SELECT * FROM b1
+),
+b2 AS (
+  SELECT k, seg, CAST(0 AS BIGINT) AS cents FROM base WHERE k % 6 = 0
+  UNION ALL
+  SELECT k + 10000000 AS k, 'AFTERMARKET' AS seg,
+         CAST(88800 AS BIGINT) AS cents
+  FROM base WHERE k % 97 = 0 AND k % 2 = 1
+),
+live2 AS (
+  SELECT * FROM live1 WHERE k NOT IN (SELECT k FROM b2)
+  UNION ALL SELECT * FROM b2
+),
+dv AS (
+  SELECT (SELECT CAST(count(*) AS BIGINT) FROM base WHERE k % 3 = 0)
+           AS dv1,
+         (SELECT CAST(count(*) AS BIGINT) FROM base WHERE k % 3 = 0) +
+         (SELECT CAST(count(*) AS BIGINT) FROM base WHERE k % 6 = 0) +
+         (SELECT CAST(count(*) AS BIGINT) FROM base
+           WHERE k % 97 = 0 AND k % 2 = 1)
+           AS dv2
+)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(CAST(sum(cents) AS BIGINT) / 100.0 AS DOUBLE) AS balance_sum,
+       dv1 AS dv_rows_1, dv2 AS dv_rows_2,
+       CAST(0 AS BIGINT) AS files_rewritten_total,
+       TRUE AS dv_purged, TRUE AS rows_stable_after_purge
+FROM live2, dv GROUP BY seg, dv1, dv2 ORDER BY seg
+"""
+
+
+QUERIES_EXT91 = {
+    "q432_mor_merge_lifecycle": q432_mor_merge_lifecycle,
+}
+
+
+def _oracles_ext91() -> dict[str, str]:
+    return {
+        "q432_mor_merge_lifecycle": Q432_SQL,
+    }

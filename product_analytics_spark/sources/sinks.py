@@ -487,6 +487,139 @@ class SnapshotStore:
         assert last_err is not None
         raise last_err
 
+    def merge_mor(
+        self,
+        name: str,
+        batch: DataFrame,
+        key: str | Sequence[str],
+        max_retries: int = 3,
+        post_scan=None,
+    ) -> dict:
+        """Merge-on-read MERGE via deletion vectors (Delta's low-shuffle
+        MERGE shape, completing the DV DML trio with
+        :meth:`delete_where_mor` / :meth:`update_where_mor`): live rows
+        whose key appears in ``batch`` are tombstoned into the deletion
+        vector and ALL batch rows (matched replacements + inserts) are
+        written as NEW files into the same version — every pre-existing
+        file is hardlinked, so write amplification is O(batch rows),
+        never O(touched files). Semantically identical to
+        :meth:`merge` / ``merge_upsert`` (``prev ANTI batch-keys UNION
+        batch``), but a 100-row upsert against a 100 TB table writes
+        100 rows + DV bytes instead of rewriting every touched file.
+
+        Unlike ``update_where_mor``, a matched row MAY move partitions:
+        the old position is tombstoned in its hive dir and the
+        replacement lands in the batch row's dir — a partition move
+        without any rewrite. Batch columns must equal the table's
+        (MoR appends raw files next to hardlinked old ones, so the
+        on-disk schemas must agree — use :meth:`merge` for
+        ``sync_all_columns`` schema evolution); values are cast to the
+        table's column types. OCC transaction with the same
+        ``post_scan`` fault-injection window as the other DML paths.
+        Raises under ``delta_log=True`` like the other MoR ops."""
+        if self.delta_log:
+            raise ValueError(
+                "merge_mor is not supported with delta_log=True "
+                "(protocol v3 deletion vectors are not emitted); use "
+                "merge (copy-on-write) instead"
+            )
+        keys = [key] if isinstance(key, str) else list(key)
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            expected = self.current_version(name)
+            version = f"v_{uuid.uuid4().hex[:12]}"
+            vdir = os.path.join(self.path(name), version)
+            try:
+                data = self.current_data_dir(name)
+                if data is None:
+                    raise ValueError(f"unknown table {name!r}")
+                live = self._apply_dv(data)
+                missing = set(live.columns) - set(batch.columns)
+                extra = set(batch.columns) - set(live.columns)
+                if missing or extra:
+                    raise ValueError(
+                        f"merge_mor requires identical column sets "
+                        f"(missing={sorted(missing)}, extra="
+                        f"{sorted(extra)}); use merge() for schema "
+                        f"evolution"
+                    )
+                aligned = batch.select(
+                    *[
+                        F.col(c).cast(live.schema[c].dataType).alias(c)
+                        for c in live.columns
+                    ]
+                )
+                part_cols_now = [
+                    c
+                    for rel, _fs in self._partition_dirs(data)
+                    for c, _v in self._partition_literals(rel)
+                ]
+                part_cols_now = list(dict.fromkeys(part_cols_now))
+                # materialize positions BEFORE the join — _metadata is
+                # a scan pseudo-column and does not resolve through one
+                tagged = live.select(
+                    *keys,
+                    self._rel_path_col(data).alias("__pos_f"),
+                    F.col("_metadata.row_index").alias("__pos_ri"),
+                )
+                new_pos = tagged.join(
+                    F.broadcast(aligned.select(*keys).distinct()),
+                    on=keys,
+                    how="left_semi",
+                ).select(
+                    F.col("__pos_f").alias("path"),
+                    F.col("__pos_ri").alias("row_index"),
+                )
+                old_dv_dir = self._dv_dir(data)
+                if os.path.isdir(old_dv_dir):
+                    merged_dv = (
+                        self.spark.read.parquet(old_dv_dir)
+                        .unionByName(new_pos)
+                        .distinct()
+                    )
+                else:
+                    merged_dv = new_pos.distinct()
+                if post_scan is not None:
+                    post_scan()
+                n_link = 0
+                for rel, files in self._partition_dirs(data):
+                    out_dir = vdir if rel == "." else os.path.join(vdir, rel)
+                    os.makedirs(out_dir, exist_ok=True)
+                    for f in files:
+                        os.link(f, os.path.join(out_dir, os.path.basename(f)))
+                        n_link += 1
+                writer = aligned.write.mode("append")
+                if part_cols_now:
+                    writer = writer.partitionBy(*part_cols_now)
+                writer.parquet(vdir)
+                merged_dv.coalesce(1).write.parquet(self._dv_dir(vdir))
+                self._commit(
+                    name, version, expected_version=expected,
+                    operation="MERGE",
+                )
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                shutil.rmtree(vdir, ignore_errors=True)
+                continue
+            except Exception:
+                shutil.rmtree(vdir, ignore_errors=True)
+                if self.current_version(name) == expected:
+                    raise
+                last_err = ConcurrentWriteError(
+                    f"table {name!r}: snapshot GC'd under MoR merge"
+                )
+                continue
+            dv_rows = self.spark.read.parquet(
+                self._dv_dir(os.path.join(self.path(name), version))
+            ).count()
+            return {
+                "files_linked": n_link,
+                "files_rewritten": 0,
+                "dv_rows": dv_rows,
+            }
+        assert last_err is not None
+        raise last_err
+
     def purge_dv(self, name: str, max_retries: int = 3) -> bool:
         """Materialize outstanding deletion vectors: rewrite the table
         through the DV-aware reader (restoring the recorded layout)

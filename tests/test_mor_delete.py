@@ -163,6 +163,104 @@ class TestMorUpdate:
         assert not store._has_dv("t")
         assert store.read("t").count() == 490
 
+    def test_mor_merge_equals_cow_merge(self, spark, tmp_path):
+        mor = SnapshotStore(spark, str(tmp_path / "mor"))
+        cow = SnapshotStore(spark, str(tmp_path / "cow"))
+        df = _base(spark)
+        mor.overwrite("t", df, cluster_by=("k",), n_files=4)
+        cow.overwrite("t", df, cluster_by=("k",), n_files=4)
+        batch = spark.range(50).selectExpr(
+            "id * 10 AS k", "CAST(42 AS LONG) AS seg", "id AS v"
+        ).unionAll(
+            spark.range(5).selectExpr(
+                "id + 9000 AS k", "CAST(1 AS LONG) AS seg", "id AS v"
+            )
+        )
+        res = mor.merge_mor("t", batch, "k")
+        cow.merge("t", batch, "k")
+        assert res["files_rewritten"] == 0
+        assert res["files_linked"] == 4
+        assert res["dv_rows"] == 50  # matched live rows only
+        got = sorted(tuple(r) for r in mor.read("t").collect())
+        exp = sorted(tuple(r) for r in cow.read("t").collect())
+        assert got == exp and len(got) == 505
+
+    def test_mor_merge_composes_through_dv(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "wh"))
+        store.overwrite("t", _base(spark), cluster_by=("k",), n_files=4)
+        b1 = spark.range(20).selectExpr(
+            "id AS k", "CAST(8 AS LONG) AS seg", "id + 100 AS v"
+        )
+        store.merge_mor("t", b1, "k")
+        # second merge matches rows REPLACED by the first (their live
+        # positions are in b1's new files, not the hardlinked old ones)
+        b2 = spark.range(10).selectExpr(
+            "id AS k", "CAST(9 AS LONG) AS seg", "id + 200 AS v"
+        )
+        res2 = store.merge_mor("t", b2, "k")
+        assert res2["dv_rows"] == 30  # 20 from wave 1 + 10 from wave 2
+        got = {r.k: (r.seg, r.v) for r in store.read("t").collect()}
+        assert len(got) == 500
+        for k in range(10):
+            assert got[k] == (9, k + 200)
+        for k in range(10, 20):
+            assert got[k] == (8, k + 100)
+        store.optimize("t", target_bytes=1 << 30)
+        assert not store._has_dv("t")
+        assert store.read("t").count() == 500
+
+    def test_mor_merge_moves_partitions(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "wh"))
+        df = spark.range(300).selectExpr(
+            "id AS k", "CAST(id % 3 AS STRING) AS p", "id AS v"
+        )
+        store.overwrite("t", df, partition_by=("p",))
+        # partition MOVE: matched rows land in a brand-new hive dir
+        # (p=9), their old positions tombstoned in place — note the
+        # value must be castable to the table's READ schema (hive
+        # partition-type inference makes p an int here)
+        batch = spark.range(30).selectExpr(
+            "id * 10 AS k", "'9' AS p", "id AS v"
+        )
+        res = store.merge_mor("t", batch, "k")
+        assert res["files_rewritten"] == 0
+        out = store.read("t")
+        assert out.count() == 300
+        assert out.where("p = 9").count() == 30
+        assert out.where("p = 9 AND k % 10 != 0").count() == 0
+
+    def test_mor_merge_schema_mismatch_refused(self, spark, tmp_path):
+        store = SnapshotStore(spark, str(tmp_path / "wh"))
+        store.overwrite("t", _base(spark))
+        with pytest.raises(ValueError, match="identical column sets"):
+            store.merge_mor(
+                "t", spark.range(5).selectExpr("id AS k", "id AS extra"),
+                "k",
+            )
+
+    def test_mor_merge_occ_conflict_retries(self, spark, tmp_path):
+        store = SnapshotStore(
+            spark, str(tmp_path / "wh"), retain_versions=3
+        )
+        store.overwrite("t", _base(spark), cluster_by=("k",), n_files=4)
+        calls = {"n": 0}
+
+        def concurrent_delete():
+            calls["n"] += 1
+            if calls["n"] == 1:
+                store.delete_where("t", "k < 5")
+
+        batch = spark.range(10).selectExpr(
+            "id AS k", "CAST(77 AS LONG) AS seg", "id AS v"
+        )
+        store.merge_mor("t", batch, "k", post_scan=concurrent_delete)
+        assert calls["n"] >= 2  # conflict forced a re-scan
+        out = store.read("t")
+        # serial delete→merge: the merge re-ran after the delete, so
+        # all 10 batch keys exist (0..4 re-inserted, 5..9 replaced)
+        assert out.where("seg = 77").count() == 10
+        assert out.count() == 500
+
     def test_mor_update_partitioned_table(self, spark, tmp_path):
         store = SnapshotStore(spark, str(tmp_path / "wh2"))
         df = spark.range(300).selectExpr(
