@@ -246,6 +246,16 @@ def make_metadata(
 
 PROTOCOL_ACTION = {"minReaderVersion": 1, "minWriterVersion": 2}
 
+#: Table-features protocol required once any add carries a
+#: ``deletionVector`` descriptor (Delta PROTOCOL.md: DVs are a
+#: reader+writer table feature on protocol 3/7).
+PROTOCOL_DV_ACTION = {
+    "minReaderVersion": 3,
+    "minWriterVersion": 7,
+    "readerFeatures": ["deletionVectors"],
+    "writerFeatures": ["deletionVectors"],
+}
+
 
 # ------------------------------------------------------------------
 # Snapshot
@@ -263,15 +273,33 @@ class DeltaSnapshot:
     files: dict[str, dict] = field(default_factory=dict)
 
     def num_records(self) -> int | None:
-        """Total rows from log stats alone (None if any file lacks
-        stats) — Delta's ``SELECT count(*)`` metadata-only fast path."""
+        """LIVE rows from log stats alone (None if any file lacks
+        stats) — Delta's ``SELECT count(*)`` metadata-only fast path.
+        Files carrying a ``deletionVector`` descriptor contribute
+        their physical numRecords minus the DV's cardinality."""
         total = 0
         for add in self.files.values():
             s = add.get("stats")
             if not s:
                 return None
             total += json.loads(s)["numRecords"]
+            dvd = add.get("deletionVector")
+            if dvd:
+                total -= dvd["cardinality"]
         return total
+
+    def dv_positions(self, table_dir: str) -> list[tuple[str, int]]:
+        """Decode every live file's deletion vector into (relative
+        path, row_index) pairs — the reader-side tombstone set. Cost
+        is O(total DV cardinality), independent of table size."""
+        from product_analytics_spark.sources import deletion_vectors as dvs
+
+        out: list[tuple[str, int]] = []
+        for path in sorted(self.files):
+            dvd = self.files[path].get("deletionVector")
+            if dvd:
+                out.extend((path, ri) for ri in dvs.read_dv(table_dir, dvd))
+        return out
 
     # ---------------------------------------------- data skipping
 
@@ -497,6 +525,15 @@ class DeltaLog:
         snap = self.snapshot(version)
         version = snap.version
         pv_type = pa.map_(pa.string(), pa.string())
+        dv_t = pa.struct(
+            [
+                ("storageType", pa.string()),
+                ("pathOrInlineDv", pa.string()),
+                ("offset", pa.int32()),
+                ("sizeInBytes", pa.int32()),
+                ("cardinality", pa.int64()),
+            ]
+        )
         add_t = pa.struct(
             [
                 ("path", pa.string()),
@@ -505,6 +542,7 @@ class DeltaLog:
                 ("modificationTime", pa.int64()),
                 ("dataChange", pa.bool_()),
                 ("stats", pa.string()),
+                ("deletionVector", dv_t),
             ]
         )
         meta_t = pa.struct(
@@ -560,6 +598,7 @@ class DeltaLog:
                     ),
                     "dataChange": False,
                     "stats": a.get("stats"),
+                    "deletionVector": a.get("deletionVector"),
                 }
             )
             rows_proto.append(None)
@@ -607,6 +646,8 @@ class DeltaLog:
                 add["partitionValues"] = dict(add.get("partitionValues") or {})
                 if add.get("stats") is None:
                     add.pop("stats", None)
+                if add.get("deletionVector") is None:
+                    add.pop("deletionVector", None)
                 snap.files[add["path"]] = add
 
 
@@ -639,21 +680,37 @@ class DeltaLog:
         not reference (tombstoned by remove actions, or orphaned).
         After this, time travel below the current version is gone —
         exactly Delta's contract. Returns the (relative) paths
-        removed; ``dry_run`` lists without deleting. Only parquet
-        files outside ``_delta_log`` are candidates."""
+        removed; ``dry_run`` lists without deleting. Candidates are
+        parquet data files outside ``_delta_log`` plus deletion-vector
+        sidecars (``deletion_vector_*.bin``) no live add references."""
+        from product_analytics_spark.sources import deletion_vectors as dvs
+
         snap = self.snapshot()
         live = set(snap.files)
+        live_dv_bins = set()
+        for add in snap.files.values():
+            dvd = add.get("deletionVector")
+            if dvd and dvd.get("storageType") == "u":
+                live_dv_bins.add(
+                    os.path.relpath(
+                        dvs.dv_file_path(self.table_dir, dvd), self.table_dir
+                    ).replace(os.sep, "/")
+                )
         victims: list[str] = []
         for root, dirs, files in os.walk(self.table_dir):
             dirs[:] = [d for d in dirs if d != LOG_DIR]
             for f in files:
-                if not f.endswith(".parquet") or f.startswith((".", "_")):
+                if f.startswith((".", "_")):
                     continue
                 rel = os.path.relpath(
                     os.path.join(root, f), self.table_dir
                 ).replace(os.sep, "/")
-                if rel not in live:
-                    victims.append(rel)
+                if f.endswith(".parquet"):
+                    if rel not in live:
+                        victims.append(rel)
+                elif f.startswith("deletion_vector_") and f.endswith(".bin"):
+                    if rel not in live_dv_bins:
+                        victims.append(rel)
         if not dry_run:
             for rel in victims:
                 try:
@@ -711,12 +768,45 @@ def convert_to_delta(spark, table_dir: str) -> int:
 # ------------------------------------------------------------------
 
 
+def apply_dv_filter(spark, df, table_dir: str, positions):
+    """Filter a file-scan DataFrame by deletion-vector positions:
+    broadcast anti-join on (table-relative path, ``_metadata.
+    row_index``). Cost bounded by total DV cardinality — the exact
+    read-side trade MoR buys. Must be applied directly on the scan
+    (``_metadata`` is a scan pseudo-column; it does not survive
+    joins/unions)."""
+    if not positions:
+        return df
+    from pyspark.sql import functions as F
+
+    pos_df = spark.createDataFrame(
+        positions, schema="path string, row_index bigint"
+    )
+    prefix = "file:" + os.path.abspath(table_dir).rstrip("/") + "/"
+    cols = df.columns
+    tagged = df.select(
+        "*",
+        F.substring(
+            F.col("_metadata.file_path"), len(prefix) + 1, 1 << 20
+        ).alias("__dv_f"),
+        F.col("_metadata.row_index").alias("__dv_ri"),
+    )
+    return tagged.join(
+        F.broadcast(pos_df),
+        (F.col("__dv_f") == pos_df["path"])
+        & (F.col("__dv_ri") == pos_df["row_index"]),
+        "left_anti",
+    ).select(*cols)
+
+
 def read_delta(spark, table_dir: str, version: int | None = None):
     """Consume ANY ``_delta_log`` table: plan the live file set from
     the log and load exactly those files. Partition columns come from
     the log's partitionValues (Delta stores them in the log, not the
     files), injected as literal columns per the metadata's declared
-    partitionColumns."""
+    partitionColumns. Files carrying ``deletionVector`` descriptors
+    (protocol 3/7 table feature) have their tombstoned positions
+    decoded from the roaring-bitmap sidecars and anti-joined out."""
     from pyspark.sql import functions as F
 
     snap = DeltaLog(table_dir).snapshot(version)
@@ -724,11 +814,28 @@ def read_delta(spark, table_dir: str, version: int | None = None):
     paths = sorted(snap.files)
     if not paths:
         raise DeltaProtocolError(f"empty table at {table_dir}")
+    positions = snap.dv_positions(table_dir)
     if not part_cols:
-        return spark.read.parquet(
+        df = spark.read.parquet(
             *[os.path.join(table_dir, p) for p in paths]
         )
+        return apply_dv_filter(spark, df, table_dir, positions)
+    # Partition literals are STRINGS in the log (partitionValues);
+    # the table's real column types live in metaData.schemaString —
+    # cast each literal to its declared type, like Delta readers do.
+    part_types: dict[str, object] = {}
+    schema_str = (snap.metadata or {}).get("schemaString")
+    if schema_str:
+        try:
+            from pyspark.sql.types import StructType
+
+            st = StructType.fromJson(json.loads(schema_str))
+            part_types = {f.name: f.dataType for f in st.fields}
+        except Exception:  # noqa: BLE001 — fall back to strings
+            part_types = {}
     # Group by partition tuple so each group injects its literals.
+    # The DV filter applies per group, BEFORE the literal columns —
+    # _metadata resolves only on the raw scan.
     groups: dict[tuple, list[str]] = {}
     for p in paths:
         pv = snap.files[p].get("partitionValues") or {}
@@ -739,7 +846,10 @@ def read_delta(spark, table_dir: str, version: int | None = None):
         df = spark.read.parquet(
             *[os.path.join(table_dir, p) for p in groups[key]]
         )
+        df = apply_dv_filter(spark, df, table_dir, positions)
         for c, v in zip(part_cols, key):
-            df = df.withColumn(c, F.lit(v).cast("string"))
+            df = df.withColumn(
+                c, F.lit(v).cast(part_types.get(c, "string"))
+            )
         out = df if out is None else out.unionByName(df)
     return out

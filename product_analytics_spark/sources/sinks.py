@@ -300,17 +300,12 @@ class SnapshotStore:
         the DV. Optimistic transaction like the COW paths
         (``post_scan`` = the same fault-injection window).
 
-        Engine-level feature of the pointer store: with
-        ``delta_log=True`` this raises — our log emits protocol v1/v2
-        stats-bearing adds, and claiming DV conformance would require
-        the v3 deletionVector descriptors + roaring bitmap encoding;
-        use copy-on-write ``delete_where`` there instead."""
-        if self.delta_log:
-            raise ValueError(
-                "delete_where_mor is not supported with delta_log=True "
-                "(protocol v3 deletion vectors are not emitted); use "
-                "delete_where (copy-on-write) instead"
-            )
+        With ``delta_log=True`` the commit additionally emits
+        protocol-v3 ``deletionVector`` descriptors on the affected
+        adds (roaring-bitmap sidecar per commit, protocol upgraded to
+        reader 3 / writer 7 with the deletionVectors table feature —
+        see ``sources/deletion_vectors.py``), so log consumers
+        (``read_delta``/``read_pruned``) see exactly the live rows."""
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             expected = self.current_version(name)
@@ -388,13 +383,9 @@ class SnapshotStore:
         ``assignments`` maps column -> SQL expression (cast back to the
         column's original type, same schema-enforcement rule as the
         COW update). Partition-column reassignment is refused (it
-        would move rows across hive directories). Raises under
-        ``delta_log=True`` like ``delete_where_mor``."""
-        if self.delta_log:
-            raise ValueError(
-                "update_where_mor is not supported with delta_log=True; "
-                "use update_where (copy-on-write) instead"
-            )
+        would move rows across hive directories). Under
+        ``delta_log=True`` the commit carries protocol-v3
+        ``deletionVector`` descriptors like ``delete_where_mor``."""
         data0 = self.current_data_dir(name)
         if data0 is not None:
             part_cols = {
@@ -516,13 +507,8 @@ class SnapshotStore:
         ``sync_all_columns`` schema evolution); values are cast to the
         table's column types. OCC transaction with the same
         ``post_scan`` fault-injection window as the other DML paths.
-        Raises under ``delta_log=True`` like the other MoR ops."""
-        if self.delta_log:
-            raise ValueError(
-                "merge_mor is not supported with delta_log=True "
-                "(protocol v3 deletion vectors are not emitted); use "
-                "merge (copy-on-write) instead"
-            )
+        Under ``delta_log=True`` the commit carries protocol-v3
+        ``deletionVector`` descriptors like the other MoR ops."""
         keys = [key] if isinstance(key, str) else list(key)
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
@@ -883,6 +869,7 @@ class SnapshotStore:
         the first commit and re-emitted when the data files' arrow
         schema fingerprint changes (schema evolution)."""
         import hashlib
+        import json
 
         from product_analytics_spark.sources import delta_log as dl
 
@@ -913,6 +900,22 @@ class SnapshotStore:
                 except OSError:
                     pass
 
+        # Outstanding deletion vector of the CURRENT version (written
+        # by the MoR DML paths): version-relative (path, row_index)
+        # positions, keyed up to table-relative add paths below.
+        dv_by_rel: dict[str, list[int]] = {}
+        dv_dir = self._dv_dir(data)
+        if os.path.isdir(dv_dir):
+            import pyarrow.parquet as pq
+
+            vbase = os.path.basename(os.path.normpath(data))
+            t = pq.read_table(dv_dir)
+            for p, ri in zip(
+                t.column("path").to_pylist(),
+                t.column("row_index").to_pylist(),
+            ):
+                dv_by_rel.setdefault(f"{vbase}/{p}", []).append(ri)
+
         actions: list[dict] = []
         new_adds: list[dict] = []
         first_abs = next(iter(disk.values()), None)
@@ -928,9 +931,40 @@ class SnapshotStore:
                 add = dict(old)
                 add["path"] = rel
                 add["partitionValues"] = dl._partition_values(rel)
+                add.pop("deletionVector", None)  # re-derived below
             else:
                 add = dl.make_add(table, abs_p)
             new_adds.append(add)
+
+        if dv_by_rel:
+            from product_analytics_spark.sources import (
+                deletion_vectors as dvs,
+            )
+
+            descriptors = dvs.write_dv_file(table, dv_by_rel)
+            for add in new_adds:
+                dvd = descriptors.get(add["path"])
+                if dvd is None:
+                    # reused stats may carry a stale tightBounds from
+                    # a previously DV'd incarnation — normalize
+                    if "tightBounds" in (add.get("stats") or ""):
+                        st = json.loads(add["stats"])
+                        st.pop("tightBounds", None)
+                        add["stats"] = json.dumps(
+                            st, separators=(",", ":"), sort_keys=True
+                        )
+                    continue
+                add["deletionVector"] = dvd
+                # stats still describe the PHYSICAL file, so bounds
+                # are wide over the live rows: declare tightBounds
+                # false (Delta's exact contract for DV'd files;
+                # min/max pruning stays sound — conservative).
+                if "stats" in add:
+                    st = json.loads(add["stats"])
+                    st["tightBounds"] = False
+                    add["stats"] = json.dumps(
+                        st, separators=(",", ":"), sort_keys=True
+                    )
 
         # Schema fingerprint from ONE data file's arrow schema (cheap,
         # no Spark job); full Spark schemaString only when it changes.
@@ -945,6 +979,9 @@ class SnapshotStore:
                 str(pq.read_schema(first_abs).remove_metadata()).encode()
             ).hexdigest()
         prev_conf = (prev.metadata.get("configuration") or {}) if prev else {}
+        dv_enabled = bool(dv_by_rel) or (
+            prev_conf.get("delta.enableDeletionVectors") == "true"
+        )
         need_meta = (
             prev is None
             or not prev.metadata
@@ -953,9 +990,25 @@ class SnapshotStore:
                 and prev_conf.get("engine.arrowSchemaHash")
                 not in (None, schema_hash)
             )
+            or (
+                dv_enabled
+                and prev_conf.get("delta.enableDeletionVectors") != "true"
+            )
         )
         if prev is None:
-            actions.append({"protocol": dict(dl.PROTOCOL_ACTION)})
+            actions.append(
+                {
+                    "protocol": dict(
+                        dl.PROTOCOL_DV_ACTION if dv_by_rel else dl.PROTOCOL_ACTION
+                    )
+                }
+            )
+        elif dv_by_rel and (
+            (prev.protocol or {}).get("minReaderVersion", 1) < 3
+        ):
+            # first DV on an existing table: in-place protocol upgrade
+            # to the deletionVectors table feature (reader 3 / writer 7)
+            actions.append({"protocol": dict(dl.PROTOCOL_DV_ACTION)})
         if need_meta:
             schema_json = self.spark.read.parquet(data).schema.json()
             table_id = (
@@ -964,9 +1017,12 @@ class SnapshotStore:
             meta = dl.make_metadata(
                 schema_json, part_cols, table_id=table_id
             )
-            meta["configuration"] = (
+            conf = (
                 {"engine.arrowSchemaHash": schema_hash} if schema_hash else {}
             )
+            if dv_enabled:
+                conf["delta.enableDeletionVectors"] = "true"
+            meta["configuration"] = conf
             actions.append({"metaData": meta})
         if prev is not None:
             for rel in sorted(set(prev.files) - set(disk)):
@@ -1015,7 +1071,11 @@ class SnapshotStore:
         exactly those files. The caller still applies the row-level
         filter — file pruning is a superset guarantee, same contract
         as Delta/Iceberg. Partition columns come back as string
-        literals from the log's partitionValues."""
+        literals from the log's partitionValues. Files with
+        ``deletionVector`` descriptors have their tombstoned
+        positions anti-joined out (decoded from the roaring
+        sidecars), so pruned reads never resurrect MoR-deleted
+        rows."""
         from product_analytics_spark.sources import delta_log as dl
 
         snap = self.delta_snapshot(name, version)
@@ -1027,10 +1087,12 @@ class SnapshotStore:
                 self.current_data_dir(name)
             ).schema
             return self.spark.createDataFrame([], schema)
+        positions = snap.dv_positions(table)
         if not part_cols:
-            return self.spark.read.parquet(
+            df = self.spark.read.parquet(
                 *[os.path.join(table, p) for p in kept]
             )
+            return dl.apply_dv_filter(self.spark, df, table, positions)
         groups: dict[tuple, list[str]] = {}
         for p in kept:
             pv = snap.files[p].get("partitionValues") or {}
@@ -1041,6 +1103,7 @@ class SnapshotStore:
             df = self.spark.read.parquet(
                 *[os.path.join(table, p) for p in groups[key]]
             )
+            df = dl.apply_dv_filter(self.spark, df, table, positions)
             for c, v in zip(part_cols, key):
                 df = df.withColumn(c, F.lit(v).cast("string"))
             out = df if out is None else out.unionByName(df)

@@ -96,13 +96,21 @@ class TestMorDelete:
         assert store.read("t", version=1).count() == 450
         assert store.read("t", version=2).count() == 400
 
-    def test_mor_rejected_with_delta_log(self, spark, tmp_path):
+    def test_mor_with_delta_log_emits_descriptors(self, spark, tmp_path):
+        # round 9 lifted the old gate: MoR under delta_log=True now
+        # emits protocol-v3 deletionVector descriptors (deep coverage
+        # in tests/test_deletion_vectors.py)
+        from product_analytics_spark.sources import delta_log as dl
+
         store = SnapshotStore(
             spark, str(tmp_path / "wh"), delta_log=True
         )
         store.overwrite("t", _base(spark))
-        with pytest.raises(ValueError, match="delete_where_mor"):
-            store.delete_where_mor("t", "k = 1")
+        store.delete_where_mor("t", "k = 1")
+        snap = dl.DeltaLog(store.path("t")).snapshot()
+        assert snap.protocol["minReaderVersion"] == 3
+        assert any(a.get("deletionVector") for a in snap.files.values())
+        assert dl.read_delta(spark, store.path("t")).count() == 499
 
     def test_mor_occ_conflict_retries(self, spark, tmp_path):
         store = SnapshotStore(
