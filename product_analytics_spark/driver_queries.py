@@ -5237,3 +5237,11 @@ from product_analytics_spark.driver_queries_ext91 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT91)
 ORACLES.update(_oracles_ext91())
+
+from product_analytics_spark.driver_queries_ext92 import (  # noqa: E402
+    QUERIES_EXT92,
+    _oracles_ext92,
+)
+
+QUERIES.update(QUERIES_EXT92)
+ORACLES.update(_oracles_ext92())

@@ -1,0 +1,646 @@
+"""Round-9 driver family, batch 92 (q434+): the Delta log's
+consumer-facing protocol features — Change Data Feed, RESTORE,
+shallow CLONE, and streaming from the log tail.
+
+* q434 — Change Data Feed: every DML path (COW merge/delete, MoR
+  update) writes its row-level changes to ``_change_data/`` and
+  references them with ``cdc`` actions in the same commit;
+  ``delta_log.table_changes`` reads them back with
+  ``_change_type``/``_commit_version``, deriving insert/delete from
+  dataChange add/remove for commits without cdc actions, and
+  skipping OPTIMIZE/DV-purge commits (dataChange=false) entirely.
+
+Reference mapping: the incremental models consume exactly this shape
+(customers_latest.sql:3-6 — merge on a CDC stream keyed by
+customer_id; dbt_project.yml:39 ``file_format: delta`` — Delta's
+``delta.enableChangeDataFeed`` table property is the mechanism that
+feeds them). At 100 TB the feed is what makes downstream
+incrementals O(changed rows) instead of O(table): a consumer reads
+the cdc files of the commits since its watermark — never a full
+snapshot diff.
+
+Same contract as the other driver_queries modules: each query takes
+(spark, sf_dir) and returns a DataFrame; ``_oracles_ext92`` maps the
+key to an equivalent DuckDB SQL string over the same parquet tables.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from product_analytics_spark.qcommon import _money_cents, _t
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# ------------------------------------------------------------- q434
+
+Q434_WH = os.path.join(_REPO, ".q434_warehouse")
+
+
+def q434_cdf_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta **Change Data Feed** end to end: a DML lifecycle under
+    ``cdf=True`` (overwrite → COW MERGE → COW DELETE → MoR UPDATE →
+    OPTIMIZE), then ``table_changes(0, latest)`` read back and
+    aggregated per (commit_version, change_type).
+
+    What the cert pins, per the public CDF contract
+    (delta.io PROTOCOL.md "Add CDC File"):
+
+    * v0 (first write, no cdc actions) DERIVES inserts from its
+      dataChange adds — including the hive partition columns, which
+      live in the log's partitionValues, not the data files
+      (``seg_nulls = 0`` proves the literal injection);
+    * v1 MERGE emits pre+post images for matched keys and inserts
+      for unmatched batch rows — read from the commit's cdc files
+      ALONE, ignoring the COW add/remove churn that re-adds every
+      unchanged row (counting that churn would inflate v1 by the
+      whole table);
+    * v2 DELETE emits one ``delete`` row per matching live row;
+    * v3 MoR UPDATE (deletion-vector path, zero files rewritten)
+      emits the same pre/post shape as the COW update would — the
+      feed is storage-strategy-agnostic;
+    * the trailing OPTIMIZE (DV purge + recluster) contributes
+      NOTHING (``optimize_invisible``): its add/remove actions carry
+      ``dataChange: false``, Delta's exact rule for rearrangements;
+    * replaying the feed (last change per key wins) reconstructs the
+      final table bit-for-bit (``replay_matches``).
+
+    Scale: a CDF consumer reads O(rows changed since its watermark) —
+    the cdc files of the tail commits — never O(table). That is what
+    keeps a 100 TB incremental DAG's per-run cost proportional to the
+    day's churn; the derivation fallback additionally means plain
+    appends pay ZERO extra write cost for feed support."""
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q434_WH, ignore_errors=True)
+    store = SnapshotStore(
+        spark, Q434_WH, retain_versions=10, delta_log=True, cdf=True
+    )
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("acct", base, partition_by=("seg",))   # v0
+
+    cust = _t(spark, sf_dir, "customer")
+    batch = base.where("k % 5 = 0").withColumn(
+        "cents", (F.col("cents") + 111).cast("long")
+    ).unionByName(
+        cust.where("c_custkey % 89 = 0").select(
+            (F.col("c_custkey") + 10_000_000).alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+            F.lit(5000).cast("long").alias("cents"),
+        )
+    )
+    store.merge("acct", batch, "k", partition_by=("seg",))  # v1
+    store.delete_where("acct", "k % 7 = 0")                 # v2
+    store.update_where_mor("acct", "k % 11 = 0", {"cents": "cents + 7"})  # v3
+    store.optimize("acct", target_bytes=1 << 30)            # purge + recluster
+
+    tdir = store.path("acct")
+    latest = dl.DeltaLog(tdir).latest_version()
+    feed = dl.table_changes(spark, tdir, 0, latest)
+    optimize_invisible = (
+        feed.where(F.col("_commit_version") > 3).count() == 0
+    )
+    seg_nulls = feed.where(F.col("seg").isNull()).count()
+
+    # replay: last non-preimage change per key, drop deletes == final
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(F.col("_commit_version").desc())
+    replayed = (
+        feed.where(F.col("_change_type") != "update_preimage")
+        .withColumn("rn", F.row_number().over(w))
+        .where("rn = 1")
+        .where(F.col("_change_type") != "delete")
+        .select("k", "seg", "cents")
+    )
+    final = store.read("acct").select("k", "seg", "cents")
+    # equal counts + empty one-sided multiset difference ⇒ equal
+    # multisets (saves the second exceptAll shuffle)
+    replay_matches = (
+        replayed.count() == final.count()
+        and replayed.exceptAll(final).count() == 0
+    )
+
+    return (
+        feed.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .select(
+            "commit_version",
+            "change_type",
+            "n",
+            "cents_sum",
+            F.lit(int(seg_nulls)).cast("long").alias("seg_nulls"),
+            F.lit(bool(optimize_invisible)).alias("optimize_invisible"),
+            F.lit(bool(replay_matches)).alias("replay_matches"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
+
+
+Q434_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+ch0 AS (
+  SELECT CAST(0 AS BIGINT) AS commit_version, 'insert' AS change_type,
+         k, cents
+  FROM base
+),
+b1 AS (
+  SELECT k, cents + 111 AS cents FROM base WHERE k % 5 = 0
+  UNION ALL
+  SELECT k + 10000000 AS k, CAST(5000 AS BIGINT) AS cents
+  FROM base WHERE k % 89 = 0
+),
+live1 AS (
+  SELECT * FROM base WHERE k % 5 <> 0
+  UNION ALL SELECT * FROM b1
+),
+ch1 AS (
+  SELECT CAST(1 AS BIGINT), 'update_preimage', k, cents
+  FROM base WHERE k % 5 = 0
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), 'update_postimage', k, cents + 111
+  FROM base WHERE k % 5 = 0
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), 'insert', k + 10000000, CAST(5000 AS BIGINT)
+  FROM base WHERE k % 89 = 0
+),
+ch2 AS (
+  SELECT CAST(2 AS BIGINT), 'delete', k, cents
+  FROM live1 WHERE k % 7 = 0
+),
+live2 AS (SELECT * FROM live1 WHERE k % 7 <> 0),
+ch3 AS (
+  SELECT CAST(3 AS BIGINT), 'update_preimage', k, cents
+  FROM live2 WHERE k % 11 = 0
+  UNION ALL
+  SELECT CAST(3 AS BIGINT), 'update_postimage', k, cents + 7
+  FROM live2 WHERE k % 11 = 0
+),
+feed AS (
+  SELECT * FROM ch0 UNION ALL SELECT * FROM ch1
+  UNION ALL SELECT * FROM ch2 UNION ALL SELECT * FROM ch3
+)
+SELECT commit_version, change_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       CAST(0 AS BIGINT) AS seg_nulls,
+       TRUE AS optimize_invisible,
+       TRUE AS replay_matches
+FROM feed
+GROUP BY commit_version, change_type
+ORDER BY commit_version, change_type
+"""
+
+
+# ------------------------------------------------------------- q435
+
+Q435_WH = os.path.join(_REPO, ".q435_warehouse")
+
+
+def q435_restore_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta **RESTORE TABLE ... VERSION AS OF** as a new-commit
+    rollback (``store.restore``): overwrite → merge → delete, then
+    restore to the post-merge version and prove four properties:
+
+    * the restored content equals the target version BIT-FOR-BIT
+      (``restore_equals_target`` via two-sided exceptAll);
+    * history ABOVE the restore point survives — the pre-restore
+      (post-delete) state is still time-travel-readable
+      (``history_preserved``), because RESTORE is a commit, not a
+      pointer rollback;
+    * the transaction log stays consistent: ``read_delta`` of the
+      restored table matches the store's own read, and the log's
+      latest version counts the restore as one more commit
+      (``log_latest``);
+    * the restore moved ZERO data bytes — every file of the target
+      version was HARDLINKED into the new version
+      (``files_linked`` > 0 and ``files_rewritten`` = 0 by
+      construction; the column carries the link count).
+
+    Scale: restoring a 100 TB table is O(|files|) metadata ops —
+    the "roll back yesterday's bad deploy" operation costs hardlinks
+    and one log commit, not a rewrite. Reference: Delta's RESTORE
+    semantics on the reference's ``file_format: delta`` tables
+    (dbt_project.yml:39) — the operational escape hatch every
+    incremental warehouse needs."""
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q435_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q435_WH, retain_versions=10, delta_log=True)
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("acct", base, partition_by=("seg",))      # v0
+    batch = base.where("k % 4 = 0").withColumn(
+        "cents", (F.col("cents") + 500).cast("long")
+    ).unionByName(
+        cust.where("c_custkey % 53 = 0").select(
+            (F.col("c_custkey") + 20_000_000).alias("k"),
+            F.col("c_mktsegment").alias("seg"),
+            F.lit(1234).cast("long").alias("cents"),
+        )
+    )
+    store.merge("acct", batch, "k", partition_by=("seg",))    # v1
+    target = store.current_version("acct")
+    target_df = store.read("acct", target).select("k", "seg", "cents")
+    store.delete_where("acct", "k % 9 = 0")                   # v2
+    pre_restore_rows = store.read("acct").count()
+
+    r = store.restore("acct", target)                         # v3
+
+    final = store.read("acct").select("k", "seg", "cents")
+    restore_equals_target = (
+        final.exceptAll(target_df).count() == 0
+        and target_df.exceptAll(final).count() == 0
+    )
+    history_preserved = (
+        store.read("acct", -2).count() == pre_restore_rows
+    )
+    tdir = store.path("acct")
+    log_latest = dl.DeltaLog(tdir).latest_version()
+    log_consistent = (
+        dl.read_delta(spark, tdir)
+        .select("k", "seg", "cents")
+        .exceptAll(final)
+        .count()
+        == 0
+    )
+
+    return (
+        final.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .select(
+            "seg",
+            "n",
+            "cents_sum",
+            F.lit(bool(restore_equals_target)).alias("restore_equals_target"),
+            F.lit(bool(history_preserved)).alias("history_preserved"),
+            F.lit(bool(log_consistent)).alias("log_consistent"),
+            F.lit(int(log_latest)).cast("long").alias("log_latest"),
+            F.lit(int(r["files_linked"]) > 0).alias("zero_copy_restore"),
+        )
+        .orderBy("seg")
+    )
+
+
+Q435_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+b1 AS (
+  SELECT k, seg, cents + 500 AS cents FROM base WHERE k % 4 = 0
+  UNION ALL
+  SELECT k + 20000000 AS k, seg, CAST(1234 AS BIGINT) AS cents
+  FROM base WHERE k % 53 = 0
+),
+live1 AS (
+  SELECT * FROM base WHERE k % 4 <> 0
+  UNION ALL SELECT * FROM b1
+)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       TRUE AS restore_equals_target,
+       TRUE AS history_preserved,
+       TRUE AS log_consistent,
+       CAST(3 AS BIGINT) AS log_latest,
+       TRUE AS zero_copy_restore
+FROM live1
+GROUP BY seg
+ORDER BY seg
+"""
+
+
+# ------------------------------------------------------------- q436
+
+Q436_WH = os.path.join(_REPO, ".q436_warehouse")
+Q436_CLONE = os.path.join(_REPO, ".q436_clone")
+
+
+def q436_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta **SHALLOW CLONE** (``delta_log.shallow_clone``): a new
+    table whose version-0 commit references the source's live files
+    by ABSOLUTE path — zero bytes copied — then diverges with its own
+    append while the source stays untouched.
+
+    Pinned properties:
+
+    * ``clone_matches_source`` — the clone reads bit-for-bit equal
+      to the source at clone time (two-sided exceptAll through
+      ``read_delta``, partition literals and all);
+    * divergence — a log-level append lands new rows in the CLONE
+      only (``rows`` reflects source+extras; ``src_unchanged``);
+    * ``stats_survive`` — the cloned adds carry the source's
+      per-file min/max stats BY VALUE, so data-skipping on the clone
+      plans from its own log with zero footer opens:
+      ``plan_files`` with a selective range predicate keeps a strict
+      subset of files (the q416/q422 skipping story, now on a table
+      that owns none of its data files);
+    * ``clone_is_new_table`` — the clone's metaData carries a fresh
+      table id (Delta: a clone is a new table identity sharing
+      data lineage, not a view).
+
+    Scale: forking a 100 TB prod table for a staging/CI run costs
+    O(|files|) log entries and inherits the full skipping profile —
+    the alternative the reference's CI workflow would otherwise pay
+    is a second copy of the lake. VACUUM on the clone cannot delete
+    source files (outside its root); VACUUM on the source can break
+    old clones — Delta's documented caveat, unchanged here."""
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q436_WH, ignore_errors=True)
+    shutil.rmtree(Q436_CLONE, ignore_errors=True)
+    store = SnapshotStore(spark, Q436_WH, retain_versions=4, delta_log=True)
+    base = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        F.col("s_nationkey").cast("long").alias("nation"),
+        _money_cents("s_acctbal").alias("cents"),
+    )
+    store.overwrite("src", base, cluster_by=("k",), n_files=8)
+    src_dir = store.path("src")
+
+    n_cloned = dl.shallow_clone(src_dir, Q436_CLONE)
+    src_df = dl.read_delta(spark, src_dir).select("k", "nation", "cents")
+    clone_df = dl.read_delta(spark, Q436_CLONE).select(
+        "k", "nation", "cents"
+    )
+    clone_matches_source = (
+        clone_df.exceptAll(src_df).count() == 0
+        and src_df.exceptAll(clone_df).count() == 0
+    )
+
+    # diverge: append "shadow suppliers" to the CLONE's own directory
+    extras = base.where("k % 10 = 0").select(
+        (F.col("k") + 1_000_000).alias("k"), "nation", "cents"
+    )
+    app_dir = os.path.join(Q436_CLONE, "append1")
+    extras.coalesce(1).write.parquet(app_dir)
+    clone_log = dl.DeltaLog(Q436_CLONE)
+    adds = [
+        {"add": dl.make_add(Q436_CLONE, os.path.join(app_dir, f))}
+        for f in sorted(os.listdir(app_dir))
+        if f.endswith(".parquet") and not f.startswith((".", "_"))
+    ]
+    clone_log.commit(adds, operation="WRITE")
+
+    diverged = dl.read_delta(spark, Q436_CLONE).select(
+        "k", "nation", "cents"
+    )
+    src_after = dl.read_delta(spark, src_dir).select("k", "nation", "cents")
+    src_unchanged = (
+        src_after.exceptAll(src_df).count() == 0
+        and src_df.exceptAll(src_after).count() == 0
+    )
+
+    # data-skipping on the clone, from its OWN log, zero footer opens
+    snap = clone_log.snapshot()
+    lo_k = base.agg(F.min("k")).collect()[0][0]
+    kept = snap.plan_files([("k", "<=", int(lo_k))])
+    stats_survive = 0 < len(kept) < n_cloned
+    src_meta_id = dl.DeltaLog(src_dir).snapshot().metadata["id"]
+    clone_is_new_table = snap.metadata["id"] != src_meta_id
+
+    return (
+        diverged.groupBy((F.col("nation") % 5).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "cents_sum",
+            F.lit(bool(clone_matches_source)).alias("clone_matches_source"),
+            F.lit(bool(src_unchanged)).alias("src_unchanged"),
+            F.lit(bool(stats_survive)).alias("stats_survive"),
+            F.lit(bool(clone_is_new_table)).alias("clone_is_new_table"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q436_SQL = """
+WITH base AS (
+  SELECT s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS nation,
+         CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM supplier
+),
+diverged AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT k + 1000000 AS k, nation, cents FROM base WHERE k % 10 = 0
+)
+SELECT nation % 5 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       TRUE AS clone_matches_source,
+       TRUE AS src_unchanged,
+       TRUE AS stats_survive,
+       TRUE AS clone_is_new_table
+FROM diverged
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+# ------------------------------------------------------------- q437
+
+Q437_WH = os.path.join(_REPO, ".q437_warehouse")
+
+
+def q437_delta_tail_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming FROM the Delta log
+    (``spark.readStream.format("delta_tail")``,
+    ``sources/delta_stream.py``): tail a log-managed table's commits
+    and emit each commit's ADDED rows — Delta's streaming-source
+    contract over the pure-Python ``_delta_log``.
+
+    The lifecycle drives the three semantics that matter:
+
+    * **appends stream** — overwrite (v0) + three appends land in the
+      sink exactly once each; offsets are log versions, partition
+      planning is one InputPartition per added file (driver plans
+      from the commit JSON alone, executors read the parquet — a
+      1000-file commit fans out across the cluster);
+    * **change commits are SKIPPED whole** (``skipChangeCommits``) —
+      the COW DELETE between the appends contributes nothing: its
+      rewritten files re-add every untouched row, and streaming them
+      would double-emit (``change_commit_skipped`` pins the sink
+      count to appends only);
+    * **starting_version consumes the tail** — a second stream from
+      ``starting_version = 2`` sees only the post-v1 appends
+      (``tail_rows``), the "resume from my watermark" shape every
+      downstream incremental consumer uses.
+
+    Scale: per trigger the source lists the log tail (a handful of
+    JSON reads, zero data I/O) and schedules O(files added) tasks —
+    the change queue for a 100 TB table costs metadata. Reference:
+    chained incremental models on ``file_format: delta``
+    (dbt_project.yml:39) run as exactly this streaming read on
+    Databricks; customers_latest.sql:3-6 is the downstream merge."""
+    from product_analytics_spark.sources.delta_stream import (
+        register_delta_tail,
+    )
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q437_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q437_WH, retain_versions=10, delta_log=True)
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("feed", base, partition_by=("seg",))        # v0
+    app1 = cust.where("c_custkey % 13 = 0").select(
+        (F.col("c_custkey") + 30_000_000).alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(100).cast("long").alias("cents"),
+    )
+    store.append("feed", app1, partition_by=("seg",))           # v1
+    store.delete_where("feed", "k % 3 = 0")                     # v2 (change)
+    app2 = cust.where("c_custkey % 17 = 0").select(
+        (F.col("c_custkey") + 40_000_000).alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(200).cast("long").alias("cents"),
+    )
+    store.append("feed", app2, partition_by=("seg",))           # v3
+
+    register_delta_tail(spark)
+    tdir = store.path("feed")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = (
+            spark.readStream.format("delta_tail")
+            .option("path", tdir)
+            .load()
+        )
+        q = (
+            src.writeStream.format("memory")
+            .queryName("q437_sink")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination(60)
+
+        tail_src = (
+            spark.readStream.format("delta_tail")
+            .option("path", tdir)
+            .option("starting_version", "2")
+            .load()
+        )
+        q2 = (
+            tail_src.writeStream.format("memory")
+            .queryName("q437_tail_sink")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q2.processAllAvailable()
+        finally:
+            q2.stop()
+        q2.awaitTermination(60)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    streamed = spark.table("q437_sink")
+    n_base = base.count()
+    n_app1 = app1.count()
+    n_app2 = app2.count()
+    change_commit_skipped = (
+        streamed.count() == n_base + n_app1 + n_app2
+    )
+    tail_rows = spark.table("q437_tail_sink").count()  # app2 only
+
+    return (
+        streamed.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .select(
+            "seg",
+            "n",
+            "cents_sum",
+            F.lit(bool(change_commit_skipped)).alias(
+                "change_commit_skipped"
+            ),
+            F.lit(bool(tail_rows == n_app2)).alias("tail_is_post_watermark"),
+        )
+        .orderBy("seg")
+    )
+
+
+Q437_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+feed AS (
+  SELECT k, seg, cents FROM base
+  UNION ALL
+  SELECT k + 30000000, seg, CAST(100 AS BIGINT) FROM base WHERE k % 13 = 0
+  UNION ALL
+  SELECT k + 40000000, seg, CAST(200 AS BIGINT) FROM base WHERE k % 17 = 0
+)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       TRUE AS change_commit_skipped,
+       TRUE AS tail_is_post_watermark
+FROM feed
+GROUP BY seg
+ORDER BY seg
+"""
+
+
+QUERIES_EXT92 = {
+    "q434_cdf_table_changes": q434_cdf_table_changes,
+    "q435_restore_lifecycle": q435_restore_lifecycle,
+    "q436_shallow_clone": q436_shallow_clone,
+    "q437_delta_tail_stream": q437_delta_tail_stream,
+}
+
+
+def _oracles_ext92() -> dict[str, str]:
+    return {
+        "q434_cdf_table_changes": Q434_SQL,
+        "q435_restore_lifecycle": Q435_SQL,
+        "q436_shallow_clone": Q436_SQL,
+        "q437_delta_tail_stream": Q437_SQL,
+    }

@@ -194,6 +194,18 @@ def file_stats(path: str) -> dict:
     }
 
 
+def resolve_path(table_dir: str, p: str) -> str:
+    """Resolve an action's ``path`` to a filesystem path. Per the
+    protocol, ``add.path`` is either a path RELATIVE to the table
+    root or an ABSOLUTE URI — shallow clones use the absolute form to
+    reference the source table's files without copying them."""
+    if p.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        return unquote(urlparse(p).path)
+    return os.path.join(table_dir, p)  # absolute p wins the join
+
+
 def _partition_values(rel_path: str) -> dict[str, str]:
     """Hive ``col=value`` segments of a path, as Delta partitionValues."""
     out: dict[str, str] = {}
@@ -288,6 +300,23 @@ class DeltaSnapshot:
                 total -= dvd["cardinality"]
         return total
 
+    def column_mapping(self) -> dict[str, str]:
+        """Logical name -> PHYSICAL name when column mapping is
+        enabled (``delta.columnMapping.mode`` name/id), else empty.
+        Physical names are what the data files and ``add.stats``
+        carry; logical names are what users query — a rename flips
+        only the logical side, zero files rewritten."""
+        conf = (self.metadata or {}).get("configuration") or {}
+        if conf.get("delta.columnMapping.mode") not in ("name", "id"):
+            return {}
+        schema = json.loads(self.metadata["schemaString"])
+        return {
+            f["name"]: (f.get("metadata") or {}).get(
+                "delta.columnMapping.physicalName", f["name"]
+            )
+            for f in schema["fields"]
+        }
+
     def dv_positions(self, table_dir: str) -> list[tuple[str, int]]:
         """Decode every live file's deletion vector into (relative
         path, row_index) pairs — the reader-side tombstone set. Cost
@@ -352,12 +381,15 @@ class DeltaSnapshot:
         """Relative paths of live files that may satisfy ALL conjuncts
         — the data-skipping scan plan, computed from the log with zero
         parquet footer opens. ``conjuncts``: (column, op, literal)
-        with op in =, <, <=, >, >=, between."""
+        with op in =, <, <=, >, >=, between. Columns are LOGICAL
+        names; under column mapping they are translated to the
+        physical names the stats are keyed by."""
+        m = self.column_mapping()
         out = []
         for path in sorted(self.files):
             add = self.files[path]
             if all(
-                self._file_overlaps(add, c, op, lit)
+                self._file_overlaps(add, m.get(c, c), op, lit)
                 for (c, op, lit) in (conjuncts or [])
             ):
                 out.append(path)
@@ -431,6 +463,12 @@ class DeltaLog:
                 {
                     "commitInfo": {
                         "timestamp": _FIXED_TIME_MS,
+                        # In-commit timestamps (Delta's
+                        # inCommitTimestamp): monotonic per-version,
+                        # deterministic (wall-clock is banned in the
+                        # cert harness) — the field timestamp-based
+                        # time travel resolves against.
+                        "inCommitTimestamp": version * 1000,
                         "operation": operation,
                         "engineInfo": "product-analytics-spark",
                     }
@@ -674,6 +712,81 @@ class DeltaLog:
                     pass
         return removed
 
+    def history(self) -> list[dict]:
+        """``DESCRIBE HISTORY``: one entry per surviving commit,
+        newest first — version, operation, inCommitTimestamp, and
+        action counts (adds/removes/cdc), all from the JSON tail
+        (O(tail) file reads, zero data I/O)."""
+        out: list[dict] = []
+        for v, path in sorted(self._commits(), reverse=True):
+            entry = {
+                "version": v,
+                "operation": None,
+                "inCommitTimestamp": None,
+                "n_add": 0,
+                "n_remove": 0,
+                "n_cdc": 0,
+            }
+            try:
+                with open(path, encoding="utf-8") as fh:
+                    for ln in fh:
+                        if not ln.strip():
+                            continue
+                        a = json.loads(ln)
+                        if "commitInfo" in a:
+                            ci = a["commitInfo"] or {}
+                            entry["operation"] = ci.get("operation")
+                            entry["inCommitTimestamp"] = ci.get(
+                                "inCommitTimestamp"
+                            )
+                        elif a.get("add"):
+                            entry["n_add"] += 1
+                        elif a.get("remove"):
+                            entry["n_remove"] += 1
+                        elif a.get("cdc"):
+                            entry["n_cdc"] += 1
+            except OSError:
+                continue
+            out.append(entry)
+        return out
+
+    def version_at_timestamp(self, ts_ms: int) -> int:
+        """Timestamp-based time travel (``TIMESTAMP AS OF``): the
+        LATEST version whose inCommitTimestamp ≤ ``ts_ms`` — Delta's
+        exact resolution rule. Raises if every surviving commit is
+        newer (the requested instant predates retained history)."""
+        best = None
+        for h in self.history():
+            ts = h.get("inCommitTimestamp")
+            if ts is not None and ts <= ts_ms:
+                best = h["version"] if best is None else max(best, h["version"])
+        if best is None:
+            raise DeltaProtocolError(
+                f"no commit at or before timestamp {ts_ms} in "
+                f"{self.log_dir} (history cleaned?)"
+            )
+        return best
+
+    def referenced_cdc_paths(self) -> set[str]:
+        """Change-file paths referenced by a ``cdc`` action in any
+        SURVIVING commit JSON — the set a CDF-aware VACUUM must keep.
+        O(|commit tail|) file reads; checkpoints don't carry cdc
+        actions (they snapshot state, not per-commit changes), so the
+        JSON tail is the single source of truth."""
+        out: set[str] = set()
+        for _v, path in self._commits():
+            try:
+                with open(path, encoding="utf-8") as fh:
+                    for ln in fh:
+                        if not ln.strip():
+                            continue
+                        c = json.loads(ln).get("cdc")
+                        if c and c.get("path"):
+                            out.add(c["path"])
+            except OSError:
+                continue
+        return out
+
     def vacuum(self, dry_run: bool = False) -> list[str]:
         """Delta VACUUM for a standalone log-managed table: delete
         data files under the table dir that the CURRENT snapshot does
@@ -682,11 +795,18 @@ class DeltaLog:
         exactly Delta's contract. Returns the (relative) paths
         removed; ``dry_run`` lists without deleting. Candidates are
         parquet data files outside ``_delta_log`` plus deletion-vector
-        sidecars (``deletion_vector_*.bin``) no live add references."""
+        sidecars (``deletion_vector_*.bin``) no live add references,
+        plus Change-Data-Feed files under ``_change_data/`` that no
+        SURVIVING commit's ``cdc`` action references (after
+        ``cleanup_log`` truncates the JSON tail, the dead commits'
+        change files are unreachable by ``table_changes`` and go with
+        them — Delta's CDF retention follows log retention the same
+        way)."""
         from product_analytics_spark.sources import deletion_vectors as dvs
 
         snap = self.snapshot()
         live = set(snap.files)
+        referenced_cdc = self.referenced_cdc_paths()
         live_dv_bins = set()
         for add in snap.files.values():
             dvd = add.get("deletionVector")
@@ -705,7 +825,10 @@ class DeltaLog:
                 rel = os.path.relpath(
                     os.path.join(root, f), self.table_dir
                 ).replace(os.sep, "/")
-                if f.endswith(".parquet"):
+                if rel.startswith(CDC_DIR + "/"):
+                    if rel not in referenced_cdc:
+                        victims.append(rel)
+                elif f.endswith(".parquet"):
                     if rel not in live:
                         victims.append(rel)
                 elif f.startswith("deletion_vector_") and f.endswith(".bin"):
@@ -806,7 +929,10 @@ def read_delta(spark, table_dir: str, version: int | None = None):
     files), injected as literal columns per the metadata's declared
     partitionColumns. Files carrying ``deletionVector`` descriptors
     (protocol 3/7 table feature) have their tombstoned positions
-    decoded from the roaring-bitmap sidecars and anti-joined out."""
+    decoded from the roaring-bitmap sidecars and anti-joined out.
+    Under column mapping, data files carry PHYSICAL column names; the
+    returned DataFrame exposes the metadata's LOGICAL names (a rename
+    is therefore visible instantly, zero files rewritten)."""
     from pyspark.sql import functions as F
 
     snap = DeltaLog(table_dir).snapshot(version)
@@ -815,11 +941,20 @@ def read_delta(spark, table_dir: str, version: int | None = None):
     if not paths:
         raise DeltaProtocolError(f"empty table at {table_dir}")
     positions = snap.dv_positions(table_dir)
+
+    def _to_logical(df):
+        m = snap.column_mapping()
+        if not m:
+            return df
+        return df.select(
+            *[F.col(phys).alias(logical) for logical, phys in m.items()]
+        )
+
     if not part_cols:
         df = spark.read.parquet(
-            *[os.path.join(table_dir, p) for p in paths]
+            *[resolve_path(table_dir, p) for p in paths]
         )
-        return apply_dv_filter(spark, df, table_dir, positions)
+        return _to_logical(apply_dv_filter(spark, df, table_dir, positions))
     # Partition literals are STRINGS in the log (partitionValues);
     # the table's real column types live in metaData.schemaString —
     # cast each literal to its declared type, like Delta readers do.
@@ -844,7 +979,7 @@ def read_delta(spark, table_dir: str, version: int | None = None):
     out = None
     for key in sorted(groups, key=lambda k: tuple(str(x) for x in k)):
         df = spark.read.parquet(
-            *[os.path.join(table_dir, p) for p in groups[key]]
+            *[resolve_path(table_dir, p) for p in groups[key]]
         )
         df = apply_dv_filter(spark, df, table_dir, positions)
         for c, v in zip(part_cols, key):
@@ -852,4 +987,355 @@ def read_delta(spark, table_dir: str, version: int | None = None):
                 c, F.lit(v).cast(part_types.get(c, "string"))
             )
         out = df if out is None else out.unionByName(df)
+    return _to_logical(out)
+
+
+# ------------------------------------------------------------------
+# Change Data Feed
+# ------------------------------------------------------------------
+
+#: Directory (relative to the table root) where CDF change files live
+#: — Delta's exact layout (PROTOCOL.md "Add CDC File"): DML commits
+#: write their change rows to ``_change_data/cdc-*.parquet`` and
+#: reference them with ``cdc`` actions.
+CDC_DIR = "_change_data"
+
+#: CDF metadata columns (Delta's reserved names).
+CDC_TYPE_COL = "_change_type"
+CDC_VERSION_COL = "_commit_version"
+
+
+def _part_types_of(snap: "DeltaSnapshot") -> dict:
+    """Partition-column name -> Spark DataType from the snapshot's
+    ``schemaString`` (partition literals are strings in the log and
+    must be cast back to their declared types, like every Delta
+    reader does)."""
+    schema_str = (snap.metadata or {}).get("schemaString")
+    if not schema_str:
+        return {}
+    try:
+        from pyspark.sql.types import StructType
+
+        st = StructType.fromJson(json.loads(schema_str))
+        return {f.name: f.dataType for f in st.fields}
+    except Exception:  # noqa: BLE001 — fall back to strings
+        return {}
+
+
+def _load_with_partitions(
+    spark, table_dir: str, files_pv: list[tuple[str, dict]],
+    part_cols: list[str], part_types: dict,
+):
+    """Read the given (rel path, partitionValues) files, injecting the
+    log's partition literals as typed columns (data files under a hive
+    layout do not store partition columns — the log does)."""
+    from pyspark.sql import functions as F
+
+    gone = [
+        rel
+        for rel, _pv in files_pv
+        if not os.path.isfile(resolve_path(table_dir, rel))
+    ]
+    if gone:
+        # Retention/VACUUM dropped the data files this range's changes
+        # live in — same failure Delta reports when CDF is requested
+        # below the vacuum horizon.
+        raise DeltaProtocolError(
+            f"change-feed data file(s) no longer on disk (GC'd/"
+            f"VACUUMed below the retention window): {sorted(gone)[:3]}"
+        )
+    groups: dict[tuple, list[str]] = {}
+    for rel, pv in files_pv:
+        key = tuple((pv or {}).get(c) for c in part_cols)
+        groups.setdefault(key, []).append(rel)
+    out = None
+    for key in sorted(groups, key=lambda k: tuple(str(x) for x in k)):
+        df = spark.read.parquet(
+            *[resolve_path(table_dir, p) for p in groups[key]]
+        )
+        for c, v in zip(part_cols, key):
+            if v is not None and c not in df.columns:
+                df = df.withColumn(
+                    c, F.lit(v).cast(part_types.get(c, "string"))
+                )
+        out = df if out is None else out.unionByName(
+            df, allowMissingColumns=True
+        )
     return out
+
+
+def table_changes(
+    spark,
+    table_dir: str,
+    start_version: int,
+    end_version: int | None = None,
+):
+    """Delta **Change Data Feed** reader (``table_changes(t, s, e)``):
+    every row-level change committed in versions ``[start, end]``,
+    with the reserved ``_change_type`` (insert / delete /
+    update_preimage / update_postimage) and ``_commit_version``
+    columns appended — the contract downstream incremental consumers
+    (dbt models reading "what changed since my watermark") depend on.
+
+    Per Delta's spec, a commit that carries ``cdc`` actions is read
+    from those change files ALONE (the add/remove churn of a
+    copy-on-write rewrite re-adds every unchanged row and must be
+    ignored); a commit without ``cdc`` actions derives its changes
+    from the actions: ``add`` files with ``dataChange`` ⇒ their rows
+    are inserts, ``remove`` files with ``dataChange`` ⇒ their rows
+    are deletes (readable until VACUUM, exactly Delta's window).
+    OPTIMIZE/compaction commits mark ``dataChange: false`` on both
+    sides and contribute nothing — rearranging bytes is not a change.
+
+    Scale: cost is O(rows actually changed) — the cdc files a DML
+    wrote, or the files an append added — never O(table). Requesting
+    a version below the checkpoint-cleaned tail raises
+    ``DeltaProtocolError`` (the commit JSON is gone), matching
+    Delta's behavior after log retention.
+
+    Reference: the incremental models consume exactly this shape
+    (``customers_latest.sql:3-6`` merge on the CDC stream;
+    ``dbt_project.yml:39`` ``file_format: delta``)."""
+    from pyspark.sql import functions as F
+
+    log = DeltaLog(table_dir)
+    latest = log.latest_version()
+    if latest is None:
+        raise DeltaProtocolError(f"no _delta_log at {table_dir}")
+    end = latest if end_version is None else int(end_version)
+    if end > latest:
+        raise DeltaProtocolError(
+            f"end_version {end} beyond latest commit {latest}"
+        )
+    commits = dict(log._commits())
+    out = None
+    for v in range(int(start_version), end + 1):
+        if v not in commits:
+            raise DeltaProtocolError(
+                f"commit {v} missing from the log (cleaned below the "
+                "checkpoint?) — change feed unavailable for it"
+            )
+        with open(commits[v], encoding="utf-8") as fh:
+            actions = [json.loads(ln) for ln in fh if ln.strip()]
+        cdc = [a["cdc"] for a in actions if a.get("cdc")]
+        snap = log.snapshot(v)
+        part_cols = (snap.metadata or {}).get("partitionColumns") or []
+        part_types = _part_types_of(snap)
+        frames = []
+        if cdc:
+            df = _load_with_partitions(
+                spark,
+                table_dir,
+                [(c["path"], c.get("partitionValues")) for c in cdc],
+                part_cols,
+                part_types,
+            )
+            if df is not None:
+                frames.append(df)  # cdc files carry _change_type
+        else:
+            adds = [
+                a["add"]
+                for a in actions
+                if a.get("add") and a["add"].get("dataChange", True)
+            ]
+            removes = [
+                a["remove"]
+                for a in actions
+                if a.get("remove") and a["remove"].get("dataChange", True)
+            ]
+            if adds:
+                df = _load_with_partitions(
+                    spark,
+                    table_dir,
+                    [(a["path"], a.get("partitionValues")) for a in adds],
+                    part_cols,
+                    part_types,
+                )
+                if df is not None:
+                    frames.append(
+                        df.withColumn(CDC_TYPE_COL, F.lit("insert"))
+                    )
+            if removes:
+                df = _load_with_partitions(
+                    spark,
+                    table_dir,
+                    [
+                        (r["path"], r.get("partitionValues") or
+                         _partition_values(r["path"]))
+                        for r in removes
+                    ],
+                    part_cols,
+                    part_types,
+                )
+                if df is not None:
+                    frames.append(
+                        df.withColumn(CDC_TYPE_COL, F.lit("delete"))
+                    )
+        for df in frames:
+            df = df.withColumn(
+                CDC_VERSION_COL, F.lit(v).cast("long")
+            )
+            out = df if out is None else out.unionByName(
+                df, allowMissingColumns=True
+            )
+    if out is None:
+        raise DeltaProtocolError(
+            f"no changes in versions [{start_version}, {end}]"
+        )
+    return out
+
+
+# ------------------------------------------------------------------
+# Shallow clone
+# ------------------------------------------------------------------
+
+
+def shallow_clone(src_table_dir: str, dst_table_dir: str) -> int:
+    """Delta **SHALLOW CLONE**: create a NEW log-managed table whose
+    version-0 commit references the SOURCE table's live data files by
+    ABSOLUTE path — zero bytes copied (the protocol allows
+    ``add.path`` to be "a relative path ... or an absolute URI";
+    clones are the canonical use). The clone starts its own history:
+    commits to it add files under its OWN directory and never touch
+    the source; per-file ``stats`` come along by value, so scan
+    planning on the clone prunes from its log with zero footer opens.
+
+    Returns the number of files referenced. Raises if the source has
+    outstanding deletion vectors (materialize with ``purge_dv``/
+    OPTIMIZE first — a cloned DV descriptor's sidecar offsets would
+    dangle) or no readable snapshot.
+
+    Scale: cloning a 100 TB table is O(|files|) log entries — the
+    dev/staging-fork workflow (test a risky migration against
+    production data without copying it) costs metadata, not a second
+    copy of the lake. VACUUM on the clone never deletes source files
+    (they live outside its table dir); VACUUM on the source CAN break
+    clones past their retention, exactly Delta's documented caveat.
+
+    Reference: dbt's ``file_format: delta`` tables are forked this
+    way for CI runs (dbt_project.yml:39); the clone is how a staging
+    run materializes against prod inputs without a 100 TB copy."""
+    src_log = DeltaLog(src_table_dir)
+    snap = src_log.snapshot()
+    if not snap.metadata:
+        raise DeltaProtocolError(f"no metaData in source {src_table_dir}")
+    actions: list[dict] = [
+        {"protocol": dict(snap.protocol or PROTOCOL_ACTION)}
+    ]
+    meta = dict(snap.metadata)
+    meta["id"] = str(uuid.uuid4())  # a clone is a NEW table identity
+    actions.append({"metaData": meta})
+    src_abs = os.path.abspath(src_table_dir)
+    n = 0
+    for rel in sorted(snap.files):
+        add = dict(snap.files[rel])
+        if add.get("deletionVector"):
+            raise DeltaProtocolError(
+                "shallow_clone: source has outstanding deletion "
+                "vectors — OPTIMIZE/purge them first"
+            )
+        add["path"] = "file://" + os.path.join(src_abs, rel)
+        add["dataChange"] = True
+        actions.append({"add": add})
+        n += 1
+    os.makedirs(dst_table_dir, exist_ok=True)
+    DeltaLog(dst_table_dir).commit(actions, version=0, operation="CLONE")
+    return n
+
+
+# ------------------------------------------------------------------
+# Column mapping (rename without rewrite)
+# ------------------------------------------------------------------
+
+
+def enable_column_mapping(table_dir: str) -> int:
+    """Upgrade a log-managed table to column mapping
+    (``delta.columnMapping.mode = name``): every schema field gets a
+    stable ``delta.columnMapping.id`` and a
+    ``delta.columnMapping.physicalName`` equal to its CURRENT name
+    (so existing data files stay valid byte-for-byte), and the
+    protocol moves to reader 2 / writer 5 (the legacy columnMapping
+    requirement) unless already higher. MetaData-only commit — zero
+    data I/O at any table size."""
+    log = DeltaLog(table_dir)
+    snap = log.snapshot()
+    if not snap.metadata:
+        raise DeltaProtocolError(f"no metaData at {table_dir}")
+    conf = dict(snap.metadata.get("configuration") or {})
+    if conf.get("delta.columnMapping.mode") in ("name", "id"):
+        return snap.version  # already enabled — idempotent
+    schema = json.loads(snap.metadata["schemaString"])
+    max_id = 0
+    for i, f in enumerate(schema["fields"], start=1):
+        md = dict(f.get("metadata") or {})
+        md.setdefault("delta.columnMapping.id", i)
+        md.setdefault("delta.columnMapping.physicalName", f["name"])
+        f["metadata"] = md
+        max_id = max(max_id, int(md["delta.columnMapping.id"]))
+    meta = dict(snap.metadata)
+    meta["schemaString"] = json.dumps(schema, separators=(",", ":"))
+    conf["delta.columnMapping.mode"] = "name"
+    conf["delta.columnMapping.maxColumnId"] = str(max_id)
+    meta["configuration"] = conf
+    actions: list[dict] = []
+    proto = dict(snap.protocol or PROTOCOL_ACTION)
+    if (
+        proto.get("minReaderVersion", 1) < 2
+        or proto.get("minWriterVersion", 2) < 5
+    ):
+        actions.append(
+            {
+                "protocol": {
+                    "minReaderVersion": max(
+                        2, proto.get("minReaderVersion", 1)
+                    ),
+                    "minWriterVersion": max(
+                        5, proto.get("minWriterVersion", 2)
+                    ),
+                }
+            }
+        )
+    actions.append({"metaData": meta})
+    return log.commit(actions, operation="UPGRADE")
+
+
+def rename_column(table_dir: str, old: str, new: str) -> int:
+    """``ALTER TABLE t RENAME COLUMN old TO new`` under column
+    mapping: flip the LOGICAL field name in metaData; the physical
+    name (what every data file and every ``add.stats`` entry carries)
+    is untouched — ZERO files rewritten, one metaData commit.
+    ``read_delta`` exposes the new logical name immediately and
+    ``plan_files`` translates predicates on it back to the physical
+    stats keys, so data skipping survives the rename.
+
+    Partition columns are refused (their physical names live in the
+    hive directory layout; Delta requires a rewrite for those too).
+
+    Scale: renaming a column of a 100 TB table is one JSON commit.
+    The alternative — rewrite every file with the new parquet column
+    name — is exactly what column mapping exists to avoid."""
+    log = DeltaLog(table_dir)
+    snap = log.snapshot()
+    conf = (snap.metadata or {}).get("configuration") or {}
+    if conf.get("delta.columnMapping.mode") not in ("name", "id"):
+        raise DeltaProtocolError(
+            "rename_column requires column mapping — call "
+            "enable_column_mapping first"
+        )
+    if old in ((snap.metadata or {}).get("partitionColumns") or []):
+        raise DeltaProtocolError(
+            f"cannot rename partition column {old!r} (physical name "
+            "is the hive directory layout; rewrite required)"
+        )
+    schema = json.loads(snap.metadata["schemaString"])
+    names = [f["name"] for f in schema["fields"]]
+    if old not in names:
+        raise DeltaProtocolError(f"no column {old!r} in {names}")
+    if new in names:
+        raise DeltaProtocolError(f"column {new!r} already exists")
+    for f in schema["fields"]:
+        if f["name"] == old:
+            f["name"] = new  # physicalName in metadata stays put
+    meta = dict(snap.metadata)
+    meta["schemaString"] = json.dumps(schema, separators=(",", ":"))
+    return log.commit([{"metaData": meta}], operation="RENAME COLUMN")

@@ -56,6 +56,7 @@ except Exception:  # pragma: no cover
 _POINTER = "_CURRENT"
 _LOG = "_LOG"
 _LAYOUT = "_LAYOUT"
+_CONSTRAINTS = "_CONSTRAINTS"
 
 #: Sentinel default for ``expected_version`` — distinct from None,
 #: which is a MEANINGFUL expectation (first write: no pointer yet).
@@ -67,6 +68,12 @@ class ConcurrentWriteError(RuntimeError):
     moved between a transaction's snapshot read and its commit. The
     caller re-reads and retries (the Delta/Iceberg commit-retry loop);
     blind retry would silently drop the other writer's rows."""
+
+
+class ConstraintViolationError(RuntimeError):
+    """A write contained rows violating a declared CHECK constraint
+    (Delta ``delta.constraints.<name>``). NOTHING commits — the
+    constraint is enforced at write time, never repaired after."""
 
 
 class SnapshotStore:
@@ -85,6 +92,7 @@ class SnapshotStore:
         warehouse_dir: str,
         retain_versions: int = 1,
         delta_log: bool = False,
+        cdf: bool = False,
     ):
         """``retain_versions`` — how many committed versions to keep on
         disk (≥1). With >1, superseded versions stay readable via
@@ -104,11 +112,30 @@ class SnapshotStore:
         reuse their previous add action's stats (same inode, same
         content — no footer re-read). History older than the
         retention window references GC'd files, exactly like Delta
-        history after VACUUM."""
+        history after VACUUM.
+
+        ``cdf=True`` (requires ``delta_log=True``) enables the Change
+        Data Feed: every DML path (merge / delete / update, COW and
+        MoR alike) writes its row-level changes to
+        ``_change_data/cdc-*.parquet`` and references them with
+        ``cdc`` actions in the same commit, per Delta's
+        ``delta.enableChangeDataFeed`` contract;
+        ``delta_log.table_changes`` reads them back with
+        ``_change_type``/``_commit_version`` columns."""
         self.spark = spark
         self.warehouse_dir = warehouse_dir
         self.retain_versions = max(1, retain_versions)
         self.delta_log = bool(delta_log)
+        if cdf and not delta_log:
+            raise ValueError("cdf=True requires delta_log=True")
+        self.cdf = bool(cdf)
+        import threading
+
+        # Staged-but-uncommitted CDF files, keyed by table name.
+        # THREAD-LOCAL: a DML stages its change files immediately
+        # before its own commit on the same thread; concurrent
+        # writers (DagExecutor workers) must never pop each other's.
+        self._cdc_local = threading.local()
         os.makedirs(warehouse_dir, exist_ok=True)
 
     def path(self, name: str) -> str:
@@ -162,6 +189,96 @@ class SnapshotStore:
         with open(tmp, "w", encoding="utf-8") as fh:
             json.dump(meta, fh)
         os.replace(tmp, os.path.join(self.path(name), _LAYOUT))
+
+    # --------------------------------------------- CHECK constraints
+
+    def constraints(self, name: str) -> dict[str, str]:
+        """Declared CHECK constraints, name -> SQL expression — the
+        pointer-file analog of Delta's ``delta.constraints.<name>``
+        table properties (mirrored into the delta log's metaData when
+        ``delta_log=True``)."""
+        import json
+
+        p = os.path.join(self.path(name), _CONSTRAINTS)
+        if not os.path.isfile(p):
+            return {}
+        with open(p, encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def _write_constraints(self, name: str, cons: dict[str, str]) -> None:
+        import json
+
+        os.makedirs(self.path(name), exist_ok=True)
+        tmp = os.path.join(
+            self.path(name), f"_cons_{uuid.uuid4().hex[:8]}"
+        )
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(cons, fh, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path(name), _CONSTRAINTS))
+
+    def add_constraint(self, name: str, cname: str, expr_sql: str) -> None:
+        """``ALTER TABLE t ADD CONSTRAINT cname CHECK (expr)`` —
+        Delta's CHECK-constraint semantics exactly:
+
+        * the EXISTING data must already satisfy the expression
+          (one validating scan, or the ALTER fails — a constraint
+          that the table violates is a lie);
+        * every subsequent write (overwrite / append / merge, COW
+          and MoR alike) validates its rows and raises
+          :class:`ConstraintViolationError` with NOTHING committed;
+        * NULL evaluates as satisfied (SQL CHECK semantics — use
+          ``x IS NOT NULL`` to forbid nulls);
+        * under ``delta_log=True`` the constraint lands in metaData
+          configuration as ``delta.constraints.<cname>`` and the
+          protocol is upgraded to writer version ≥ 3 (the legacy
+          checkConstraints writer feature), so any protocol-aware
+          writer knows it must enforce or refuse.
+
+        RESTORE is exempt: a restored version was validated under
+        the constraints in force when it committed.
+
+        Scale: enforcement is one codegen'd predicate fused into the
+        write's existing scan — no extra shuffle; the validating
+        ALTER scan is the one unavoidable full pass, same as Delta."""
+        df = self.read(name)
+        if df is None:
+            raise ValueError(f"unknown table {name!r}")
+        self._assert_satisfies(df, cname, expr_sql)
+        cons = self.constraints(name)
+        cons[cname] = expr_sql
+        self._write_constraints(name, cons)
+        if self.delta_log and self.current_data_dir(name) is not None:
+            # surface the property in the log without waiting for the
+            # next data commit (metaData-only commit, like Delta's
+            # ALTER TABLE)
+            with self._commit_lock(name):
+                self._delta_commit(name, operation="ADD CONSTRAINT")
+
+    def drop_constraint(self, name: str, cname: str) -> None:
+        cons = self.constraints(name)
+        cons.pop(cname, None)
+        self._write_constraints(name, cons)
+        if self.delta_log and self.current_data_dir(name) is not None:
+            with self._commit_lock(name):
+                self._delta_commit(name, operation="DROP CONSTRAINT")
+
+    def _assert_satisfies(
+        self, df: DataFrame, cname: str, expr_sql: str
+    ) -> None:
+        bad = df.where(
+            ~F.coalesce(F.expr(expr_sql), F.lit(True))
+        ).take(1)
+        if bad:
+            raise ConstraintViolationError(
+                f"CHECK constraint {cname!r} ({expr_sql}) violated, "
+                f"e.g. by row {bad[0].asDict()!r}; nothing committed"
+            )
+
+    def _validate_constraints(self, name: str, df: DataFrame) -> None:
+        """Validate a write's rows against every declared constraint
+        (called by the write paths BEFORE any data lands)."""
+        for cname, expr_sql in self.constraints(name).items():
+            self._assert_satisfies(df, cname, expr_sql)
 
     def versions(self, name: str) -> list[str]:
         """Committed versions still on disk, oldest→newest (the
@@ -332,6 +449,13 @@ class SnapshotStore:
                     merged_dv = new_pos.distinct()
                 if post_scan is not None:
                     post_scan()
+                if self.cdf:
+                    self._stage_cdc(
+                        name,
+                        live.where(predicate).withColumn(
+                            "_change_type", F.lit("delete")
+                        ),
+                    )
                 n_link = 0
                 for rel, files in self._partition_dirs(data):
                     out_dir = vdir if rel == "." else os.path.join(vdir, rel)
@@ -347,9 +471,11 @@ class SnapshotStore:
             except ConcurrentWriteError as exc:
                 last_err = exc
                 shutil.rmtree(vdir, ignore_errors=True)
+                self._discard_cdc(name)
                 continue
             except Exception:
                 shutil.rmtree(vdir, ignore_errors=True)
+                self._discard_cdc(name)
                 if self.current_version(name) == expected:
                     raise
                 last_err = ConcurrentWriteError(
@@ -436,8 +562,20 @@ class SnapshotStore:
                         F.expr(expr_sql).cast(live.schema[col].dataType),
                     )
                 updated = updated.select(*live.columns)
+                self._validate_constraints(name, updated)
                 if post_scan is not None:
                     post_scan()
+                if self.cdf:
+                    self._stage_cdc(
+                        name,
+                        matching.select(*live.columns)
+                        .withColumn("_change_type", F.lit("update_preimage"))
+                        .unionByName(
+                            updated.withColumn(
+                                "_change_type", F.lit("update_postimage")
+                            )
+                        ),
+                    )
                 n_link = 0
                 for rel, files in self._partition_dirs(data):
                     out_dir = vdir if rel == "." else os.path.join(vdir, rel)
@@ -457,9 +595,11 @@ class SnapshotStore:
             except ConcurrentWriteError as exc:
                 last_err = exc
                 shutil.rmtree(vdir, ignore_errors=True)
+                self._discard_cdc(name)
                 continue
             except Exception:
                 shutil.rmtree(vdir, ignore_errors=True)
+                self._discard_cdc(name)
                 if self.current_version(name) == expected:
                     raise
                 last_err = ConcurrentWriteError(
@@ -535,6 +675,9 @@ class SnapshotStore:
                         for c in live.columns
                     ]
                 )
+                # CHECK constraints gate the NEW rows only — the
+                # hardlinked side was validated when it committed
+                self._validate_constraints(name, aligned)
                 part_cols_now = [
                     c
                     for rel, _fs in self._partition_dirs(data)
@@ -567,6 +710,28 @@ class SnapshotStore:
                     merged_dv = new_pos.distinct()
                 if post_scan is not None:
                     post_scan()
+                if self.cdf:
+                    ct = "_change_type"
+                    lkeys = live.select(*keys).distinct()
+                    self._stage_cdc(
+                        name,
+                        live.join(
+                            F.broadcast(aligned.select(*keys).distinct()),
+                            keys,
+                            "left_semi",
+                        )
+                        .withColumn(ct, F.lit("update_preimage"))
+                        .unionByName(
+                            aligned.join(lkeys, keys, "left_semi").withColumn(
+                                ct, F.lit("update_postimage")
+                            )
+                        )
+                        .unionByName(
+                            aligned.join(lkeys, keys, "left_anti").withColumn(
+                                ct, F.lit("insert")
+                            )
+                        ),
+                    )
                 n_link = 0
                 for rel, files in self._partition_dirs(data):
                     out_dir = vdir if rel == "." else os.path.join(vdir, rel)
@@ -586,9 +751,11 @@ class SnapshotStore:
             except ConcurrentWriteError as exc:
                 last_err = exc
                 shutil.rmtree(vdir, ignore_errors=True)
+                self._discard_cdc(name)
                 continue
             except Exception:
                 shutil.rmtree(vdir, ignore_errors=True)
+                self._discard_cdc(name)
                 if self.current_version(name) == expected:
                     raise
                 last_err = ConcurrentWriteError(
@@ -629,11 +796,97 @@ class SnapshotStore:
                     zorder_by=tuple(layout.get("zorder_by") or ()),
                     zorder_depth=bool(layout.get("zorder_depth")),
                     expected_version=expected,
+                    # Materializing ALREADY-COMMITTED logical deletes
+                    # moves no rows: like OPTIMIZE, the log commit
+                    # must carry dataChange=false on both sides or
+                    # the change feed would re-report every row.
+                    operation="OPTIMIZE",
                 )
                 return True
             except ConcurrentWriteError as exc:
                 last_err = exc
                 continue
+        assert last_err is not None
+        raise last_err
+
+    def restore(
+        self, name: str, version: int | str, max_retries: int = 3
+    ) -> dict:
+        """Delta ``RESTORE TABLE t TO VERSION AS OF v``: make the
+        table's content equal an EARLIER committed version's, via a
+        NEW commit — history above the restore point is preserved
+        (the restore is itself just another version; time travel to
+        the pre-restore state still works within retention), which is
+        what distinguishes RESTORE from rolling back the pointer.
+
+        ``version`` is a committed version dir name (``v_...``) or an
+        index into :meth:`versions` (negative = from the end, like
+        ``read``). Every file of the target version — data files,
+        hive subdirs, and an outstanding ``_dv`` deletion vector — is
+        HARDLINKED into the new version dir: zero data movement, cost
+        O(|files|) metadata ops, exactly how Delta's RESTORE re-adds
+        the old snapshot's files by reference. The delta log (if
+        enabled) reconciles automatically: the restored files are
+        re-added (stats reused by inode — no footer re-reads) and the
+        abandoned version's files removed, with ``dataChange: true``
+        (rows DID change — streams and the change feed correctly see
+        the restore as delete-all + insert-all of the delta, Delta's
+        own RESTORE semantics).
+
+        OCC transaction: presents the version current at its start;
+        a concurrent commit in the window conflicts and the restore
+        re-reads and retries (the target is named, so retry is safe).
+
+        Scale: restoring a 100 TB table touches ZERO data bytes —
+        |files| hardlinks/manifest entries. The expensive mistake
+        this removes at scale is "full-refresh back to yesterday":
+        RESTORE is a metadata operation, the refresh is a rewrite."""
+        table = self.path(name)
+        if isinstance(version, int):
+            vs = self.versions(name)
+            if not vs:
+                raise ValueError(f"unknown table {name!r}")
+            version = vs[version]
+        src = os.path.join(table, version)
+        if not os.path.isdir(src):
+            raise ValueError(
+                f"table {name!r}: version {version!r} is not on disk "
+                "(GC'd past the retention window?)"
+            )
+        last_err: ConcurrentWriteError | None = None
+        for _ in range(max_retries):
+            expected = self.current_version(name)
+            new_version = f"v_{uuid.uuid4().hex[:12]}"
+            vdir = os.path.join(table, new_version)
+            n_link = 0
+            try:
+                for root, _dirs, files in os.walk(src):
+                    rel = os.path.relpath(root, src)
+                    out = vdir if rel == "." else os.path.join(vdir, rel)
+                    os.makedirs(out, exist_ok=True)
+                    for f in files:
+                        os.link(
+                            os.path.join(root, f), os.path.join(out, f)
+                        )
+                        n_link += 1
+                self._commit(
+                    name, new_version,
+                    expected_version=expected,
+                    operation="RESTORE",
+                )
+            except ConcurrentWriteError as exc:
+                last_err = exc
+                shutil.rmtree(vdir, ignore_errors=True)
+                continue
+            except Exception:
+                shutil.rmtree(vdir, ignore_errors=True)
+                if self.current_version(name) == expected:
+                    raise
+                last_err = ConcurrentWriteError(
+                    f"table {name!r}: snapshot GC'd under restore"
+                )
+                continue
+            return {"restored_to": version, "files_linked": n_link}
         assert last_err is not None
         raise last_err
 
@@ -850,6 +1103,64 @@ class SnapshotStore:
 
     # ------------------------------------------- Delta transaction log
 
+    def _cdc_pending(self, name: str) -> list[str]:
+        """This THREAD's staged-but-uncommitted change-file rel paths
+        for ``name`` (see ``__init__`` — thread-local so concurrent
+        DML writers never pop each other's stage)."""
+        d = getattr(self._cdc_local, "pending", None)
+        if d is None:
+            d = {}
+            self._cdc_local.pending = d
+        return d.setdefault(name, [])
+
+    def _stage_cdc(self, name: str, cdc_df: DataFrame) -> None:
+        """Materialize a DML's row-level changes for its upcoming
+        commit: write ``cdc_df`` (table columns + ``_change_type``)
+        under ``<table>/_change_data/`` — Delta's CDF layout — and
+        remember the file paths so ``_delta_commit`` can reference
+        them with ``cdc`` actions in the SAME log commit. Zero-row
+        part files are dropped (a no-match DML emits no cdc action).
+        If the transaction later loses its OCC race, ``_discard_cdc``
+        unlinks the staged files; a crash in between leaves orphans
+        no commit references, which ``DeltaLog.vacuum`` collects."""
+        if not self.cdf:
+            return
+        import pyarrow.parquet as pq
+
+        from product_analytics_spark.sources import delta_log as dl
+
+        table = self.path(name)
+        tmp = os.path.join(table, f"_cdc_tmp_{uuid.uuid4().hex[:8]}")
+        cdc_df.write.parquet(tmp)
+        dest = os.path.join(table, dl.CDC_DIR)
+        os.makedirs(dest, exist_ok=True)
+        tag = uuid.uuid4().hex[:12]
+        pending = self._cdc_pending(name)
+        i = 0
+        for f in sorted(os.listdir(tmp)):
+            if not f.endswith(".parquet") or f.startswith((".", "_")):
+                continue
+            src = os.path.join(tmp, f)
+            if pq.ParquetFile(src).metadata.num_rows == 0:
+                continue
+            rel = f"{dl.CDC_DIR}/cdc-{tag}-{i:05d}.parquet"
+            os.rename(src, os.path.join(table, rel))
+            pending.append(rel)
+            i += 1
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    def _discard_cdc(self, name: str) -> None:
+        """Drop this thread's staged change files (the DML attempt
+        lost its OCC race or failed) — both the on-disk files and the
+        pending list, so the retry stages fresh ones."""
+        pending = self._cdc_pending(name)
+        for rel in pending:
+            try:
+                os.unlink(os.path.join(self.path(name), rel))
+            except OSError:
+                pass
+        pending.clear()
+
     def _delta_commit(self, name: str, operation: str = "WRITE") -> None:
         """Emit one protocol-conformant ``_delta_log`` commit
         reconciling the log's live file set against the CURRENT data
@@ -982,6 +1293,15 @@ class SnapshotStore:
         dv_enabled = bool(dv_by_rel) or (
             prev_conf.get("delta.enableDeletionVectors") == "true"
         )
+        cdf_enabled = self.cdf or (
+            prev_conf.get("delta.enableChangeDataFeed") == "true"
+        )
+        cons = self.constraints(name)
+        prev_cons = {
+            k[len("delta.constraints."):]: v
+            for k, v in prev_conf.items()
+            if k.startswith("delta.constraints.")
+        }
         need_meta = (
             prev is None
             or not prev.metadata
@@ -994,21 +1314,42 @@ class SnapshotStore:
                 dv_enabled
                 and prev_conf.get("delta.enableDeletionVectors") != "true"
             )
+            or (
+                cdf_enabled
+                and prev_conf.get("delta.enableChangeDataFeed") != "true"
+            )
+            or prev_cons != cons
         )
         if prev is None:
-            actions.append(
-                {
-                    "protocol": dict(
-                        dl.PROTOCOL_DV_ACTION if dv_by_rel else dl.PROTOCOL_ACTION
-                    )
-                }
+            proto = dict(
+                dl.PROTOCOL_DV_ACTION if dv_by_rel else dl.PROTOCOL_ACTION
             )
+            if cons and proto["minWriterVersion"] < 3:
+                # CHECK constraints are the legacy writer-version-3
+                # feature: a protocol-aware writer must enforce or
+                # refuse (Delta PROTOCOL.md, checkConstraints).
+                proto["minWriterVersion"] = 3
+            actions.append({"protocol": proto})
         elif dv_by_rel and (
             (prev.protocol or {}).get("minReaderVersion", 1) < 3
         ):
             # first DV on an existing table: in-place protocol upgrade
             # to the deletionVectors table feature (reader 3 / writer 7)
             actions.append({"protocol": dict(dl.PROTOCOL_DV_ACTION)})
+        elif cons and (
+            (prev.protocol or {}).get("minWriterVersion", 2) < 3
+        ):
+            # first constraint on an existing table: writer >= 3
+            actions.append(
+                {
+                    "protocol": {
+                        "minReaderVersion": (prev.protocol or {}).get(
+                            "minReaderVersion", 1
+                        ),
+                        "minWriterVersion": 3,
+                    }
+                }
+            )
         if need_meta:
             schema_json = self.spark.read.parquet(data).schema.json()
             table_id = (
@@ -1022,14 +1363,50 @@ class SnapshotStore:
             )
             if dv_enabled:
                 conf["delta.enableDeletionVectors"] = "true"
+            if cdf_enabled:
+                conf["delta.enableChangeDataFeed"] = "true"
+            for cn, ce in cons.items():
+                conf[f"delta.constraints.{cn}"] = ce
             meta["configuration"] = conf
             actions.append({"metaData": meta})
+        # OPTIMIZE/compaction rearranges bytes without changing rows:
+        # Delta marks BOTH sides dataChange=false so streams and the
+        # change feed skip the commit entirely.
+        rearrange_only = operation == "OPTIMIZE"
+        if rearrange_only:
+            for a in new_adds:
+                a["dataChange"] = False
         if prev is not None:
             for rel in sorted(set(prev.files) - set(disk)):
-                actions.append({"remove": dl.make_remove(rel)})
+                rm = dl.make_remove(rel)
+                if rearrange_only:
+                    rm["dataChange"] = False
+                actions.append({"remove": rm})
         actions.extend({"add": a} for a in new_adds)
+        # Change Data Feed: reference this thread's staged change
+        # files in the SAME commit (Delta "Add CDC File" action).
+        # When cdc actions are present, table_changes reads them
+        # ALONE and ignores the COW add/remove churn.
+        if self.cdf:
+            for rel in self._cdc_pending(name):
+                p = os.path.join(table, rel)
+                try:
+                    sz = os.path.getsize(p)
+                except OSError:
+                    continue
+                actions.append(
+                    {
+                        "cdc": {
+                            "path": rel,
+                            "partitionValues": {},
+                            "size": sz,
+                            "dataChange": False,
+                        }
+                    }
+                )
+            self._cdc_pending(name).clear()
         if prev is not None and not any(
-            k in a for a in actions for k in ("add", "remove", "metaData")
+            k in a for a in actions for k in ("add", "remove", "metaData", "cdc")
         ):
             return  # nothing changed — no empty commits
         log.commit(
@@ -1121,6 +1498,7 @@ class SnapshotStore:
         n_files: int | None = None,
         zorder_depth: bool | str = False,
         expected_version=UNCHECKED,
+        operation: str = "WRITE",
     ) -> None:
         """Atomic full replace: write a version dir, commit the pointer.
 
@@ -1138,6 +1516,7 @@ class SnapshotStore:
         z-order key flips the write to equal-DEPTH quantile lanes; the
         RESOLVED boolean is what gets recorded in the layout, so a
         later ``optimize()`` reclusters with the same scheme."""
+        self._validate_constraints(name, df)
         if zorder_by and zorder_depth == "auto":
             from product_analytics_spark.functions.zorder import (
                 choose_equal_depth,
@@ -1154,7 +1533,11 @@ class SnapshotStore:
             zorder_depth=zorder_depth,
         )
         try:
-            self._commit(name, version, expected_version=expected_version)
+            self._commit(
+                name, version,
+                expected_version=expected_version,
+                operation=operation,
+            )
         except ConcurrentWriteError:
             shutil.rmtree(
                 os.path.join(self.path(name), version), ignore_errors=True
@@ -1176,6 +1559,7 @@ class SnapshotStore:
         dbt's default incremental behavior; use merge/overwrite for
         transactional semantics.
         """
+        self._validate_constraints(name, df)
         data = self.current_data_dir(name) or self.path(name)
         writer = df.write.mode("append")
         if partition_by:
@@ -1228,6 +1612,32 @@ class SnapshotStore:
             merged = merge_upsert(prev, batch, key)
             if post_scan is not None:
                 post_scan()
+            if self.cdf and prev is not None:
+                # Change feed for MERGE: matched keys emit pre+post
+                # image (the replaced row and its replacement),
+                # unmatched batch rows emit inserts — exactly what
+                # merge_upsert's prev-ANTI-batch ∪ batch does.
+                keys_l = [key] if isinstance(key, str) else list(key)
+                bkeys = batch.select(*keys_l).distinct()
+                pkeys = prev.select(*keys_l).distinct()
+                ct = "_change_type"
+                self._stage_cdc(
+                    name,
+                    prev.join(bkeys, keys_l, "left_semi")
+                    .withColumn(ct, F.lit("update_preimage"))
+                    .unionByName(
+                        batch.join(pkeys, keys_l, "left_semi").withColumn(
+                            ct, F.lit("update_postimage")
+                        ),
+                        allowMissingColumns=True,
+                    )
+                    .unionByName(
+                        batch.join(pkeys, keys_l, "left_anti").withColumn(
+                            ct, F.lit("insert")
+                        ),
+                        allowMissingColumns=True,
+                    ),
+                )
             try:
                 self.overwrite(
                     name,
@@ -1238,6 +1648,7 @@ class SnapshotStore:
                 )
             except ConcurrentWriteError as exc:
                 last_err = exc
+                self._discard_cdc(name)
                 continue
             except Exception:
                 # A concurrent commit may have GC'd the snapshot this
@@ -1245,6 +1656,7 @@ class SnapshotStore:
                 # isolation on, that is the same conflict surfaced
                 # during the write instead of at the pointer compare.
                 # Version unmoved ⇒ genuine failure: re-raise.
+                self._discard_cdc(name)
                 if (
                     not isolated
                     or self.current_version(name) == snapshot_version
@@ -1535,6 +1947,7 @@ class SnapshotStore:
         transform,
         max_retries: int = 3,
         post_scan=None,
+        cdc_build=None,
     ) -> dict:
         """Copy-on-write rewrite — the kernel under DELETE and UPDATE
         (Delta/Iceberg COW semantics): only files that CONTAIN a
@@ -1625,6 +2038,13 @@ class SnapshotStore:
                         f"file(s) missing from the on-disk manifest (URI "
                         f"decode mismatch?): {sorted(stray)[:3]}"
                     )
+                if cdc_build is not None and self.cdf:
+                    # Change feed BEFORE the rewrite: the builder reads
+                    # the matching rows of THIS attempt's snapshot
+                    # (``full`` carries the hive partition columns via
+                    # basePath), so the staged change files pair with
+                    # this attempt's commit; a lost race discards them.
+                    self._stage_cdc(name, cdc_build(full, F.expr(predicate)))
                 for rel, files in parts:
                     out_dir = vdir if rel == "." else os.path.join(vdir, rel)
                     os.makedirs(out_dir, exist_ok=True)
@@ -1642,6 +2062,10 @@ class SnapshotStore:
                         for col, val in self._partition_literals(rel):
                             df = df.withColumn(col, F.lit(val).cast("string"))
                         replaced = transform(df, F.expr(predicate))
+                        # COW UPDATE can mint violating rows — gate
+                        # the rewritten dirs (DELETE only removes, but
+                        # the check is one fused predicate either way)
+                        self._validate_constraints(name, replaced)
                         drop_cols = [
                             c for c, _v in self._partition_literals(rel)
                         ]
@@ -1653,6 +2077,7 @@ class SnapshotStore:
             except ConcurrentWriteError as exc:
                 last_err = exc
                 shutil.rmtree(vdir, ignore_errors=True)
+                self._discard_cdc(name)
                 continue
             except Exception:
                 # A concurrent commit may have GC'd this attempt's
@@ -1660,6 +2085,7 @@ class SnapshotStore:
                 # same conflict, surfaced earlier. Version unmoved ⇒
                 # genuine failure: re-raise.
                 shutil.rmtree(vdir, ignore_errors=True)
+                self._discard_cdc(name)
                 if self.current_version(name) == expected:
                     raise
                 last_err = ConcurrentWriteError(
@@ -1687,7 +2113,13 @@ class SnapshotStore:
         within the retention window. Commits are optimistic (see
         ``_rewrite_where``); ``post_scan`` is the fault-injection hook."""
         return self._rewrite_where(
-            name, predicate, lambda df, pred: df.where(~pred), post_scan=post_scan
+            name,
+            predicate,
+            lambda df, pred: df.where(~pred),
+            post_scan=post_scan,
+            cdc_build=lambda df, pred: df.where(pred).withColumn(
+                "_change_type", F.lit("delete")
+            ),
         )
 
     def update_where(
@@ -1733,4 +2165,21 @@ class SnapshotStore:
                 )
             return df
 
-        return self._rewrite_where(name, predicate, _apply, post_scan=post_scan)
+        def _cdc(df: DataFrame, pred) -> DataFrame:
+            pre = df.where(pred)
+            post = pre
+            for col, expr_sql in assignments.items():
+                # Same cast-back-to-original-type rule as _apply: the
+                # postimage must show exactly what landed on disk.
+                post = post.withColumn(
+                    col, F.expr(expr_sql).cast(df.schema[col].dataType)
+                )
+            return pre.withColumn(
+                "_change_type", F.lit("update_preimage")
+            ).unionByName(
+                post.withColumn("_change_type", F.lit("update_postimage"))
+            )
+
+        return self._rewrite_where(
+            name, predicate, _apply, post_scan=post_scan, cdc_build=_cdc
+        )

@@ -1,0 +1,120 @@
+"""delta_tail streaming-source tests (streaming FROM the Delta log).
+
+Covers the Delta streaming-source semantics the q437 cert drives,
+plus the failure modes: change commits raise without
+skip_change_commits, OPTIMIZE commits are invisible, and restart
+replay re-emits identical micro-batches (offsets are log versions).
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from product_analytics_spark.sources import delta_log as dl
+from product_analytics_spark.sources.delta_stream import (
+    DeltaTailStreamReader,
+    register_delta_tail,
+)
+from product_analytics_spark.sources.sinks import SnapshotStore
+
+WH = "/tmp/pa_test_dtail_wh"
+
+
+def _mk(spark, lo, hi):
+    return spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 3).cast("string").alias("p"),
+        (F.col("id") * 2).alias("v"),
+    )
+
+
+@pytest.fixture()
+def store(spark):
+    shutil.rmtree(WH, ignore_errors=True)
+    yield SnapshotStore(spark, WH, retain_versions=10, delta_log=True)
+    shutil.rmtree(WH, ignore_errors=True)
+
+
+def _drain(spark, tdir, sink, **opts):
+    register_delta_tail(spark)
+    reader = spark.readStream.format("delta_tail").option("path", tdir)
+    for k, v in opts.items():
+        reader = reader.option(k, v)
+    q = (
+        reader.load()
+        .writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    q.awaitTermination(30)
+    return spark.table(sink)
+
+
+def test_appends_stream_change_commits_skipped(spark, store):
+    st = store
+    st.overwrite("t", _mk(spark, 0, 40), partition_by=("p",))
+    st.append("t", _mk(spark, 40, 60), partition_by=("p",))
+    st.delete_where("t", "k < 5")                       # change commit
+    st.append("t", _mk(spark, 60, 70), partition_by=("p",))
+    out = _drain(spark, st.path("t"), "dtail_t1")
+    assert out.count() == 70
+    assert out.select("k").distinct().count() == 70
+    assert out.agg(F.sum("v")).collect()[0][0] == sum(
+        2 * i for i in range(70)
+    )
+
+
+def test_change_commit_raises_without_skip(spark, store):
+    st = store
+    st.overwrite("t", _mk(spark, 0, 10))
+    st.delete_where("t", "k = 0")
+    reader = DeltaTailStreamReader(
+        {"path": st.path("t"), "skip_change_commits": "false"}
+    )
+    with pytest.raises(dl.DeltaProtocolError, match="not an append"):
+        reader.partitions({"version": 0}, {"version": 2})
+
+
+def test_optimize_commit_invisible(spark, store):
+    st = store
+    st.overwrite("t", _mk(spark, 0, 30), cluster_by=("k",), n_files=4)
+    st.append("t", _mk(spark, 30, 40))
+    st.optimize("t", target_bytes=1 << 30)  # dataChange=false both sides
+    out = _drain(spark, st.path("t"), "dtail_t2")
+    assert out.count() == 40
+
+
+def test_starting_version_tail(spark, store):
+    st = store
+    st.overwrite("t", _mk(spark, 0, 20))
+    st.append("t", _mk(spark, 20, 30))
+    st.append("t", _mk(spark, 30, 35))
+    out = _drain(
+        spark, st.path("t"), "dtail_t3", starting_version="1"
+    )
+    assert sorted(r["k"] for r in out.collect()) == list(range(20, 35))
+
+
+def test_replay_same_range_identical(spark, store):
+    """Offsets are versions: re-planning [s, e) yields identical rows
+    — the checkpoint-restart replay contract."""
+    st = store
+    st.overwrite("t", _mk(spark, 0, 25), partition_by=("p",))
+    st.append("t", _mk(spark, 25, 30), partition_by=("p",))
+    reader = DeltaTailStreamReader({"path": st.path("t")})
+    parts1 = reader.partitions({"version": 0}, {"version": 2})
+    parts2 = reader.partitions({"version": 0}, {"version": 2})
+    rows1 = sorted(r for p in parts1 for r in reader.read(p))
+    rows2 = sorted(r for p in parts2 for r in reader.read(p))
+    assert rows1 == rows2
+    assert len(rows1) == 30
+    # latestOffset tracks the log
+    assert reader.latestOffset() == {"version": 2}
