@@ -629,11 +629,399 @@ ORDER BY seg
 """
 
 
+# ------------------------------------------------------------- q438
+
+Q438_WH = os.path.join(_REPO, ".q438_warehouse")
+
+
+def q438_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta **CHECK constraints** (``ALTER TABLE ADD CONSTRAINT`` /
+    ``delta.constraints.<name>``), enforced across the whole DML
+    surface:
+
+    * the ALTER validates EXISTING data (a constraint the table
+      already violates is refused — ``bad_alter_refused``);
+    * every write path validates before anything lands: a violating
+      COW merge, append, MoR merge, and COW update are each rejected
+      with NOTHING committed (``violations_rejected`` counts 4,
+      ``version_unchanged`` proves zero partial state);
+    * NULL satisfies (SQL CHECK semantics) — a null-balance row
+      merges fine (``null_passes``);
+    * the log carries ``delta.constraints.*`` in metaData and the
+      protocol is upgraded to writer version ≥ 3 (the legacy
+      checkConstraints feature) so protocol-aware writers must
+      enforce or refuse (``log_property``, ``protocol_writer``).
+
+    Scale: enforcement is one codegen'd predicate fused into the
+    write's scan — no extra shuffle, no post-hoc repair job. The
+    expensive alternative this removes at 100 TB is the quarantine
+    pattern: write bad rows, detect them downstream, rewrite. The
+    reference's accepted_values/not_null tests (schema.yml) are
+    exactly these constraints run AFTER materialization; pushing them
+    into the write is the engine-grade version."""
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.sinks import (
+        ConstraintViolationError,
+        SnapshotStore,
+    )
+
+    shutil.rmtree(Q438_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q438_WH, retain_versions=5, delta_log=True)
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("acct", base, partition_by=("seg",))
+    store.add_constraint("acct", "seg_nn", "seg IS NOT NULL")
+    store.add_constraint("acct", "cents_floor", "cents >= -100000000")
+
+    bad_alter_refused = False
+    try:
+        store.add_constraint("acct", "cents_pos", "cents >= 0")
+    except ConstraintViolationError:
+        bad_alter_refused = True  # negative balances exist in TPC-H
+
+    ver = store.current_version("acct")
+    bad = spark.createDataFrame(
+        [(1, None, 5)], "k long, seg string, cents long"
+    )
+    very_neg = spark.createDataFrame(
+        [(1, "BUILDING", -200000000)], "k long, seg string, cents long"
+    )
+    violations_rejected = 0
+    for attempt in (
+        lambda: store.merge("acct", bad, "k", partition_by=("seg",)),
+        lambda: store.append("acct", very_neg),
+        lambda: store.merge_mor("acct", very_neg, "k"),
+        lambda: store.update_where("acct", "k = 1", {"cents": "-200000000"}),
+    ):
+        try:
+            attempt()
+        except ConstraintViolationError:
+            violations_rejected += 1
+    version_unchanged = store.current_version("acct") == ver
+
+    # NULL satisfies CHECK (cents IS NULL passes cents_floor)
+    nullrow = spark.createDataFrame(
+        [(90_000_001, "MACHINERY", None)], "k long, seg string, cents long"
+    )
+    store.merge("acct", nullrow, "k", partition_by=("seg",))
+    null_passes = (
+        store.read("acct").where("k = 90000001").count() == 1
+    )
+
+    snap = dl.DeltaLog(store.path("acct")).snapshot()
+    conf = snap.metadata.get("configuration") or {}
+    log_property = (
+        conf.get("delta.constraints.seg_nn") == "seg IS NOT NULL"
+        and conf.get("delta.constraints.cents_floor") == "cents >= -100000000"
+    )
+    protocol_writer = int(
+        (snap.protocol or {}).get("minWriterVersion", 2)
+    )
+
+    return (
+        store.read("acct")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .select(
+            "seg",
+            "n",
+            "cents_sum",
+            F.lit(bool(bad_alter_refused)).alias("bad_alter_refused"),
+            F.lit(int(violations_rejected)).cast("long").alias(
+                "violations_rejected"
+            ),
+            F.lit(bool(version_unchanged)).alias("version_unchanged"),
+            F.lit(bool(null_passes)).alias("null_passes"),
+            F.lit(bool(log_property)).alias("log_property"),
+            F.lit(int(protocol_writer)).cast("long").alias(
+                "protocol_writer"
+            ),
+        )
+        .orderBy("seg")
+    )
+
+
+Q438_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+final AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT 90000001, 'MACHINERY', NULL
+)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       TRUE AS bad_alter_refused,
+       CAST(4 AS BIGINT) AS violations_rejected,
+       TRUE AS version_unchanged,
+       TRUE AS null_passes,
+       TRUE AS log_property,
+       CAST(3 AS BIGINT) AS protocol_writer
+FROM final
+GROUP BY seg
+ORDER BY seg
+"""
+
+
+# ------------------------------------------------------------- q439
+
+Q439_WH = os.path.join(_REPO, ".q439_warehouse")
+
+
+def q439_column_mapping_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta **column mapping** — ``ALTER TABLE RENAME COLUMN``
+    without touching a single data file (PROTOCOL.md "Column
+    Mapping"): data files keep PHYSICAL names; metaData's
+    schemaString carries the logical names plus
+    ``delta.columnMapping.{id,physicalName}`` field metadata, so a
+    rename is one metaData-only commit.
+
+    Pinned:
+
+    * ``zero_rewrite`` — the live add set (paths AND inodes) is
+      bit-identical across enable+rename;
+    * ``read_delta`` exposes the new logical name immediately
+      (the output schema of this very query — ``balance_cents``);
+    * ``skipping_survives`` — ``plan_files`` on the NEW logical name
+      still prunes (predicates translate to the physical stats keys
+      the log carries);
+    * ``protocol_ok`` — reader ≥ 2 / writer ≥ 5, the legacy
+      columnMapping protocol floor;
+    * renaming a PARTITION column is refused (its physical name is
+      the hive directory layout — ``partition_rename_refused``).
+
+    Scale: renaming a column of a 100 TB table costs one JSON
+    commit; the alternative is rewriting every file with the new
+    parquet field name. This is also the schema-evolution story the
+    reference's ``on_schema_change: sync_all_columns`` implies once
+    renames (not just adds) enter the picture."""
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q439_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q439_WH, retain_versions=5, delta_log=True)
+    base = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        F.col("s_nationkey").cast("long").alias("nation"),
+        _money_cents("s_acctbal").alias("cents"),
+    )
+    store.overwrite("sup", base, cluster_by=("cents",), n_files=6)
+    tdir = store.path("sup")
+
+    def _live_inodes():
+        snap = dl.DeltaLog(tdir).snapshot()
+        return {
+            p: os.stat(dl.resolve_path(tdir, p)).st_ino
+            for p in snap.files
+        }
+
+    before = _live_inodes()
+    dl.enable_column_mapping(tdir)
+    dl.rename_column(tdir, "cents", "balance_cents")
+    zero_rewrite = _live_inodes() == before
+
+    snap = dl.DeltaLog(tdir).snapshot()
+    lo = base.agg(F.min("cents")).collect()[0][0]
+    kept = snap.plan_files([("balance_cents", "<=", int(lo))])
+    skipping_survives = 0 < len(kept) < 6
+    proto = snap.protocol or {}
+    protocol_ok = (
+        proto.get("minReaderVersion", 1) >= 2
+        and proto.get("minWriterVersion", 2) >= 5
+    )
+    partition_rename_refused = False
+    try:
+        dl.rename_column(tdir, "k", "supp_id")  # not partition -> ok
+        dl.rename_column(tdir, "supp_id", "k")  # rename back
+    except dl.DeltaProtocolError:
+        pass
+    # build a PARTITIONED table to prove the refusal
+    part = base.limit(100)
+    store.overwrite("sup_part", part, partition_by=("nation",))
+    pdir = store.path("sup_part")
+    dl.enable_column_mapping(pdir)
+    try:
+        dl.rename_column(pdir, "nation", "nation_id")
+    except dl.DeltaProtocolError:
+        partition_rename_refused = True
+
+    return (
+        dl.read_delta(spark, tdir)
+        .groupBy((F.col("nation") % 5).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("balance_cents").alias("balance_sum"),
+        )
+        .select(
+            "bucket",
+            "n",
+            "balance_sum",
+            F.lit(bool(zero_rewrite)).alias("zero_rewrite"),
+            F.lit(bool(skipping_survives)).alias("skipping_survives"),
+            F.lit(bool(protocol_ok)).alias("protocol_ok"),
+            F.lit(bool(partition_rename_refused)).alias(
+                "partition_rename_refused"
+            ),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q439_SQL = """
+WITH base AS (
+  SELECT s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS nation,
+         CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM supplier
+)
+SELECT nation % 5 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS balance_sum,
+       TRUE AS zero_rewrite,
+       TRUE AS skipping_survives,
+       TRUE AS protocol_ok,
+       TRUE AS partition_rename_refused
+FROM base
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+# ------------------------------------------------------------- q440
+
+Q440_WH = os.path.join(_REPO, ".q440_warehouse")
+
+
+def q440_history_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``DESCRIBE HISTORY`` + timestamp-based time travel from the
+    log alone: a four-commit lifecycle (overwrite → append → COW
+    delete → compaction), then the audit trail and ``TIMESTAMP AS
+    OF`` resolution — all O(log tail) reads, zero data I/O on the
+    metadata side.
+
+    Pinned:
+
+    * the history is [OPTIMIZE, DML, WRITE, WRITE] newest-first with
+      MONOTONIC in-commit timestamps (deterministic version·1000 —
+      the inCommitTimestamp field timestamp travel resolves against);
+    * ``version_at_timestamp`` picks the LATEST version at-or-before
+      the instant (Delta's resolution rule), and reading THROUGH the
+      log at the resolved versions returns the right row counts:
+      at t=1000 the append is visible but the delete is not
+      (``rows_at_t1``), at t=9999 the compacted current state
+      (``rows_now``);
+    * the compaction commit changed NO rows (``rows_now`` equals the
+      post-delete count — OPTIMIZE rearranges, never edits).
+
+    Scale: the audit trail of a 100 TB table is its log tail — who
+    wrote what, when, in which shape (operation string + action
+    counts), with no data files opened. Reference: dbt run auditing
+    over Delta's DESCRIBE HISTORY (dbt_project.yml:39)."""
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q440_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q440_WH, retain_versions=8, delta_log=True)
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("audit", base)                              # v0  t=0
+    extra = cust.where("c_custkey % 11 = 0").select(
+        (F.col("c_custkey") + 50_000_000).alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(42).cast("long").alias("cents"),
+    )
+    store.append("audit", extra)                                # v1  t=1000
+    store.delete_where("audit", "k % 2 = 0")                    # v2  t=2000
+    store.compact("audit", target_bytes=1 << 30)                # v3  t=3000
+
+    tdir = store.path("audit")
+    log = dl.DeltaLog(tdir)
+    hist = log.history()
+    ts_monotonic = all(
+        h["inCommitTimestamp"] == h["version"] * 1000 for h in hist
+    )
+    n_base = base.count()
+    n_extra = extra.count()
+    v_t1 = log.version_at_timestamp(1000)
+    rows_at_t1 = dl.read_delta(spark, tdir, version=v_t1).count()
+    v_now = log.version_at_timestamp(999_999)
+    rows_now = dl.read_delta(spark, tdir, version=v_now).count()
+
+    rows = [
+        (
+            int(h["version"]),
+            str(h["operation"]),
+            int(h["inCommitTimestamp"]),
+        )
+        for h in hist
+    ]
+    return (
+        spark.createDataFrame(
+            rows, "version long, operation string, commit_ts long"
+        )
+        .select(
+            "version",
+            "operation",
+            "commit_ts",
+            F.lit(bool(ts_monotonic)).alias("ts_monotonic"),
+            F.lit(bool(rows_at_t1 == n_base + n_extra)).alias(
+                "t1_sees_append_not_delete"
+            ),
+            F.lit(int(rows_now)).cast("long").alias("rows_now"),
+        )
+        .orderBy(F.col("version").desc())
+    )
+
+
+Q440_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+feed AS (
+  SELECT k, cents FROM base
+  UNION ALL
+  SELECT k + 50000000 AS k, CAST(42 AS BIGINT) AS cents
+  FROM base WHERE k % 11 = 0
+),
+hist(version, operation) AS (
+  VALUES (3, 'OPTIMIZE'), (2, 'DML'), (1, 'WRITE'), (0, 'WRITE')
+)
+SELECT CAST(version AS BIGINT) AS version,
+       operation,
+       CAST(version * 1000 AS BIGINT) AS commit_ts,
+       TRUE AS ts_monotonic,
+       TRUE AS t1_sees_append_not_delete,
+       (SELECT CAST(count(*) AS BIGINT) FROM feed WHERE k % 2 <> 0)
+         AS rows_now
+FROM hist
+ORDER BY version DESC
+"""
+
+
 QUERIES_EXT92 = {
     "q434_cdf_table_changes": q434_cdf_table_changes,
     "q435_restore_lifecycle": q435_restore_lifecycle,
     "q436_shallow_clone": q436_shallow_clone,
     "q437_delta_tail_stream": q437_delta_tail_stream,
+    "q438_check_constraints": q438_check_constraints,
+    "q439_column_mapping_rename": q439_column_mapping_rename,
+    "q440_history_time_travel": q440_history_time_travel,
 }
 
 
@@ -643,4 +1031,7 @@ def _oracles_ext92() -> dict[str, str]:
         "q435_restore_lifecycle": Q435_SQL,
         "q436_shallow_clone": Q436_SQL,
         "q437_delta_tail_stream": Q437_SQL,
+        "q438_check_constraints": Q438_SQL,
+        "q439_column_mapping_rename": Q439_SQL,
+        "q440_history_time_travel": Q440_SQL,
     }
