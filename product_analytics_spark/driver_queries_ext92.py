@@ -1014,8 +1014,170 @@ ORDER BY version DESC
 """
 
 
+# ------------------------------------------------------------- q441
+
+Q441_WH = os.path.join(_REPO, ".q441_warehouse")
+
+
+def q441_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING Change Data Feed (Delta's ``readChangeFeed``):
+    ``format("delta_tail").option("read_change_feed", "true")`` tails
+    the log and serves each commit's CHANGES — cdc files for DML
+    commits (rows carry their own ``_change_type``), derived inserts
+    for append commits — instead of skipping change commits like the
+    raw-append mode does.
+
+    The lifecycle (overwrite → MERGE → DELETE → append) exercises
+    both sources of change rows in one stream:
+
+    * v1/v2 are COW DML commits: their cdc actions are read ALONE,
+      ignoring the add/remove churn that re-adds every unchanged
+      row — counting it would inflate the feed by the whole table
+      per DML (the same rule q434 pins for the batch reader, now on
+      the streaming path with one InputPartition per change file);
+    * v0/v3 have no cdc actions: their dataChange adds derive
+      ``insert`` rows — appends pay ZERO extra write cost for feed
+      support;
+    * the streamed feed equals the batch ``table_changes`` feed
+      bit-for-bit (``stream_matches_batch``) — one implementation
+      of the CDF contract, two consumption shapes.
+
+    Scale: this is the shape a 100 TB incremental DAG actually runs —
+    the downstream model is a STREAM over the upstream's change feed,
+    merging deltas at O(changed rows) per trigger with offsets in the
+    engine's checkpoint. Reference: customers_latest.sql:3-6 (merge
+    on a CDC stream) chained on dbt_project.yml:39 Delta models."""
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.delta_stream import (
+        register_delta_tail,
+    )
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q441_WH, ignore_errors=True)
+    store = SnapshotStore(
+        spark, Q441_WH, retain_versions=10, delta_log=True, cdf=True
+    )
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("feed", base, partition_by=("seg",))       # v0
+    batch = base.where("k % 6 = 0").withColumn(
+        "cents", (F.col("cents") + 77).cast("long")
+    )
+    store.merge("feed", batch, "k", partition_by=("seg",))     # v1
+    store.delete_where("feed", "k % 13 = 0")                   # v2
+    app = cust.where("c_custkey % 19 = 0").select(
+        (F.col("c_custkey") + 60_000_000).alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(900).cast("long").alias("cents"),
+    )
+    store.append("feed", app, partition_by=("seg",))           # v3
+
+    register_delta_tail(spark)
+    tdir = store.path("feed")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = (
+            spark.readStream.format("delta_tail")
+            .option("path", tdir)
+            .option("read_change_feed", "true")
+            .load()
+        )
+        q = (
+            src.writeStream.format("memory")
+            .queryName("q441_sink")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination(60)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    streamed = spark.table("q441_sink")
+    batch_feed = dl.table_changes(spark, tdir, 0).select(
+        *streamed.columns
+    )
+    stream_matches_batch = (
+        streamed.count() == batch_feed.count()
+        and streamed.exceptAll(batch_feed).count() == 0
+    )
+
+    return (
+        streamed.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .select(
+            "commit_version",
+            "change_type",
+            "n",
+            "cents_sum",
+            F.lit(bool(stream_matches_batch)).alias("stream_matches_batch"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
+
+
+Q441_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+ch0 AS (
+  SELECT CAST(0 AS BIGINT) AS commit_version, 'insert' AS change_type,
+         k, cents
+  FROM base
+),
+live1 AS (
+  SELECT k, CASE WHEN k % 6 = 0 THEN cents + 77 ELSE cents END AS cents
+  FROM base
+),
+ch1 AS (
+  SELECT CAST(1 AS BIGINT), 'update_preimage', k, cents
+  FROM base WHERE k % 6 = 0
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), 'update_postimage', k, cents + 77
+  FROM base WHERE k % 6 = 0
+),
+ch2 AS (
+  SELECT CAST(2 AS BIGINT), 'delete', k, cents
+  FROM live1 WHERE k % 13 = 0
+),
+ch3 AS (
+  SELECT CAST(3 AS BIGINT), 'insert', k + 60000000 AS k,
+         CAST(900 AS BIGINT) AS cents
+  FROM base WHERE k % 19 = 0
+),
+feed AS (
+  SELECT * FROM ch0 UNION ALL SELECT * FROM ch1
+  UNION ALL SELECT * FROM ch2 UNION ALL SELECT * FROM ch3
+)
+SELECT commit_version, change_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       TRUE AS stream_matches_batch
+FROM feed
+GROUP BY commit_version, change_type
+ORDER BY commit_version, change_type
+"""
+
+
 QUERIES_EXT92 = {
     "q434_cdf_table_changes": q434_cdf_table_changes,
+    "q441_cdf_stream": q441_cdf_stream,
     "q435_restore_lifecycle": q435_restore_lifecycle,
     "q436_shallow_clone": q436_shallow_clone,
     "q437_delta_tail_stream": q437_delta_tail_stream,
@@ -1028,6 +1190,7 @@ QUERIES_EXT92 = {
 def _oracles_ext92() -> dict[str, str]:
     return {
         "q434_cdf_table_changes": Q434_SQL,
+        "q441_cdf_stream": Q441_SQL,
         "q435_restore_lifecycle": Q435_SQL,
         "q436_shallow_clone": Q436_SQL,
         "q437_delta_tail_stream": Q437_SQL,

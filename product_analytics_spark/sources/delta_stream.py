@@ -53,12 +53,17 @@ from pyspark.sql.datasource import (
 @dataclass
 class _AddFilePartition(InputPartition):
     """Everything an executor needs to read one added file — no log
-    access on the executor side."""
+    access on the executor side. In change-feed mode (``cdf``) the
+    emitted rows append ``_change_type`` (the constant
+    ``change_type``, or the file's own column for cdc change files)
+    and ``_commit_version``."""
 
     abs_path: str
     fields: list  # [(name, type_str, partition_value_or_None), ...]
     version: int = 0
     empty: bool = False
+    cdf: bool = False
+    change_type: str | None = None  # None in cdf mode = read from file
 
 
 def _snapshot_schema(table_dir: str):
@@ -90,7 +95,11 @@ def _py_value(raw: str | None, type_str: str):
 class DeltaTailStreamReader(DataSourceStreamReader):
     """See module doc. Options: ``path`` (table dir, required),
     ``starting_version`` (default 0), ``skip_change_commits``
-    (default true)."""
+    (default true), ``read_change_feed`` (default false — Delta's
+    ``readChangeFeed``: emit the Change Data Feed instead of raw
+    appends; rows carry ``_change_type`` + ``_commit_version``,
+    change files come from the commits' ``cdc`` actions, append
+    commits derive inserts, and nothing is skipped)."""
 
     def __init__(self, options):
         self.table_dir = options.get("path")
@@ -99,6 +108,9 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         self.start_version = int(options.get("starting_version", "0"))
         self.skip_change = (
             str(options.get("skip_change_commits", "true")).lower() == "true"
+        )
+        self.read_cdf = (
+            str(options.get("read_change_feed", "false")).lower() == "true"
         )
 
     # ---------------------------------------------------- offsets
@@ -135,7 +147,17 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         if e <= s:
             return [_AddFilePartition("", [], empty=True)]
         schema, part_cols = _snapshot_schema(self.table_dir)
-        types = {f["name"]: f["type"] for f in schema["fields"]}
+
+        def _fields(pv: dict) -> list:
+            return [
+                (
+                    f["name"],
+                    str(f["type"]),
+                    pv.get(f["name"]) if f["name"] in part_cols else None,
+                )
+                for f in schema["fields"]
+            ]
+
         out: list[_AddFilePartition] = []
         for v in range(s, e):
             actions = self._commit_actions(v)
@@ -144,10 +166,61 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                 for a in actions
                 if a.get("add") and a["add"].get("dataChange", True)
             ]
-            is_change = any(
-                a.get("remove") and a["remove"].get("dataChange", True)
+            cdc = [a["cdc"] for a in actions if a.get("cdc")]
+            removes = [
+                a["remove"]
                 for a in actions
-            ) or any(a.get("deletionVector") for a in adds)
+                if a.get("remove") and a["remove"].get("dataChange", True)
+            ]
+            has_dv = any(a.get("deletionVector") for a in adds)
+            if self.read_cdf:
+                # Delta readChangeFeed: serve the commit's CHANGES.
+                # cdc files carry their own _change_type; commits
+                # without cdc derive insert/delete from dataChange
+                # adds/removes (table_changes' exact rule).
+                if cdc:
+                    for c in cdc:
+                        out.append(
+                            _AddFilePartition(
+                                dl.resolve_path(self.table_dir, c["path"]),
+                                _fields(c.get("partitionValues") or {}),
+                                version=v,
+                                cdf=True,
+                                change_type=None,
+                            )
+                        )
+                    continue
+                if has_dv:
+                    raise dl.DeltaProtocolError(
+                        f"commit {v} carries deletion vectors but no "
+                        "cdc files — enable cdf on the writer to "
+                        "stream its changes"
+                    )
+                for a in adds:
+                    out.append(
+                        _AddFilePartition(
+                            dl.resolve_path(self.table_dir, a["path"]),
+                            _fields(a.get("partitionValues") or {}),
+                            version=v,
+                            cdf=True,
+                            change_type="insert",
+                        )
+                    )
+                for r in removes:
+                    pv = r.get("partitionValues") or dl._partition_values(
+                        r["path"]
+                    )
+                    out.append(
+                        _AddFilePartition(
+                            dl.resolve_path(self.table_dir, r["path"]),
+                            _fields(pv),
+                            version=v,
+                            cdf=True,
+                            change_type="delete",
+                        )
+                    )
+                continue
+            is_change = bool(removes) or has_dv
             if is_change:
                 if self.skip_change:
                     continue  # skipChangeCommits: drop the whole commit
@@ -157,19 +230,10 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                     "start above it"
                 )
             for a in adds:
-                pv = a.get("partitionValues") or {}
-                fields = [
-                    (
-                        f["name"],
-                        str(f["type"]),
-                        pv.get(f["name"]) if f["name"] in part_cols else None,
-                    )
-                    for f in schema["fields"]
-                ]
                 out.append(
                     _AddFilePartition(
                         dl.resolve_path(self.table_dir, a["path"]),
-                        fields,
+                        _fields(a.get("partitionValues") or {}),
                         version=v,
                     )
                 )
@@ -193,6 +257,15 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             else:
                 cols[name] = tbl.column(name).to_pylist()
         names = [f[0] for f in partition.fields]
+        if partition.cdf:
+            if partition.change_type is not None:
+                ct = [partition.change_type] * nrows
+            else:  # cdc change file: the column is IN the file
+                ct = tbl.column("_change_type").to_pylist()
+            ver = partition.version
+            for i in range(nrows):
+                yield tuple(cols[n][i] for n in names) + (ct[i], ver)
+            return
         for i in range(nrows):
             yield tuple(cols[n][i] for n in names)
 
@@ -206,10 +279,24 @@ class DeltaTailDataSource(DataSource):
         return "delta_tail"
 
     def schema(self):
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import (
+            LongType,
+            StringType,
+            StructField,
+            StructType,
+        )
 
         schema, _parts = _snapshot_schema(self.options.get("path"))
-        return StructType.fromJson(schema)
+        st = StructType.fromJson(schema)
+        if str(self.options.get("read_change_feed", "false")).lower() == "true":
+            st = StructType(
+                st.fields
+                + [
+                    StructField("_change_type", StringType()),
+                    StructField("_commit_version", LongType()),
+                ]
+            )
+        return st
 
     def streamReader(self, schema) -> DeltaTailStreamReader:
         return DeltaTailStreamReader(self.options)

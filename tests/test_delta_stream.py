@@ -118,3 +118,62 @@ def test_replay_same_range_identical(spark, store):
     assert len(rows1) == 30
     # latestOffset tracks the log
     assert reader.latestOffset() == {"version": 2}
+
+
+# ---------------------------------------------------------------- CDF mode
+
+
+def test_stream_change_feed_matches_table_changes(spark, store):
+    """readChangeFeed mode: the streamed feed equals the batch
+    table_changes feed — same cdc files, same derivation rules."""
+    shutil.rmtree(WH + "_cdf", ignore_errors=True)
+    st = SnapshotStore(
+        spark, WH + "_cdf", retain_versions=10, delta_log=True, cdf=True
+    )
+    try:
+        st.overwrite("t", _mk(spark, 0, 30), partition_by=("p",))
+        st.merge(
+            "t",
+            spark.createDataFrame(
+                [(1, "1", 999), (100, "9", 5)], "k long, p string, v long"
+            ),
+            "k",
+            partition_by=("p",),
+        )
+        st.delete_where("t", "k >= 25 and k < 30")
+        st.append("t", _mk(spark, 200, 205), partition_by=("p",))
+
+        out = _drain(
+            spark, st.path("t"), "dtail_cdf1", read_change_feed="true"
+        )
+        batch = dl.table_changes(spark, st.path("t"), 0)
+
+        def key(df):
+            return sorted(
+                (
+                    r["_commit_version"],
+                    r["_change_type"],
+                    r["k"],
+                    r["v"],
+                )
+                for r in df.collect()
+            )
+
+        assert key(out) == key(batch)
+        # the change commits are SERVED (not skipped) in cdf mode
+        types = {r["_change_type"] for r in out.collect()}
+        assert {"insert", "delete", "update_preimage",
+                "update_postimage"} <= types
+    finally:
+        shutil.rmtree(WH + "_cdf", ignore_errors=True)
+
+
+def test_stream_cdf_dv_without_cdc_raises(spark, store):
+    st = store  # delta_log=True, cdf=False
+    st.overwrite("t", _mk(spark, 0, 10))
+    st.delete_where_mor("t", "k = 0")  # DV commit, no cdc files
+    reader = DeltaTailStreamReader(
+        {"path": st.path("t"), "read_change_feed": "true"}
+    )
+    with pytest.raises(dl.DeltaProtocolError, match="deletion vectors"):
+        reader.partitions({"version": 0}, {"version": 2})
