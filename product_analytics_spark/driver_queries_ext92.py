@@ -1,14 +1,15 @@
-"""Round-9 driver family, batch 92 (q434+): the Delta log's
-consumer-facing protocol features — Change Data Feed, RESTORE,
-shallow CLONE, and streaming from the log tail.
+"""Round-9 driver family, batch 92 (q434–q442): the Delta log's
+consumer-facing protocol features.
 
-* q434 — Change Data Feed: every DML path (COW merge/delete, MoR
-  update) writes its row-level changes to ``_change_data/`` and
-  references them with ``cdc`` actions in the same commit;
-  ``delta_log.table_changes`` reads them back with
-  ``_change_type``/``_commit_version``, deriving insert/delete from
-  dataChange add/remove for commits without cdc actions, and
-  skipping OPTIMIZE/DV-purge commits (dataChange=false) entirely.
+* q434 — Change Data Feed (cdc actions + ``table_changes``)
+* q435 — RESTORE as a hardlink-only new commit
+* q436 — SHALLOW CLONE via absolute-URI adds
+* q437 — streaming from the log tail (``delta_tail`` source)
+* q438 — CHECK constraints enforced across the DML surface
+* q439 — column mapping: RENAME COLUMN without rewrite
+* q440 — DESCRIBE HISTORY + TIMESTAMP AS OF
+* q441 — STREAMING Change Data Feed (``read_change_feed``)
+* q442 — generated columns (partition key from the event timestamp)
 
 Reference mapping: the incremental models consume exactly this shape
 (customers_latest.sql:3-6 — merge on a CDC stream keyed by
@@ -1175,9 +1176,139 @@ ORDER BY commit_version, change_type
 """
 
 
+# ------------------------------------------------------------- q442
+
+Q442_WH = os.path.join(_REPO, ".q442_warehouse")
+
+
+def q442_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta **generated columns** (``delta.generationExpression``,
+    the writer-version-4 generatedColumns feature), in their
+    canonical role: a PARTITION column derived from an event
+    timestamp, so writers can never desynchronize the partition key
+    from the data.
+
+    Lifecycle: declare ``order_month GENERATED ALWAYS AS
+    (date_format(order_date, 'yyyy-MM'))``, then
+
+    * overwrite + merge + append, each OMITTING the column — it is
+      computed and materialized (the hive layout lands partitioned
+      by it, so every later month-ranged query prunes);
+    * a batch SUPPLYING a wrong value is rejected null-safely with
+      nothing committed (``wrong_value_rejected`` /
+      ``version_unchanged``); a correct supplied value passes;
+    * the log's schemaString carries the expression in the FIELD
+      metadata and the protocol floor is writer ≥ 4
+      (``log_expression``, ``protocol_writer``).
+
+    Scale: at 100 TB a single writer computing its own partition
+    month in local time (off-by-one vs UTC) silently splits every
+    day's data across two partitions — every downstream partition-
+    pruned query then scans double, forever. Making the engine
+    compute the column from the declared expression removes that
+    class of corruption at the write boundary. Reference: the
+    reference's models partition on derived date parts
+    (orders_cleaned.sql's date extraction + dbt_project.yml:39 Delta
+    materialization) — this is the engine-grade form."""
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.sinks import (
+        ConstraintViolationError,
+        SnapshotStore,
+    )
+
+    shutil.rmtree(Q442_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q442_WH, retain_versions=5, delta_log=True)
+    store.set_generated(
+        "ord", "order_month", "date_format(order_date, 'yyyy-MM')"
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("order_date"),
+        _money_cents("o_totalprice").alias("cents"),
+    )
+    store.overwrite(
+        "ord", orders.where("k % 3 != 0"), partition_by=("order_month",)
+    )
+    store.merge(
+        "ord",
+        orders.where("k % 3 = 0 AND k % 6 != 0"),
+        "k",
+        partition_by=("order_month",),
+    )
+    store.append(
+        "ord", orders.where("k % 6 = 0"), partition_by=("order_month",)
+    )
+
+    ver = store.current_version("ord")
+    wrong = orders.where("k % 7 = 0").limit(5).withColumn(
+        "order_month", F.lit("1900-01")
+    )
+    wrong_value_rejected = False
+    try:
+        store.merge("ord", wrong, "k", partition_by=("order_month",))
+    except ConstraintViolationError:
+        wrong_value_rejected = True
+    version_unchanged = store.current_version("ord") == ver
+
+    snap = dl.DeltaLog(store.path("ord")).snapshot()
+    import json as _json
+
+    fields = _json.loads(snap.metadata["schemaString"])["fields"]
+    md = {f["name"]: (f.get("metadata") or {}) for f in fields}
+    log_expression = (
+        md.get("order_month", {}).get("delta.generationExpression")
+        == "date_format(order_date, 'yyyy-MM')"
+    )
+    protocol_writer = int((snap.protocol or {}).get("minWriterVersion", 2))
+
+    return (
+        store.read("ord")
+        .groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .select(
+            "order_month",
+            "n",
+            "cents_sum",
+            F.lit(bool(wrong_value_rejected)).alias("wrong_value_rejected"),
+            F.lit(bool(version_unchanged)).alias("version_unchanged"),
+            F.lit(bool(log_expression)).alias("log_expression"),
+            F.lit(int(protocol_writer)).cast("long").alias(
+                "protocol_writer"
+            ),
+        )
+        .orderBy("order_month")
+        .limit(24)
+    )
+
+
+Q442_SQL = """
+WITH base AS (
+  SELECT o_orderkey AS k,
+         strftime(o_orderdate, '%Y-%m') AS order_month,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+)
+SELECT order_month,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       TRUE AS wrong_value_rejected,
+       TRUE AS version_unchanged,
+       TRUE AS log_expression,
+       CAST(4 AS BIGINT) AS protocol_writer
+FROM base
+GROUP BY order_month
+ORDER BY order_month
+LIMIT 24
+"""
+
+
 QUERIES_EXT92 = {
     "q434_cdf_table_changes": q434_cdf_table_changes,
     "q441_cdf_stream": q441_cdf_stream,
+    "q442_generated_columns": q442_generated_columns,
     "q435_restore_lifecycle": q435_restore_lifecycle,
     "q436_shallow_clone": q436_shallow_clone,
     "q437_delta_tail_stream": q437_delta_tail_stream,
@@ -1191,6 +1322,7 @@ def _oracles_ext92() -> dict[str, str]:
     return {
         "q434_cdf_table_changes": Q434_SQL,
         "q441_cdf_stream": Q441_SQL,
+        "q442_generated_columns": Q442_SQL,
         "q435_restore_lifecycle": Q435_SQL,
         "q436_shallow_clone": Q436_SQL,
         "q437_delta_tail_stream": Q437_SQL,

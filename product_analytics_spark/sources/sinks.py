@@ -57,6 +57,7 @@ _POINTER = "_CURRENT"
 _LOG = "_LOG"
 _LAYOUT = "_LAYOUT"
 _CONSTRAINTS = "_CONSTRAINTS"
+_GENERATED = "_GENERATED"
 
 #: Sentinel default for ``expected_version`` — distinct from None,
 #: which is a MEANINGFUL expectation (first write: no pointer yet).
@@ -279,6 +280,67 @@ class SnapshotStore:
         (called by the write paths BEFORE any data lands)."""
         for cname, expr_sql in self.constraints(name).items():
             self._assert_satisfies(df, cname, expr_sql)
+
+    # --------------------------------------------- generated columns
+
+    def generated_columns(self, name: str) -> dict[str, str]:
+        """Declared generated columns, column -> SQL generation
+        expression (Delta's ``delta.generationExpression`` field
+        metadata, the writer-version-4 generatedColumns feature)."""
+        import json
+
+        p = os.path.join(self.path(name), _GENERATED)
+        if not os.path.isfile(p):
+            return {}
+        with open(p, encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def set_generated(self, name: str, col: str, expr_sql: str) -> None:
+        """Declare ``col`` GENERATED ALWAYS AS (expr) — Delta's
+        generated-column contract:
+
+        * a write that OMITS the column gets it computed (and
+          materialized into the files, like Delta);
+        * a write that SUPPLIES it is validated — any row where the
+          supplied value differs from the expression (null-safe) is
+          a ConstraintViolationError with nothing committed;
+        * under ``delta_log=True`` the expression lands in the
+          field's metadata as ``delta.generationExpression`` and the
+          protocol floor moves to writer ≥ 4.
+
+        Declare BEFORE the first write that should carry the column
+        (the canonical use: a partition column derived from an event
+        timestamp, so writers can't desynchronize the partition key
+        from the data — at 100 TB a mispartitioned day is a silent
+        full-scan tax on every downstream query until repaired)."""
+        import json
+
+        gens = self.generated_columns(name)
+        gens[col] = expr_sql
+        os.makedirs(self.path(name), exist_ok=True)
+        tmp = os.path.join(self.path(name), f"_gen_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(gens, fh, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path(name), _GENERATED))
+
+    def _apply_generated(self, name: str, df: DataFrame) -> DataFrame:
+        """Compute absent generated columns; validate supplied ones
+        (exact null-safe equality with the generation expression)."""
+        gens = self.generated_columns(name)
+        for col, expr_sql in gens.items():
+            if col not in df.columns:
+                df = df.withColumn(col, F.expr(expr_sql))
+            else:
+                bad = df.where(
+                    ~F.col(col).eqNullSafe(F.expr(expr_sql))
+                ).take(1)
+                if bad:
+                    raise ConstraintViolationError(
+                        f"generated column {col!r} = ({expr_sql}) "
+                        f"violated by supplied value, e.g. row "
+                        f"{bad[0].asDict()!r}; nothing committed"
+                    )
+        return df
 
     def versions(self, name: str) -> list[str]:
         """Committed versions still on disk, oldest→newest (the
@@ -651,6 +713,7 @@ class SnapshotStore:
         ``deletionVector`` descriptors like the other MoR ops."""
         keys = [key] if isinstance(key, str) else list(key)
         last_err: ConcurrentWriteError | None = None
+        batch = self._apply_generated(name, batch)
         for _ in range(max_retries):
             expected = self.current_version(name)
             version = f"v_{uuid.uuid4().hex[:12]}"
@@ -1302,6 +1365,15 @@ class SnapshotStore:
             for k, v in prev_conf.items()
             if k.startswith("delta.constraints.")
         }
+        gens = self.generated_columns(name)
+        prev_gens: dict[str, str] = {}
+        if prev is not None and (prev.metadata or {}).get("schemaString"):
+            for f in json.loads(prev.metadata["schemaString"])["fields"]:
+                ge = (f.get("metadata") or {}).get(
+                    "delta.generationExpression"
+                )
+                if ge:
+                    prev_gens[f["name"]] = ge
         need_meta = (
             prev is None
             or not prev.metadata
@@ -1319,16 +1391,22 @@ class SnapshotStore:
                 and prev_conf.get("delta.enableChangeDataFeed") != "true"
             )
             or prev_cons != cons
+            or prev_gens != gens
         )
+        # Legacy writer-version floors: 3 = checkConstraints,
+        # 4 = generatedColumns (Delta PROTOCOL.md) — a protocol-aware
+        # writer must enforce these features or refuse the table.
+        need_writer = 2
+        if cons:
+            need_writer = 3
+        if gens:
+            need_writer = max(need_writer, 4)
         if prev is None:
             proto = dict(
                 dl.PROTOCOL_DV_ACTION if dv_by_rel else dl.PROTOCOL_ACTION
             )
-            if cons and proto["minWriterVersion"] < 3:
-                # CHECK constraints are the legacy writer-version-3
-                # feature: a protocol-aware writer must enforce or
-                # refuse (Delta PROTOCOL.md, checkConstraints).
-                proto["minWriterVersion"] = 3
+            if proto["minWriterVersion"] < need_writer:
+                proto["minWriterVersion"] = need_writer
             actions.append({"protocol": proto})
         elif dv_by_rel and (
             (prev.protocol or {}).get("minReaderVersion", 1) < 3
@@ -1336,22 +1414,29 @@ class SnapshotStore:
             # first DV on an existing table: in-place protocol upgrade
             # to the deletionVectors table feature (reader 3 / writer 7)
             actions.append({"protocol": dict(dl.PROTOCOL_DV_ACTION)})
-        elif cons and (
-            (prev.protocol or {}).get("minWriterVersion", 2) < 3
-        ):
-            # first constraint on an existing table: writer >= 3
+        elif need_writer > (prev.protocol or {}).get("minWriterVersion", 2):
             actions.append(
                 {
                     "protocol": {
                         "minReaderVersion": (prev.protocol or {}).get(
                             "minReaderVersion", 1
                         ),
-                        "minWriterVersion": 3,
+                        "minWriterVersion": need_writer,
                     }
                 }
             )
         if need_meta:
             schema_json = self.spark.read.parquet(data).schema.json()
+            if gens:
+                # generation expressions live in the FIELD metadata
+                # (delta.generationExpression), not configuration
+                sch = json.loads(schema_json)
+                for f in sch["fields"]:
+                    if f["name"] in gens:
+                        md = dict(f.get("metadata") or {})
+                        md["delta.generationExpression"] = gens[f["name"]]
+                        f["metadata"] = md
+                schema_json = json.dumps(sch, separators=(",", ":"))
             table_id = (
                 prev.metadata.get("id") if prev and prev.metadata else None
             )
@@ -1516,6 +1601,7 @@ class SnapshotStore:
         z-order key flips the write to equal-DEPTH quantile lanes; the
         RESOLVED boolean is what gets recorded in the layout, so a
         later ``optimize()`` reclusters with the same scheme."""
+        df = self._apply_generated(name, df)
         self._validate_constraints(name, df)
         if zorder_by and zorder_depth == "auto":
             from product_analytics_spark.functions.zorder import (
@@ -1559,6 +1645,7 @@ class SnapshotStore:
         dbt's default incremental behavior; use merge/overwrite for
         transactional semantics.
         """
+        df = self._apply_generated(name, df)
         self._validate_constraints(name, df)
         data = self.current_data_dir(name) or self.path(name)
         writer = df.write.mode("append")
@@ -1606,6 +1693,11 @@ class SnapshotStore:
         """
         attempts = max_retries if isolated else 1
         last_err: ConcurrentWriteError | None = None
+        # Generated columns: a batch that omits them gets them
+        # computed HERE (absent-vs-null matters — after the upsert
+        # union the distinction is gone and validation would reject
+        # the nulls).
+        batch = self._apply_generated(name, batch)
         for _ in range(attempts):
             snapshot_version = self.current_version(name) if isolated else UNCHECKED
             prev = self.read(name)

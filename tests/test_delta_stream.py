@@ -177,3 +177,44 @@ def test_stream_cdf_dv_without_cdc_raises(spark, store):
     )
     with pytest.raises(dl.DeltaProtocolError, match="deletion vectors"):
         reader.partitions({"version": 0}, {"version": 2})
+
+
+def test_checkpoint_restart_exactly_once(spark, store, tmp_path):
+    """Kill the stream, append more commits, restart from the SAME
+    checkpoint: the durable offsets resume at the next unread version
+    — every row lands in the file sink exactly once across the two
+    stream lifetimes (offsets-are-versions + replay-identical
+    planning is what makes this hold)."""
+    st = store
+    st.overwrite("t", _mk(spark, 0, 20), partition_by=("p",))
+    st.append("t", _mk(spark, 20, 30), partition_by=("p",))
+
+    register_delta_tail(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def run_once():
+        q = (
+            spark.readStream.format("delta_tail")
+            .option("path", st.path("t"))
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination(30)
+
+    run_once()                       # lifetime 1: v0+v1
+    st.append("t", _mk(spark, 30, 45), partition_by=("p",))
+    st.append("t", _mk(spark, 45, 50), partition_by=("p",))
+    run_once()                       # lifetime 2: v2+v3 only
+
+    got = spark.read.parquet(out)
+    assert got.count() == 50, "no duplicates, no losses across restart"
+    assert got.select("k").distinct().count() == 50

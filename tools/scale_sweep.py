@@ -228,7 +228,7 @@ def _resolve_keys(queries: dict, shorts: list[str] | None = None) -> list[str]:
     return out
 
 
-def run(target: str = "sf1") -> None:
+def run(target: str = "sf1", shorts: list[str] | None = None) -> None:
     import __spark_entry__ as entry_mod
     from product_analytics_spark import cache
     from product_analytics_spark.session import get_spark
@@ -236,7 +236,12 @@ def run(target: str = "sf1") -> None:
     _factor, dst, results_path = TARGETS[target]
     spark = get_spark("scale_sweep")
     queries = entry_mod.queries()
-    keys = _resolve_keys(queries, SF3_KEYS if target == "sf3" else SWEEP_KEYS)
+    keys = _resolve_keys(
+        queries,
+        shorts
+        if shorts
+        else (SF3_KEYS if target == "sf3" else SWEEP_KEYS),
+    )
     results: dict[str, dict[str, float]] = {}
     for sf_name, sf_dir in (("sf0.1", SRC), (target, dst)):
         # warm the JVM/session so the first key doesn't absorb startup
@@ -256,6 +261,12 @@ def run(target: str = "sf1") -> None:
             finally:
                 cache.clear_all()
         cache.clear_shared()
+    if os.path.isfile(results_path):
+        # merge: keep prior keys' measurements, overwrite re-run ones
+        with open(results_path, encoding="utf-8") as fh:
+            prior = json.load(fh)
+        prior.update(results)
+        results = prior
     with open(results_path, "w", encoding="utf-8") as fh:
         json.dump(results, fh, indent=1, sort_keys=True)
     print(f"wrote {results_path}")
@@ -361,6 +372,16 @@ def report() -> None:
         "  60-bit fingerprint.",
         "* Ratios were measured in one warm session per target, sf0.1",
         "  first, caches cleared between queries.",
+        "* **Round-9 second push — the delta-consumer family is FLAT",
+        "  at 10× data** (q430 1.1×, q434 1.2×, q437 0.7×, q438 1.0×,",
+        "  q441 1.2×, q442 0.9×): these lifecycles are dominated by",
+        "  per-commit/per-trigger metadata cost, not row volume — the",
+        "  MoR DML writes O(matched rows) + DV bytes, the change feed",
+        "  writes/reads O(changed rows), the stream plans from the log",
+        "  tail, and constraint checks fuse into the write's existing",
+        "  scan. That flatness is the design claim of the round (at",
+        "  100 TB, metadata is the bottleneck) showing up as a",
+        "  measurement.",
     ]
     with open("/root/repo/SCALE_SWEEP.md", "w", encoding="utf-8") as fh:
         fh.write("\n".join(lines) + "\n")
@@ -371,6 +392,10 @@ if __name__ == "__main__":
     cmd = sys.argv[1] if len(sys.argv) > 1 else "run"
     if cmd == "report":
         report()
+    elif cmd == "generate":
+        generate(sys.argv[2] if len(sys.argv) > 2 else "sf1")
     else:
         target = sys.argv[2] if len(sys.argv) > 2 else "sf1"
-        {"generate": generate, "run": run}[cmd](target)
+        # optional explicit key list after the target: merge the new
+        # measurements into the existing results file
+        run(target, sys.argv[3:] or None)
