@@ -1305,10 +1305,172 @@ LIMIT 24
 """
 
 
+# ------------------------------------------------------------- q443
+
+Q443_WH = os.path.join(_REPO, ".q443_warehouse")
+
+
+def q443_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta **identity columns** (``delta.identity.*``, the
+    writer-version-6 identityColumns feature) in their canonical
+    role: the SURROGATE KEY of a dimension table that incremental
+    merges must keep STABLE.
+
+    Lifecycle: declare ``sk GENERATED ALWAYS AS IDENTITY``, overwrite
+    the customer dimension (every row allocated a fresh key), then
+    two incremental merges — updates + late arrivals:
+
+    * matched rows INHERIT their existing surrogate key
+      (``keys_stable`` — the property every star-schema fact join
+      depends on: a surrogate key that churns on update orphans all
+      facts referencing it);
+    * inserted rows allocate ABOVE the persisted high-water mark
+      (``fresh_above_hwm``), so keys stay unique across writes and
+      engine restarts;
+    * ids are unique table-wide after the full lifecycle
+      (``all_unique``);
+    * supplying the column on an insert path is refused — GENERATED
+      ALWAYS (``supplied_refused``);
+    * the log carries the spec in the FIELD metadata with protocol
+      writer ≥ 6 (``log_spec``, ``protocol_writer``).
+
+    Allocation is O(rows written) with zero shuffles (partition-local
+    offsets above the durable high-water mark — no global sort, no
+    window). Scale: at 100 TB the alternative people actually ship —
+    ``row_number() OVER ()`` per batch — is a single-partition sort
+    of the whole table per run AND re-issues keys on every backfill;
+    the sequence-with-HWM is what makes surrogate keys cheap and
+    stable. Output keys are NOT in the result (they're
+    allocation-order-dependent); the cert pins their PROPERTIES and
+    returns the business aggregate per segment."""
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.sinks import (
+        ConstraintViolationError,
+        SnapshotStore,
+    )
+
+    shutil.rmtree(Q443_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q443_WH, retain_versions=5, delta_log=True)
+    store.set_identity("dim", "sk", start=1000, step=1)
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("dim", base)
+    sk0 = {r["nk"]: r["sk"] for r in store.read("dim").collect()}
+    hwm0 = store.identity_columns("dim")["sk"]["high_water_mark"]
+
+    b1 = base.where("nk % 5 = 0").withColumn(
+        "cents", (F.col("cents") + 11).cast("long")
+    ).unionByName(
+        cust.where("c_custkey % 41 = 0").select(
+            (F.col("c_custkey") + 70_000_000).alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+            F.lit(1).cast("long").alias("cents"),
+        )
+    )
+    store.merge("dim", b1, "nk")
+    b2 = base.where("nk % 10 = 0").withColumn(
+        "cents", (F.col("cents") + 22).cast("long")
+    )
+    store.merge_mor("dim", b2, "nk")
+
+    rows = store.read("dim").collect()
+    sk_now = {r["nk"]: r["sk"] for r in rows}
+    keys_stable = all(
+        sk_now[nk] == sk for nk, sk in sk0.items() if nk in sk_now
+    )
+    fresh = [sk for nk, sk in sk_now.items() if nk not in sk0]
+    fresh_above_hwm = all(sk > hwm0 for sk in fresh) and bool(fresh)
+    all_unique = len(set(sk_now.values())) == len(sk_now)
+
+    supplied_refused = False
+    try:
+        store.append("dim", store.read("dim").limit(1))
+    except ConstraintViolationError:
+        supplied_refused = True
+
+    snap = dl.DeltaLog(store.path("dim")).snapshot()
+    import json as _json
+
+    fields = _json.loads(snap.metadata["schemaString"])["fields"]
+    md = {f["name"]: (f.get("metadata") or {}) for f in fields}
+    log_spec = (
+        md.get("sk", {}).get("delta.identity.start") == 1000
+        and md.get("sk", {}).get("delta.identity.step") == 1
+        and md.get("sk", {}).get("delta.identity.highWaterMark")
+        is not None
+    )
+    protocol_writer = int((snap.protocol or {}).get("minWriterVersion", 2))
+
+    return (
+        store.read("dim")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .select(
+            "seg",
+            "n",
+            "cents_sum",
+            F.lit(bool(keys_stable)).alias("keys_stable"),
+            F.lit(bool(fresh_above_hwm)).alias("fresh_above_hwm"),
+            F.lit(bool(all_unique)).alias("all_unique"),
+            F.lit(bool(supplied_refused)).alias("supplied_refused"),
+            F.lit(bool(log_spec)).alias("log_spec"),
+            # the MoR merge's deletion vector upgrades to 3/7, which
+            # subsumes the identity floor — pin the FLOOR, not the
+            # exact number
+            F.lit(bool(protocol_writer >= 6)).alias("protocol_at_least_6"),
+        )
+        .orderBy("seg")
+    )
+
+
+Q443_SQL = """
+WITH base AS (
+  SELECT c_custkey AS nk, c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+),
+live1 AS (
+  SELECT nk, seg,
+         CASE WHEN nk % 5 = 0 THEN cents + 11 ELSE cents END AS cents
+  FROM base
+  UNION ALL
+  SELECT nk + 70000000, seg, CAST(1 AS BIGINT)
+  FROM base WHERE nk % 41 = 0
+),
+live2 AS (
+  SELECT nk, seg,
+         CASE WHEN nk % 10 = 0 AND nk < 70000000
+              THEN (SELECT b.cents FROM base b WHERE b.nk = live1.nk) + 22
+              ELSE cents END AS cents
+  FROM live1
+)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       TRUE AS keys_stable,
+       TRUE AS fresh_above_hwm,
+       TRUE AS all_unique,
+       TRUE AS supplied_refused,
+       TRUE AS log_spec,
+       TRUE AS protocol_at_least_6
+FROM live2
+GROUP BY seg
+ORDER BY seg
+"""
+
+
 QUERIES_EXT92 = {
     "q434_cdf_table_changes": q434_cdf_table_changes,
     "q441_cdf_stream": q441_cdf_stream,
     "q442_generated_columns": q442_generated_columns,
+    "q443_identity_columns": q443_identity_columns,
     "q435_restore_lifecycle": q435_restore_lifecycle,
     "q436_shallow_clone": q436_shallow_clone,
     "q437_delta_tail_stream": q437_delta_tail_stream,
@@ -1323,6 +1485,7 @@ def _oracles_ext92() -> dict[str, str]:
         "q434_cdf_table_changes": Q434_SQL,
         "q441_cdf_stream": Q441_SQL,
         "q442_generated_columns": Q442_SQL,
+        "q443_identity_columns": Q443_SQL,
         "q435_restore_lifecycle": Q435_SQL,
         "q436_shallow_clone": Q436_SQL,
         "q437_delta_tail_stream": Q437_SQL,

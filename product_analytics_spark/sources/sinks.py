@@ -58,6 +58,7 @@ _LOG = "_LOG"
 _LAYOUT = "_LAYOUT"
 _CONSTRAINTS = "_CONSTRAINTS"
 _GENERATED = "_GENERATED"
+_IDENTITY = "_IDENTITY"
 
 #: Sentinel default for ``expected_version`` — distinct from None,
 #: which is a MEANINGFUL expectation (first write: no pointer yet).
@@ -341,6 +342,145 @@ class SnapshotStore:
                         f"{bad[0].asDict()!r}; nothing committed"
                     )
         return df
+
+    # ---------------------------------------------- identity columns
+
+    def identity_columns(self, name: str) -> dict[str, dict]:
+        """Declared identity columns, column -> {start, step,
+        high_water_mark} (Delta's ``delta.identity.*`` field
+        metadata, the writer-version-6 identityColumns feature)."""
+        import json
+
+        p = os.path.join(self.path(name), _IDENTITY)
+        if not os.path.isfile(p):
+            return {}
+        with open(p, encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def _write_identity(self, name: str, ids: dict[str, dict]) -> None:
+        import json
+
+        os.makedirs(self.path(name), exist_ok=True)
+        tmp = os.path.join(self.path(name), f"_id_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(ids, fh, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path(name), _IDENTITY))
+
+    def set_identity(
+        self, name: str, col: str, start: int = 1, step: int = 1
+    ) -> None:
+        """Declare ``col`` as GENERATED ALWAYS AS IDENTITY (START
+        WITH ``start`` INCREMENT BY ``step``) — Delta's identity
+        columns (writer-version-6 feature):
+
+        * a write that OMITS the column gets fresh values allocated
+          above the persisted high-water mark (monotonic per
+          allocation order; Delta guarantees uniqueness+monotonicity,
+          NOT gap-freedom — neither do we: a failed transaction may
+          burn a range, exactly like every database sequence);
+        * a write that SUPPLIES the column is refused (GENERATED
+          ALWAYS semantics — Delta's writer does the same);
+        * the high-water mark is persisted (``delta.identity.
+          highWaterMark`` analog) so restarts never re-issue ids.
+
+        Declare BEFORE the first write. Scale: allocation is one
+        window-free ``zipWithIndex``-style pass over ONLY the new
+        rows (monotonically_increasing_id + a rank over partition
+        ids would shuffle; instead we use the partition-local offsets
+        trick — O(rows written), no extra shuffle, no global sort)."""
+        if step == 0:
+            raise ValueError("identity step must be non-zero")
+        ids = self.identity_columns(name)
+        ids[col] = {"start": int(start), "step": int(step),
+                    "high_water_mark": None}
+        self._write_identity(name, ids)
+
+    def _apply_identity(self, name: str, df: DataFrame) -> DataFrame:
+        """Allocate identity values for absent identity columns;
+        refuse supplied ones. Advances the persisted high-water mark
+        BEFORE the write (a crashed write burns the range — ids stay
+        unique, like any sequence)."""
+        ids = self.identity_columns(name)
+        if not ids:
+            return df
+        changed = False
+        for col, spec in ids.items():
+            if col in df.columns:
+                raise ConstraintViolationError(
+                    f"column {col!r} is GENERATED ALWAYS AS IDENTITY —"
+                    " writers must not supply it"
+                )
+            step = int(spec["step"])
+            hwm = spec["high_water_mark"]
+            base = int(spec["start"]) if hwm is None else int(hwm) + step
+            # partition-local offsets: ONE small job collects per-
+            # partition row counts (|partitions| longs to the driver),
+            # then each partition's ids start at base + rows-before-it
+            # — zero shuffles, no global sort, O(rows) work. (This is
+            # the documented legitimate RDD use: per-partition
+            # imperative allocation that no built-in expresses without
+            # a shuffle.)
+            from pyspark.sql.types import LongType, StructField, StructType
+
+            counts = df.rdd.mapPartitions(
+                lambda it: [sum(1 for _ in it)]
+            ).collect()
+            offsets = {}
+            acc = 0
+            for i, c in enumerate(counts):
+                offsets[i] = acc
+                acc += c
+            n = acc
+            schema = StructType(
+                df.schema.fields + [StructField(col, LongType(), False)]
+            )
+
+            def _tag(pi, it, _offs=offsets, _base=base, _step=step):
+                j = 0
+                for row in it:
+                    yield (*row, _base + (_offs[pi] + j) * _step)
+                    j += 1
+
+            df = self.spark.createDataFrame(
+                df.rdd.mapPartitionsWithIndex(_tag), schema
+            )
+            if n:
+                spec["high_water_mark"] = base + (n - 1) * step
+                changed = True
+        if changed:
+            self._write_identity(name, ids)
+        return df
+
+    def _identity_merge_batch(
+        self, name: str, prev: DataFrame | None, batch: DataFrame,
+        keys: list[str],
+    ) -> DataFrame:
+        """MERGE semantics for an identity table: matched keys INHERIT
+        their existing identity value (one key-join against the live
+        side's key+identity projection — broadcastable when the batch
+        is small); unmatched rows get fresh allocations. Supplying the
+        column in the batch is refused (GENERATED ALWAYS)."""
+        ids = self.identity_columns(name)
+        if not ids:
+            return batch
+        if len(ids) > 1:
+            raise ValueError(
+                "at most one identity column per table is supported"
+            )
+        col = next(iter(ids))
+        if col in batch.columns:
+            raise ConstraintViolationError(
+                f"column {col!r} is GENERATED ALWAYS AS IDENTITY —"
+                " writers must not supply it"
+            )
+        if prev is None:
+            return self._apply_identity(name, batch)
+        tagged = batch.join(prev.select(*keys, col), keys, "left")
+        existing = tagged.where(F.col(col).isNotNull())
+        fresh = self._apply_identity(
+            name, tagged.where(F.col(col).isNull()).drop(col)
+        )
+        return existing.unionByName(fresh.select(*existing.columns))
 
     def versions(self, name: str) -> list[str]:
         """Committed versions still on disk, oldest→newest (the
@@ -723,8 +863,13 @@ class SnapshotStore:
                 if data is None:
                     raise ValueError(f"unknown table {name!r}")
                 live = self._apply_dv(data)
-                missing = set(live.columns) - set(batch.columns)
-                extra = set(batch.columns) - set(live.columns)
+                batch_eff = (
+                    self._identity_merge_batch(name, live, batch, keys)
+                    if self.identity_columns(name)
+                    else batch
+                )
+                missing = set(live.columns) - set(batch_eff.columns)
+                extra = set(batch_eff.columns) - set(live.columns)
                 if missing or extra:
                     raise ValueError(
                         f"merge_mor requires identical column sets "
@@ -732,7 +877,7 @@ class SnapshotStore:
                         f"{sorted(extra)}); use merge() for schema "
                         f"evolution"
                     )
-                aligned = batch.select(
+                aligned = batch_eff.select(
                     *[
                         F.col(c).cast(live.schema[c].dataType).alias(c)
                         for c in live.columns
@@ -1366,14 +1511,23 @@ class SnapshotStore:
             if k.startswith("delta.constraints.")
         }
         gens = self.generated_columns(name)
+        idents = self.identity_columns(name)
         prev_gens: dict[str, str] = {}
+        prev_idents: dict[str, dict] = {}
         if prev is not None and (prev.metadata or {}).get("schemaString"):
             for f in json.loads(prev.metadata["schemaString"])["fields"]:
-                ge = (f.get("metadata") or {}).get(
-                    "delta.generationExpression"
-                )
+                fmd = f.get("metadata") or {}
+                ge = fmd.get("delta.generationExpression")
                 if ge:
                     prev_gens[f["name"]] = ge
+                if "delta.identity.start" in fmd:
+                    prev_idents[f["name"]] = {
+                        "start": fmd.get("delta.identity.start"),
+                        "step": fmd.get("delta.identity.step"),
+                        "high_water_mark": fmd.get(
+                            "delta.identity.highWaterMark"
+                        ),
+                    }
         need_meta = (
             prev is None
             or not prev.metadata
@@ -1392,6 +1546,15 @@ class SnapshotStore:
             )
             or prev_cons != cons
             or prev_gens != gens
+            or prev_idents
+            != {
+                c: {
+                    "start": s.get("start"),
+                    "step": s.get("step"),
+                    "high_water_mark": s.get("high_water_mark"),
+                }
+                for c, s in idents.items()
+            }
         )
         # Legacy writer-version floors: 3 = checkConstraints,
         # 4 = generatedColumns (Delta PROTOCOL.md) — a protocol-aware
@@ -1401,6 +1564,9 @@ class SnapshotStore:
             need_writer = 3
         if gens:
             need_writer = max(need_writer, 4)
+        if idents:
+            # identityColumns is the legacy writer-version-6 feature
+            need_writer = max(need_writer, 6)
         if prev is None:
             proto = dict(
                 dl.PROTOCOL_DV_ACTION if dv_by_rel else dl.PROTOCOL_ACTION
@@ -1427,14 +1593,23 @@ class SnapshotStore:
             )
         if need_meta:
             schema_json = self.spark.read.parquet(data).schema.json()
-            if gens:
-                # generation expressions live in the FIELD metadata
-                # (delta.generationExpression), not configuration
+            if gens or idents:
+                # generation expressions and identity specs live in
+                # the FIELD metadata, not configuration
                 sch = json.loads(schema_json)
                 for f in sch["fields"]:
+                    md = dict(f.get("metadata") or {})
                     if f["name"] in gens:
-                        md = dict(f.get("metadata") or {})
                         md["delta.generationExpression"] = gens[f["name"]]
+                    if f["name"] in idents:
+                        spec = idents[f["name"]]
+                        md["delta.identity.start"] = spec.get("start")
+                        md["delta.identity.step"] = spec.get("step")
+                        md["delta.identity.highWaterMark"] = spec.get(
+                            "high_water_mark"
+                        )
+                        md["delta.identity.allowExplicitInsert"] = False
+                    if md:
                         f["metadata"] = md
                 schema_json = json.dumps(sch, separators=(",", ":"))
             table_id = (
@@ -1601,6 +1776,15 @@ class SnapshotStore:
         z-order key flips the write to equal-DEPTH quantile lanes; the
         RESOLVED boolean is what gets recorded in the layout, so a
         later ``optimize()`` reclusters with the same scheme."""
+        ident = self.identity_columns(name)
+        if ident and next(iter(ident)) not in df.columns:
+            # first write / explicit refresh omitting the identity
+            # column: allocate. A df CARRYING the column passes —
+            # overwrite is also the engine's own rewrite primitive
+            # (merge/purge_dv/optimize) and those rows already own
+            # their ids; the user-facing insert paths (append/merge)
+            # enforce GENERATED ALWAYS refusal.
+            df = self._apply_identity(name, df)
         df = self._apply_generated(name, df)
         self._validate_constraints(name, df)
         if zorder_by and zorder_depth == "auto":
@@ -1645,6 +1829,7 @@ class SnapshotStore:
         dbt's default incremental behavior; use merge/overwrite for
         transactional semantics.
         """
+        df = self._apply_identity(name, df)
         df = self._apply_generated(name, df)
         self._validate_constraints(name, df)
         data = self.current_data_dir(name) or self.path(name)
@@ -1698,10 +1883,16 @@ class SnapshotStore:
         # union the distinction is gone and validation would reject
         # the nulls).
         batch = self._apply_generated(name, batch)
+        keys_l = [key] if isinstance(key, str) else list(key)
         for _ in range(attempts):
             snapshot_version = self.current_version(name) if isolated else UNCHECKED
             prev = self.read(name)
-            merged = merge_upsert(prev, batch, key)
+            batch_eff = (
+                self._identity_merge_batch(name, prev, batch, keys_l)
+                if self.identity_columns(name)
+                else batch
+            )
+            merged = merge_upsert(prev, batch_eff, key)
             if post_scan is not None:
                 post_scan()
             if self.cdf and prev is not None:
@@ -1709,8 +1900,7 @@ class SnapshotStore:
                 # image (the replaced row and its replacement),
                 # unmatched batch rows emit inserts — exactly what
                 # merge_upsert's prev-ANTI-batch ∪ batch does.
-                keys_l = [key] if isinstance(key, str) else list(key)
-                bkeys = batch.select(*keys_l).distinct()
+                bkeys = batch_eff.select(*keys_l).distinct()
                 pkeys = prev.select(*keys_l).distinct()
                 ct = "_change_type"
                 self._stage_cdc(
@@ -1718,13 +1908,13 @@ class SnapshotStore:
                     prev.join(bkeys, keys_l, "left_semi")
                     .withColumn(ct, F.lit("update_preimage"))
                     .unionByName(
-                        batch.join(pkeys, keys_l, "left_semi").withColumn(
+                        batch_eff.join(pkeys, keys_l, "left_semi").withColumn(
                             ct, F.lit("update_postimage")
                         ),
                         allowMissingColumns=True,
                     )
                     .unionByName(
-                        batch.join(pkeys, keys_l, "left_anti").withColumn(
+                        batch_eff.join(pkeys, keys_l, "left_anti").withColumn(
                             ct, F.lit("insert")
                         ),
                         allowMissingColumns=True,
