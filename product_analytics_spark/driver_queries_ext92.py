@@ -1466,7 +1466,206 @@ ORDER BY seg
 """
 
 
+# ------------------------------------------------------------- q444
+
+Q444_WH = os.path.join(_REPO, ".q444_warehouse")
+
+
+def q444_writer_features_composed(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CAPSTONE: every writer feature COMPOSING on one table — the
+    realistic incremental dimension pipeline a dbt user actually
+    runs. One customer dimension declares, together:
+
+    * an IDENTITY surrogate key (``sk``, X402),
+    * a GENERATED partition column (``grp`` from the natural key,
+      X401),
+    * a CHECK constraint (``cents >= -100000000``, X397),
+    * Change Data Feed on (``cdf=True``, X393),
+    all under ``delta_log=True``.
+
+    Then two incremental merges (updates + late arrivals) and one
+    violating batch, and the cert pins the INTERACTIONS — the part
+    no single-feature cert covers:
+
+    * identity inheritance runs through the generated-column path:
+      matched rows keep ``sk`` AND their recomputed ``grp`` equals
+      the stored one; inserted rows get BOTH allocated
+      (``sk_stable_and_unique``);
+    * the violating batch is rejected by the CHECK with the
+      high-water mark already advanced — ids burn, rows don't land
+      (``violation_burns_ids_not_rows``: version unchanged, next
+      insert's sk still unique);
+    * the change feed shows the composed writes: postimages carry
+      the INHERITED sk (a feed consumer joining facts on sk sees a
+      stable key), inserts carry freshly allocated ones
+      (``feed_sk_consistent``);
+    * the log metaData carries all three field/property declarations
+      at once and the protocol floor is the max of the features'
+      floors (``log_all_declared``).
+
+    Scale: these features only earn their keep if they compose —
+    a real 100 TB dimension has all of them on the same table, and
+    the interaction surface (allocation inside a rejected txn,
+    generated columns on the identity-joined batch, CDF of the
+    composed row) is where engines break. Reference:
+    customers_latest.sql:3-6 + schema.yml tests + dbt_project.yml:39
+    — this is that model, engine-grade."""
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.sinks import (
+        ConstraintViolationError,
+        SnapshotStore,
+    )
+
+    shutil.rmtree(Q444_WH, ignore_errors=True)
+    store = SnapshotStore(
+        spark, Q444_WH, retain_versions=10, delta_log=True, cdf=True
+    )
+    store.set_identity("dim", "sk", start=1, step=1)
+    store.set_generated("dim", "grp", "concat('g', CAST(nk % 4 AS STRING))")
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.where("c_custkey % 2 = 0").select(
+        F.col("c_custkey").alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("dim", base, partition_by=("grp",))        # v0
+    store.add_constraint("dim", "cents_floor", "cents >= -100000000")
+    sk0 = {r["nk"]: r["sk"] for r in store.read("dim").select("nk", "sk").collect()}
+
+    b1 = base.where("nk % 5 = 0").withColumn(
+        "cents", (F.col("cents") + 101).cast("long")
+    ).unionByName(
+        cust.where("c_custkey % 67 = 0 AND c_custkey % 2 = 0").select(
+            (F.col("c_custkey") + 80_000_000).alias("nk"),
+            F.col("c_mktsegment").alias("seg"),
+            F.lit(500).cast("long").alias("cents"),
+        )
+    )
+    store.merge("dim", b1, "nk", partition_by=("grp",))        # merge 1
+
+    ver = store.current_version("dim")
+    bad = spark.createDataFrame(
+        [(1, "BUILDING", -200_000_000)], "nk long, seg string, cents long"
+    )
+    rejected = False
+    try:
+        store.merge("dim", bad, "nk", partition_by=("grp",))
+    except ConstraintViolationError:
+        rejected = True
+    version_unchanged = store.current_version("dim") == ver
+
+    b2 = cust.where("c_custkey % 71 = 0 AND c_custkey % 2 = 0").select(
+        (F.col("c_custkey") + 90_000_000).alias("nk"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(700).cast("long").alias("cents"),
+    )
+    store.merge("dim", b2, "nk", partition_by=("grp",))        # merge 2
+
+    rows = store.read("dim").select("nk", "sk", "grp").collect()
+    sk_now = {r["nk"]: r["sk"] for r in rows}
+    grp_ok = all(r["grp"] == f"g{r['nk'] % 4}" for r in rows)
+    stable = all(
+        sk_now[nk] == sk for nk, sk in sk0.items() if nk in sk_now
+    )
+    unique = len(set(sk_now.values())) == len(sk_now)
+    sk_stable_and_unique = stable and unique and grp_ok
+    violation_burns_ids_not_rows = (
+        rejected
+        and version_unchanged
+        and store.read("dim").where("cents = -200000000").count() == 0
+    )
+
+    tdir = store.path("dim")
+    feed = dl.table_changes(spark, tdir, 0)
+    # postimages inherit the matched row's sk; inserts get fresh ones
+    post = feed.where("_change_type = 'update_postimage'").select(
+        "nk", F.col("sk").alias("post_sk")
+    )
+    pre = feed.where("_change_type = 'update_preimage'").select(
+        "nk", F.col("sk").alias("pre_sk")
+    )
+    mismatch = (
+        post.join(pre, "nk")
+        .where("post_sk IS NULL OR pre_sk IS NULL OR post_sk != pre_sk")
+        .count()
+    )
+    ins_sk_nulls = (
+        feed.where("_change_type = 'insert' AND sk IS NULL").count()
+    )
+    feed_sk_consistent = mismatch == 0 and ins_sk_nulls == 0
+
+    snap = dl.DeltaLog(tdir).snapshot()
+    import json as _json
+
+    fields = _json.loads(snap.metadata["schemaString"])["fields"]
+    md = {f["name"]: (f.get("metadata") or {}) for f in fields}
+    conf = snap.metadata.get("configuration") or {}
+    log_all_declared = (
+        md.get("sk", {}).get("delta.identity.start") == 1
+        and md.get("grp", {}).get("delta.generationExpression")
+        == "concat('g', CAST(nk % 4 AS STRING))"
+        and conf.get("delta.constraints.cents_floor") == "cents >= -100000000"
+        and conf.get("delta.enableChangeDataFeed") == "true"
+        and (snap.protocol or {}).get("minWriterVersion", 2) >= 6
+    )
+
+    return (
+        store.read("dim")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .select(
+            "grp",
+            "n",
+            "cents_sum",
+            F.lit(bool(sk_stable_and_unique)).alias("sk_stable_and_unique"),
+            F.lit(bool(violation_burns_ids_not_rows)).alias(
+                "violation_burns_ids_not_rows"
+            ),
+            F.lit(bool(feed_sk_consistent)).alias("feed_sk_consistent"),
+            F.lit(bool(log_all_declared)).alias("log_all_declared"),
+        )
+        .orderBy("grp")
+    )
+
+
+Q444_SQL = """
+WITH base AS (
+  SELECT c_custkey AS nk, c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer WHERE c_custkey % 2 = 0
+),
+live1 AS (
+  SELECT nk,
+         CASE WHEN nk % 5 = 0 THEN cents + 101 ELSE cents END AS cents
+  FROM base
+  UNION ALL
+  SELECT nk + 80000000, CAST(500 AS BIGINT) FROM base WHERE nk % 67 = 0
+),
+live2 AS (
+  SELECT * FROM live1
+  UNION ALL
+  SELECT nk + 90000000, CAST(700 AS BIGINT) FROM base WHERE nk % 71 = 0
+)
+SELECT concat('g', CAST(nk % 4 AS STRING)) AS grp,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       TRUE AS sk_stable_and_unique,
+       TRUE AS violation_burns_ids_not_rows,
+       TRUE AS feed_sk_consistent,
+       TRUE AS log_all_declared
+FROM live2
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 QUERIES_EXT92 = {
+    "q444_writer_features_composed": q444_writer_features_composed,
     "q434_cdf_table_changes": q434_cdf_table_changes,
     "q441_cdf_stream": q441_cdf_stream,
     "q442_generated_columns": q442_generated_columns,
@@ -1486,6 +1685,7 @@ def _oracles_ext92() -> dict[str, str]:
         "q441_cdf_stream": Q441_SQL,
         "q442_generated_columns": Q442_SQL,
         "q443_identity_columns": Q443_SQL,
+        "q444_writer_features_composed": Q444_SQL,
         "q435_restore_lifecycle": Q435_SQL,
         "q436_shallow_clone": Q436_SQL,
         "q437_delta_tail_stream": Q437_SQL,

@@ -413,39 +413,29 @@ class SnapshotStore:
             step = int(spec["step"])
             hwm = spec["high_water_mark"]
             base = int(spec["start"]) if hwm is None else int(hwm) + step
-            # partition-local offsets: ONE small job collects per-
-            # partition row counts (|partitions| longs to the driver),
-            # then each partition's ids start at base + rows-before-it
-            # — zero shuffles, no global sort, O(rows) work. (This is
-            # the documented legitimate RDD use: per-partition
-            # imperative allocation that no built-in expresses without
-            # a shuffle.)
-            from pyspark.sql.types import LongType, StructField, StructType
-
-            counts = df.rdd.mapPartitions(
-                lambda it: [sum(1 for _ in it)]
-            ).collect()
-            offsets = {}
-            acc = 0
-            for i, c in enumerate(counts):
-                offsets[i] = acc
-                acc += c
-            n = acc
-            schema = StructType(
-                df.schema.fields + [StructField(col, LongType(), False)]
+            # JVM-side allocation: base + monotonically_increasing_id
+            # · step — zero shuffles, zero Python row round-trips, one
+            # small max() job to advance the high-water mark. Values
+            # within a batch are unique and increasing but NOT
+            # contiguous (the per-partition id space leaves gaps) —
+            # exactly Delta's own identity allocator, which hands each
+            # task a range and burns the remainder. Gap-freedom was
+            # never the contract; uniqueness + monotonic-above-HWM is.
+            df = df.withColumn(
+                col,
+                (
+                    F.lit(base)
+                    + F.monotonically_increasing_id() * F.lit(step)
+                ).cast("long"),
             )
-
-            def _tag(pi, it, _offs=offsets, _base=base, _step=step):
-                j = 0
-                for row in it:
-                    yield (*row, _base + (_offs[pi] + j) * _step)
-                    j += 1
-
-            df = self.spark.createDataFrame(
-                df.rdd.mapPartitionsWithIndex(_tag), schema
-            )
-            if n:
-                spec["high_water_mark"] = base + (n - 1) * step
+            # the high-water mark is the furthest value IN THE STEP
+            # DIRECTION (negative increments descend, like SQL
+            # sequences and Delta's)
+            new_hwm = df.agg(
+                F.max(col) if step > 0 else F.min(col)
+            ).collect()[0][0]
+            if new_hwm is not None:
+                spec["high_water_mark"] = int(new_hwm)
                 changed = True
         if changed:
             self._write_identity(name, ids)
