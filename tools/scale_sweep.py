@@ -382,6 +382,14 @@ def report() -> None:
         "  scan. That flatness is the design claim of the round (at",
         "  100 TB, metadata is the bottleneck) showing up as a",
         "  measurement.",
+        "* **…and still ≤ 2.8× at 30× data** (sf3 table: q437 0.5×,",
+        "  q434 0.8×, q438 0.8×, q430 1.1×, q444 1.3×, q441/q442 1.7×,",
+        "  q443 2.8×) — the q443 tail is the cert's own",
+        "  verification collect (surrogate-key maps over 30× rows),",
+        "  not the allocator (JVM-side, zero shuffles). No capacity",
+        "  parameter anywhere in the family: commits, change files,",
+        "  DV bitmaps, and stream offsets all grow with CHANGED rows,",
+        "  never table size.",
     ]
     with open("/root/repo/SCALE_SWEEP.md", "w", encoding="utf-8") as fh:
         fh.write("\n".join(lines) + "\n")
