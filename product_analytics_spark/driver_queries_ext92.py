@@ -1664,8 +1664,158 @@ ORDER BY grp
 """
 
 
+# ------------------------------------------------------------- q445
+
+Q445_WH = os.path.join(_REPO, ".q445_warehouse")
+
+
+def q445_delta_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta **version checksum** files (``<version>.crc`` — the
+    VERSION_CHECKSUM sidecar real Delta writers emit next to every
+    commit): a JSON summary of the post-commit state (numFiles,
+    tableSizeBytes, numRecords, protocol, metaData) that lets any
+    reader VALIDATE its reconstructed snapshot in O(1) instead of
+    trusting its own replay.
+
+    Lifecycle overwrite → MERGE → COW DELETE → append; then
+
+    * every version's stored crc passes ``validate_checksum``
+      (recompute-and-compare — ``validated_all``);
+    * a TAMPERED crc (numFiles off by one on a scratch table) is
+      detected loudly (``tamper_detected``), which is the point: a
+      silent log corruption becomes a hard error at read time, not
+      wrong query results;
+    * ``cleanup_log`` removes the crc sidecars of dead commits with
+      their JSON (pytest);
+    * the returned rows ARE the stored crc contents per version, and
+      the DuckDB oracle INDEPENDENTLY recomputes numFiles /
+      tableSizeBytes / numRecords by replaying the raw commit JSON
+      (adds minus removes at each version) — the checksum math
+      verified cross-engine, the q421/q429 oracle pattern.
+
+    Scale: at 100 TB the crc is how an engine detects a torn/tampered
+    log WITHOUT re-listing a million files: one 300-byte read per
+    version. Writers pay one extra JSON write per commit (the
+    snapshot they already replayed). Reference: Delta's crc files on
+    every ``file_format: delta`` table (dbt_project.yml:39)."""
+    import json as _json
+
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q445_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q445_WH, retain_versions=8, delta_log=True)
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("t", base)                                  # v0
+    b1 = base.where("k % 4 = 0").withColumn(
+        "cents", (F.col("cents") + 9).cast("long")
+    )
+    store.merge("t", b1, "k")                                   # v1
+    store.delete_where("t", "k % 9 = 0")                        # v2
+    store.append("t", base.where("k % 13 = 0").withColumn(
+        "k", (F.col("k") + 40_000_000)
+    ))                                                          # v3
+
+    tdir = store.path("t")
+    log = dl.DeltaLog(tdir)
+    latest = log.latest_version()
+    validated_all = all(
+        log.validate_checksum(v) for v in range(latest + 1)
+    )
+
+    # tamper detection on a scratch table
+    store.overwrite("scratch", base.limit(50))
+    slog = dl.DeltaLog(store.path("scratch"))
+    crc_path = slog._crc_path(0)
+    body = _json.loads(open(crc_path, encoding="utf-8").read())
+    body["numFiles"] += 1
+    open(crc_path, "w", encoding="utf-8").write(_json.dumps(body))
+    tamper_detected = False
+    try:
+        slog.validate_checksum(0)
+    except dl.DeltaProtocolError:
+        tamper_detected = True
+
+    rows = []
+    for v in range(latest + 1):
+        crc = _json.loads(
+            open(log._crc_path(v), encoding="utf-8").read()
+        )
+        rows.append(
+            (
+                v,
+                int(crc["numFiles"]),
+                int(crc["tableSizeBytes"]),
+                int(crc["numRecords"]),
+            )
+        )
+    return (
+        spark.createDataFrame(
+            rows,
+            "version long, num_files long, table_size_bytes long, "
+            "num_records long",
+        )
+        .select(
+            "version",
+            "num_files",
+            "table_size_bytes",
+            "num_records",
+            F.lit(bool(validated_all)).alias("validated_all"),
+            F.lit(bool(tamper_detected)).alias("tamper_detected"),
+        )
+        .orderBy("version")
+    )
+
+
+Q445_SQL = f"""
+WITH raw AS (
+  SELECT CAST(regexp_extract(parse_filename(filename), '^(\\d+)', 1)
+              AS BIGINT) AS version, *
+  FROM read_json_auto('{Q445_WH}/t/_delta_log/*.json',
+                      filename=true, union_by_name=true,
+                      format='newline_delimited')
+),
+adds AS (
+  SELECT version, add.path AS path, CAST(add.size AS BIGINT) AS sz,
+         CAST(json_extract_string(add.stats, '$.numRecords') AS BIGINT)
+           AS nrec
+  FROM raw WHERE add IS NOT NULL
+),
+removes AS (
+  SELECT version, remove.path AS path
+  FROM raw WHERE remove IS NOT NULL
+),
+versions AS (SELECT DISTINCT version FROM raw),
+live AS (
+  SELECT v.version AS version, a.path, a.sz, a.nrec
+  FROM versions v
+  JOIN adds a ON a.version <= v.version
+  WHERE NOT EXISTS (
+    SELECT 1 FROM removes r
+    WHERE r.path = a.path
+      AND r.version <= v.version AND r.version >= a.version
+  )
+)
+SELECT version,
+       CAST(count(*) AS BIGINT) AS num_files,
+       CAST(sum(sz) AS BIGINT) AS table_size_bytes,
+       CAST(sum(nrec) AS BIGINT) AS num_records,
+       TRUE AS validated_all,
+       TRUE AS tamper_detected
+FROM live
+GROUP BY version
+ORDER BY version
+"""
+
+
 QUERIES_EXT92 = {
     "q444_writer_features_composed": q444_writer_features_composed,
+    "q445_delta_checksum": q445_delta_checksum,
     "q434_cdf_table_changes": q434_cdf_table_changes,
     "q441_cdf_stream": q441_cdf_stream,
     "q442_generated_columns": q442_generated_columns,
@@ -1686,6 +1836,7 @@ def _oracles_ext92() -> dict[str, str]:
         "q442_generated_columns": Q442_SQL,
         "q443_identity_columns": Q443_SQL,
         "q444_writer_features_composed": Q444_SQL,
+        "q445_delta_checksum": Q445_SQL,
         "q435_restore_lifecycle": Q435_SQL,
         "q436_shallow_clone": Q436_SQL,
         "q437_delta_tail_stream": Q437_SQL,

@@ -497,7 +497,76 @@ class DeltaLog:
                 self.write_checkpoint(version)
             except Exception:  # noqa: BLE001 — checkpoint is an optimization
                 pass
+        try:
+            self.write_checksum(version)
+        except Exception:  # noqa: BLE001 — crc is auxiliary, like Delta's
+            pass
         return version
+
+    # ---------------------------------------------------- checksum
+
+    def _crc_path(self, version: int) -> str:
+        return os.path.join(self.log_dir, f"{version:020d}.crc")
+
+    def write_checksum(self, version: int) -> str:
+        """Delta's per-version CHECKSUM file (``<version>.crc``, the
+        VERSION_CHECKSUM sidecar real Delta writers emit): a JSON
+        summary of the post-commit snapshot — file count, total
+        bytes, live row count from stats, protocol and metaData —
+        letting any reader VALIDATE a reconstructed state in O(1)
+        instead of trusting its own replay. Cost: the snapshot replay
+        the committer just did anyway (checkpoint-bounded)."""
+        snap = self.snapshot(version)
+        body = {
+            "tableSizeBytes": sum(
+                int(a.get("size") or 0) for a in snap.files.values()
+            ),
+            "numFiles": len(snap.files),
+            "numDeletionVectors": sum(
+                1 for a in snap.files.values() if a.get("deletionVector")
+            ),
+            "numMetadata": 1,
+            "numProtocol": 1,
+            "protocol": snap.protocol or PROTOCOL_ACTION,
+            "metadata": snap.metadata,
+        }
+        nrec = snap.num_records()
+        if nrec is not None:
+            body["numRecords"] = nrec
+        tmp = os.path.join(self.log_dir, f"_crc_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(json.dumps(body, separators=(",", ":"), sort_keys=True))
+        os.replace(tmp, self._crc_path(version))
+        return self._crc_path(version)
+
+    def validate_checksum(self, version: int | None = None) -> bool:
+        """Recompute the snapshot and compare against the stored
+        ``.crc`` — the reader-side integrity check. Returns True on
+        match; raises DeltaProtocolError on MISMATCH (a corrupted or
+        tampered log); returns False if no crc exists for the
+        version (older writer — validation unavailable, not failed)."""
+        if version is None:
+            version = self.latest_version()
+        path = self._crc_path(version)
+        if not os.path.isfile(path):
+            return False
+        with open(path, encoding="utf-8") as fh:
+            stored = json.load(fh)
+        snap = self.snapshot(version)
+        actual = {
+            "tableSizeBytes": sum(
+                int(a.get("size") or 0) for a in snap.files.values()
+            ),
+            "numFiles": len(snap.files),
+            "numRecords": snap.num_records(),
+        }
+        for k, v in actual.items():
+            if k in stored and stored[k] != v:
+                raise DeltaProtocolError(
+                    f"checksum mismatch at version {version}: "
+                    f"{k} stored={stored[k]} actual={v}"
+                )
+        return True
 
     # ------------------------------------------------------ snapshot
 
@@ -708,6 +777,10 @@ class DeltaLog:
                 try:
                     os.unlink(path)
                     removed += 1
+                except OSError:
+                    pass
+                try:  # the version's crc sidecar goes with it
+                    os.unlink(self._crc_path(v))
                 except OSError:
                     pass
         return removed

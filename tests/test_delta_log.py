@@ -440,3 +440,64 @@ class TestConvertAndRetention:
         log = DeltaLog(store.path("t"))
         assert log.cleanup_log() == 0
         assert log.latest_version() == 0
+
+
+# ------------------------------------------------------- checksum (.crc)
+
+
+def test_checksum_written_and_validates(spark, tmp_path):
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    wh = str(tmp_path / "wh")
+    st = SnapshotStore(spark, wh, retain_versions=5, delta_log=True)
+    df = spark.range(0, 30).selectExpr("id AS k", "id * 2 AS v")
+    st.overwrite("t", df)
+    st.append("t", spark.range(30, 40).selectExpr("id AS k", "id * 2 AS v"))
+    log = dl.DeltaLog(st.path("t"))
+    for v in range(log.latest_version() + 1):
+        assert os.path.isfile(log._crc_path(v))
+        assert log.validate_checksum(v) is True
+    import json as _json
+
+    crc = _json.loads(open(log._crc_path(1), encoding="utf-8").read())
+    assert crc["numRecords"] == 40
+    assert crc["numFiles"] == len(log.snapshot().files)
+    assert crc["tableSizeBytes"] > 0
+
+
+def test_checksum_tamper_raises(spark, tmp_path):
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    wh = str(tmp_path / "wh")
+    st = SnapshotStore(spark, wh, retain_versions=5, delta_log=True)
+    st.overwrite("t", spark.range(0, 10).selectExpr("id AS k"))
+    log = dl.DeltaLog(st.path("t"))
+    import json as _json
+
+    p = log._crc_path(0)
+    body = _json.loads(open(p, encoding="utf-8").read())
+    body["tableSizeBytes"] += 1
+    open(p, "w", encoding="utf-8").write(_json.dumps(body))
+    with pytest.raises(dl.DeltaProtocolError, match="checksum mismatch"):
+        log.validate_checksum(0)
+
+
+def test_cleanup_log_removes_crc_sidecars(spark, tmp_path):
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    wh = str(tmp_path / "wh")
+    st = SnapshotStore(spark, wh, retain_versions=15, delta_log=True)
+    st.overwrite("t", spark.range(0, 5).selectExpr("id AS k"))
+    for i in range(11):  # cross the checkpoint interval
+        st.append(
+            "t", spark.range(10 * (i + 1), 10 * (i + 1) + 2).selectExpr("id AS k")
+        )
+    log = dl.DeltaLog(st.path("t"))
+    removed = log.cleanup_log()
+    assert removed > 0
+    cps = log._checkpoints()
+    cutoff = cps[-1][0]
+    for v in range(cutoff):
+        assert not os.path.isfile(log._crc_path(v)), v
+    # surviving versions keep theirs and still validate
+    assert log.validate_checksum(log.latest_version()) is True
