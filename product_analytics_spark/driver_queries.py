@@ -5245,3 +5245,11 @@ from product_analytics_spark.driver_queries_ext92 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT92)
 ORACLES.update(_oracles_ext92())
+
+from product_analytics_spark.driver_queries_ext93 import (  # noqa: E402
+    QUERIES_EXT93,
+    _oracles_ext93,
+)
+
+QUERIES.update(QUERIES_EXT93)
+ORACLES.update(_oracles_ext93())

@@ -63,10 +63,24 @@ import uuid
 from dataclasses import dataclass, field
 from datetime import date, datetime
 from decimal import Decimal
+from pathlib import PurePath
 
 LOG_DIR = "_delta_log"
+#: sidecar shard directory of v2 checkpoints, relative to the log dir
+#: (Delta PROTOCOL.md "V2 spec checkpoints": `_delta_log/_sidecars/`)
+SIDECAR_DIR = "_sidecars"
 _COMMIT_RE = re.compile(r"^(\d{20})\.json$")
 _CHECKPOINT_RE = re.compile(r"^(\d{20})\.checkpoint\.parquet$")
+#: classic multi-part checkpoint: <v>.checkpoint.<part>.<of>.parquet
+_CHECKPOINT_MP_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.(\d{10})\.(\d{10})\.parquet$"
+)
+#: v2 checkpoint manifest: <v>.checkpoint.<uniqueStr>.parquet (the
+#: unique string is a uuid hex — disambiguated from the multi-part
+#: form, whose middle segments are exactly 10 digits)
+_CHECKPOINT_V2_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-f]{16,})\.parquet$"
+)
 
 #: Fixed timestamp written into protocol-required *Time fields.
 #: The engine's certs compare log CONTENT cross-engine; wall-clock
@@ -268,6 +282,39 @@ PROTOCOL_DV_ACTION = {
     "writerFeatures": ["deletionVectors"],
 }
 
+#: Row tracking (Delta PROTOCOL.md "Row Tracking"): the domain that
+#: carries the row-id high-water mark, and the materialized column
+#: names rewrites use to PRESERVE ids (fresh ids are virtual:
+#: ``baseRowId + row_index``).
+ROW_TRACKING_DOMAIN = "delta.rowTracking"
+MATERIALIZED_ROW_ID_COL = "_pa_row_id_m"
+MATERIALIZED_ROW_COMMIT_COL = "_pa_row_commit_m"
+
+
+def merge_protocol(prev: dict, need: dict) -> dict:
+    """Merge a required protocol into an existing one WITHOUT
+    clobbering previously-declared table features: versions take the
+    max, feature lists union (a protocol upgrade in Delta is always
+    monotone — dropping a feature needs an explicit downgrade
+    procedure, not a commit that forgets it)."""
+    out = {
+        "minReaderVersion": max(
+            prev.get("minReaderVersion", 1), need.get("minReaderVersion", 1)
+        ),
+        "minWriterVersion": max(
+            prev.get("minWriterVersion", 2), need.get("minWriterVersion", 2)
+        ),
+    }
+    for side in ("readerFeatures", "writerFeatures"):
+        feats = list(
+            dict.fromkeys(
+                (prev.get(side) or []) + (need.get(side) or [])
+            )
+        )
+        if feats:
+            out[side] = feats
+    return out
+
 
 # ------------------------------------------------------------------
 # Snapshot
@@ -283,6 +330,44 @@ class DeltaSnapshot:
     protocol: dict = field(default_factory=dict)
     metadata: dict = field(default_factory=dict)
     files: dict[str, dict] = field(default_factory=dict)
+    #: domainMetadata actions by domain (Delta's domainMetadata
+    #: writer feature) — e.g. ``delta.rowTracking`` carries the
+    #: row-id high-water mark. ``removed: true`` deletes the domain.
+    domains: dict[str, dict] = field(default_factory=dict)
+
+    def row_id_high_water_mark(self) -> int:
+        """The row-tracking high-water mark from the
+        ``delta.rowTracking`` domain (-1 when absent — no row ids
+        allocated yet)."""
+        dm = self.domains.get(ROW_TRACKING_DOMAIN)
+        if not dm:
+            return -1
+        try:
+            return int(
+                json.loads(dm.get("configuration") or "{}").get(
+                    "rowIdHighWaterMark", -1
+                )
+            )
+        except (ValueError, TypeError):
+            return -1
+
+    def row_tracking_enabled(self) -> bool:
+        conf = (self.metadata or {}).get("configuration") or {}
+        return conf.get("delta.enableRowTracking") == "true"
+
+    def clustering_columns(self) -> list[str]:
+        """Liquid-clustering columns from the ``delta.clustering``
+        domain (empty when the table is not clustered)."""
+        dm = self.domains.get(CLUSTERING_DOMAIN)
+        if not dm:
+            return []
+        try:
+            cols = json.loads(dm.get("configuration") or "{}").get(
+                "clusteringColumns"
+            ) or []
+            return [c[0] if isinstance(c, list) else c for c in cols]
+        except (ValueError, TypeError, IndexError):
+            return []
 
     def num_records(self) -> int | None:
         """LIVE rows from log stats alone (None if any file lacks
@@ -427,6 +512,9 @@ class DeltaLog:
         return sorted(out)
 
     def _checkpoints(self) -> list[tuple[int, str]]:
+        """Single-file (classic v1) checkpoints only — see
+        ``_checkpoint_groups`` for the full discovery across all
+        three protocol forms."""
         if not os.path.isdir(self.log_dir):
             return []
         out = []
@@ -436,39 +524,126 @@ class DeltaLog:
                 out.append((int(m.group(1)), os.path.join(self.log_dir, f)))
         return sorted(out)
 
+    def _checkpoint_groups(self) -> list[tuple[int, str, list[str]]]:
+        """Discover COMPLETE checkpoints of every protocol form,
+        sorted by version: ``(version, kind, paths)`` with kind in
+
+        * ``v1`` — one ``<v>.checkpoint.parquet`` file;
+        * ``mp`` — classic multi-part
+          ``<v>.checkpoint.<i>.<n>.parquet`` (usable only when ALL n
+          parts are present — a torn multi-part write is ignored,
+          per the protocol's completeness rule);
+        * ``v2`` — a ``<v>.checkpoint.<uuid>.parquet`` manifest whose
+          add actions live in ``_sidecars/`` shard files.
+
+        Multiple forms at the same version: prefer v2 > mp > v1
+        (richest first — all describe the same snapshot)."""
+        if not os.path.isdir(self.log_dir):
+            return []
+        v1: dict[int, list[str]] = {}
+        v2: dict[int, list[str]] = {}
+        mp: dict[tuple[int, int], dict[int, str]] = {}
+        for f in os.listdir(self.log_dir):
+            p = os.path.join(self.log_dir, f)
+            m = _CHECKPOINT_RE.match(f)
+            if m:
+                v1.setdefault(int(m.group(1)), []).append(p)
+                continue
+            m = _CHECKPOINT_MP_RE.match(f)
+            if m:
+                ver, part, of = (
+                    int(m.group(1)), int(m.group(2)), int(m.group(3)),
+                )
+                mp.setdefault((ver, of), {})[part] = p
+                continue
+            m = _CHECKPOINT_V2_RE.match(f)
+            if m:
+                v2.setdefault(int(m.group(1)), []).append(p)
+        best: dict[int, tuple[str, list[str]]] = {}
+        for ver, paths in v1.items():
+            best[ver] = ("v1", sorted(paths))
+        for (ver, of), parts in mp.items():
+            if len(parts) == of and set(parts) == set(range(1, of + 1)):
+                if ver not in best or best[ver][0] == "v1":
+                    best[ver] = (
+                        "mp", [parts[i] for i in range(1, of + 1)]
+                    )
+        for ver, paths in v2.items():
+            # several v2 manifests may exist (concurrent writers);
+            # any one is complete — take the lexicographically first
+            best[ver] = ("v2", [sorted(paths)[0]])
+        return [
+            (ver, kind, paths)
+            for ver, (kind, paths) in sorted(best.items())
+        ]
+
     def latest_version(self) -> int | None:
         commits = self._commits()
         return commits[-1][0] if commits else None
 
     # ------------------------------------------------------- commit
 
+    def _prev_ict(self, version: int) -> int | None:
+        """The inCommitTimestamp of commit ``version - 1`` (one O(1)
+        file read of its first line), or None when unavailable."""
+        if version <= 0:
+            return None
+        p = os.path.join(self.log_dir, f"{version - 1:020d}.json")
+        try:
+            with open(p, encoding="utf-8") as fh:
+                for ln in fh:
+                    if not ln.strip():
+                        continue
+                    a = json.loads(ln)
+                    ci = a.get("commitInfo")
+                    if ci:
+                        return ci.get("inCommitTimestamp")
+                    break
+        except OSError:
+            return None
+        return None
+
     def commit(
         self,
         actions: list[dict],
         version: int | None = None,
         operation: str = "WRITE",
+        timestamp_ms: int | None = None,
     ) -> int:
         """Append one commit. ``version`` defaults to latest+1; if that
         file already exists the putIfAbsent link fails and
         DeltaConflictError tells the caller to re-read and retry.
         Readers never see partial content: the name appears only via
-        os.link of a fully-written temp file."""
+        os.link of a fully-written temp file.
+
+        ``timestamp_ms`` sets the commit's **in-commit timestamp**
+        (Delta's inCommitTimestamp table feature); absent, the
+        deterministic ``version·1000`` stamp is proposed (wall-clock
+        is banned in the cert harness; real writers pass their
+        clock). Either way the stored value is CLAMPED to
+        ``max(proposed, previous_ict + 1)`` — the feature's
+        monotonicity rule, which is what makes ``TIMESTAMP AS OF``
+        resolution well-defined even under clock skew between
+        writers."""
         os.makedirs(self.log_dir, exist_ok=True)
         if version is None:
             latest = self.latest_version()
             version = 0 if latest is None else latest + 1
         target = os.path.join(self.log_dir, f"{version:020d}.json")
+        proposed = (
+            int(timestamp_ms) if timestamp_ms is not None
+            else version * 1000
+        )
+        prev_ict = self._prev_ict(version)
+        ict = (
+            proposed if prev_ict is None else max(proposed, prev_ict + 1)
+        )
         lines = [
             json.dumps(
                 {
                     "commitInfo": {
                         "timestamp": _FIXED_TIME_MS,
-                        # In-commit timestamps (Delta's
-                        # inCommitTimestamp): monotonic per-version,
-                        # deterministic (wall-clock is banned in the
-                        # cert harness) — the field timestamp-based
-                        # time travel resolves against.
-                        "inCommitTimestamp": version * 1000,
+                        "inCommitTimestamp": ict,
                         "operation": operation,
                         "engineInfo": "product-analytics-spark",
                     }
@@ -580,6 +755,15 @@ class DeltaLog:
             snap.files[action["add"]["path"]] = action["add"]
         elif "remove" in action and action["remove"] is not None:
             snap.files.pop(action["remove"]["path"], None)
+        elif (
+            "domainMetadata" in action
+            and action["domainMetadata"] is not None
+        ):
+            dm = action["domainMetadata"]
+            if dm.get("removed"):
+                snap.domains.pop(dm.get("domain"), None)
+            else:
+                snap.domains[dm["domain"]] = dm
 
     def snapshot(self, version: int | None = None) -> DeltaSnapshot:
         """Reconstruct the table state at ``version`` (default:
@@ -592,10 +776,14 @@ class DeltaLog:
             version = commits[-1][0]
         snap = DeltaSnapshot(version=version)
         start = 0
-        cps = [c for c in self._checkpoints() if c[0] <= version]
+        cps = [c for c in self._checkpoint_groups() if c[0] <= version]
         if cps:
-            cp_version, cp_path = cps[-1]
-            self._load_checkpoint(snap, cp_path)
+            cp_version, kind, cp_paths = cps[-1]
+            if kind == "v2":
+                self._load_checkpoint_v2(snap, cp_paths[0])
+            else:  # v1 single-file or all parts of a multi-part
+                for p in cp_paths:
+                    self._load_checkpoint(snap, p)
             start = cp_version + 1
         expected = start
         for v, path in commits:
@@ -620,17 +808,14 @@ class DeltaLog:
 
     # ---------------------------------------------------- checkpoint
 
-    def write_checkpoint(self, version: int | None = None) -> str:
-        """Parquet checkpoint of the snapshot at ``version`` + the
-        ``_last_checkpoint`` pointer — bounds the JSON tail readers
-        replay. One row per action; struct columns add/metaData/
-        protocol, maps for partitionValues/configuration (the
-        protocol's checkpoint schema)."""
+    @staticmethod
+    def _cp_types():
+        """Arrow types of the protocol's checkpoint schema: struct
+        columns add/metaData/protocol, maps for partitionValues/
+        configuration. Shared by the v1 single-file, classic
+        multi-part, and v2 sidecar writers."""
         import pyarrow as pa
-        import pyarrow.parquet as pq
 
-        snap = self.snapshot(version)
-        version = snap.version
         pv_type = pa.map_(pa.string(), pa.string())
         dv_t = pa.struct(
             [
@@ -650,6 +835,8 @@ class DeltaLog:
                 ("dataChange", pa.bool_()),
                 ("stats", pa.string()),
                 ("deletionVector", dv_t),
+                ("baseRowId", pa.int64()),
+                ("defaultRowCommitVersion", pa.int64()),
             ]
         )
         meta_t = pa.struct(
@@ -670,75 +857,361 @@ class DeltaLog:
         proto_t = pa.struct(
             [("minReaderVersion", pa.int32()), ("minWriterVersion", pa.int32())]
         )
+        return add_t, meta_t, proto_t
 
+    @staticmethod
+    def _cp_add_payload(a: dict) -> dict:
         def _map(d):
             return list((d or {}).items())
 
-        rows_add: list = [None, None]
-        rows_meta: list = [None]
-        rows_proto: list = [snap.protocol or PROTOCOL_ACTION]
-        m = snap.metadata
-        rows_meta.append(
-            {
-                "id": m.get("id"),
-                "format": {
-                    "provider": (m.get("format") or {}).get(
-                        "provider", "parquet"
-                    ),
-                    "options": _map((m.get("format") or {}).get("options")),
-                },
-                "schemaString": m.get("schemaString"),
-                "partitionColumns": m.get("partitionColumns") or [],
-                "configuration": _map(m.get("configuration")),
-                "createdTime": m.get("createdTime", _FIXED_TIME_MS),
-            }
+        return {
+            "path": a["path"],
+            "partitionValues": _map(a.get("partitionValues")),
+            "size": a.get("size"),
+            "modificationTime": a.get("modificationTime", _FIXED_TIME_MS),
+            "dataChange": False,
+            "stats": a.get("stats"),
+            "deletionVector": a.get("deletionVector"),
+            "baseRowId": a.get("baseRowId"),
+            "defaultRowCommitVersion": a.get("defaultRowCommitVersion"),
+        }
+
+    @staticmethod
+    def _cp_meta_payload(m: dict) -> dict:
+        def _map(d):
+            return list((d or {}).items())
+
+        return {
+            "id": m.get("id"),
+            "format": {
+                "provider": (m.get("format") or {}).get(
+                    "provider", "parquet"
+                ),
+                "options": _map((m.get("format") or {}).get("options")),
+            },
+            "schemaString": m.get("schemaString"),
+            "partitionColumns": m.get("partitionColumns") or [],
+            "configuration": _map(m.get("configuration")),
+            "createdTime": m.get("createdTime", _FIXED_TIME_MS),
+        }
+
+    @staticmethod
+    def _dm_type():
+        import pyarrow as pa
+
+        return pa.struct(
+            [
+                ("domain", pa.string()),
+                ("configuration", pa.string()),
+                ("removed", pa.bool_()),
+            ]
         )
-        for path in sorted(snap.files):
-            a = snap.files[path]
-            rows_add.append(
-                {
-                    "path": a["path"],
-                    "partitionValues": _map(a.get("partitionValues")),
-                    "size": a.get("size"),
-                    "modificationTime": a.get(
-                        "modificationTime", _FIXED_TIME_MS
-                    ),
-                    "dataChange": False,
-                    "stats": a.get("stats"),
-                    "deletionVector": a.get("deletionVector"),
-                }
-            )
-            rows_proto.append(None)
-            rows_meta.append(None)
-        rows_proto += [None] * (len(rows_add) - len(rows_proto))
-        rows_meta += [None] * (len(rows_add) - len(rows_meta))
+
+    def _write_cp_part(
+        self,
+        final_path: str,
+        proto_rows: list,
+        meta_rows: list,
+        add_rows: list,
+        domain_rows: list | None = None,
+    ) -> None:
+        """One checkpoint part file, written tmp-then-rename (readers
+        never observe a torn part)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        add_t, meta_t, proto_t = self._cp_types()
+        domain_rows = list(domain_rows or [])
+        # one action per ROW (the protocol's checkpoint shape):
+        # domain rows get their own rows after the others
+        base = max(len(proto_rows), len(meta_rows), len(add_rows))
+        n = base + len(domain_rows)
+        proto_rows = proto_rows + [None] * (n - len(proto_rows))
+        meta_rows = meta_rows + [None] * (n - len(meta_rows))
+        add_rows = add_rows + [None] * (n - len(add_rows))
+        domain_rows = [None] * base + domain_rows
         table = pa.table(
             {
-                "protocol": pa.array(rows_proto, type=proto_t),
-                "metaData": pa.array(rows_meta, type=meta_t),
-                "add": pa.array(rows_add, type=add_t),
+                "protocol": pa.array(proto_rows, type=proto_t),
+                "metaData": pa.array(meta_rows, type=meta_t),
+                "add": pa.array(add_rows, type=add_t),
+                "domainMetadata": pa.array(
+                    domain_rows, type=self._dm_type()
+                ),
             }
         )
+        tmp = final_path + f".tmp{uuid.uuid4().hex[:8]}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, final_path)
+
+    @staticmethod
+    def _domain_rows(snap: DeltaSnapshot) -> list:
+        return [
+            {
+                "domain": d,
+                "configuration": dm.get("configuration"),
+                "removed": False,
+            }
+            for d, dm in sorted(snap.domains.items())
+        ]
+
+    def _write_last_checkpoint(self, body: dict) -> None:
+        lc_tmp = os.path.join(self.log_dir, f"_lc_{uuid.uuid4().hex[:8]}")
+        with open(lc_tmp, "w", encoding="utf-8") as fh:
+            json.dump(body, fh)
+        os.replace(lc_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+
+    def write_checkpoint(self, version: int | None = None) -> str:
+        """Parquet checkpoint of the snapshot at ``version`` + the
+        ``_last_checkpoint`` pointer — bounds the JSON tail readers
+        replay. One row per action; struct columns add/metaData/
+        protocol, maps for partitionValues/configuration (the
+        protocol's checkpoint schema)."""
+        snap = self.snapshot(version)
+        version = snap.version
+        proto_rows = [snap.protocol or PROTOCOL_ACTION, None]
+        meta_rows = [None, self._cp_meta_payload(snap.metadata)]
+        add_rows: list = [None, None]
+        add_rows += [
+            self._cp_add_payload(snap.files[p]) for p in sorted(snap.files)
+        ]
         cp_path = os.path.join(
             self.log_dir, f"{version:020d}.checkpoint.parquet"
         )
-        tmp = cp_path + f".tmp{uuid.uuid4().hex[:8]}"
-        pq.write_table(table, tmp)
-        os.replace(tmp, cp_path)
-        lc_tmp = os.path.join(self.log_dir, f"_lc_{uuid.uuid4().hex[:8]}")
-        with open(lc_tmp, "w", encoding="utf-8") as fh:
-            json.dump({"version": version, "size": len(rows_add)}, fh)
-        os.replace(lc_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
+        self._write_cp_part(
+            cp_path, proto_rows, meta_rows, add_rows,
+            domain_rows=self._domain_rows(snap),
+        )
+        self._write_last_checkpoint(
+            {"version": version, "size": len(add_rows)}
+        )
         return cp_path
+
+    def write_checkpoint_multipart(
+        self, version: int | None = None, n_parts: int = 2
+    ) -> list[str]:
+        """Classic MULTI-PART checkpoint
+        (``<v>.checkpoint.<part>.<of>.parquet``, Delta PROTOCOL.md):
+        the live add set is sharded contiguously across ``n_parts``
+        files; part 1 additionally carries the protocol and metaData
+        rows (any part may — readers merge all parts). The
+        ``_last_checkpoint`` pointer records ``parts`` so readers can
+        verify completeness; a torn write (some parts missing) is
+        IGNORED by discovery, never half-read.
+
+        Scale: a 100 TB table is millions of add actions — one
+        checkpoint parquet becomes both a multi-GB write on the commit
+        path and a single-threaded read on session start. Sharding
+        lets N writers/readers move the same bytes in parallel; this
+        is why the protocol grew the form."""
+        if n_parts < 1:
+            raise ValueError("n_parts must be >= 1")
+        snap = self.snapshot(version)
+        version = snap.version
+        adds = [
+            self._cp_add_payload(snap.files[p]) for p in sorted(snap.files)
+        ]
+        n_parts = min(n_parts, max(1, len(adds)))
+        per = (len(adds) + n_parts - 1) // n_parts
+        paths: list[str] = []
+        for i in range(1, n_parts + 1):
+            shard = adds[(i - 1) * per : i * per]
+            proto_rows: list = []
+            meta_rows: list = []
+            domain_rows: list = []
+            if i == 1:
+                proto_rows = [snap.protocol or PROTOCOL_ACTION, None]
+                meta_rows = [None, self._cp_meta_payload(snap.metadata)]
+                domain_rows = self._domain_rows(snap)
+                shard = [None, None] + shard
+            p = os.path.join(
+                self.log_dir,
+                f"{version:020d}.checkpoint.{i:010d}.{n_parts:010d}"
+                ".parquet",
+            )
+            self._write_cp_part(
+                p, proto_rows, meta_rows, shard, domain_rows=domain_rows
+            )
+            paths.append(p)
+        self._write_last_checkpoint(
+            {"version": version, "size": len(adds) + 2, "parts": n_parts}
+        )
+        return paths
+
+    def write_checkpoint_v2(
+        self,
+        version: int | None = None,
+        max_actions_per_sidecar: int = 50_000,
+    ) -> str:
+        """**V2 checkpoint with sidecars** (Delta PROTOCOL.md "V2
+        Checkpoint Table Feature"): the live add set is sharded into
+        parquet SIDECAR files under ``_delta_log/_sidecars/``, and a
+        small MANIFEST ``<v>.checkpoint.<uuid>.parquet`` carries only
+        protocol, metaData, a ``checkpointMetadata`` row, and one
+        ``sidecar`` action per shard ({path, sizeInBytes,
+        modificationTime}). Readers load the manifest (tiny), then
+        the sidecars — in parallel, pruned, or lazily.
+
+        Why v2 over classic multi-part: sidecars are IMMUTABLE and
+        addressed by name, so an incremental checkpointer can REUSE
+        unchanged shards from the previous checkpoint instead of
+        rewriting the whole live set — at 100 TB, checkpointing cost
+        becomes O(changed files), not O(table). The manifest's uuid
+        name also makes concurrent checkpoint writers conflict-free
+        (last _last_checkpoint pointer wins; both manifests are
+        complete).
+
+        Returns the manifest path. Reference: the production-scale
+        role of ``+file_format: delta`` (dbt_project.yml:39)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        snap = self.snapshot(version)
+        version = snap.version
+        adds = [
+            self._cp_add_payload(snap.files[p]) for p in sorted(snap.files)
+        ]
+        side_dir = os.path.join(self.log_dir, SIDECAR_DIR)
+        os.makedirs(side_dir, exist_ok=True)
+        add_t, meta_t, proto_t = self._cp_types()
+        sidecars: list[dict] = []
+        step = max(1, int(max_actions_per_sidecar))
+        for lo in range(0, max(1, len(adds)), step):
+            shard = adds[lo : lo + step]
+            name = f"{uuid.uuid4().hex}.parquet"
+            sp = os.path.join(side_dir, name)
+            tmp = sp + f".tmp{uuid.uuid4().hex[:8]}"
+            pq.write_table(
+                pa.table({"add": pa.array(shard, type=add_t)}), tmp
+            )
+            os.replace(tmp, sp)
+            sidecars.append(
+                {
+                    "path": name,
+                    "sizeInBytes": os.path.getsize(sp),
+                    "modificationTime": _FIXED_TIME_MS,
+                }
+            )
+        side_t = pa.struct(
+            [
+                ("path", pa.string()),
+                ("sizeInBytes", pa.int64()),
+                ("modificationTime", pa.int64()),
+            ]
+        )
+        cpmeta_t = pa.struct([("version", pa.int64())])
+        domain_rows = self._domain_rows(snap)
+        n = 3 + len(sidecars) + len(domain_rows)
+
+        def _pad(rows: list) -> list:
+            return rows + [None] * (n - len(rows))
+
+        table = pa.table(
+            {
+                "checkpointMetadata": pa.array(
+                    _pad([{"version": version}]), type=cpmeta_t
+                ),
+                "protocol": pa.array(
+                    _pad([None, snap.protocol or PROTOCOL_ACTION]),
+                    type=proto_t,
+                ),
+                "metaData": pa.array(
+                    _pad([None, None, self._cp_meta_payload(snap.metadata)]),
+                    type=meta_t,
+                ),
+                "sidecar": pa.array(
+                    [None, None, None] + sidecars + [None] * len(domain_rows),
+                    type=side_t,
+                ),
+                "domainMetadata": pa.array(
+                    [None] * (3 + len(sidecars)) + domain_rows,
+                    type=self._dm_type(),
+                ),
+            }
+        )
+        manifest = os.path.join(
+            self.log_dir,
+            f"{version:020d}.checkpoint.{uuid.uuid4().hex}.parquet",
+        )
+        tmp = manifest + f".tmp{uuid.uuid4().hex[:8]}"
+        pq.write_table(table, tmp)
+        os.replace(tmp, manifest)
+        self._write_last_checkpoint(
+            {
+                "version": version,
+                "size": len(adds) + 2,
+                "sizeInBytes": os.path.getsize(manifest),
+                "checkpointSchema": None,
+                "v2Checkpoint": {"path": os.path.basename(manifest)},
+            }
+        )
+        return manifest
+
+    def _load_checkpoint_v2(self, snap: DeltaSnapshot, manifest: str) -> None:
+        """Replay a v2 manifest + its sidecar shards into ``snap``."""
+        import pyarrow.parquet as pq
+
+        table = pq.read_table(manifest)
+        cols = set(table.column_names)
+        sidecars: list[str] = []
+        for row in table.to_pylist():
+            proto = row.get("protocol")
+            meta = row.get("metaData")
+            if proto is not None:
+                snap.protocol = proto
+            if meta is not None:
+                meta = dict(meta)
+                fmt = dict(meta.get("format") or {})
+                fmt["options"] = dict(fmt.get("options") or {})
+                meta["format"] = fmt
+                meta["configuration"] = dict(meta.get("configuration") or {})
+                snap.metadata = meta
+            sc = row.get("sidecar") if "sidecar" in cols else None
+            if sc is not None and sc.get("path"):
+                sidecars.append(sc["path"])
+            dm = (
+                row.get("domainMetadata")
+                if "domainMetadata" in cols
+                else None
+            )
+            if dm is not None and dm.get("domain"):
+                snap.domains[dm["domain"]] = dict(dm)
+        side_dir = os.path.join(self.log_dir, SIDECAR_DIR)
+        for name in sidecars:
+            sp = os.path.join(side_dir, name)
+            if not os.path.isfile(sp):
+                raise DeltaProtocolError(
+                    f"v2 checkpoint sidecar missing: {sp}"
+                )
+            for row in pq.read_table(sp).to_pylist():
+                add = row.get("add")
+                if add is None:
+                    continue
+                add = self._restore_add(add)
+                snap.files[add["path"]] = add
+
+    @staticmethod
+    def _restore_add(add: dict) -> dict:
+        add = dict(add)
+        add["partitionValues"] = dict(add.get("partitionValues") or {})
+        for opt in (
+            "stats", "deletionVector", "baseRowId",
+            "defaultRowCommitVersion",
+        ):
+            if add.get(opt) is None:
+                add.pop(opt, None)
+        return add
 
     def _load_checkpoint(self, snap: DeltaSnapshot, cp_path: str) -> None:
         import pyarrow.parquet as pq
 
         table = pq.read_table(cp_path)
+        cols = set(table.column_names)
         for row in table.to_pylist():
             proto = row.get("protocol")
             meta = row.get("metaData")
             add = row.get("add")
+            dm = row.get("domainMetadata") if "domainMetadata" in cols else None
             if proto is not None:
                 snap.protocol = proto
             if meta is not None:
@@ -749,13 +1222,10 @@ class DeltaLog:
                 meta["configuration"] = dict(meta.get("configuration") or {})
                 snap.metadata = meta
             if add is not None:
-                add = dict(add)
-                add["partitionValues"] = dict(add.get("partitionValues") or {})
-                if add.get("stats") is None:
-                    add.pop("stats", None)
-                if add.get("deletionVector") is None:
-                    add.pop("deletionVector", None)
+                add = self._restore_add(add)
                 snap.files[add["path"]] = add
+            if dm is not None and dm.get("domain"):
+                snap.domains[dm["domain"]] = dict(dm)
 
 
     # ------------------------------------------------- log retention
@@ -767,7 +1237,7 @@ class DeltaLog:
         are dead weight (Delta does the same after
         ``delta.logRetentionDuration``). Returns the number of commit
         files removed; no checkpoint ⇒ no-op (never orphan readers)."""
-        cps = self._checkpoints()
+        cps = self._checkpoint_groups()
         if not cps:
             return 0
         cutoff = cps[-1][0]
@@ -783,6 +1253,41 @@ class DeltaLog:
                     os.unlink(self._crc_path(v))
                 except OSError:
                     pass
+        # Superseded checkpoints (any form) below the newest one are
+        # dead weight too — every retained version reconstructs from
+        # the newest checkpoint + tail.
+        for v, _kind, paths in cps[:-1]:
+            for p in paths:
+                try:
+                    os.unlink(p)
+                except OSError:
+                    pass
+        # v2 sidecar GC: a sidecar shard is live only while a
+        # SURVIVING manifest references it (superseded checkpoints'
+        # shards, and shards orphaned by a crashed checkpoint writer,
+        # go here — the _delta_log analog of VACUUM).
+        side_dir = os.path.join(self.log_dir, SIDECAR_DIR)
+        if os.path.isdir(side_dir):
+            import pyarrow.parquet as pq
+
+            live_sc: set[str] = set()
+            for _v, kind, paths in self._checkpoint_groups():
+                if kind != "v2":
+                    continue
+                try:
+                    t = pq.read_table(paths[0], columns=["sidecar"])
+                except Exception:  # noqa: BLE001 — unreadable manifest
+                    continue
+                for row in t.to_pylist():
+                    sc = row.get("sidecar")
+                    if sc and sc.get("path"):
+                        live_sc.add(sc["path"])
+            for f in os.listdir(side_dir):
+                if f.endswith(".parquet") and f not in live_sc:
+                    try:
+                        os.unlink(os.path.join(side_dir, f))
+                    except OSError:
+                        pass
         return removed
 
     def history(self) -> list[dict]:
@@ -860,7 +1365,9 @@ class DeltaLog:
                 continue
         return out
 
-    def vacuum(self, dry_run: bool = False) -> list[str]:
+    def vacuum(
+        self, dry_run: bool = False, cdc_grace_s: float = 0.0
+    ) -> list[str]:
         """Delta VACUUM for a standalone log-managed table: delete
         data files under the table dir that the CURRENT snapshot does
         not reference (tombstoned by remove actions, or orphaned).
@@ -874,7 +1381,17 @@ class DeltaLog:
         ``cleanup_log`` truncates the JSON tail, the dead commits'
         change files are unreachable by ``table_changes`` and go with
         them — Delta's CDF retention follows log retention the same
-        way)."""
+        way).
+
+        ``cdc_grace_s`` (ADVICE r9): a change file another writer has
+        STAGED but not yet committed is referenced by nothing — a
+        concurrent vacuum would sweep it and the in-flight DML would
+        then fail its commit (``_delta_commit`` raises on a vanished
+        staged file rather than dropping feed rows). Setting a grace
+        window skips ``_change_data`` files younger than it, the
+        local-FS analog of Delta's retention horizon; the default 0
+        keeps vacuum deterministic for offline tables."""
+        import time as _time
         from product_analytics_spark.sources import deletion_vectors as dvs
 
         snap = self.snapshot()
@@ -900,6 +1417,15 @@ class DeltaLog:
                 ).replace(os.sep, "/")
                 if rel.startswith(CDC_DIR + "/"):
                     if rel not in referenced_cdc:
+                        if cdc_grace_s > 0:
+                            try:
+                                age = _time.time() - os.path.getmtime(
+                                    os.path.join(root, f)
+                                )
+                            except OSError:
+                                continue  # already gone
+                            if age < cdc_grace_s:
+                                continue  # possibly staged, in-flight
                         victims.append(rel)
                 elif f.endswith(".parquet"):
                     if rel not in live:
@@ -1014,6 +1540,56 @@ def read_delta(spark, table_dir: str, version: int | None = None):
     if not paths:
         raise DeltaProtocolError(f"empty table at {table_dir}")
     positions = snap.dv_positions(table_dir)
+    conf = (snap.metadata or {}).get("configuration") or {}
+    widened = conf.get("delta.enableTypeWidening") == "true"
+
+    # Widened tables mix narrow (old) and wide (new) physical types.
+    # mergeSchema REFUSES int+bigint, but Spark's parquet reader
+    # supports type PROMOTION when given an explicit read schema —
+    # so the declared logical schema (minus partition columns, which
+    # live in the log) becomes the read schema and every old file
+    # upcasts in the scan itself, vectorized, no extra pass.
+    read_schema = None
+    schema_str0 = (snap.metadata or {}).get("schemaString")
+    if widened and schema_str0:
+        try:
+            from pyspark.sql.types import StructType
+
+            st = StructType.fromJson(json.loads(schema_str0))
+            read_schema = StructType(
+                [f for f in st.fields if f.name not in part_cols]
+            )
+        except Exception:  # noqa: BLE001 — fall back to inference
+            read_schema = None
+
+    def _reader():
+        r = spark.read
+        return r.schema(read_schema) if read_schema is not None else r
+
+    _SIMPLE = {
+        "byte": "tinyint", "short": "smallint", "integer": "int",
+        "long": "bigint", "float": "float", "double": "double",
+    }
+
+    def _conform_types(df):
+        """Cast columns up to the metadata schema's declared types —
+        the reader half of type widening (old int32 files read as
+        long through the widened schema)."""
+        schema_str = (snap.metadata or {}).get("schemaString")
+        if not widened or not schema_str:
+            return df
+        declared = {
+            f["name"]: f["type"]
+            for f in json.loads(schema_str)["fields"]
+            if isinstance(f["type"], str)
+        }
+        by_name = {fld.name: fld.dataType.simpleString() for fld in df.schema}
+        out = df
+        for c, t in declared.items():
+            want = _SIMPLE.get(t)
+            if want and c in by_name and by_name[c] != want:
+                out = out.withColumn(c, F.col(c).cast(t))
+        return out
 
     def _to_logical(df):
         m = snap.column_mapping()
@@ -1024,10 +1600,12 @@ def read_delta(spark, table_dir: str, version: int | None = None):
         )
 
     if not part_cols:
-        df = spark.read.parquet(
+        df = _reader().parquet(
             *[resolve_path(table_dir, p) for p in paths]
         )
-        return _to_logical(apply_dv_filter(spark, df, table_dir, positions))
+        return _conform_types(
+            _to_logical(apply_dv_filter(spark, df, table_dir, positions))
+        )
     # Partition literals are STRINGS in the log (partitionValues);
     # the table's real column types live in metaData.schemaString —
     # cast each literal to its declared type, like Delta readers do.
@@ -1051,16 +1629,17 @@ def read_delta(spark, table_dir: str, version: int | None = None):
         groups.setdefault(key, []).append(p)
     out = None
     for key in sorted(groups, key=lambda k: tuple(str(x) for x in k)):
-        df = spark.read.parquet(
+        df = _reader().parquet(
             *[resolve_path(table_dir, p) for p in groups[key]]
         )
         df = apply_dv_filter(spark, df, table_dir, positions)
+        df = _conform_types(df)
         for c, v in zip(part_cols, key):
             df = df.withColumn(
                 c, F.lit(v).cast(part_types.get(c, "string"))
             )
         out = df if out is None else out.unionByName(df)
-    return _to_logical(out)
+    return _conform_types(_to_logical(out))
 
 
 # ------------------------------------------------------------------
@@ -1211,6 +1790,22 @@ def table_changes(
                 for a in actions
                 if a.get("add") and a["add"].get("dataChange", True)
             ]
+            if any(a.get("deletionVector") for a in adds):
+                # A MoR DV commit without cdc actions re-adds whole
+                # files with dataChange=true; deriving changes from
+                # the adds would IGNORE the deletion vector and emit
+                # tombstoned rows as inserts — replaying the feed
+                # would resurrect deleted rows (ADVICE r9). The
+                # streaming reader (delta_stream.py has_dv) already
+                # refuses this; mirror it here, matching Delta, which
+                # requires delta.enableChangeDataFeed for DML commits
+                # to be CDF-readable.
+                raise DeltaProtocolError(
+                    f"commit {v} carries deletion vectors but no cdc "
+                    "actions — its changes cannot be derived from "
+                    "add/remove churn (write with cdf=True so DML "
+                    "stages change files)"
+                )
             removes = [
                 a["remove"]
                 for a in actions
@@ -1255,6 +1850,18 @@ def table_changes(
         raise DeltaProtocolError(
             f"no changes in versions [{start_version}, {end}]"
         )
+    # CDF × column mapping: data and cdc files carry PHYSICAL column
+    # names (stable across renames); the feed is served under the END
+    # version's LOGICAL names, so a rename mid-feed changes how every
+    # batch — pre- and post-rename — is exposed, exactly like a
+    # Delta reader resolving the latest schema (ADVICE/verdict r9
+    # item 3). Metadata-only commits (the rename itself) contribute
+    # no rows.
+    m = log.snapshot(end).column_mapping()
+    if m:
+        for logical, phys in m.items():
+            if phys != logical and phys in out.columns:
+                out = out.withColumnRenamed(phys, logical)
     return out
 
 
@@ -1307,13 +1914,419 @@ def shallow_clone(src_table_dir: str, dst_table_dir: str) -> int:
                 "shallow_clone: source has outstanding deletion "
                 "vectors — OPTIMIZE/purge them first"
             )
-        add["path"] = "file://" + os.path.join(src_abs, rel)
+        # pathlib's as_uri percent-encodes, matching resolve_path's
+        # unquote on read — plain concatenation round-tripped paths
+        # containing % / # / ? to a DIFFERENT filesystem path
+        # (ADVICE r9)
+        add["path"] = PurePath(os.path.join(src_abs, rel)).as_uri()
         add["dataChange"] = True
         actions.append({"add": add})
         n += 1
     os.makedirs(dst_table_dir, exist_ok=True)
     DeltaLog(dst_table_dir).commit(actions, version=0, operation="CLONE")
     return n
+
+
+# ------------------------------------------------------------------
+# In-commit timestamps, liquid clustering, type widening
+# ------------------------------------------------------------------
+
+#: domainMetadata domain that records liquid-clustering columns
+#: (Delta PROTOCOL.md "Clustered Table" — the successor to ZORDER:
+#: clustering keys live in the LOG, not a side file, so every engine
+#: and every OPTIMIZE run sees the same declaration).
+CLUSTERING_DOMAIN = "delta.clustering"
+
+
+def enable_in_commit_timestamps(table_dir: str) -> int:
+    """Declare the **inCommitTimestamp** writer feature (Delta
+    PROTOCOL.md "In-Commit Timestamps"): commit timestamps become
+    part of the COMMIT CONTENT (commitInfo.inCommitTimestamp,
+    monotonically clamped) instead of filesystem mtimes — the only
+    way ``TIMESTAMP AS OF`` stays correct when log files are copied,
+    restored, or written by skewed clocks. Records the enablement
+    version/timestamp table properties the spec requires, so readers
+    know where the ICT regime begins. Metadata-only commit."""
+    log = DeltaLog(table_dir)
+    snap = log.snapshot()
+    if not snap.metadata:
+        raise DeltaProtocolError(f"no metaData at {table_dir}")
+    conf = dict(snap.metadata.get("configuration") or {})
+    if conf.get("delta.enableInCommitTimestamps") == "true":
+        return snap.version  # idempotent
+    version = snap.version + 1
+    prev_proto = dict(snap.protocol or PROTOCOL_ACTION)
+    need = {
+        "minReaderVersion": prev_proto.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        "writerFeatures": _implied_writer_features(
+            prev_proto.get("minWriterVersion", 2)
+        )
+        + ["inCommitTimestamp"],
+    }
+    # the enablement commit's own ict, under the same clamp commit()
+    # applies (deterministic default stamp)
+    prev_ict = log._prev_ict(version)
+    ict = (
+        version * 1000
+        if prev_ict is None
+        else max(version * 1000, prev_ict + 1)
+    )
+    meta = dict(snap.metadata)
+    conf["delta.enableInCommitTimestamps"] = "true"
+    conf["delta.inCommitTimestamps.enablementVersion"] = str(version)
+    conf["delta.inCommitTimestamps.enablementTimestamp"] = str(ict)
+    meta["configuration"] = conf
+    return log.commit(
+        [
+            {"protocol": merge_protocol(prev_proto, need)},
+            {"metaData": meta},
+        ],
+        version=version,
+        operation="UPGRADE",
+    )
+
+
+def set_clustering(table_dir: str, cols: list[str]) -> int:
+    """Declare **liquid clustering** columns in the log (Delta
+    PROTOCOL.md "Clustered Table", the successor to ZORDER
+    post-hooks): a ``delta.clustering`` domainMetadata action carries
+    ``clusteringColumns``; the ``clustering`` + ``domainMetadata``
+    writer features are declared. ``optimize()`` then reads its keys
+    FROM THE LOG — any engine maintaining the table reclusters the
+    same way, with no side-channel layout file. Metadata-only
+    commit; reclustering happens at the next OPTIMIZE, exactly
+    Delta's behavior for ``ALTER TABLE ... CLUSTER BY``."""
+    if not cols:
+        raise ValueError("clustering needs at least one column")
+    log = DeltaLog(table_dir)
+    snap = log.snapshot()
+    schema = json.loads(snap.metadata["schemaString"])
+    names = {f["name"] for f in schema["fields"]}
+    missing = [c for c in cols if c not in names]
+    if missing:
+        raise DeltaProtocolError(
+            f"clustering columns {missing} not in schema {sorted(names)}"
+        )
+    prev_proto = dict(snap.protocol or PROTOCOL_ACTION)
+    need = {
+        "minReaderVersion": prev_proto.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        "writerFeatures": _implied_writer_features(
+            prev_proto.get("minWriterVersion", 2)
+        )
+        + ["clustering", "domainMetadata"],
+    }
+    return log.commit(
+        [
+            {"protocol": merge_protocol(prev_proto, need)},
+            {
+                "domainMetadata": {
+                    "domain": CLUSTERING_DOMAIN,
+                    "configuration": json.dumps(
+                        # nested arrays: each entry is a (possibly
+                        # multi-part) physical column path
+                        {"clusteringColumns": [[c] for c in cols]},
+                        separators=(",", ":"),
+                    ),
+                    "removed": False,
+                }
+            },
+        ],
+        operation="CLUSTER BY",
+    )
+
+
+#: allowed type widenings (Delta PROTOCOL.md "Type Widening"):
+#: from -> widenable-to set. Conservative integer/float promotions
+#: only — everything a parquet reader can upcast losslessly.
+_WIDENINGS = {
+    "byte": {"short", "integer", "long"},
+    "short": {"integer", "long"},
+    "integer": {"long"},
+    "float": {"double"},
+}
+
+
+def widen_column_type(table_dir: str, col: str, to_type: str) -> int:
+    """**Type widening** (Delta PROTOCOL.md "Type Widening",
+    ``delta.enableTypeWidening``): change a column's LOGICAL type to
+    a wider one — int→long, float→double — in ONE metadata commit,
+    zero files rewritten. Old files keep their narrow physical type;
+    readers upcast through the widened schema (``read_delta``
+    conforms every loaded column to the declared type). The field's
+    ``delta.typeChanges`` metadata records {fromType, toType,
+    tableVersion} per widening so engines know which files predate
+    which change.
+
+    The alternative at 100 TB — rewriting every file because an id
+    column outgrew int32 — is exactly what this feature exists to
+    avoid. Refuses narrowings and unknown promotions (they would
+    corrupt, not widen). Reference: schema evolution on
+    ``file_format: delta`` tables (customers_latest.sql:5
+    ``on_schema_change='sync_all_columns'`` handles add/remove; this
+    is the type half)."""
+    log = DeltaLog(table_dir)
+    snap = log.snapshot()
+    schema = json.loads(snap.metadata["schemaString"])
+    field = next((f for f in schema["fields"] if f["name"] == col), None)
+    if field is None:
+        raise DeltaProtocolError(f"no column {col!r}")
+    cur = field["type"]
+    if not isinstance(cur, str):
+        raise DeltaProtocolError(
+            f"type widening supports primitive types only, {col!r} "
+            f"is {cur}"
+        )
+    if to_type == cur:
+        return snap.version  # idempotent
+    if to_type not in _WIDENINGS.get(cur, ()):  # narrowing/unknown
+        raise DeltaProtocolError(
+            f"cannot widen {col!r} from {cur} to {to_type} "
+            f"(allowed: {sorted(_WIDENINGS.get(cur, ()))})"
+        )
+    version = snap.version + 1
+    field["type"] = to_type
+    md = dict(field.get("metadata") or {})
+    changes = list(md.get("delta.typeChanges") or [])
+    changes.append(
+        {"fromType": cur, "toType": to_type, "tableVersion": version}
+    )
+    md["delta.typeChanges"] = changes
+    field["metadata"] = md
+    meta = dict(snap.metadata)
+    meta["schemaString"] = json.dumps(schema, separators=(",", ":"))
+    conf = dict(meta.get("configuration") or {})
+    conf["delta.enableTypeWidening"] = "true"
+    meta["configuration"] = conf
+    prev_proto = dict(snap.protocol or PROTOCOL_ACTION)
+    need = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": ["typeWidening"],
+        "writerFeatures": _implied_writer_features(
+            prev_proto.get("minWriterVersion", 2)
+        )
+        + ["typeWidening"],
+    }
+    return log.commit(
+        [
+            {"protocol": merge_protocol(prev_proto, need)},
+            {"metaData": meta},
+        ],
+        version=version,
+        operation="ALTER COLUMN",
+    )
+
+
+# ------------------------------------------------------------------
+# Row tracking (stable row identity)
+# ------------------------------------------------------------------
+
+#: Features implied by the LEGACY writer versions (Delta PROTOCOL.md
+#: "Table Features"): upgrading a table to writer version 7 must list
+#: every feature its old version number implied.
+_LEGACY_WRITER_FEATURES = {
+    3: ["checkConstraints"],
+    4: ["changeDataFeed", "generatedColumns"],
+    5: ["columnMapping"],
+    6: ["identityColumns"],
+}
+
+
+def _implied_writer_features(min_writer: int) -> list[str]:
+    out: list[str] = []
+    for v in range(3, min(min_writer, 6) + 1):
+        out += _LEGACY_WRITER_FEATURES[v]
+    return out
+
+
+def enable_row_tracking(table_dir: str) -> int:
+    """Enable the **row tracking** writer feature (Delta PROTOCOL.md
+    "Row Tracking"): every data file gets a ``baseRowId`` — the first
+    of ``numRecords`` consecutive FRESH row ids — and a
+    ``defaultRowCommitVersion``; the allocation high-water mark lives
+    in a ``delta.rowTracking`` ``domainMetadata`` action. A row's id
+    is ``baseRowId + position`` unless a REWRITE preserved the id by
+    materializing it into the configured materialized column
+    (``delta.rowTracking.materializedRowIdColumnName``) — which is
+    what makes the id STABLE across MoR updates/merges, the join key
+    CDC consumers actually want.
+
+    Enablement is one metadata commit that BACKFILLS the live files:
+    each is re-added (``dataChange: false`` — streams/CDF skip it)
+    with its allocated range; protocol upgrades to writer-features
+    (7) declaring ``rowTracking`` + ``domainMetadata`` alongside
+    whatever the legacy writer version implied. Zero data I/O at any
+    table size — O(|files|) log entries, like every metadata-only
+    upgrade in this family."""
+    log = DeltaLog(table_dir)
+    snap = log.snapshot()
+    if not snap.metadata:
+        raise DeltaProtocolError(f"no metaData at {table_dir}")
+    conf = dict(snap.metadata.get("configuration") or {})
+    if conf.get("delta.enableRowTracking") == "true":
+        return snap.version  # idempotent
+    version = snap.version + 1
+    prev_proto = dict(snap.protocol or PROTOCOL_ACTION)
+    need = {
+        "minReaderVersion": prev_proto.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        "writerFeatures": _implied_writer_features(
+            prev_proto.get("minWriterVersion", 2)
+        )
+        + ["rowTracking", "domainMetadata"],
+    }
+    actions: list[dict] = [{"protocol": merge_protocol(prev_proto, need)}]
+    meta = dict(snap.metadata)
+    conf["delta.enableRowTracking"] = "true"
+    conf["delta.rowTracking.materializedRowIdColumnName"] = (
+        MATERIALIZED_ROW_ID_COL
+    )
+    conf["delta.rowTracking.materializedRowCommitVersionColumnName"] = (
+        MATERIALIZED_ROW_COMMIT_COL
+    )
+    meta["configuration"] = conf
+    actions.append({"metaData": meta})
+    hwm = snap.row_id_high_water_mark()
+    for rel in sorted(snap.files):
+        add = dict(snap.files[rel])
+        s = add.get("stats")
+        if not s:
+            raise DeltaProtocolError(
+                f"row tracking backfill needs numRecords stats; "
+                f"{rel!r} has none"
+            )
+        n = int(json.loads(s)["numRecords"])
+        add["baseRowId"] = hwm + 1
+        add["defaultRowCommitVersion"] = version
+        add["dataChange"] = False
+        hwm += n
+        actions.append({"add": add})
+    actions.append(
+        {
+            "domainMetadata": {
+                "domain": ROW_TRACKING_DOMAIN,
+                "configuration": json.dumps(
+                    {"rowIdHighWaterMark": hwm}, separators=(",", ":")
+                ),
+                "removed": False,
+            }
+        }
+    )
+    return log.commit(actions, version=version, operation="UPGRADE")
+
+
+def read_row_ids(spark, table_dir: str, version: int | None = None):
+    """Read a row-tracked table WITH its stable row identity: the
+    logical columns plus ``_row_id`` and ``_row_commit_version``.
+
+    Fresh rows: ``_row_id = baseRowId + _metadata.row_index`` (a
+    broadcast join of the O(|files|) path→baseRowId map onto the
+    scan — no shuffle of the data side). Preserved rows: the
+    materialized columns a MoR rewrite wrote win via ``coalesce``.
+    Deletion-vector tombstones are anti-joined out first, so a
+    deleted row's id never resurfaces. ``mergeSchema`` is on because
+    only rewritten files carry the materialized columns (schema
+    evolution by design, exactly how Delta stores them)."""
+    from pyspark.sql import functions as F
+
+    snap = DeltaLog(table_dir).snapshot(version)
+    if not snap.row_tracking_enabled():
+        raise DeltaProtocolError(
+            f"row tracking not enabled on {table_dir} — call "
+            "enable_row_tracking first"
+        )
+    base_rows = []
+    for rel in sorted(snap.files):
+        add = snap.files[rel]
+        if add.get("baseRowId") is None:
+            raise DeltaProtocolError(
+                f"live file {rel!r} has no baseRowId (written by a "
+                "non-row-tracking writer after enablement?)"
+            )
+        base_rows.append(
+            (rel, int(add["baseRowId"]),
+             int(add.get("defaultRowCommitVersion") or 0))
+        )
+    base_df = spark.createDataFrame(
+        base_rows,
+        "__rt_p string, __rt_base bigint, __rt_cv bigint",
+    )
+    positions = snap.dv_positions(table_dir)
+    pos_df = None
+    if positions:
+        pos_df = spark.createDataFrame(
+            positions, schema="path string, row_index bigint"
+        )
+    prefix = "file:" + os.path.abspath(table_dir).rstrip("/") + "/"
+    part_cols = (snap.metadata or {}).get("partitionColumns") or []
+    part_types = _part_types_of(snap)
+    groups: dict[tuple, list[str]] = {}
+    for rel in sorted(snap.files):
+        pv = snap.files[rel].get("partitionValues") or {}
+        key = tuple(pv.get(c) for c in part_cols)
+        groups.setdefault(key, []).append(rel)
+    out = None
+    for key in sorted(groups, key=lambda k: tuple(str(x) for x in k)):
+        df = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(*[resolve_path(table_dir, p) for p in groups[key]])
+        )
+        tagged = df.select(
+            "*",
+            F.substring(
+                F.col("_metadata.file_path"), len(prefix) + 1, 1 << 20
+            ).alias("__rt_path"),
+            F.col("_metadata.row_index").alias("__rt_ri"),
+        )
+        if pos_df is not None:
+            tagged = tagged.join(
+                F.broadcast(pos_df),
+                (F.col("__rt_path") == pos_df["path"])
+                & (F.col("__rt_ri") == pos_df["row_index"]),
+                "left_anti",
+            )
+        for c, v in zip(part_cols, key):
+            tagged = tagged.withColumn(
+                c, F.lit(v).cast(part_types.get(c, "string"))
+            )
+        out = tagged if out is None else out.unionByName(
+            tagged, allowMissingColumns=True
+        )
+    joined = out.join(
+        F.broadcast(base_df), F.col("__rt_path") == F.col("__rt_p"), "left"
+    )
+    mat_id = (
+        F.col(MATERIALIZED_ROW_ID_COL)
+        if MATERIALIZED_ROW_ID_COL in out.columns
+        else F.lit(None).cast("long")
+    )
+    mat_cv = (
+        F.col(MATERIALIZED_ROW_COMMIT_COL)
+        if MATERIALIZED_ROW_COMMIT_COL in out.columns
+        else F.lit(None).cast("long")
+    )
+    logical = [
+        c
+        for c in out.columns
+        if c
+        not in (
+            MATERIALIZED_ROW_ID_COL,
+            MATERIALIZED_ROW_COMMIT_COL,
+            "__rt_path",
+            "__rt_ri",
+        )
+    ]
+    return joined.select(
+        *logical,
+        F.coalesce(
+            mat_id, F.col("__rt_base") + F.col("__rt_ri")
+        ).cast("long").alias("_row_id"),
+        F.coalesce(mat_cv, F.col("__rt_cv")).cast("long").alias(
+            "_row_commit_version"
+        ),
+    )
 
 
 # ------------------------------------------------------------------

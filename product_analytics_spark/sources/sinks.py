@@ -59,6 +59,7 @@ _LAYOUT = "_LAYOUT"
 _CONSTRAINTS = "_CONSTRAINTS"
 _GENERATED = "_GENERATED"
 _IDENTITY = "_IDENTITY"
+_ROW_TRACKING = "_ROW_TRACKING"
 
 #: Sentinel default for ``expected_version`` — distinct from None,
 #: which is a MEANINGFUL expectation (first write: no pointer yet).
@@ -395,51 +396,144 @@ class SnapshotStore:
                     "high_water_mark": None}
         self._write_identity(name, ids)
 
+    def _identity_lock(self, name: str):
+        """Serializes the identity read-allocate-persist cycle
+        (ADVICE r9: two concurrent writers both reading the same HWM
+        would mint duplicate surrogate keys). A dedicated lock file —
+        NOT the commit lock, which is held for microseconds; the
+        allocation holds this one across a small Spark job (the
+        localCheckpoint pin + max), so the deadline is longer."""
+        os.makedirs(self.path(name), exist_ok=True)
+        return self._flock(
+            os.path.join(self.path(name), "_ID_LOCK"), deadline_s=120.0
+        )
+
     def _apply_identity(self, name: str, df: DataFrame) -> DataFrame:
         """Allocate identity values for absent identity columns;
-        refuse supplied ones. Advances the persisted high-water mark
-        BEFORE the write (a crashed write burns the range — ids stay
-        unique, like any sequence)."""
+        refuse supplied ones. The whole read-HWM / allocate / persist
+        cycle runs under ``_identity_lock`` so concurrent writers get
+        DISJOINT ranges, and the allocated (nondeterministic) column
+        is PINNED via localCheckpoint before the HWM is computed from
+        it — a later re-plan (AQE, a different join order in
+        ``_identity_merge_batch``) can therefore never write ids that
+        differ from the ones the HWM covered. Advances the persisted
+        high-water mark BEFORE the write (a crashed write burns the
+        range — ids stay unique, like any sequence)."""
         ids = self.identity_columns(name)
         if not ids:
             return df
-        changed = False
-        for col, spec in ids.items():
+        for col in ids:
             if col in df.columns:
                 raise ConstraintViolationError(
                     f"column {col!r} is GENERATED ALWAYS AS IDENTITY —"
                     " writers must not supply it"
                 )
-            step = int(spec["step"])
-            hwm = spec["high_water_mark"]
-            base = int(spec["start"]) if hwm is None else int(hwm) + step
-            # JVM-side allocation: base + monotonically_increasing_id
-            # · step — zero shuffles, zero Python row round-trips, one
-            # small max() job to advance the high-water mark. Values
-            # within a batch are unique and increasing but NOT
-            # contiguous (the per-partition id space leaves gaps) —
-            # exactly Delta's own identity allocator, which hands each
-            # task a range and burns the remainder. Gap-freedom was
-            # never the contract; uniqueness + monotonic-above-HWM is.
-            df = df.withColumn(
-                col,
-                (
-                    F.lit(base)
-                    + F.monotonically_increasing_id() * F.lit(step)
-                ).cast("long"),
-            )
+        with self._identity_lock(name):
+            ids = self.identity_columns(name)  # re-read under the lock
+            for col, spec in ids.items():
+                step = int(spec["step"])
+                hwm = spec["high_water_mark"]
+                base = int(spec["start"]) if hwm is None else int(hwm) + step
+                # JVM-side allocation: base + monotonically_increasing_id
+                # · step — zero shuffles, zero Python row round-trips.
+                # Values within a batch are unique and increasing but
+                # NOT contiguous (the per-partition id space leaves
+                # gaps) — exactly Delta's own identity allocator, which
+                # hands each task a range and burns the remainder.
+                # Gap-freedom was never the contract; uniqueness +
+                # monotonic-above-HWM is.
+                df = df.withColumn(
+                    col,
+                    (
+                        F.lit(base)
+                        + F.monotonically_increasing_id() * F.lit(step)
+                    ).cast("long"),
+                )
+            # Pin the nondeterministic ids ONCE: after this, the HWM
+            # job below and the downstream write read the SAME
+            # materialized values. Cost: one pass over only the new
+            # rows (O(batch), never O(table)).
+            df = df.localCheckpoint(eager=True)
             # the high-water mark is the furthest value IN THE STEP
             # DIRECTION (negative increments descend, like SQL
-            # sequences and Delta's)
-            new_hwm = df.agg(
-                F.max(col) if step > 0 else F.min(col)
-            ).collect()[0][0]
-            if new_hwm is not None:
-                spec["high_water_mark"] = int(new_hwm)
-                changed = True
-        if changed:
-            self._write_identity(name, ids)
+            # sequences and Delta's) — one combined agg job for all
+            # identity columns
+            row = df.agg(
+                *[
+                    (
+                        F.max(c) if int(ids[c]["step"]) > 0 else F.min(c)
+                    ).alias(c)
+                    for c in ids
+                ]
+            ).collect()[0]
+            changed = False
+            for col, spec in ids.items():
+                v = row[col]
+                if v is not None:
+                    spec["high_water_mark"] = int(v)
+                    changed = True
+            if changed:
+                self._write_identity(name, ids)
         return df
+
+    def _advance_identity_hwm(self, name: str, version: str) -> None:
+        """After a write that SUPPLIED identity values (``overwrite``
+        doubles as the engine's internal rewrite primitive, and a user
+        full-refresh may legitimately carry existing keys), push the
+        persisted high-water mark past the furthest supplied value so
+        later allocations never duplicate them (ADVICE r9). The
+        furthest value comes from the written files' parquet FOOTERS
+        — zero Spark jobs, O(|files|) metadata reads."""
+        import pyarrow.parquet as pq
+
+        ids = self.identity_columns(name)
+        if not ids:
+            return
+        vdir = os.path.join(self.path(name), version)
+        far: dict[str, int] = {}
+        for root, dirs, files in os.walk(vdir):
+            dirs[:] = [d for d in dirs if not d.startswith((".", "_"))]
+            for f in files:
+                if not f.endswith(".parquet") or f.startswith((".", "_")):
+                    continue
+                try:
+                    md = pq.ParquetFile(os.path.join(root, f)).metadata
+                except OSError:
+                    continue
+                for rg in range(md.num_row_groups):
+                    for ci in range(md.num_columns):
+                        col = md.row_group(rg).column(ci)
+                        cname = col.path_in_schema
+                        spec = ids.get(cname)
+                        st = col.statistics
+                        if spec is None or st is None or not st.has_min_max:
+                            continue
+                        v = int(st.max if int(spec["step"]) > 0 else st.min)
+                        if cname not in far:
+                            far[cname] = v
+                        elif int(spec["step"]) > 0:
+                            far[cname] = max(far[cname], v)
+                        else:
+                            far[cname] = min(far[cname], v)
+        if not far:
+            return
+        with self._identity_lock(name):
+            ids = self.identity_columns(name)
+            changed = False
+            for col, spec in ids.items():
+                v = far.get(col)
+                if v is None:
+                    continue
+                step, hwm = int(spec["step"]), spec["high_water_mark"]
+                if (
+                    hwm is None
+                    or (step > 0 and v > int(hwm))
+                    or (step < 0 and v < int(hwm))
+                ):
+                    spec["high_water_mark"] = v
+                    changed = True
+            if changed:
+                self._write_identity(name, ids)
 
     def _identity_merge_batch(
         self, name: str, prev: DataFrame | None, batch: DataFrame,
@@ -527,11 +621,25 @@ class SnapshotStore:
         filtered out via a broadcast anti-join on
         (file basename, ``_metadata.row_index``) — the merge-on-read
         half of the DELETE cost model (q290)."""
+        rt = self._row_tracking(name)
+
+        def _hide_rt(df: DataFrame) -> DataFrame:
+            # the materialized row-id columns are PHYSICAL, not
+            # logical — plain reads never expose them (Delta hides
+            # them the same way); read_row_ids is the id-aware reader
+            if not rt:
+                return df
+            from product_analytics_spark.sources import delta_log as dl
+
+            return df.drop(
+                dl.MATERIALIZED_ROW_ID_COL, dl.MATERIALIZED_ROW_COMMIT_COL
+            )
+
         if version is None:
             data = self.current_data_dir(name)
             if data is None:
                 return None
-            return self._apply_dv(data)
+            return _hide_rt(self._apply_dv(data, merge_schema=rt))
         if isinstance(version, int):
             vs = self.versions(name)
             if not vs:
@@ -540,7 +648,7 @@ class SnapshotStore:
         vdir = os.path.join(self.path(name), version)
         if not os.path.isdir(vdir):
             return None
-        return self._apply_dv(vdir)
+        return _hide_rt(self._apply_dv(vdir, merge_schema=rt))
 
     # ------------------------------------------ deletion vectors (MoR)
 
@@ -566,10 +674,121 @@ class SnapshotStore:
             F.col("_metadata.file_path"), len(prefix) + 1, 1 << 20
         )
 
-    def _apply_dv(self, data_dir: str) -> DataFrame:
+    def _row_tracking(self, name: str) -> bool:
+        """O(1) row-tracking check (marker file written by
+        ``enable_row_tracking`` — the log's configuration is the
+        source of truth, this avoids a snapshot replay per read)."""
+        return os.path.isfile(os.path.join(self.path(name), _ROW_TRACKING))
+
+    def enable_row_tracking(self, name: str) -> int:
+        """Enable the Delta row-tracking writer feature on this table
+        (requires ``delta_log=True``): protocol upgrade + per-file
+        ``baseRowId`` backfill + ``delta.rowTracking`` domainMetadata
+        high-water mark (see ``delta_log.enable_row_tracking``). From
+        then on every commit allocates fresh id ranges for new files,
+        and the MoR DML paths PRESERVE matched rows' ids by
+        materializing them into the rewritten files. Read ids back
+        with ``delta_log.read_row_ids``."""
+        if not self.delta_log:
+            raise ValueError("row tracking requires delta_log=True")
+        from product_analytics_spark.sources import delta_log as dl
+
+        v = dl.enable_row_tracking(self.path(name))
+        marker = os.path.join(self.path(name), _ROW_TRACKING)
+        with open(marker, "w", encoding="utf-8") as fh:
+            fh.write("enabled\n")
+        return v
+
+    def _rt_base_df(self, name: str, data_dir: str):
+        """Broadcastable (version-relative path, baseRowId,
+        defaultRowCommitVersion) map of the CURRENT snapshot — the
+        O(|files|) side of the virtual-row-id computation."""
+        from product_analytics_spark.sources import delta_log as dl
+
+        snap = dl.DeltaLog(self.path(name)).snapshot()
+        vbase = os.path.basename(os.path.normpath(data_dir))
+        rows = []
+        for rel in sorted(snap.files):
+            add = snap.files[rel]
+            if add.get("baseRowId") is None:
+                raise dl.DeltaProtocolError(
+                    f"row-tracked table {name!r}: live file {rel!r} "
+                    "has no baseRowId"
+                )
+            vrel = (
+                rel.split("/", 1)[1]
+                if rel.startswith(vbase + "/")
+                else rel
+            )
+            rows.append(
+                (
+                    vrel,
+                    int(add["baseRowId"]),
+                    int(add.get("defaultRowCommitVersion") or 0),
+                )
+            )
+        return self.spark.createDataFrame(
+            rows, "__rt_p string, __rt_base bigint, __rt_cv bigint"
+        )
+
+    def _rt_attach_ids(self, name: str, data_dir: str, scan: DataFrame):
+        """Tag a raw scan with the stable ``_pa_row_id_m`` /
+        ``_pa_row_commit_m`` columns: materialized values (from a
+        prior rewrite) win; otherwise ``baseRowId + row_index``. Must
+        be applied directly on the scan (``_metadata`` is a scan
+        pseudo-column)."""
+        from product_analytics_spark.sources import delta_log as dl
+
+        rt_id, rt_cv = (
+            dl.MATERIALIZED_ROW_ID_COL,
+            dl.MATERIALIZED_ROW_COMMIT_COL,
+        )
+        base_df = self._rt_base_df(name, data_dir)
+        mat_id = (
+            F.col(rt_id)
+            if rt_id in scan.columns
+            else F.lit(None).cast("long")
+        )
+        mat_cv = (
+            F.col(rt_cv)
+            if rt_cv in scan.columns
+            else F.lit(None).cast("long")
+        )
+        logical = [c for c in scan.columns if c not in (rt_id, rt_cv)]
+        return (
+            scan.select(
+                "*",
+                self._rel_path_col(data_dir).alias("__rt_relp"),
+                F.col("_metadata.row_index").alias("__rt_ri"),
+            )
+            .join(
+                F.broadcast(base_df),
+                F.col("__rt_relp") == F.col("__rt_p"),
+                "left",
+            )
+            .select(
+                *logical,
+                F.coalesce(mat_id, F.col("__rt_base") + F.col("__rt_ri"))
+                .cast("long")
+                .alias(rt_id),
+                F.coalesce(mat_cv, F.col("__rt_cv"))
+                .cast("long")
+                .alias(rt_cv),
+            )
+        )
+
+    def _apply_dv(
+        self, data_dir: str, merge_schema: bool = False
+    ) -> DataFrame:
         """Read a version dir, filtering deletion-vectored positions:
-        broadcast anti-join on (version-relative path, row_index)."""
-        base = self.spark.read.parquet(data_dir)
+        broadcast anti-join on (version-relative path, row_index).
+        ``merge_schema`` is set by row-tracked tables, whose rewritten
+        files carry the materialized row-id columns the hardlinked
+        ones lack."""
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        base = reader.parquet(data_dir)
         dv_dir = self._dv_dir(data_dir)
         if not os.path.isdir(dv_dir):
             return base
@@ -726,7 +945,23 @@ class SnapshotStore:
                 data = self.current_data_dir(name)
                 if data is None:
                     raise ValueError(f"unknown table {name!r}")
-                live = self._apply_dv(data)
+                rt = self._row_tracking(name)
+                live = self._apply_dv(data, merge_schema=rt)
+                if rt:
+                    from product_analytics_spark.sources import (
+                        delta_log as dl,
+                    )
+
+                    rt_cols = (
+                        dl.MATERIALIZED_ROW_ID_COL,
+                        dl.MATERIALIZED_ROW_COMMIT_COL,
+                    )
+                    logical_cols = [
+                        c for c in live.columns if c not in rt_cols
+                    ]
+                else:
+                    rt_cols = ()
+                    logical_cols = list(live.columns)
                 part_cols_now = [
                     c
                     for rel, _fs in self._partition_dirs(data)
@@ -747,23 +982,32 @@ class SnapshotStore:
                     )
                 else:
                     merged_dv = new_pos.distinct()
-                updated = matching
+                # Row tracking: the rewritten rows carry their OLD ids
+                # in the materialized columns, so identity survives
+                # the tombstone-and-rewrite (Delta's exact mechanism).
+                updated = (
+                    self._rt_attach_ids(name, data, matching)
+                    if rt
+                    else matching
+                )
                 for col, expr_sql in assignments.items():
                     updated = updated.withColumn(
                         col,
                         F.expr(expr_sql).cast(live.schema[col].dataType),
                     )
-                updated = updated.select(*live.columns)
-                self._validate_constraints(name, updated)
+                updated = updated.select(*logical_cols, *rt_cols)
+                self._validate_constraints(
+                    name, updated.select(*logical_cols)
+                )
                 if post_scan is not None:
                     post_scan()
                 if self.cdf:
                     self._stage_cdc(
                         name,
-                        matching.select(*live.columns)
+                        matching.select(*logical_cols)
                         .withColumn("_change_type", F.lit("update_preimage"))
                         .unionByName(
-                            updated.withColumn(
+                            updated.select(*logical_cols).withColumn(
                                 "_change_type", F.lit("update_postimage")
                             )
                         ),
@@ -852,14 +1096,30 @@ class SnapshotStore:
                 data = self.current_data_dir(name)
                 if data is None:
                     raise ValueError(f"unknown table {name!r}")
-                live = self._apply_dv(data)
+                rt = self._row_tracking(name)
+                live = self._apply_dv(data, merge_schema=rt)
+                if rt:
+                    from product_analytics_spark.sources import (
+                        delta_log as dl,
+                    )
+
+                    rt_cols = (
+                        dl.MATERIALIZED_ROW_ID_COL,
+                        dl.MATERIALIZED_ROW_COMMIT_COL,
+                    )
+                    logical_cols = [
+                        c for c in live.columns if c not in rt_cols
+                    ]
+                else:
+                    rt_cols = ()
+                    logical_cols = list(live.columns)
                 batch_eff = (
                     self._identity_merge_batch(name, live, batch, keys)
                     if self.identity_columns(name)
                     else batch
                 )
-                missing = set(live.columns) - set(batch_eff.columns)
-                extra = set(batch_eff.columns) - set(live.columns)
+                missing = set(logical_cols) - set(batch_eff.columns)
+                extra = set(batch_eff.columns) - set(logical_cols)
                 if missing or extra:
                     raise ValueError(
                         f"merge_mor requires identical column sets "
@@ -870,7 +1130,7 @@ class SnapshotStore:
                 aligned = batch_eff.select(
                     *[
                         F.col(c).cast(live.schema[c].dataType).alias(c)
-                        for c in live.columns
+                        for c in logical_cols
                     ]
                 )
                 # CHECK constraints gate the NEW rows only — the
@@ -910,10 +1170,11 @@ class SnapshotStore:
                     post_scan()
                 if self.cdf:
                     ct = "_change_type"
-                    lkeys = live.select(*keys).distinct()
+                    live_l = live.select(*logical_cols)
+                    lkeys = live_l.select(*keys).distinct()
                     self._stage_cdc(
                         name,
-                        live.join(
+                        live_l.join(
                             F.broadcast(aligned.select(*keys).distinct()),
                             keys,
                             "left_semi",
@@ -930,6 +1191,27 @@ class SnapshotStore:
                             )
                         ),
                     )
+                # Row tracking: matched batch rows INHERIT the live
+                # row's id via the materialized columns (O(matched)
+                # map, broadcast onto the batch); inserts carry NULL
+                # and read back as fresh baseRowId+index ids.
+                if rt:
+                    matched_ids = (
+                        self._rt_attach_ids(name, data, live)
+                        .join(
+                            F.broadcast(
+                                aligned.select(*keys).distinct()
+                            ),
+                            keys,
+                            "left_semi",
+                        )
+                        .select(*keys, *rt_cols)
+                    )
+                    to_write = aligned.join(
+                        F.broadcast(matched_ids), keys, "left"
+                    ).select(*logical_cols, *rt_cols)
+                else:
+                    to_write = aligned
                 n_link = 0
                 for rel, files in self._partition_dirs(data):
                     out_dir = vdir if rel == "." else os.path.join(vdir, rel)
@@ -937,7 +1219,7 @@ class SnapshotStore:
                     for f in files:
                         os.link(f, os.path.join(out_dir, os.path.basename(f)))
                         n_link += 1
-                writer = aligned.write.mode("append")
+                writer = to_write.write.mode("append")
                 if part_cols_now:
                     writer = writer.partitionBy(*part_cols_now)
                 writer.parquet(vdir)
@@ -1173,24 +1455,33 @@ class SnapshotStore:
         waiters lock DIFFERENT inodes under the same path. On object
         stores the table format's log-entry putIfAbsent plays this
         role natively."""
+        return self._flock(
+            os.path.join(self.path(name), "_COMMIT_LOCK"), deadline_s=10.0
+        )
+
+    @staticmethod
+    def _flock(lock: str, deadline_s: float):
+        """Exclusive ``fcntl.flock`` on a persistent lock file (see
+        ``_commit_lock`` doc for why flock and why the file is never
+        unlinked). Distinct lock FILES are independent; the same file
+        from two fds — even in one process — conflicts, so holders
+        must never nest the SAME lock."""
         import contextlib
         import fcntl
         import time
-
-        lock = os.path.join(self.path(name), "_COMMIT_LOCK")
 
         @contextlib.contextmanager
         def _held():
             fd = os.open(lock, os.O_CREAT | os.O_WRONLY, 0o644)
             try:
-                deadline = time.time() + 10.0
+                deadline = time.time() + deadline_s
                 while True:
                     try:
                         fcntl.flock(fd, fcntl.LOCK_EX | fcntl.LOCK_NB)
                         break
                     except OSError:
                         if time.time() > deadline:
-                            raise TimeoutError(f"commit lock busy: {lock}")
+                            raise TimeoutError(f"lock busy: {lock}")
                         time.sleep(0.01)
                 try:
                     yield
@@ -1475,18 +1766,68 @@ class SnapshotStore:
                         st, separators=(",", ":"), sort_keys=True
                     )
 
+        # Row tracking: allocate fresh baseRowId ranges for files the
+        # snapshot hasn't seen. Hardlinked COW/MoR copies INHERIT
+        # their range via the inode-reuse add copy above (same inode
+        # ⇒ same rows ⇒ same ids); only genuinely new files draw from
+        # the high-water mark, which advances in the same commit's
+        # domainMetadata action (Delta PROTOCOL.md "Row Tracking").
+        rt_enabled = prev is not None and prev.row_tracking_enabled()
+        rt_domain_action = None
+        if rt_enabled:
+            rt_hwm = prev.row_id_high_water_mark()
+            rt_hwm0 = rt_hwm
+            this_version = (latest + 1) if latest is not None else 0
+            for add in new_adds:
+                if add.get("baseRowId") is not None:
+                    continue
+                s = add.get("stats")
+                if not s:
+                    raise dl.DeltaProtocolError(
+                        "row tracking requires per-file numRecords "
+                        f"stats; add {add.get('path')!r} has none"
+                    )
+                n = int(json.loads(s)["numRecords"])
+                add["baseRowId"] = rt_hwm + 1
+                add["defaultRowCommitVersion"] = this_version
+                rt_hwm += n
+            if rt_hwm != rt_hwm0:
+                rt_domain_action = {
+                    "domainMetadata": {
+                        "domain": dl.ROW_TRACKING_DOMAIN,
+                        "configuration": json.dumps(
+                            {"rowIdHighWaterMark": rt_hwm},
+                            separators=(",", ":"),
+                        ),
+                        "removed": False,
+                    }
+                }
+
         # Schema fingerprint from ONE data file's arrow schema (cheap,
         # no Spark job); full Spark schemaString only when it changes.
+        rt_marker = self._row_tracking(name)
+        rt_phys_cols = ()
+        if rt_marker:
+            rt_phys_cols = (
+                dl.MATERIALIZED_ROW_ID_COL,
+                dl.MATERIALIZED_ROW_COMMIT_COL,
+            )
         schema_hash = None
         if first_abs is not None:
+            import pyarrow as pa
             import pyarrow.parquet as pq
 
             # remove_metadata(): Spark embeds its schema JSON in the
             # parquet key-value metadata and that varies by write path
-            # — only names/types should fingerprint the schema.
-            schema_hash = hashlib.sha1(
-                str(pq.read_schema(first_abs).remove_metadata()).encode()
-            ).hexdigest()
+            # — only names/types should fingerprint the schema. The
+            # materialized row-id columns are PHYSICAL, not logical —
+            # excluded, or the fingerprint would flap per-file.
+            sch_obj = pq.read_schema(first_abs).remove_metadata()
+            if rt_phys_cols:
+                sch_obj = pa.schema(
+                    [f for f in sch_obj if f.name not in rt_phys_cols]
+                )
+            schema_hash = hashlib.sha1(str(sch_obj).encode()).hexdigest()
         prev_conf = (prev.metadata.get("configuration") or {}) if prev else {}
         dv_enabled = bool(dv_by_rel) or (
             prev_conf.get("delta.enableDeletionVectors") == "true"
@@ -1566,10 +1907,22 @@ class SnapshotStore:
             actions.append({"protocol": proto})
         elif dv_by_rel and (
             (prev.protocol or {}).get("minReaderVersion", 1) < 3
+            or "deletionVectors"
+            not in ((prev.protocol or {}).get("writerFeatures") or [])
         ):
             # first DV on an existing table: in-place protocol upgrade
-            # to the deletionVectors table feature (reader 3 / writer 7)
-            actions.append({"protocol": dict(dl.PROTOCOL_DV_ACTION)})
+            # to the deletionVectors table feature (reader 3 / writer
+            # 7). MERGED into the existing protocol — a blind replace
+            # would forget previously-declared features (rowTracking,
+            # domainMetadata) and readers would stop enforcing them.
+            actions.append(
+                {
+                    "protocol": dl.merge_protocol(
+                        prev.protocol or dl.PROTOCOL_ACTION,
+                        dl.PROTOCOL_DV_ACTION,
+                    )
+                }
+            )
         elif need_writer > (prev.protocol or {}).get("minWriterVersion", 2):
             actions.append(
                 {
@@ -1582,7 +1935,32 @@ class SnapshotStore:
                 }
             )
         if need_meta:
-            schema_json = self.spark.read.parquet(data).schema.json()
+            if prev_conf.get("delta.columnMapping.mode") in (
+                "name", "id",
+            ) or prev_conf.get("delta.enableTypeWidening") == "true":
+                # Under column mapping the files carry PHYSICAL names,
+                # and under type widening the files carry MIXED
+                # physical widths; re-deriving the schema from them
+                # would silently undo a logical rename or a widening
+                # (and drop the delta.typeChanges history). Schema
+                # changes on such tables need explicit DDL (Delta's
+                # rule too) — keep the previous logical schemaString.
+                schema_json = prev.metadata["schemaString"]
+            else:
+                reader = self.spark.read
+                if rt_marker:
+                    reader = reader.option("mergeSchema", "true")
+                schema_json = reader.parquet(data).schema.json()
+            if rt_phys_cols:
+                # the materialized row-id columns live in the FILES,
+                # never in the logical schema (Delta hides them too)
+                sch = json.loads(schema_json)
+                sch["fields"] = [
+                    f
+                    for f in sch["fields"]
+                    if f["name"] not in rt_phys_cols
+                ]
+                schema_json = json.dumps(sch, separators=(",", ":"))
             if gens or idents:
                 # generation expressions and identity specs live in
                 # the FIELD metadata, not configuration
@@ -1608,9 +1986,18 @@ class SnapshotStore:
             meta = dl.make_metadata(
                 schema_json, part_cols, table_id=table_id
             )
-            conf = (
-                {"engine.arrowSchemaHash": schema_hash} if schema_hash else {}
-            )
+            # start from the PREVIOUS configuration so table
+            # properties written by out-of-band upgrades (row
+            # tracking, column mapping) survive a metaData
+            # re-emission; constraint keys are rebuilt from the
+            # current declarations
+            conf = {
+                k: v
+                for k, v in prev_conf.items()
+                if not k.startswith("delta.constraints.")
+            }
+            if schema_hash:
+                conf["engine.arrowSchemaHash"] = schema_hash
             if dv_enabled:
                 conf["delta.enableDeletionVectors"] = "true"
             if cdf_enabled:
@@ -1633,6 +2020,8 @@ class SnapshotStore:
                     rm["dataChange"] = False
                 actions.append({"remove": rm})
         actions.extend({"add": a} for a in new_adds)
+        if rt_domain_action is not None:
+            actions.append(rt_domain_action)
         # Change Data Feed: reference this thread's staged change
         # files in the SAME commit (Delta "Add CDC File" action).
         # When cdc actions are present, table_changes reads them
@@ -1643,7 +2032,20 @@ class SnapshotStore:
                 try:
                     sz = os.path.getsize(p)
                 except OSError:
-                    continue
+                    # A staged change file vanished between _stage_cdc
+                    # and this commit (e.g. an aggressive VACUUM swept
+                    # the not-yet-referenced file). Committing anyway
+                    # would silently drop these rows from the feed —
+                    # downstream incrementals would miss changes with
+                    # no error anywhere (ADVICE r9). Fail the commit
+                    # loudly instead; the caller retries and restages.
+                    raise dl.DeltaProtocolError(
+                        f"staged change file {rel!r} vanished before "
+                        f"commit of table {name!r} — refusing to commit "
+                        "a change feed with silently missing rows "
+                        "(was VACUUM run concurrently? use "
+                        "cdc_grace_s)"
+                    ) from None
                 actions.append(
                     {
                         "cdc": {
@@ -1767,7 +2169,8 @@ class SnapshotStore:
         RESOLVED boolean is what gets recorded in the layout, so a
         later ``optimize()`` reclusters with the same scheme."""
         ident = self.identity_columns(name)
-        if ident and next(iter(ident)) not in df.columns:
+        ident_supplied = bool(ident) and next(iter(ident)) in df.columns
+        if ident and not ident_supplied:
             # first write / explicit refresh omitting the identity
             # column: allocate. A df CARRYING the column passes —
             # overwrite is also the engine's own rewrite primitive
@@ -1810,6 +2213,11 @@ class SnapshotStore:
         self._record_layout(
             name, partition_by, cluster_by, zorder_by, zorder_depth=zorder_depth
         )
+        if ident_supplied:
+            # A full refresh carrying ids above the HWM must advance
+            # it, or later appends would allocate duplicates of
+            # existing keys (ADVICE r9).
+            self._advance_identity_hwm(name, version)
 
     def append(self, name: str, df: DataFrame, partition_by: Sequence[str] = ()) -> None:
         """S5: plain append materialization.
@@ -2115,13 +2523,35 @@ class SnapshotStore:
         simplicity, where Delta would skip dirs already within
         tolerance (the planner hook to add when partition counts make
         it matter)."""
+        # Liquid clustering: keys declared IN THE LOG
+        # (``delta.clustering`` domainMetadata, set_clustering) take
+        # precedence over the engine-local _LAYOUT declaration — any
+        # engine maintaining the table reclusters the same way, which
+        # is the point of putting them in the log (Delta's successor
+        # to ZORDER post-hooks).
+        liquid_keys: list[str] = []
+        if self.delta_log:
+            from product_analytics_spark.sources import delta_log as dl
+
+            try:
+                liquid_keys = self.delta_snapshot(
+                    name
+                ).clustering_columns()
+            except dl.DeltaProtocolError:
+                liquid_keys = []
         layout = self.layout(name)
-        keys = list(layout.get("zorder_by") or layout.get("cluster_by") or ())
+        keys = liquid_keys or list(
+            layout.get("zorder_by") or layout.get("cluster_by") or ()
+        )
         if not keys:
             out = self.compact(name, target_bytes, max_retries=max_retries)
             out["reclustered"] = False
             return out
-        zorder = bool(layout.get("zorder_by"))
+        # single clustering column = plain range sort (morton
+        # interleave needs >= 2 dimensions to mean anything)
+        zorder = bool(layout.get("zorder_by")) or (
+            bool(liquid_keys) and len(keys) >= 2
+        )
         zdepth = bool(layout.get("zorder_depth"))
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):

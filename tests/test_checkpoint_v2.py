@@ -1,0 +1,176 @@
+"""Multi-part and V2 (sidecar) checkpoint tests — Delta PROTOCOL.md
+"V2 Checkpoint Table Feature" and the classic
+``<v>.checkpoint.<part>.<of>.parquet`` form.
+
+Contract under test:
+
+* a v2 checkpoint = uuid-named manifest (protocol, metaData,
+  checkpointMetadata, ``sidecar`` actions) + ``_sidecars/*.parquet``
+  shards carrying the add actions; replay = manifest + shards + tail;
+* a classic multi-part checkpoint is usable only when ALL parts are
+  present — a torn write is ignored, never half-read;
+* discovery prefers v2 > multi-part > single-file at one version;
+* ``cleanup_log`` drops superseded checkpoints and GC's sidecar
+  shards no surviving manifest references;
+* ``read_delta`` and ``SnapshotStore.read_pruned`` work unchanged
+  over sharded-checkpoint tables (the reader plans from the
+  reconstructed snapshot, whatever checkpoint form fed it).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from product_analytics_spark.sources import delta_log as dl
+from product_analytics_spark.sources.sinks import SnapshotStore
+
+WH = "/tmp/pa_test_cp_v2_wh"
+
+
+@pytest.fixture()
+def store(spark):
+    shutil.rmtree(WH, ignore_errors=True)
+    s = SnapshotStore(spark, WH, retain_versions=10, delta_log=True)
+    yield s
+    shutil.rmtree(WH, ignore_errors=True)
+
+
+def _build(spark, store, n_appends=3):
+    base = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("g")
+    )
+    store.overwrite("t", base, n_files=4)
+    for i in range(1, n_appends + 1):
+        store.append(
+            "t",
+            spark.range(1000 * i, 1000 * i + 50)
+            .select(F.col("id").alias("k"), (F.col("id") % 7).alias("g"))
+            .repartition(2),
+        )
+    return store.path("t")
+
+
+class TestV2Checkpoint:
+    def test_round_trip_and_tail(self, spark, store):
+        tdir = _build(spark, store)
+        log = dl.DeltaLog(tdir)
+        before = log.snapshot()
+        manifest = log.write_checkpoint_v2(max_actions_per_sidecar=3)
+        assert dl._CHECKPOINT_V2_RE.match(os.path.basename(manifest))
+        side = os.path.join(log.log_dir, dl.SIDECAR_DIR)
+        n_shards = len(os.listdir(side))
+        assert n_shards == (len(before.files) + 2) // 3
+        # _last_checkpoint carries the v2 pointer
+        lc = json.load(
+            open(os.path.join(log.log_dir, "_last_checkpoint"))
+        )
+        assert lc["v2Checkpoint"]["path"] == os.path.basename(manifest)
+        # tail commit after the checkpoint
+        store.append(
+            "t",
+            spark.range(9000, 9025)
+            .select(F.col("id").alias("k"), (F.col("id") % 7).alias("g"))
+            .repartition(1),
+        )
+        snap = dl.DeltaLog(tdir).snapshot()
+        assert len(snap.files) == len(before.files) + 1
+        assert snap.metadata and snap.protocol
+        assert snap.num_records() == 200 + 3 * 50 + 25
+        assert dl.read_delta(spark, tdir).count() == snap.num_records()
+
+    def test_replay_after_cleanup(self, spark, store):
+        tdir = _build(spark, store)
+        log = dl.DeltaLog(tdir)
+        log.write_checkpoint_v2(max_actions_per_sidecar=2)
+        store.append(
+            "t",
+            spark.range(5000, 5010)
+            .select(F.col("id").alias("k"), (F.col("id") % 7).alias("g"))
+            .repartition(1),
+        )
+        removed = log.cleanup_log()
+        assert removed == 3  # v0..v2 below the v3 checkpoint
+        snap = dl.DeltaLog(tdir).snapshot()
+        assert snap.num_records() == 200 + 3 * 50 + 10
+        # time travel to the checkpoint version still works
+        cp_snap = dl.DeltaLog(tdir).snapshot(3)
+        assert cp_snap.num_records() == 200 + 3 * 50
+
+    def test_missing_sidecar_raises(self, spark, store):
+        tdir = _build(spark, store, n_appends=1)
+        log = dl.DeltaLog(tdir)
+        log.write_checkpoint_v2(max_actions_per_sidecar=1)
+        side = os.path.join(log.log_dir, dl.SIDECAR_DIR)
+        victim = sorted(os.listdir(side))[0]
+        os.unlink(os.path.join(side, victim))
+        log.cleanup_log()  # commits below the checkpoint are gone
+        with pytest.raises(dl.DeltaProtocolError, match="sidecar"):
+            dl.DeltaLog(tdir).snapshot()
+
+    def test_sidecar_gc_keeps_live_shards(self, spark, store):
+        tdir = _build(spark, store)
+        log = dl.DeltaLog(tdir)
+        log.write_checkpoint_v2(max_actions_per_sidecar=2)
+        side = os.path.join(log.log_dir, dl.SIDECAR_DIR)
+        # an orphan shard (crashed checkpoint writer)
+        orphan = os.path.join(side, "deadbeef" * 4 + ".parquet")
+        shutil.copy(
+            os.path.join(side, sorted(os.listdir(side))[0]), orphan
+        )
+        log.cleanup_log()
+        assert not os.path.exists(orphan)
+        snap = dl.DeltaLog(tdir).snapshot()
+        assert snap.num_records() == 200 + 3 * 50
+
+    def test_pruned_read_over_sharded_checkpoint(self, spark, store):
+        tdir = _build(spark, store)
+        log = dl.DeltaLog(tdir)
+        log.write_checkpoint_v2(max_actions_per_sidecar=2)
+        log.cleanup_log()
+        kept, total = store.scan_files("t", [("k", ">=", 3000)])
+        assert 0 < len(kept) < total
+        got = store.read_pruned("t", [("k", ">=", 3000)]).where(
+            "k >= 3000"
+        )
+        assert got.count() == 50  # the 3000-range append only
+
+
+class TestMultipartCheckpoint:
+    def test_round_trip(self, spark, store):
+        tdir = _build(spark, store)
+        log = dl.DeltaLog(tdir)
+        paths = log.write_checkpoint_multipart(n_parts=3)
+        assert len(paths) == 3
+        lc = json.load(
+            open(os.path.join(log.log_dir, "_last_checkpoint"))
+        )
+        assert lc["parts"] == 3
+        log.cleanup_log()
+        snap = dl.DeltaLog(tdir).snapshot()
+        assert snap.num_records() == 200 + 3 * 50
+        assert snap.metadata and snap.protocol
+
+    def test_torn_multipart_is_ignored(self, spark, store):
+        tdir = _build(spark, store)
+        log = dl.DeltaLog(tdir)
+        paths = log.write_checkpoint_multipart(n_parts=3)
+        os.unlink(paths[1])
+        # discovery must not see the torn group; JSON replay still OK
+        assert dl.DeltaLog(tdir)._checkpoint_groups() == []
+        snap = dl.DeltaLog(tdir).snapshot()
+        assert snap.num_records() == 200 + 3 * 50
+
+    def test_v2_preferred_over_v1_at_same_version(self, spark, store):
+        tdir = _build(spark, store)
+        log = dl.DeltaLog(tdir)
+        log.write_checkpoint()  # v1 single-file
+        log.write_checkpoint_v2(max_actions_per_sidecar=5)
+        groups = dl.DeltaLog(tdir)._checkpoint_groups()
+        assert len(groups) == 1 and groups[0][1] == "v2"
+        snap = dl.DeltaLog(tdir).snapshot()
+        assert snap.num_records() == 200 + 3 * 50

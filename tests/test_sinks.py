@@ -604,7 +604,7 @@ class TestCommitLockLease:
         fd = os.open(lock, os.O_CREAT | os.O_WRONLY)
         fcntl.flock(fd, fcntl.LOCK_EX)  # live holder (other writer)
         try:
-            with pytest.raises(TimeoutError, match="commit lock busy"):
+            with pytest.raises(TimeoutError, match="lock busy"):
                 store.overwrite("t", spark.range(5).selectExpr("id AS k"))
         finally:
             fcntl.flock(fd, fcntl.LOCK_UN)
