@@ -1540,7 +1540,7 @@ LIMIT {TOPK_K}
 #: Warehouse dir for the write-path query — inside the repo (the
 #: harness forbids writing elsewhere); tiny (one ~150-row snapshot).
 Q40_WAREHOUSE = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".q40_warehouse"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".fixtures", ".q40_warehouse"
 )
 
 
@@ -3061,7 +3061,7 @@ FROM r WHERE rn <= {TOP_CONCAT_K} GROUP BY 1
 #: Landing dir for the reader/sink round-trip query — inside the repo
 #: (the harness forbids writing elsewhere); tiny (3-column customer).
 Q77_CSV_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".q77_csv_land"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".fixtures", ".q77_csv_land"
 )
 
 
@@ -4092,7 +4092,7 @@ FROM r GROUP BY 1
 # --------------------------------------------------------------------- q96
 
 Q96_JSON_DIR = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".q96_json_land"
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".fixtures", ".q96_json_land"
 )
 
 

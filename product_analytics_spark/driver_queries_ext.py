@@ -525,7 +525,7 @@ GROUP BY p_brand
 
 # -------------------------------------------------------------- q110
 
-Q110_LAND = os.path.join(_REPO, ".q110_part_land")
+Q110_LAND = os.path.join(_REPO, ".fixtures", ".q110_part_land")
 Q110_DAY = "2024-01-15"
 
 
@@ -566,7 +566,7 @@ GROUP BY event_type
 
 # -------------------------------------------------------------- q111
 
-Q111_WH = os.path.join(_REPO, ".q111_warehouse")
+Q111_WH = os.path.join(_REPO, ".fixtures", ".q111_warehouse")
 
 
 def q111_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -652,7 +652,7 @@ JOIN totals tb ON tb.t = p.type_b
 
 # -------------------------------------------------------------- q113
 
-Q113_LAND = os.path.join(_REPO, ".q113_stream_land")
+Q113_LAND = os.path.join(_REPO, ".fixtures", ".q113_stream_land")
 
 
 def _events_stream(spark: SparkSession, sf_dir: str, land: str):

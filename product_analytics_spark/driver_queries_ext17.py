@@ -20,8 +20,8 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # ------------------------------------------------------------- q200
 
-Q200_LAND = os.path.join(_REPO, ".q200_stream_land")
-Q200_CKPT = os.path.join(_REPO, ".q200_stream_ckpt")
+Q200_LAND = os.path.join(_REPO, ".fixtures", ".q200_stream_land")
+Q200_CKPT = os.path.join(_REPO, ".fixtures", ".q200_stream_ckpt")
 Q200_SPLIT = "1997-01-01"
 
 
@@ -118,7 +118,7 @@ FROM (
 
 # ------------------------------------------------------------- q201
 
-Q201_LAND = os.path.join(_REPO, ".q201_stream_land")
+Q201_LAND = os.path.join(_REPO, ".fixtures", ".q201_stream_land")
 Q201_DELAY = "2 hours"
 Q201_CUT = "2024-01-20 00:00:00"
 

@@ -22,7 +22,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # ------------------------------------------------------------- q218
 
-Q218_LAND = os.path.join(_REPO, ".q218_stream_land")
+Q218_LAND = os.path.join(_REPO, ".fixtures", ".q218_stream_land")
 Q218_LOOKBACK_MIN = 60
 Q218_DELAY = "2 hours"
 

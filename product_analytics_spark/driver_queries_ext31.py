@@ -211,7 +211,7 @@ FROM walk GROUP BY id
 
 # ------------------------------------------------------------- q244
 
-Q244_LAND = os.path.join(_REPO, ".q244_stream_land")
+Q244_LAND = os.path.join(_REPO, ".fixtures", ".q244_stream_land")
 
 
 def q244_update_mode_parity(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -22,7 +22,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # ------------------------------------------------------------- q126
 
-Q126_LAND = os.path.join(_REPO, ".q126_stream_land")
+Q126_LAND = os.path.join(_REPO, ".fixtures", ".q126_stream_land")
 Q126_LOOKBACK_MIN = 60
 
 

@@ -19,7 +19,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # ------------------------------------------------------------- q302
 
-Q302_WH = os.path.join(_REPO, ".q302_warehouse")
+Q302_WH = os.path.join(_REPO, ".fixtures", ".q302_warehouse")
 
 
 def q302_wap_publish_gate(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -19,7 +19,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # ------------------------------------------------------------- q306
 
-Q306_WH = os.path.join(_REPO, ".q306_warehouse")
+Q306_WH = os.path.join(_REPO, ".fixtures", ".q306_warehouse")
 CHURN_MODS = (23, 17)  # keys touched in update cycles 1 and 2
 
 

@@ -718,7 +718,7 @@ QUALIFY position <= {EPOCH_SHUFFLE_TOPK}
 
 # ------------------------------------------------------------- q149
 
-Q149_LAND = os.path.join(_REPO, ".q149_stream_land")
+Q149_LAND = os.path.join(_REPO, ".fixtures", ".q149_stream_land")
 
 
 def q149_streaming_dedup_parity(spark: SparkSession, sf_dir: str) -> DataFrame:

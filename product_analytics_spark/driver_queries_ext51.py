@@ -193,7 +193,7 @@ LIMIT 100
 #: harness forbids writing elsewhere); tiny (one month of orders).
 Q324_WAREHOUSE = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    ".q324_warehouse",
+    ".fixtures", ".q324_warehouse",
 )
 Q324_SMALL_FILES = 8
 Q324_YEAR = 1996

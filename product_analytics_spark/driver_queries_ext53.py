@@ -300,7 +300,7 @@ import os as _os
 import shutil as _shutil
 
 _REPO = _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__)))
-Q332_LAND = _os.path.join(_REPO, ".q332_stream_land")
+Q332_LAND = _os.path.join(_REPO, ".fixtures", ".q332_stream_land")
 STATEFUL_GAP_MIN = 30
 
 

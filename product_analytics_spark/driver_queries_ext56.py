@@ -84,7 +84,7 @@ FROM orders WHERE o_orderstatus = '{OBS_STATUS}'
 # ------------------------------------------------------------- q342
 
 #: Warehouse dir — inside the repo (harness forbids writing elsewhere).
-Q342_WAREHOUSE = os.path.join(_REPO, ".q342_warehouse")
+Q342_WAREHOUSE = os.path.join(_REPO, ".fixtures", ".q342_warehouse")
 Q342_NGRAM = 8
 Q342_BENCH_SOURCE = "src1"  # q54's stand-in eval set
 

@@ -23,7 +23,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # ------------------------------------------------------------- q343
 
-Q343_DIR = os.path.join(_REPO, ".q343_files")
+Q343_DIR = os.path.join(_REPO, ".fixtures", ".q343_files")
 
 
 def q343_file_provenance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:

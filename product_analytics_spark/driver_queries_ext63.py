@@ -136,7 +136,7 @@ FROM per_order ORDER BY l_orderkey
 # ------------------------------------------------------------- q360
 
 Q360_BUCKETS = 8
-Q360_DIR = os.path.join(_REPO, ".q360_bucketed")
+Q360_DIR = os.path.join(_REPO, ".fixtures", ".q360_bucketed")
 
 #: (sf_dir, table) pairs already materialized THIS session.  The
 #: catalog is session-scoped (in-memory), so a fresh process must

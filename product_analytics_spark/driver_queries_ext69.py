@@ -20,7 +20,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # ------------------------------------------------------------- q374
 
-Q374_DIR = os.path.join(_REPO, ".q374_dynpart")
+Q374_DIR = os.path.join(_REPO, ".fixtures", ".q374_dynpart")
 Q374_BOOST = 7  # deterministic backfill transform: value -> value*7
 
 

@@ -60,7 +60,7 @@ def _top_candidates(advice: dict, table: str, kind: str, k: int = 2) -> list[str
 # ------------------------------------------------------------- q393
 
 Q393_BUCKETS = 8
-Q393_DIR = os.path.join(_REPO, ".q393_bucketed")
+Q393_DIR = os.path.join(_REPO, ".fixtures", ".q393_bucketed")
 
 #: (sf_dir, table) pairs materialized THIS session — the catalog is
 #: session-scoped, so tableExists is the real gate (q360's discipline).
@@ -184,7 +184,7 @@ GROUP BY o_custkey ORDER BY custkey
 
 # ------------------------------------------------------------- q394
 
-Q394_WH = os.path.join(_REPO, ".q394_warehouse")
+Q394_WH = os.path.join(_REPO, ".fixtures", ".q394_warehouse")
 
 _Q394_READY: set[tuple[str, str]] = set()
 

@@ -19,7 +19,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # ------------------------------------------------------------- q410
 
-Q410_WH = os.path.join(_REPO, ".q410_warehouse")
+Q410_WH = os.path.join(_REPO, ".fixtures", ".q410_warehouse")
 
 
 def q410_cow_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -105,7 +105,7 @@ FROM kept GROUP BY event_type ORDER BY event_type
 
 # ------------------------------------------------------------- q411
 
-Q411_WH = os.path.join(_REPO, ".q411_warehouse")
+Q411_WH = os.path.join(_REPO, ".fixtures", ".q411_warehouse")
 Q411_CUT_FRAC = 0.9  # update the top ~10% of the key range
 
 
@@ -196,7 +196,7 @@ FROM upd GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 # ------------------------------------------------------------- q412
 
-Q412_WH = os.path.join(_REPO, ".q412_warehouse")
+Q412_WH = os.path.join(_REPO, ".fixtures", ".q412_warehouse")
 
 
 def q412_occ_conflict_retry(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -28,7 +28,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # ------------------------------------------------------------- q413
 
-Q413_WH = os.path.join(_REPO, ".q413_warehouse")
+Q413_WH = os.path.join(_REPO, ".fixtures", ".q413_warehouse")
 
 
 def q413_occ_dml_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -140,7 +140,7 @@ FROM final GROUP BY seg ORDER BY seg
 
 # ------------------------------------------------------------- q414
 
-Q414_WH = os.path.join(_REPO, ".q414_warehouse")
+Q414_WH = os.path.join(_REPO, ".fixtures", ".q414_warehouse")
 
 
 def q414_occ_compact_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,7 +244,7 @@ FROM merged GROUP BY status ORDER BY status
 
 # ------------------------------------------------------------- q415
 
-Q415_WH = os.path.join(_REPO, ".q415_warehouse")
+Q415_WH = os.path.join(_REPO, ".fixtures", ".q415_warehouse")
 
 
 def q415_dag_executor_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -397,7 +397,7 @@ SELECT * FROM (
 
 # ------------------------------------------------------------- q416
 
-Q416_WH = os.path.join(_REPO, ".q416_warehouse")
+Q416_WH = os.path.join(_REPO, ".fixtures", ".q416_warehouse")
 
 
 def q416_zorder_write_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,7 +504,7 @@ GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 # ------------------------------------------------------------- q417
 
-Q417_WH = os.path.join(_REPO, ".q417_warehouse")
+Q417_WH = os.path.join(_REPO, ".fixtures", ".q417_warehouse")
 
 
 def q417_optimize_recluster(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,7 +632,7 @@ FROM both_gen GROUP BY o_orderstatus ORDER BY o_orderstatus
 
 # ------------------------------------------------------------- q418
 
-Q418_WH = os.path.join(_REPO, ".q418_warehouse")
+Q418_WH = os.path.join(_REPO, ".fixtures", ".q418_warehouse")
 
 
 def q418_dag_retry_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -735,7 +735,7 @@ SELECT * FROM (
 
 # ------------------------------------------------------------- q419
 
-Q419_WH = os.path.join(_REPO, ".q419_warehouse")
+Q419_WH = os.path.join(_REPO, ".fixtures", ".q419_warehouse")
 
 
 def q419_advised_zorder(spark: SparkSession, sf_dir: str) -> DataFrame:

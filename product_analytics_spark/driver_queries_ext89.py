@@ -43,7 +43,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # ------------------------------------------------------------- q421
 
-Q421_WH = os.path.join(_REPO, ".q421_warehouse")
+Q421_WH = os.path.join(_REPO, ".fixtures", ".q421_warehouse")
 
 
 def q421_delta_log_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -198,7 +198,7 @@ ORDER BY pc.version
 
 # ------------------------------------------------------------- q422
 
-Q422_WH = os.path.join(_REPO, ".q422_warehouse")
+Q422_WH = os.path.join(_REPO, ".fixtures", ".q422_warehouse")
 Q422_FILES = 16
 Q422_Y_LO, Q422_Y_HI = 4, 7  # second-key range predicate
 
@@ -327,7 +327,7 @@ ORDER BY layout
 
 # ------------------------------------------------------------- q423
 
-Q423_WH = os.path.join(_REPO, ".q423_warehouse")
+Q423_WH = os.path.join(_REPO, ".fixtures", ".q423_warehouse")
 Q423_CP_VERSION = 9  # DeltaLog.CHECKPOINT_INTERVAL=10 → checkpoint at v9
 
 

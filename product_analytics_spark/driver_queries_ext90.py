@@ -41,7 +41,7 @@ from product_analytics_spark.qcommon import _money_cents, _t  # noqa: F401
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
-Q424_WH = os.path.join(_REPO, ".q424_warehouse")
+Q424_WH = os.path.join(_REPO, ".fixtures", ".q424_warehouse")
 Q424_TOTAL = 2100
 Q424_BATCH = 700  # 3 micro-batches
 Q424_SHARDS = 3
@@ -209,7 +209,7 @@ FROM feed GROUP BY 1 ORDER BY bucket
 
 # ------------------------------------------------------------- q425
 
-Q425_WH = os.path.join(_REPO, ".q425_warehouse")
+Q425_WH = os.path.join(_REPO, ".fixtures", ".q425_warehouse")
 
 
 def q425_concurrent_dag_occ(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -372,7 +372,7 @@ FROM serial GROUP BY seg ORDER BY seg
 
 # ------------------------------------------------------------- q426
 
-Q426_WH = os.path.join(_REPO, ".q426_warehouse")
+Q426_WH = os.path.join(_REPO, ".fixtures", ".q426_warehouse")
 Q426_FILES = 16
 Q426_Y_EXPR = (
     "CASE WHEN k % 100 < 99 THEN k % 1000 ELSE 1000000 + k END"
@@ -538,7 +538,7 @@ ORDER BY k.layout, k.pred
 
 # ------------------------------------------------------------- q427
 
-Q427_WH = os.path.join(_REPO, ".q427_warehouse")
+Q427_WH = os.path.join(_REPO, ".fixtures", ".q427_warehouse")
 
 
 def q427_convert_to_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -637,7 +637,7 @@ ORDER BY seg
 
 # ------------------------------------------------------------- q428
 
-Q428_WH = os.path.join(_REPO, ".q428_warehouse")
+Q428_WH = os.path.join(_REPO, ".fixtures", ".q428_warehouse")
 Q428_CP = 9
 
 
@@ -767,7 +767,7 @@ FROM live, src
 
 # ------------------------------------------------------------- q429
 
-Q429_WH = os.path.join(_REPO, ".q429_warehouse")
+Q429_WH = os.path.join(_REPO, ".fixtures", ".q429_warehouse")
 
 
 def q429_delta_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -942,7 +942,7 @@ ORDER BY l.version
 
 # ------------------------------------------------------------- q430
 
-Q430_WH = os.path.join(_REPO, ".q430_warehouse")
+Q430_WH = os.path.join(_REPO, ".fixtures", ".q430_warehouse")
 
 
 def q430_mor_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1043,7 +1043,7 @@ FROM live, dv GROUP BY seg, dv1, dv2 ORDER BY seg
 
 # ------------------------------------------------------------- q431
 
-Q431_WH = os.path.join(_REPO, ".q431_warehouse")
+Q431_WH = os.path.join(_REPO, ".fixtures", ".q431_warehouse")
 
 
 def q431_mor_update_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -35,7 +35,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # ------------------------------------------------------------- q432
 
-Q432_WH = os.path.join(_REPO, ".q432_warehouse")
+Q432_WH = os.path.join(_REPO, ".fixtures", ".q432_warehouse")
 
 
 def q432_mor_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -189,7 +189,7 @@ FROM live2, dv GROUP BY seg, dv1, dv2 ORDER BY seg
 
 # ------------------------------------------------------------- q433
 
-Q433_WH = os.path.join(_REPO, ".q433_warehouse")
+Q433_WH = os.path.join(_REPO, ".fixtures", ".q433_warehouse")
 
 
 def q433_delta_dv_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -39,7 +39,7 @@ _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # ------------------------------------------------------------- q434
 
-Q434_WH = os.path.join(_REPO, ".q434_warehouse")
+Q434_WH = os.path.join(_REPO, ".fixtures", ".q434_warehouse")
 
 
 def q434_cdf_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -214,7 +214,7 @@ ORDER BY commit_version, change_type
 
 # ------------------------------------------------------------- q435
 
-Q435_WH = os.path.join(_REPO, ".q435_warehouse")
+Q435_WH = os.path.join(_REPO, ".fixtures", ".q435_warehouse")
 
 
 def q435_restore_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -342,8 +342,8 @@ ORDER BY seg
 
 # ------------------------------------------------------------- q436
 
-Q436_WH = os.path.join(_REPO, ".q436_warehouse")
-Q436_CLONE = os.path.join(_REPO, ".q436_clone")
+Q436_WH = os.path.join(_REPO, ".fixtures", ".q436_warehouse")
+Q436_CLONE = os.path.join(_REPO, ".fixtures", ".q436_clone")
 
 
 def q436_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,7 +475,7 @@ ORDER BY bucket
 
 # ------------------------------------------------------------- q437
 
-Q437_WH = os.path.join(_REPO, ".q437_warehouse")
+Q437_WH = os.path.join(_REPO, ".fixtures", ".q437_warehouse")
 
 
 def q437_delta_tail_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -632,7 +632,7 @@ ORDER BY seg
 
 # ------------------------------------------------------------- q438
 
-Q438_WH = os.path.join(_REPO, ".q438_warehouse")
+Q438_WH = os.path.join(_REPO, ".fixtures", ".q438_warehouse")
 
 
 def q438_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -777,7 +777,7 @@ ORDER BY seg
 
 # ------------------------------------------------------------- q439
 
-Q439_WH = os.path.join(_REPO, ".q439_warehouse")
+Q439_WH = os.path.join(_REPO, ".fixtures", ".q439_warehouse")
 
 
 def q439_column_mapping_rename(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -900,7 +900,7 @@ ORDER BY bucket
 
 # ------------------------------------------------------------- q440
 
-Q440_WH = os.path.join(_REPO, ".q440_warehouse")
+Q440_WH = os.path.join(_REPO, ".fixtures", ".q440_warehouse")
 
 
 def q440_history_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1017,7 +1017,7 @@ ORDER BY version DESC
 
 # ------------------------------------------------------------- q441
 
-Q441_WH = os.path.join(_REPO, ".q441_warehouse")
+Q441_WH = os.path.join(_REPO, ".fixtures", ".q441_warehouse")
 
 
 def q441_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1178,7 +1178,7 @@ ORDER BY commit_version, change_type
 
 # ------------------------------------------------------------- q442
 
-Q442_WH = os.path.join(_REPO, ".q442_warehouse")
+Q442_WH = os.path.join(_REPO, ".fixtures", ".q442_warehouse")
 
 
 def q442_generated_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1307,7 +1307,7 @@ LIMIT 24
 
 # ------------------------------------------------------------- q443
 
-Q443_WH = os.path.join(_REPO, ".q443_warehouse")
+Q443_WH = os.path.join(_REPO, ".fixtures", ".q443_warehouse")
 
 
 def q443_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1468,7 +1468,7 @@ ORDER BY seg
 
 # ------------------------------------------------------------- q444
 
-Q444_WH = os.path.join(_REPO, ".q444_warehouse")
+Q444_WH = os.path.join(_REPO, ".fixtures", ".q444_warehouse")
 
 
 def q444_writer_features_composed(
@@ -1666,7 +1666,7 @@ ORDER BY grp
 
 # ------------------------------------------------------------- q445
 
-Q445_WH = os.path.join(_REPO, ".q445_warehouse")
+Q445_WH = os.path.join(_REPO, ".fixtures", ".q445_warehouse")
 
 
 def q445_delta_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:

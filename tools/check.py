@@ -71,8 +71,15 @@ def _frame_form(df: pd.DataFrame):
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = list(sys.argv[1:])
+    json_out = None
+    for a in list(argv):
+        if a.startswith("--json="):
+            json_out = a.split("=", 1)[1]
+            argv.remove(a)
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
+    results: dict[str, dict] = {}
 
     import __spark_entry__ as entry_mod
     from product_analytics_spark import cache
@@ -98,6 +105,8 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
             failures.append(name)
+            results[name] = {"status": "FAIL", "error": f"spark: {e}"[:300],
+                             "sec": round(time.time() - t0, 2)}
             continue
         finally:
             cache.clear_all()
@@ -106,12 +115,16 @@ def main() -> int:
                   f"({time.time()-t0:.1f}s)")
             if len(s_pd) == 0:
                 print(f"WARN {name}: zero rows")
+            results[name] = {"status": "ROWS_ONLY", "rows": len(s_pd),
+                             "sec": round(time.time() - t0, 2)}
             continue
         try:
             d_pd = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
+            results[name] = {"status": "FAIL", "error": f"duckdb: {e}"[:300],
+                             "sec": round(time.time() - t0, 2)}
             continue
         problems = []
         s_names, s_rows = _frame_form(s_pd)
@@ -130,10 +143,32 @@ def main() -> int:
         if problems:
             print(f"FAIL {name}: " + "; ".join(problems))
             failures.append(name)
+            results[name] = {"status": "FAIL",
+                             "error": "; ".join(problems)[:300],
+                             "sec": round(time.time() - t0, 2)}
         else:
             print(f"PASS {name}: {len(s_rows)} rows ({time.time()-t0:.1f}s)")
+            results[name] = {"status": "PASS", "rows": len(s_rows),
+                             "sec": round(time.time() - t0, 2)}
 
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        import json as _json
+
+        payload = {
+            "sf_dir": sf_dir,
+            "n_keys": len(results),
+            "n_pass": sum(1 for r in results.values()
+                          if r["status"] == "PASS"),
+            "n_rows_only": sum(1 for r in results.values()
+                               if r["status"] == "ROWS_ONLY"),
+            "n_fail": len(failures),
+            "failures": failures,
+            "keys": results,
+        }
+        with open(json_out, "w", encoding="utf-8") as fh:
+            _json.dump(payload, fh, indent=1, sort_keys=True)
+        print(f"wrote {json_out}")
     return 1 if failures else 0
 
 
