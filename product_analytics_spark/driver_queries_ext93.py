@@ -1010,6 +1010,155 @@ FROM live
 """
 
 
+# ------------------------------------------------------------- q452
+
+
+def q452_arrow_native_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Arrow-native scalar UDF door** (Spark 4.1 ``arrow_udf``) +
+    the ``any_value`` aggregate — the two remaining unexplored
+    non-deliberate entries in the function-surface audit.
+
+    ``arrow_udf`` receives ``pyarrow.Array`` batches directly (no
+    pandas conversion hop — one less copy than ``pandas_udf`` on the
+    same Arrow transfer), here computing the financial clamp
+    ``min(max(cents, 0), 500000)`` with ``pyarrow.compute`` kernels.
+    The cert proves the door's SEMANTICS, not just that it runs: the
+    arrow path is compared row-for-row against the JVM builtin
+    ``least/greatest`` expression (``arrow_matches_builtin`` — any
+    mismatch fails the cert), then aggregated per segment.
+    ``any_value(upper(seg))`` is deterministic because the argument
+    is constant within each group.
+
+    Scale/plan: the UDF appears as one ArrowEvalPython node — an
+    Arrow-batched boundary, NEVER row-at-a-time BatchEvalPython (the
+    plan guard bans that everywhere); the hot path for this clamp in
+    production remains the builtin expression (q05), which is the
+    point of certifying equivalence. Reference: the financial caps
+    family (orders_cleaned.sql:127-149)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import any_value, arrow_udf
+
+    # NOTE: no type hints on the kernel — this module compiles under
+    # ``from __future__ import annotations``, which turns hints into
+    # strings that arrow_udf's signature inspection rejects
+    # (UNSUPPORTED_SIGNATURE); hint-less + explicit returnType takes
+    # the SCALAR default path.
+    @arrow_udf("long")
+    def clamp_cents(arr):
+        lo = pa.scalar(0, type=pa.int64())
+        hi = pa.scalar(500_000, type=pa.int64())
+        return pc.min_element_wise(
+            pc.max_element_wise(pc.cast(arr, pa.int64()), lo), hi
+        )
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    tagged = base.withColumn("cl", clamp_cents(F.col("cents")))
+    builtin = F.least(
+        F.lit(500_000).cast("long"),
+        F.greatest(F.lit(0).cast("long"), F.col("cents")),
+    )
+    mismatches = tagged.where(F.col("cl") != builtin).count()
+    return (
+        tagged.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cl").cast("long").alias("clamped_sum"),
+            any_value(F.upper(F.col("seg"))).alias("seg_uc"),
+        )
+        .select(
+            "seg",
+            "n",
+            "clamped_sum",
+            "seg_uc",
+            F.lit(mismatches == 0).alias("arrow_matches_builtin"),
+        )
+        .orderBy("seg")
+    )
+
+
+Q452_SQL = """
+SELECT c_mktsegment AS seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(least(500000, greatest(0,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))))
+         AS BIGINT) AS clamped_sum,
+       upper(c_mktsegment) AS seg_uc,
+       TRUE AS arrow_matches_builtin
+FROM customer
+GROUP BY c_mktsegment
+ORDER BY seg
+"""
+
+
+# ------------------------------------------------------------- q453
+
+
+def q453_arrow_udtf_bucketize(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Arrow-native UDTF door** (Spark 4.1 ``arrow_udtf``): the
+    table function's ``eval`` receives whole ``pyarrow.RecordBatch``
+    es and yields ``pyarrow.Table`` s — true vectorized UDTF
+    execution, vs the row-iterator UDTFs of the q97/q174 family.
+
+    The UDTF buckets every customer's balance
+    (``floor(cents / 100000.0)`` — float floor so negative balances
+    land in bucket −1 exactly like SQL) entirely with
+    ``pyarrow.compute`` kernels, one output row per input row; the
+    aggregation to (bucket, n, k_sum) happens OUTSIDE the UDTF in
+    JVM expressions, so the Python boundary stays a thin vectorized
+    map (the same discipline as the declared Arrow kernels). DuckDB
+    recomputes the bucketing in SQL — semantic equivalence, not just
+    door-opens."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    from pyspark.sql.functions import arrow_udtf
+
+    @arrow_udtf(returnType="k bigint, bucket bigint")
+    class Bucketize:
+        def eval(self, batch: pa.RecordBatch):
+            c = pc.cast(batch.column("cents"), pa.float64())
+            b = pc.floor(pc.divide(c, 100_000.0))
+            yield pa.table(
+                {
+                    "k": pc.cast(batch.column("k"), pa.int64()),
+                    "bucket": pc.cast(b, pa.int64()),
+                }
+            )
+
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    out = Bucketize(base.asTable())
+    return (
+        out.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").cast("long").alias("k_sum"),
+        )
+        .orderBy("bucket")
+    )
+
+
+Q453_SQL = """
+SELECT CAST(floor(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100
+                       AS BIGINT) / 100000.0) AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(c_custkey) AS BIGINT) AS k_sum
+FROM customer
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES_EXT93 = {
     "q446_checkpoint_v2_sidecars": q446_checkpoint_v2_sidecars,
     "q447_row_tracking": q447_row_tracking,
@@ -1017,6 +1166,8 @@ QUERIES_EXT93 = {
     "q449_in_commit_timestamps": q449_in_commit_timestamps,
     "q450_type_widening": q450_type_widening,
     "q451_liquid_clustering": q451_liquid_clustering,
+    "q452_arrow_native_udf": q452_arrow_native_udf,
+    "q453_arrow_udtf_bucketize": q453_arrow_udtf_bucketize,
 }
 
 
@@ -1028,4 +1179,6 @@ def _oracles_ext93() -> dict[str, str]:
         "q449_in_commit_timestamps": Q449_SQL,
         "q450_type_widening": Q450_SQL,
         "q451_liquid_clustering": Q451_SQL,
+        "q452_arrow_native_udf": Q452_SQL,
+        "q453_arrow_udtf_bucketize": Q453_SQL,
     }

@@ -1038,6 +1038,37 @@ class DeltaLog:
         )
         return paths
 
+    def _last_v2_manifest_shards(
+        self, below_version: int
+    ) -> dict[tuple[str, str], dict]:
+        """(nBuckets, contentHash) -> sidecar action of the newest v2
+        checkpoint strictly below ``below_version`` — the reuse index
+        for incremental checkpointing. One tiny manifest read; the
+        shards themselves are never opened."""
+        import pyarrow.parquet as pq
+
+        v2s = [
+            (v, paths[0])
+            for v, kind, paths in self._checkpoint_groups()
+            if kind == "v2" and v <= below_version
+        ]
+        if not v2s:
+            return {}
+        out: dict[tuple[str, str], dict] = {}
+        try:
+            t = pq.read_table(v2s[-1][1], columns=["sidecar"])
+        except Exception:  # noqa: BLE001 — unreadable: no reuse
+            return {}
+        for row in t.to_pylist():
+            sc = row.get("sidecar")
+            if not sc or not sc.get("path"):
+                continue
+            tags = dict(sc.get("tags") or {})
+            h, nb = tags.get("contentHash"), tags.get("nBuckets")
+            if h and nb:
+                out[(nb, h)] = sc
+        return out
+
     def write_checkpoint_v2(
         self,
         version: int | None = None,
@@ -1049,20 +1080,31 @@ class DeltaLog:
         small MANIFEST ``<v>.checkpoint.<uuid>.parquet`` carries only
         protocol, metaData, a ``checkpointMetadata`` row, and one
         ``sidecar`` action per shard ({path, sizeInBytes,
-        modificationTime}). Readers load the manifest (tiny), then
-        the sidecars — in parallel, pruned, or lazily.
+        modificationTime, tags}). Readers load the manifest (tiny),
+        then the sidecars — in parallel, pruned, or lazily.
 
-        Why v2 over classic multi-part: sidecars are IMMUTABLE and
-        addressed by name, so an incremental checkpointer can REUSE
-        unchanged shards from the previous checkpoint instead of
-        rewriting the whole live set — at 100 TB, checkpointing cost
-        becomes O(changed files), not O(table). The manifest's uuid
-        name also makes concurrent checkpoint writers conflict-free
-        (last _last_checkpoint pointer wins; both manifests are
-        complete).
+        **Incremental**: sharding is by a STABLE hash-bucket of the
+        add path (bucket count = next power of two of
+        ``ceil(n/cap)``), and each sidecar action carries a
+        ``contentHash`` tag. The next checkpoint re-buckets the new
+        live set, and any bucket whose content is unchanged REUSES
+        the previous checkpoint's shard file by name — one manifest
+        read decides, zero shard reads. An append therefore
+        rewrites only the buckets its new files hash into:
+        checkpoint cost is O(changed files), not O(table), which at
+        100 TB is the difference between a multi-GB serial write per
+        commit-interval and a few small shards. (Contiguous
+        sharding over sorted paths would reshuffle every boundary on
+        any insert — hash bucketing is what makes shards stable.)
+
+        The manifest's uuid name makes concurrent checkpoint writers
+        conflict-free (last ``_last_checkpoint`` pointer wins; both
+        manifests are complete; shared shards are immutable).
 
         Returns the manifest path. Reference: the production-scale
         role of ``+file_format: delta`` (dbt_project.yml:39)."""
+        import hashlib
+
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -1074,10 +1116,39 @@ class DeltaLog:
         side_dir = os.path.join(self.log_dir, SIDECAR_DIR)
         os.makedirs(side_dir, exist_ok=True)
         add_t, meta_t, proto_t = self._cp_types()
-        sidecars: list[dict] = []
         step = max(1, int(max_actions_per_sidecar))
-        for lo in range(0, max(1, len(adds)), step):
-            shard = adds[lo : lo + step]
+        n_buckets = 1
+        while n_buckets * step < len(adds):
+            n_buckets *= 2
+        buckets: dict[int, list[dict]] = {i: [] for i in range(n_buckets)}
+        for a in adds:
+            b = int(
+                hashlib.md5(a["path"].encode()).hexdigest()[:8], 16
+            ) % n_buckets
+            buckets[b].append(a)
+        reuse = self._last_v2_manifest_shards(version)
+        sidecars: list[dict] = []
+        for b in range(n_buckets):
+            shard = buckets[b]
+            if not shard and n_buckets > 1:
+                continue  # empty bucket: no shard
+            h = hashlib.sha1(
+                json.dumps(shard, separators=(",", ":"), sort_keys=True)
+                .encode()
+            ).hexdigest()
+            tags = {
+                "contentHash": h,
+                "bucket": str(b),
+                "nBuckets": str(n_buckets),
+            }
+            prev = reuse.get((str(n_buckets), h))
+            if prev is not None and os.path.isfile(
+                os.path.join(side_dir, prev["path"])
+            ):
+                sc = dict(prev)
+                sc["tags"] = tags
+                sidecars.append(sc)
+                continue
             name = f"{uuid.uuid4().hex}.parquet"
             sp = os.path.join(side_dir, name)
             tmp = sp + f".tmp{uuid.uuid4().hex[:8]}"
@@ -1090,6 +1161,7 @@ class DeltaLog:
                     "path": name,
                     "sizeInBytes": os.path.getsize(sp),
                     "modificationTime": _FIXED_TIME_MS,
+                    "tags": tags,
                 }
             )
         side_t = pa.struct(
@@ -1097,6 +1169,7 @@ class DeltaLog:
                 ("path", pa.string()),
                 ("sizeInBytes", pa.int64()),
                 ("modificationTime", pa.int64()),
+                ("tags", pa.map_(pa.string(), pa.string())),
             ]
         )
         cpmeta_t = pa.struct([("version", pa.int64())])
@@ -1120,7 +1193,17 @@ class DeltaLog:
                     type=meta_t,
                 ),
                 "sidecar": pa.array(
-                    [None, None, None] + sidecars + [None] * len(domain_rows),
+                    [None, None, None]
+                    + [
+                        {
+                            **sc,
+                            "tags": sorted(
+                                dict(sc.get("tags") or {}).items()
+                            ),
+                        }
+                        for sc in sidecars
+                    ]
+                    + [None] * len(domain_rows),
                     type=side_t,
                 ),
                 "domainMetadata": pa.array(

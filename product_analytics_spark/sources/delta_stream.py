@@ -74,7 +74,12 @@ def _snapshot_schema(table_dir: str):
         raise dl.DeltaProtocolError(f"no metaData in {table_dir}")
     schema = json.loads(snap.metadata["schemaString"])
     part_cols = snap.metadata.get("partitionColumns") or []
-    return schema, part_cols
+    # logical -> physical under column mapping: the stream is served
+    # under the LATEST logical names while the files (and cdc files)
+    # keep their stable physical names — same rule as the batch
+    # table_changes reader
+    mapping = snap.column_mapping()
+    return schema, part_cols, mapping
 
 
 def _py_value(raw: str | None, type_str: str):
@@ -146,7 +151,7 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         s, e = int(start["version"]), int(end["version"])
         if e <= s:
             return [_AddFilePartition("", [], empty=True)]
-        schema, part_cols = _snapshot_schema(self.table_dir)
+        schema, part_cols, mapping = _snapshot_schema(self.table_dir)
 
         def _fields(pv: dict) -> list:
             return [
@@ -154,6 +159,7 @@ class DeltaTailStreamReader(DataSourceStreamReader):
                     f["name"],
                     str(f["type"]),
                     pv.get(f["name"]) if f["name"] in part_cols else None,
+                    mapping.get(f["name"], f["name"]),  # physical name
                 )
                 for f in schema["fields"]
             ]
@@ -250,12 +256,12 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         tbl = pq.read_table(partition.abs_path)
         cols = {}
         nrows = tbl.num_rows
-        for name, type_str, pv in partition.fields:
-            if pv is not None or name not in tbl.column_names:
+        for name, type_str, pv, phys in partition.fields:
+            if pv is not None or phys not in tbl.column_names:
                 val = _py_value(pv, type_str)
                 cols[name] = [val] * nrows
             else:
-                cols[name] = tbl.column(name).to_pylist()
+                cols[name] = tbl.column(phys).to_pylist()
         names = [f[0] for f in partition.fields]
         if partition.cdf:
             if partition.change_type is not None:
@@ -286,7 +292,7 @@ class DeltaTailDataSource(DataSource):
             StructType,
         )
 
-        schema, _parts = _snapshot_schema(self.options.get("path"))
+        schema, _parts, _mapping = _snapshot_schema(self.options.get("path"))
         st = StructType.fromJson(schema)
         if str(self.options.get("read_change_feed", "false")).lower() == "true":
             st = StructType(

@@ -731,19 +731,23 @@ class SnapshotStore:
             rows, "__rt_p string, __rt_base bigint, __rt_cv bigint"
         )
 
-    def _rt_attach_ids(self, name: str, data_dir: str, scan: DataFrame):
+    def _rt_attach_ids(
+        self, name: str, data_dir: str, scan: DataFrame, base_df=None
+    ):
         """Tag a raw scan with the stable ``_pa_row_id_m`` /
         ``_pa_row_commit_m`` columns: materialized values (from a
         prior rewrite) win; otherwise ``baseRowId + row_index``. Must
         be applied directly on the scan (``_metadata`` is a scan
-        pseudo-column)."""
+        pseudo-column). Pass a precomputed ``base_df`` when calling
+        in a loop — it costs one log-snapshot replay per build."""
         from product_analytics_spark.sources import delta_log as dl
 
         rt_id, rt_cv = (
             dl.MATERIALIZED_ROW_ID_COL,
             dl.MATERIALIZED_ROW_COMMIT_COL,
         )
-        base_df = self._rt_base_df(name, data_dir)
+        if base_df is None:
+            base_df = self._rt_base_df(name, data_dir)
         mat_id = (
             F.col(rt_id)
             if rt_id in scan.columns
@@ -1265,7 +1269,18 @@ class SnapshotStore:
                 return False
             expected = self.current_version(name)
             layout = self.layout(name)
-            df = self.read(name)
+            if self._row_tracking(name):
+                # Row tracking: the rewrite must MATERIALIZE every
+                # row's id into the new files (coalesce of
+                # materialized-or-virtual), or the fresh baseRowId
+                # ranges of the rewritten files would re-mint ids —
+                # Delta preserves ids through OPTIMIZE the same way.
+                data = self.current_data_dir(name)
+                df = self._rt_attach_ids(
+                    name, data, self._apply_dv(data, merge_schema=True)
+                )
+            else:
+                df = self.read(name)
             assert df is not None
             try:
                 self.overwrite(
@@ -2462,13 +2477,24 @@ class SnapshotStore:
                     return {"files_before": 0, "files_after": 0, "groups": 0}
                 data = self.current_data_dir(name)
                 assert data is not None  # plan non-empty ⇒ data exists
+                rt = self._row_tracking(name)
+                rt_base = self._rt_base_df(name, data) if rt else None
                 n_before = sum(len(g) for g in plan)
                 for group in plan:
                     rel = os.path.relpath(os.path.dirname(group[0]), data)
                     out_dir = vdir if rel == "." else os.path.join(vdir, rel)
-                    self.spark.read.parquet(*group).coalesce(1).write.mode(
-                        "append"
-                    ).parquet(out_dir)
+                    reader = self.spark.read
+                    if rt:
+                        reader = reader.option("mergeSchema", "true")
+                    df = reader.parquet(*group)
+                    if rt:
+                        # materialize ids so the merged file keeps them
+                        # (fresh baseRowIds on the new file lose to the
+                        # materialized column via coalesce at read)
+                        df = self._rt_attach_ids(
+                            name, data, df, base_df=rt_base
+                        )
+                    df.coalesce(1).write.mode("append").parquet(out_dir)
                 self._commit(name, version, expected_version=expected, operation="OPTIMIZE")
             except ConcurrentWriteError as exc:
                 last_err = exc
@@ -2578,6 +2604,8 @@ class SnapshotStore:
                         "files_after": 0,
                         "reclustered": False,
                     }
+                rt = self._row_tracking(name)
+                rt_base = self._rt_base_df(name, data) if rt else None
                 n_before = sum(len(fs) for _r, fs in parts)
                 for rel, files in parts:
                     out_dir = vdir if rel == "." else os.path.join(vdir, rel)
@@ -2585,7 +2613,16 @@ class SnapshotStore:
                         1,
                         -(-sum(os.path.getsize(f) for f in files) // target_bytes),
                     )
-                    df = self.spark.read.parquet(*files)
+                    reader = self.spark.read
+                    if rt:
+                        reader = reader.option("mergeSchema", "true")
+                    df = reader.parquet(*files)
+                    if rt:
+                        # recluster preserves row identity by
+                        # materializing ids into the rewritten files
+                        df = self._rt_attach_ids(
+                            name, data, df, base_df=rt_base
+                        )
                     if zorder:
                         from product_analytics_spark.functions.zorder import (
                             morton_zvalue,

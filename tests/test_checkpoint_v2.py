@@ -140,6 +140,39 @@ class TestV2Checkpoint:
         assert got.count() == 50  # the 3000-range append only
 
 
+class TestIncrementalV2:
+    def test_append_rewrites_only_touched_buckets(self, spark, store):
+        tdir = _build(spark, store, n_appends=3)  # 10 files
+        log = dl.DeltaLog(tdir)
+        log.write_checkpoint_v2(max_actions_per_sidecar=2)
+        side = os.path.join(log.log_dir, dl.SIDECAR_DIR)
+        before = set(os.listdir(side))
+        store.append(
+            "t",
+            spark.range(7000, 7005)
+            .select(F.col("id").alias("k"), (F.col("id") % 7).alias("g"))
+            .repartition(1),
+        )
+        log.write_checkpoint_v2(max_actions_per_sidecar=2)
+        new = set(os.listdir(side)) - before
+        # one appended file lands in exactly one hash bucket
+        assert len(new) == 1, f"expected 1 new shard, wrote {len(new)}"
+        # replay from the incremental checkpoint alone
+        log.cleanup_log()
+        snap = dl.DeltaLog(tdir).snapshot()
+        assert snap.num_records() == 200 + 3 * 50 + 5
+        assert dl.read_delta(spark, tdir).count() == snap.num_records()
+
+    def test_same_version_recheckpoint_reuses_all(self, spark, store):
+        tdir = _build(spark, store)
+        log = dl.DeltaLog(tdir)
+        log.write_checkpoint_v2(max_actions_per_sidecar=2)
+        side = os.path.join(log.log_dir, dl.SIDECAR_DIR)
+        before = set(os.listdir(side))
+        log.write_checkpoint_v2(max_actions_per_sidecar=2)
+        assert set(os.listdir(side)) == before
+
+
 class TestMultipartCheckpoint:
     def test_round_trip(self, spark, store):
         tdir = _build(spark, store)

@@ -86,6 +86,50 @@ class TestCdfColumnMapping:
         assert "amount" in tc.columns and "value" not in tc.columns
 
 
+class TestStreamColumnMapping:
+    def test_delta_tail_serves_logical_names(self, spark, wh):
+        from product_analytics_spark.sources.delta_stream import (
+            register_delta_tail,
+        )
+
+        store = SnapshotStore(spark, wh, retain_versions=8,
+                              delta_log=True)
+        store.overwrite("t", _base(spark, 40))
+        tdir = store.path("t")
+        dl.enable_column_mapping(tdir)
+        dl.rename_column(tdir, "amount", "value")
+        store.append(
+            "t",
+            spark.range(500, 520)
+            .select(F.col("id").alias("k"),
+                    (F.col("id") * 10).alias("amount"))
+            .repartition(1),
+        )
+        register_delta_tail(spark)
+        sdf = (
+            spark.readStream.format("delta_tail")
+            .option("path", tdir)
+            .load()
+        )
+        assert "value" in sdf.columns and "amount" not in sdf.columns
+        ck = os.path.join(wh, "_ck")
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName("t_map_stream")
+            .option("checkpointLocation", ck)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.sql(
+            "SELECT count(*) AS n, sum(value) AS s FROM t_map_stream"
+        ).collect()[0]
+        assert got.n == 60
+        assert got.s == sum(i * 10 for i in range(40)) + sum(
+            i * 10 for i in range(500, 520)
+        )
+
+
 class TestInCommitTimestamps:
     def test_enable_clamp_and_resolve(self, spark, wh):
         store = SnapshotStore(spark, wh, delta_log=True)

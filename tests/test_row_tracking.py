@@ -197,6 +197,42 @@ class TestMoRPreservation:
         assert store.read("t").count() == 120
 
 
+class TestMaintenancePreservation:
+    """OPTIMIZE / compaction / DV-purge rewrite files wholesale —
+    row ids must survive via materialization (Delta's rule: ids are
+    stable across OPTIMIZE)."""
+
+    def _seed(self, spark, store):
+        store.overwrite("t", _base(spark), n_files=4)
+        store.enable_row_tracking("t")
+        store.delete_where_mor("t", "k % 6 = 2")  # leave a DV behind
+        return _ids(spark, store.path("t"))
+
+    def test_purge_dv_preserves_ids(self, spark, store):
+        pre = self._seed(spark, store)
+        assert store.purge_dv("t") is True
+        post = _ids(spark, store.path("t"))
+        assert post == pre
+
+    def test_compact_preserves_ids(self, spark, store):
+        pre = self._seed(spark, store)
+        store.compact("t")  # purges the DV, then merges files
+        post = _ids(spark, store.path("t"))
+        assert post == pre
+
+    def test_optimize_preserves_ids(self, spark, store):
+        store.overwrite("t", _base(spark), n_files=4)
+        store.enable_row_tracking("t")
+        pre = _ids(spark, store.path("t"))
+        from product_analytics_spark.sources import delta_log as dlog
+
+        dlog.set_clustering(store.path("t"), ["val"])
+        res = store.optimize("t", target_bytes=8_000)
+        assert res["reclustered"] is True
+        post = _ids(spark, store.path("t"))
+        assert post == pre
+
+
 class TestPersistenceAndProtocol:
     def test_checkpoint_round_trips_row_ids(self, spark, store):
         store.overwrite("t", _base(spark), n_files=3)

@@ -39,6 +39,7 @@ MARKERS = {
     "take_ordered_topk": "TakeOrderedAndProject",
     "window_ops": "Window",
     "arrow_python": "MapInPandas",
+    "arrow_eval_python": "ArrowEvalPython",  # arrow_udf/arrow_udtf doors
     "row_python": "BatchEvalPython",
     "pushed_filters": "PushedFilters: [I",  # non-empty filter list
 }
@@ -169,6 +170,9 @@ def main() -> None:
         ),
         "queries_with_row_at_a_time_python": sorted(
             n for n, r in rows.items() if r["row_python"]
+        ),
+        "queries_with_arrow_eval_python": sorted(
+            n for n, r in rows.items() if r.get("arrow_eval_python")
         ),
         "queries_with_arrow_python": sorted(
             n for n, r in rows.items() if r["arrow_python"]

@@ -117,6 +117,11 @@ SWEEP_KEYS = [
     "q115",
     # round-8 storage/scheduler certs (warehouse-write heavy)
     "q415", "q416", "q417",
+    # round-10 Delta-protocol lifecycle certs: commit-count-bound by
+    # design (the delta-consumer family measured flat-to-2.8x at 30x
+    # in round 9); these extend that measurement to the sharded-
+    # checkpoint / row-tracking / widening paths
+    "q446", "q447", "q448", "q450",
 ]
 
 #: the fixed-capacity-risk families (VERDICT r8 item 4): banding
