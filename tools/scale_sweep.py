@@ -395,6 +395,21 @@ def report() -> None:
         "  parameter anywhere in the family: commits, change files,",
         "  DV bitmaps, and stream offsets all grow with CHANGED rows,",
         "  never table size.",
+        "",
+        "## Findings (round 10)",
+        "",
+        "* **The round-10 protocol certs are FLAT at 10× data**",
+        "  (q446 sharded checkpoints 1.0×, q447 row tracking 0.8×,",
+        "  q448 CDF×rename 0.7×, q450 type widening 0.7×, q451 liquid",
+        "  clustering 0.8×; q452/q453 arrow doors 0.3–0.5× —",
+        "  sub-1 ratios are first-run warmup absorbed by the sf0.1",
+        "  pass): like the delta-consumer family, cost is",
+        "  commit-count × job latency plus O(changed/new rows).",
+        "  Specifically: v2 checkpoint cost is O(live FILES) sharded +",
+        "  O(changed buckets) incremental, never O(rows); row-id",
+        "  allocation is a log-side counter (zero data I/O); widening",
+        "  and clustering declarations are single metadata commits;",
+        "  the rename path rewrites zero files by construction.",
     ]
     with open("/root/repo/SCALE_SWEEP.md", "w", encoding="utf-8") as fh:
         fh.write("\n".join(lines) + "\n")
