@@ -3893,20 +3893,82 @@ FROM s
 # --------------------------------------------------------------------- q92
 
 def q92_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X65: ntile decile assignment + per-decile profile. The total
-    order forces a single-reducer window at this size — correct for a
-    deciles-of-everything report, but the docstring-documented 100 TB
-    swap-in is X45's equi-depth binning (percentile boundaries + a
-    scan-side CASE ladder: no global sort) or ``repartitionByRange``
-    whose range exchange samples instead of sorting on one task.
-    Ties broken deterministically by (price, order key)."""
+    """X65: EXACT ntile decile assignment + per-decile profile,
+    computed fully DISTRIBUTED (round-10: this was the surface's last
+    single-reducer total-order window — `ntile(10) OVER (ORDER BY …)`
+    moves every row to one task).
+
+    The distributed-exact-rank shape (the classic zipWithIndex
+    construction, in DataFrame form):
+
+    1. ``repartitionByRange(p, key)`` — the range exchange SAMPLES
+       boundaries instead of sorting on one task; the composite key
+       makes the tuple order total, so no tie spans a partition.
+    2. rank = per-partition ``row_number`` (a window partitioned by
+       ``spark_partition_id`` — 32 independent sorts, no global one)
+       + that partition's prefix offset.
+    3. Offsets come from the |partitions|-row count vector — a
+       driver-side collect of 32 rows joined back via broadcast
+       (manifest-class, same as watermark scalars).
+    4. rank → decile in closed form (ntile's exact fill rule: the
+       first ``n mod 10`` deciles hold ``⌈n/10⌉`` rows): no second
+       pass, no global structure beyond the 32 offsets.
+
+    The ranked frame is registered with the cache lifecycle
+    (``cache.persist``) across the two actions (count vector + the
+    caller's consumption) so the SAMPLED range boundaries are read
+    once — an unpinned recomputation could legally re-sample and
+    shift the offsets; runners release it via ``cache.clear_all``
+    between queries, like every self-joined intermediate. Semantics
+    are pinned row-exactly against DuckDB's real ``ntile`` by the
+    oracle. Ties broken deterministically by (price, order key)."""
     from pyspark.sql.window import Window
 
     o = _t(spark, sf_dir, "orders").select(
         "o_orderkey", _money_cents("o_totalprice").alias("p")
     )
-    w = Window.orderBy(F.col("p").asc(), F.col("o_orderkey").asc())
-    d = o.withColumn("decile", F.ntile(10).over(w))
+    n_parts = 32
+    local = cache.persist(
+        o.repartitionByRange(
+            n_parts, F.col("p").asc(), F.col("o_orderkey").asc()
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lr",
+            F.row_number().over(
+                Window.partitionBy("__pid").orderBy(
+                    F.col("p").asc(), F.col("o_orderkey").asc()
+                )
+            ),
+        )
+    )
+    counts = {
+        r["__pid"]: r["c"]
+        for r in local.groupBy("__pid")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # |partitions| rows — manifest-class collect
+    }
+    n = sum(counts.values())
+    offsets, acc = [], 0
+    for pid in sorted(counts):
+        offsets.append((pid, acc))
+        acc += counts[pid]
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    base, rem = n // 10, n % 10
+    cut = rem * (base + 1)
+    rank = (F.col("__off") + F.col("__lr")).cast("long")
+    if rem == 0:
+        decile = F.floor((rank - 1) / F.lit(base)) + 1
+    else:
+        decile = F.when(
+            rank <= cut, F.floor((rank - 1) / F.lit(base + 1)) + 1
+        ).otherwise(
+            F.lit(rem) + F.floor((rank - 1 - cut) / F.lit(base)) + 1
+        )
+    d = (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn("decile", decile.cast("int"))
+    )
     return d.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n_orders"),
         _cents_out(F.min("p")).alias("min_total"),
