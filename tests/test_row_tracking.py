@@ -233,6 +233,65 @@ class TestMaintenancePreservation:
         assert post == pre
 
 
+class TestRowTrackingWithCdf:
+    """Composition: row tracking × Change Data Feed. The materialized
+    row-id columns are PHYSICAL — they must never leak into cdc
+    change files (consumers see logical columns + _change_type), and
+    the feed's update keys must map to UNCHANGED row ids in the
+    table (the stable-join-key claim CDC consumers rely on)."""
+
+    def test_cdc_files_stay_logical_and_ids_stable(self, spark):
+        wh = WH + "_cdf"
+        shutil.rmtree(wh, ignore_errors=True)
+        try:
+            store = SnapshotStore(
+                spark, wh, retain_versions=10, delta_log=True, cdf=True
+            )
+            store.overwrite("t", _base(spark), n_files=3)
+            store.enable_row_tracking("t")
+            pre = _ids(spark, store.path("t"))
+            store.update_where_mor("t", "k % 4 = 1", {"val": "val + 3"})
+            store.merge_mor(
+                "t",
+                spark.range(110, 130).select(
+                    F.col("id").alias("k"),
+                    (F.col("id") % 5).alias("g"),
+                    (F.col("id") * 10 + 1).alias("val"),
+                ),
+                "k",
+            )
+            tdir = store.path("t")
+            latest = dl.DeltaLog(tdir).latest_version()
+            tc = dl.table_changes(spark, tdir, 2, latest)
+            # physical row-id columns never leak into the feed
+            assert dl.MATERIALIZED_ROW_ID_COL not in tc.columns
+            assert dl.MATERIALIZED_ROW_COMMIT_COL not in tc.columns
+            assert set(tc.columns) == {
+                "k", "g", "val", "_change_type", "_commit_version",
+            }
+            # updated keys kept their row ids through both DMLs
+            post = _ids(spark, tdir)
+            upd_keys = {
+                r.k
+                for r in tc.where(
+                    "_change_type = 'update_postimage'"
+                ).select("k").collect()
+            }
+            assert upd_keys  # both DMLs produced postimages
+            for k in upd_keys:
+                assert post[k] == pre[k], f"feed key {k} lost its id"
+            # inserts got fresh ids above the pre-DML range
+            ins_keys = {
+                r.k
+                for r in tc.where("_change_type = 'insert'")
+                .select("k").collect()
+            }
+            assert ins_keys == set(range(120, 130))
+            assert all(post[k] > max(pre.values()) for k in ins_keys)
+        finally:
+            shutil.rmtree(wh, ignore_errors=True)
+
+
 class TestPersistenceAndProtocol:
     def test_checkpoint_round_trips_row_ids(self, spark, store):
         store.overwrite("t", _base(spark), n_files=3)
