@@ -1336,13 +1336,23 @@ class DeltaLog:
                     os.unlink(self._crc_path(v))
                 except OSError:
                     pass
-        # Superseded checkpoints (any form) below the newest one are
-        # dead weight too — every retained version reconstructs from
-        # the newest checkpoint + tail.
-        for v, _kind, paths in cps[:-1]:
-            for p in paths:
+        # Superseded checkpoints below the newest one are dead weight
+        # too — every retained version reconstructs from the newest
+        # checkpoint + tail. Delete EVERY discovered form at those
+        # versions (a version can carry v1 + mp + v2 files, plus
+        # extra v2 manifests from concurrent writers, plus torn
+        # multi-part writes); _checkpoint_groups keeps only the
+        # preferred form, so listing the raw files is required or
+        # the non-preferred forms accumulate as stale log garbage.
+        for f in os.listdir(self.log_dir):
+            m = (
+                _CHECKPOINT_RE.match(f)
+                or _CHECKPOINT_MP_RE.match(f)
+                or _CHECKPOINT_V2_RE.match(f)
+            )
+            if m and int(m.group(1)) < cutoff:
                 try:
-                    os.unlink(p)
+                    os.unlink(os.path.join(self.log_dir, f))
                 except OSError:
                     pass
         # v2 sidecar GC: a sidecar shard is live only while a
@@ -1636,18 +1646,52 @@ def read_delta(spark, table_dir: str, version: int | None = None):
     schema_str0 = (snap.metadata or {}).get("schemaString")
     if widened and schema_str0:
         try:
-            from pyspark.sql.types import StructType
+            from pyspark.sql.types import StructField, StructType
 
             st = StructType.fromJson(json.loads(schema_str0))
+            # Data files carry PHYSICAL names under column mapping —
+            # the forced read schema must match the files, or the
+            # scan drops the renamed column and _to_logical fails.
+            cmap = snap.column_mapping() or {}
             read_schema = StructType(
-                [f for f in st.fields if f.name not in part_cols]
+                [
+                    StructField(
+                        cmap.get(f.name, f.name),
+                        f.dataType,
+                        f.nullable,
+                        f.metadata,
+                    )
+                    for f in st.fields
+                    if f.name not in part_cols
+                ]
             )
         except Exception:  # noqa: BLE001 — fall back to inference
             read_schema = None
 
+    # Row-tracked tables mix file schemas: only MoR-rewritten /
+    # OPTIMIZE'd files carry the materialized row-id columns. Merge
+    # schemas so the scan is deterministic, then hide the physical
+    # id columns like SnapshotStore.read does. (Irrelevant when a
+    # widened read schema is forced — the explicit schema wins.)
+    row_tracked = conf.get("delta.enableRowTracking") == "true"
+
     def _reader():
         r = spark.read
-        return r.schema(read_schema) if read_schema is not None else r
+        if read_schema is not None:
+            return r.schema(read_schema)
+        if row_tracked:
+            r = r.option("mergeSchema", "true")
+        return r
+
+    def _hide_rt(df):
+        if not row_tracked:
+            return df
+        drop = [
+            c
+            for c in (MATERIALIZED_ROW_ID_COL, MATERIALIZED_ROW_COMMIT_COL)
+            if c in df.columns
+        ]
+        return df.drop(*drop) if drop else df
 
     _SIMPLE = {
         "byte": "tinyint", "short": "smallint", "integer": "int",
@@ -1686,8 +1730,12 @@ def read_delta(spark, table_dir: str, version: int | None = None):
         df = _reader().parquet(
             *[resolve_path(table_dir, p) for p in paths]
         )
-        return _conform_types(
-            _to_logical(apply_dv_filter(spark, df, table_dir, positions))
+        return _hide_rt(
+            _conform_types(
+                _to_logical(
+                    apply_dv_filter(spark, df, table_dir, positions)
+                )
+            )
         )
     # Partition literals are STRINGS in the log (partitionValues);
     # the table's real column types live in metaData.schemaString —
@@ -1721,8 +1769,8 @@ def read_delta(spark, table_dir: str, version: int | None = None):
             df = df.withColumn(
                 c, F.lit(v).cast(part_types.get(c, "string"))
             )
-        out = df if out is None else out.unionByName(df)
-    return _conform_types(_to_logical(out))
+        out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    return _hide_rt(_conform_types(_to_logical(out)))
 
 
 # ------------------------------------------------------------------

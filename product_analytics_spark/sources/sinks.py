@@ -1200,6 +1200,12 @@ class SnapshotStore:
                 # map, broadcast onto the batch); inserts carry NULL
                 # and read back as fresh baseRowId+index ids.
                 if rt:
+                    # One id per key: the live side may hold duplicate
+                    # keys (e.g. appended dups) — a left join against
+                    # per-row ids would emit the batch row once per
+                    # duplicate, breaking the merge_upsert contract.
+                    # The replacement row inherits the smallest
+                    # (oldest) matched row id, deterministically.
                     matched_ids = (
                         self._rt_attach_ids(name, data, live)
                         .join(
@@ -1209,7 +1215,13 @@ class SnapshotStore:
                             keys,
                             "left_semi",
                         )
-                        .select(*keys, *rt_cols)
+                        .groupBy(*keys)
+                        .agg(
+                            *[
+                                F.min(F.col(c)).alias(c)
+                                for c in rt_cols
+                            ]
+                        )
                     )
                     to_write = aligned.join(
                         F.broadcast(matched_ids), keys, "left"
