@@ -5315,3 +5315,11 @@ from product_analytics_spark.driver_queries_ext93 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT93)
 ORACLES.update(_oracles_ext93())
+
+from product_analytics_spark.driver_queries_ext94 import (  # noqa: E402
+    QUERIES_EXT94,
+    _oracles_ext94,
+)
+
+QUERIES.update(QUERIES_EXT94)
+ORACLES.update(_oracles_ext94())

@@ -59,7 +59,9 @@ from __future__ import annotations
 import json
 import os
 import re
+import threading
 import uuid
+from collections import OrderedDict
 from dataclasses import dataclass, field
 from datetime import date, datetime
 from decimal import Decimal
@@ -290,6 +292,39 @@ ROW_TRACKING_DOMAIN = "delta.rowTracking"
 MATERIALIZED_ROW_ID_COL = "_pa_row_id_m"
 MATERIALIZED_ROW_COMMIT_COL = "_pa_row_commit_m"
 
+# ---------------------------------------------------------------
+# Snapshot memoization (see DeltaLog.snapshot): commit files are
+# immutable once hardlinked, so (log dir, version, head-file
+# identity) fully determines the reconstruction. Module-wide so the
+# cache survives across the throwaway DeltaLog(...) instances every
+# call site creates. Entries are stored AND returned as copies with
+# fresh top-level containers — callers may pop/assign on
+# files/domains without poisoning the cache.
+_SNAP_CACHE: OrderedDict = OrderedDict()
+_SNAP_CACHE_LOCK = threading.Lock()
+_SNAP_CACHE_MAX = 256
+_SNAP_STATS = {"hits": 0, "misses": 0}
+
+
+def _snap_copy(s: "DeltaSnapshot") -> "DeltaSnapshot":
+    return DeltaSnapshot(
+        version=s.version,
+        protocol=dict(s.protocol) if s.protocol else dict(),
+        metadata=dict(s.metadata) if s.metadata else dict(),
+        files=dict(s.files),
+        domains=dict(s.domains),
+    )
+
+
+def snapshot_cache_stats(reset: bool = False) -> dict:
+    """Test/diagnostic hook: cumulative snapshot-cache hits/misses
+    (a miss = one full checkpoint+tail reconstruction from disk)."""
+    out = dict(_SNAP_STATS)
+    if reset:
+        _SNAP_STATS["hits"] = 0
+        _SNAP_STATS["misses"] = 0
+    return out
+
 
 def merge_protocol(prev: dict, need: dict) -> dict:
     """Merge a required protocol into an existing one WITHOUT
@@ -486,15 +521,102 @@ class DeltaSnapshot:
 # ------------------------------------------------------------------
 
 
+class CommitOwner:
+    """The **coordinated-commits seam** (Delta 4.x "commit
+    coordinator"): every commit reduces to one putIfAbsent of the
+    fully-written commit payload at ``<version>.json``. Who provides
+    the atomicity is pluggable — a POSIX filesystem gives it via
+    hardlinks, an object store without putIfAbsent needs a catalog /
+    registry to own the table's commits. Implementations must raise
+    :class:`DeltaConflictError` when the version is already taken and
+    must never let readers observe partial content."""
+
+    def put_if_absent(
+        self, log_dir: str, version: int, payload: str
+    ) -> None:
+        raise NotImplementedError
+
+
+class FileSystemCommitOwner(CommitOwner):
+    """Hardlink putIfAbsent — the single-filesystem default. The
+    payload is written to a temp file and ``os.link``ed to the final
+    name: EEXIST is the conflict signal, and the name only ever
+    appears fully written."""
+
+    def put_if_absent(
+        self, log_dir: str, version: int, payload: str
+    ) -> None:
+        target = os.path.join(log_dir, f"{version:020d}.json")
+        tmp = os.path.join(log_dir, f"_tmp_{uuid.uuid4().hex[:12]}.json")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            fh.write(payload)
+        try:
+            os.link(tmp, target)  # putIfAbsent: EEXIST on conflict
+        except FileExistsError:
+            raise DeltaConflictError(
+                f"delta commit {version} already exists in {log_dir}; "
+                "re-read the snapshot and retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
+
+
+class InProcessCommitOwner(CommitOwner):
+    """Registry-owned commits: a process-wide table registry decides
+    the putIfAbsent race under a lock and then publishes the file
+    itself (atomic rename) — the in-process stand-in for Delta's
+    catalog-owned commits, where the coordinator (not filesystem
+    atomicity) serializes writers on object stores that have no
+    putIfAbsent. Two writers racing the same version through one
+    owner: exactly one wins; the loser gets
+    :class:`DeltaConflictError` and retries on a fresh snapshot."""
+
+    _LOCK = threading.Lock()
+    _OWNED: dict[str, set[int]] = {}
+
+    @classmethod
+    def reset(cls, log_dir: str) -> None:
+        """Drop the registry's ownership record for one table — the
+        owner is authoritative across table recreations, so a rebuilt
+        fixture (or a legitimately dropped-and-recreated table) must
+        explicitly re-register."""
+        with cls._LOCK:
+            cls._OWNED.pop(os.path.abspath(log_dir), None)
+
+    def put_if_absent(
+        self, log_dir: str, version: int, payload: str
+    ) -> None:
+        key = os.path.abspath(log_dir)
+        target = os.path.join(log_dir, f"{version:020d}.json")
+        with InProcessCommitOwner._LOCK:
+            owned = InProcessCommitOwner._OWNED.setdefault(key, set())
+            if version in owned or os.path.exists(target):
+                raise DeltaConflictError(
+                    f"delta commit {version} already owned in {log_dir}; "
+                    "re-read the snapshot and retry"
+                )
+            tmp = os.path.join(
+                log_dir, f"_tmp_{uuid.uuid4().hex[:12]}.json"
+            )
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write(payload)
+            os.rename(tmp, target)  # atomic publish under the lock
+            owned.add(version)
+
+
+_DEFAULT_OWNER = FileSystemCommitOwner()
+
+
 class DeltaLog:
     """Reader/writer for one table's ``_delta_log`` directory."""
 
     #: write a parquet checkpoint every N commits (Delta defaults to 10)
     CHECKPOINT_INTERVAL = 10
 
-    def __init__(self, table_dir: str):
+    def __init__(self, table_dir: str, owner: CommitOwner | None = None):
         self.table_dir = table_dir
         self.log_dir = os.path.join(table_dir, LOG_DIR)
+        self.owner = owner or _DEFAULT_OWNER
 
     def exists(self) -> bool:
         return os.path.isdir(self.log_dir) and self.latest_version() is not None
@@ -629,7 +751,6 @@ class DeltaLog:
         if version is None:
             latest = self.latest_version()
             version = 0 if latest is None else latest + 1
-        target = os.path.join(self.log_dir, f"{version:020d}.json")
         proposed = (
             int(timestamp_ms) if timestamp_ms is not None
             else version * 1000
@@ -655,18 +776,12 @@ class DeltaLog:
             json.dumps(a, separators=(",", ":"), sort_keys=True)
             for a in actions
         ]
-        tmp = os.path.join(self.log_dir, f"_tmp_{uuid.uuid4().hex[:12]}.json")
-        with open(tmp, "w", encoding="utf-8") as fh:
-            fh.write("".join(ln + "\n" for ln in lines))
-        try:
-            os.link(tmp, target)  # putIfAbsent: EEXIST on conflict
-        except FileExistsError:
-            raise DeltaConflictError(
-                f"delta commit {version} already exists in {self.log_dir}; "
-                "re-read the snapshot and retry"
-            ) from None
-        finally:
-            os.unlink(tmp)
+        # putIfAbsent through the commit OWNER — the hardlink default
+        # on a filesystem, a registry/catalog owner where the storage
+        # can't give atomicity (see CommitOwner).
+        self.owner.put_if_absent(
+            self.log_dir, version, "".join(ln + "\n" for ln in lines)
+        )
         if (version + 1) % self.CHECKPOINT_INTERVAL == 0:
             try:
                 self.write_checkpoint(version)
@@ -768,12 +883,58 @@ class DeltaLog:
     def snapshot(self, version: int | None = None) -> DeltaSnapshot:
         """Reconstruct the table state at ``version`` (default:
         latest): start from the newest checkpoint at or below it, then
-        replay the JSON commits after it in order."""
+        replay the JSON commits after it in order.
+
+        MEMOIZED: commit files are immutable once linked into the log
+        (the hardlink putIfAbsent), so a snapshot at a version is
+        fully determined by the identity of that version's head
+        commit file — reconstructions are cached module-wide keyed by
+        (log dir, version, head-file inode/mtime/size), the way real
+        Delta caches Snapshot objects per version. A new commit is a
+        new key (no explicit invalidation needed); a recreated table
+        at the same path is a new inode (test warehouses never alias);
+        LRU-bounded. Without this, every ``read_delta`` /
+        ``table_changes`` / stream trigger replays checkpoint parquet
+        + JSON tail from disk — O(live files) per call, a driver-side
+        bottleneck at 10^6-file scale."""
         commits = self._commits()
         if not commits:
             raise DeltaProtocolError(f"no commits in {self.log_dir}")
         if version is None:
             version = commits[-1][0]
+        key = None
+        head = next((p for v, p in commits if v == version), None)
+        if head is not None:
+            try:
+                st = os.stat(head)
+                key = (
+                    os.path.abspath(self.log_dir),
+                    version,
+                    st.st_ino,
+                    st.st_mtime_ns,
+                    st.st_size,
+                )
+            except OSError:
+                key = None
+        if key is not None:
+            with _SNAP_CACHE_LOCK:
+                hit = _SNAP_CACHE.get(key)
+                if hit is not None:
+                    _SNAP_CACHE.move_to_end(key)
+                    _SNAP_STATS["hits"] += 1
+                    return _snap_copy(hit)
+        snap = self._reconstruct(version, commits)
+        if key is not None:
+            with _SNAP_CACHE_LOCK:
+                _SNAP_STATS["misses"] += 1
+                _SNAP_CACHE[key] = _snap_copy(snap)
+                while len(_SNAP_CACHE) > _SNAP_CACHE_MAX:
+                    _SNAP_CACHE.popitem(last=False)
+        return snap
+
+    def _reconstruct(
+        self, version: int, commits: list[tuple[int, str]]
+    ) -> DeltaSnapshot:
         snap = DeltaSnapshot(version=version)
         start = 0
         cps = [c for c in self._checkpoint_groups() if c[0] <= version]
@@ -1324,9 +1485,28 @@ class DeltaLog:
         if not cps:
             return 0
         cutoff = cps[-1][0]
+        # checkpointProtection (Delta PROTOCOL.md): versions below
+        # delta.requireCheckpointProtectionBeforeVersion are exempt
+        # from cleanup — history across a protocol-transition
+        # boundary stays reconstructible. Conservative branch of the
+        # spec (spare, never rewrite).
+        protected = 0
+        try:
+            snap = self.snapshot()
+            feats = set(
+                (snap.protocol or {}).get("writerFeatures") or []
+            )
+            if CHECKPOINT_PROTECTION_FEATURE in feats:
+                protected = int(
+                    (
+                        (snap.metadata or {}).get("configuration") or {}
+                    ).get(CHECKPOINT_PROTECTION_PROP, 0)
+                )
+        except (DeltaProtocolError, ValueError, TypeError):
+            protected = 0
         removed = 0
         for v, path in self._commits():
-            if v < cutoff:
+            if protected <= v < cutoff:
                 try:
                     os.unlink(path)
                     removed += 1
@@ -1350,7 +1530,7 @@ class DeltaLog:
                 or _CHECKPOINT_MP_RE.match(f)
                 or _CHECKPOINT_V2_RE.match(f)
             )
-            if m and int(m.group(1)) < cutoff:
+            if m and protected <= int(m.group(1)) < cutoff:
                 try:
                     os.unlink(os.path.join(self.log_dir, f))
                 except OSError:
@@ -1488,6 +1668,20 @@ class DeltaLog:
         from product_analytics_spark.sources import deletion_vectors as dvs
 
         snap = self.snapshot()
+        # The FULL writer protocol check the vacuumProtocolCheck
+        # feature mandates (legacy vacuums checked only the reader
+        # side — see ``vacuum_unaware`` for the hazard): refuse to
+        # garbage-collect a table whose writer features this engine
+        # does not implement — an unknown feature may mark files live
+        # in ways we cannot see.
+        declared_w = set((snap.protocol or {}).get("writerFeatures") or [])
+        unknown_w = declared_w - ENGINE_WRITER_FEATURES
+        if unknown_w:
+            raise DeltaProtocolError(
+                f"vacuum refused: table {self.table_dir} declares "
+                f"writer features {sorted(unknown_w)} this engine "
+                "does not support"
+            )
         live = set(snap.files)
         referenced_cdc = self.referenced_cdc_paths()
         live_dv_bins = set()
@@ -1594,16 +1788,20 @@ def apply_dv_filter(spark, df, table_dir: str, positions):
         return df
     from pyspark.sql import functions as F
 
+    # Match on the FULL ``_metadata.file_path`` ("file:" + absolute
+    # path, Spark's local-fs form): relative add paths resolve under
+    # the table root, absolute-URI adds (shallow clones of DV'd
+    # sources) resolve wherever they live — both become the exact
+    # string the scan reports.
+    base = os.path.abspath(table_dir)
+    full = [("file:" + resolve_path(base, p), ri) for p, ri in positions]
     pos_df = spark.createDataFrame(
-        positions, schema="path string, row_index bigint"
+        full, schema="path string, row_index bigint"
     )
-    prefix = "file:" + os.path.abspath(table_dir).rstrip("/") + "/"
     cols = df.columns
     tagged = df.select(
         "*",
-        F.substring(
-            F.col("_metadata.file_path"), len(prefix) + 1, 1 << 20
-        ).alias("__dv_f"),
+        F.col("_metadata.file_path").alias("__dv_f"),
         F.col("_metadata.row_index").alias("__dv_ri"),
     )
     return tagged.join(
@@ -2011,10 +2209,15 @@ def shallow_clone(src_table_dir: str, dst_table_dir: str) -> int:
     the source; per-file ``stats`` come along by value, so scan
     planning on the clone prunes from its log with zero footer opens.
 
-    Returns the number of files referenced. Raises if the source has
-    outstanding deletion vectors (materialize with ``purge_dv``/
-    OPTIMIZE first — a cloned DV descriptor's sidecar offsets would
-    dangle) or no readable snapshot.
+    Returns the number of files referenced. Outstanding deletion
+    vectors CLONE TOO (round 11): a relative storageType-"u"
+    descriptor is rewritten to storageType "p" with the ABSOLUTE
+    path of the source sidecar — offset/size/cardinality unchanged
+    (the bitmap bytes are untouched) — so the clone's DV-aware reads
+    are bit-equal to the source's without materializing, exactly how
+    Delta clones DV'd tables. Inline ("i") descriptors carry over
+    verbatim. The clone's own VACUUM can never delete source
+    sidecars: they live outside its table directory.
 
     Scale: cloning a 100 TB table is O(|files|) log entries — the
     dev/staging-fork workflow (test a risky migration against
@@ -2038,13 +2241,16 @@ def shallow_clone(src_table_dir: str, dst_table_dir: str) -> int:
     actions.append({"metaData": meta})
     src_abs = os.path.abspath(src_table_dir)
     n = 0
+    from product_analytics_spark.sources import deletion_vectors as dvs
+
     for rel in sorted(snap.files):
         add = dict(snap.files[rel])
-        if add.get("deletionVector"):
-            raise DeltaProtocolError(
-                "shallow_clone: source has outstanding deletion "
-                "vectors — OPTIMIZE/purge them first"
-            )
+        dvd = add.get("deletionVector")
+        if dvd and dvd.get("storageType") == "u":
+            dvd = dict(dvd)
+            dvd["pathOrInlineDv"] = dvs.dv_file_path(src_abs, dvd)
+            dvd["storageType"] = "p"
+            add["deletionVector"] = dvd
         # pathlib's as_uri percent-encodes, matching resolve_path's
         # unquote on read — plain concatenation round-tripped paths
         # containing % / # / ? to a DIFFERENT filesystem path
@@ -2556,3 +2762,186 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
     meta = dict(snap.metadata)
     meta["schemaString"] = json.dumps(schema, separators=(",", ":"))
     return log.commit([{"metaData": meta}], operation="RENAME COLUMN")
+
+
+# ------------------------------------------------------------------
+# Protocol-safety features: vacuumProtocolCheck / checkpointProtection
+# ------------------------------------------------------------------
+
+#: Every reader feature this engine understands. A reader MUST refuse
+#: a table declaring a reader feature outside its set (Delta
+#: PROTOCOL.md "Table Features") — vacuumProtocolCheck exploits
+#: exactly this rule to stop legacy VACUUMs (below).
+ENGINE_READER_FEATURES = frozenset(
+    {
+        "deletionVectors",
+        "columnMapping",
+        "typeWidening",
+        "timestampNtz",
+        "v2Checkpoint",
+        "vacuumProtocolCheck",
+    }
+)
+
+#: Every writer feature this engine implements.
+ENGINE_WRITER_FEATURES = frozenset(
+    {
+        "appendOnly",
+        "invariants",
+        "checkConstraints",
+        "changeDataFeed",
+        "generatedColumns",
+        "columnMapping",
+        "identityColumns",
+        "deletionVectors",
+        "domainMetadata",
+        "rowTracking",
+        "inCommitTimestamp",
+        "typeWidening",
+        "clustering",
+        "v2Checkpoint",
+        "vacuumProtocolCheck",
+        "checkpointProtection",
+    }
+)
+
+VACUUM_PROTOCOL_CHECK_FEATURE = "vacuumProtocolCheck"
+CHECKPOINT_PROTECTION_FEATURE = "checkpointProtection"
+CHECKPOINT_PROTECTION_PROP = (
+    "delta.requireCheckpointProtectionBeforeVersion"
+)
+
+
+def enable_vacuum_protocol_check(table_dir: str) -> int:
+    """Declare the **vacuumProtocolCheck** reader+writer feature
+    (Delta PROTOCOL.md "Vacuum Protocol Check"). The historical
+    hazard it closes: VACUUM implementations performed only a READER
+    protocol check before deleting unreferenced files, so a client
+    that could read the table but whose vacuum predates deletion
+    vectors would sweep live ``deletion_vector_*.bin`` sidecars as
+    garbage — corrupting every DV'd file at once. Declaring the
+    feature on BOTH sides makes any legacy client fail its generic
+    protocol check before it can plan a single deletion:
+
+    * legacy readers refuse (unknown reader feature ⇒ unreadable);
+    * compliant vacuums (this engine's ``DeltaLog.vacuum``) perform
+      the full WRITER protocol check the feature mandates.
+
+    Metadata-only commit; idempotent."""
+    log = DeltaLog(table_dir)
+    snap = log.snapshot()
+    if not snap.metadata:
+        raise DeltaProtocolError(f"no metaData at {table_dir}")
+    prev = dict(snap.protocol or PROTOCOL_ACTION)
+    if VACUUM_PROTOCOL_CHECK_FEATURE in (prev.get("writerFeatures") or []):
+        return snap.version  # idempotent
+    need = {
+        "minReaderVersion": 3,
+        "minWriterVersion": 7,
+        "readerFeatures": [VACUUM_PROTOCOL_CHECK_FEATURE],
+        "writerFeatures": _implied_writer_features(
+            prev.get("minWriterVersion", 2)
+        )
+        + [VACUUM_PROTOCOL_CHECK_FEATURE],
+    }
+    return log.commit(
+        [{"protocol": merge_protocol(prev, need)}],
+        operation="UPGRADE PROTOCOL",
+    )
+
+
+def enable_checkpoint_protection(
+    table_dir: str, before_version: int | None = None
+) -> int:
+    """Declare the **checkpointProtection** writer feature (Delta
+    PROTOCOL.md "Checkpoint Protection"): log cleanup MUST NOT delete
+    commit or checkpoint files at versions below
+    ``delta.requireCheckpointProtectionBeforeVersion`` (default: the
+    current version) unless it can rewrite history in full — this
+    engine takes the conservative branch and simply spares them, so
+    time travel across a protocol-transition boundary keeps working
+    after ``cleanup_log``. Metadata + protocol commit; idempotent
+    for the same boundary."""
+    log = DeltaLog(table_dir)
+    snap = log.snapshot()
+    if not snap.metadata:
+        raise DeltaProtocolError(f"no metaData at {table_dir}")
+    if before_version is None:
+        before_version = snap.version
+    conf = dict((snap.metadata or {}).get("configuration") or {})
+    prev = dict(snap.protocol or PROTOCOL_ACTION)
+    if (
+        CHECKPOINT_PROTECTION_FEATURE in (prev.get("writerFeatures") or [])
+        and conf.get(CHECKPOINT_PROTECTION_PROP)
+        == str(int(before_version))
+    ):
+        return snap.version  # idempotent
+    need = {
+        "minReaderVersion": prev.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        "writerFeatures": _implied_writer_features(
+            prev.get("minWriterVersion", 2)
+        )
+        + [CHECKPOINT_PROTECTION_FEATURE],
+    }
+    meta = dict(snap.metadata)
+    conf[CHECKPOINT_PROTECTION_PROP] = str(int(before_version))
+    meta["configuration"] = conf
+    return log.commit(
+        [{"protocol": merge_protocol(prev, need)}, {"metaData": meta}],
+        operation="UPGRADE PROTOCOL",
+    )
+
+
+def vacuum_unaware(table_dir: str, dry_run: bool = True) -> list[str]:
+    """Simulate the LEGACY client vacuumProtocolCheck exists to stop:
+    its vacuum performs only the READER protocol check (the
+    historical behavior), knows nothing about deletion vectors, and
+    treats any file the live adds don't name — including live
+    ``deletion_vector_*.bin`` sidecars — as garbage.
+
+    With ``dry_run=True`` (default) it returns the victim list
+    without deleting, demonstrating the hazard; ``dry_run=False``
+    actually deletes, which is only safe in tests.
+
+    The one rule even legacy clients follow is the universal reader
+    rule: a table declaring a reader feature outside the client's
+    set is UNREADABLE — so once ``enable_vacuum_protocol_check`` has
+    run, this function raises :class:`DeltaProtocolError` before
+    planning a single deletion. That refusal IS the feature."""
+    legacy_reader_features = frozenset(
+        {"deletionVectors", "columnMapping", "timestampNtz"}
+    )
+    log = DeltaLog(table_dir)
+    snap = log.snapshot()
+    declared = set((snap.protocol or {}).get("readerFeatures") or [])
+    unknown = declared - legacy_reader_features
+    if unknown:
+        raise DeltaProtocolError(
+            f"vacuum refused: table {table_dir} declares reader "
+            f"features {sorted(unknown)} this client does not "
+            "support"
+        )
+    live = set(snap.files)
+    victims: list[str] = []
+    for root, dirs, files in os.walk(table_dir):
+        dirs[:] = [d for d in dirs if d != LOG_DIR]
+        for f in files:
+            if f.startswith((".", "_")):
+                continue
+            rel = os.path.relpath(
+                os.path.join(root, f), table_dir
+            ).replace(os.sep, "/")
+            if rel in live:
+                continue
+            if f.endswith(".parquet") or f.startswith(
+                "deletion_vector_"
+            ):
+                victims.append(rel)
+    if not dry_run:
+        for rel in victims:
+            try:
+                os.unlink(os.path.join(table_dir, rel))
+            except OSError:
+                pass
+    return sorted(victims)

@@ -135,9 +135,41 @@ def test_shallow_clone_stats_skip_from_log(spark, store):
     assert 0 < len(kept) < 5
 
 
-def test_shallow_clone_refuses_dv_source(spark, store):
+def test_shallow_clone_carries_dv_descriptors(spark, store):
+    """Round 11: a DV'd source CLONES (no more refusal) — descriptors
+    are rewritten to storageType "p" absolute paths, the clone reads
+    bit-equal through the DV-aware reader, and the clone's VACUUM
+    cannot touch the source sidecar."""
+    import glob
+    import os
+
     st = store
     st.overwrite("t", _base(spark, 10))
     st.delete_where_mor("t", "k = 0")
-    with pytest.raises(dl.DeltaProtocolError, match="deletion"):
-        dl.shallow_clone(st.path("t"), CLONE)
+    src = st.path("t")
+    n = dl.shallow_clone(src, CLONE)
+    assert n > 0
+    src_rows = sorted(r.k for r in dl.read_delta(spark, src).collect())
+    clone_rows = sorted(
+        r.k for r in dl.read_delta(spark, CLONE).collect()
+    )
+    assert clone_rows == src_rows and 0 not in clone_rows
+    snap = dl.DeltaLog(CLONE).snapshot()
+    dvds = [
+        a["deletionVector"]
+        for a in snap.files.values()
+        if a.get("deletionVector")
+    ]
+    assert dvds and all(
+        d["storageType"] == "p" and os.path.isabs(d["pathOrInlineDv"])
+        for d in dvds
+    )
+    sidecars = glob.glob(
+        os.path.join(src, "**", "deletion_vector_*.bin"), recursive=True
+    )
+    assert sidecars
+    dl.DeltaLog(CLONE).vacuum()
+    assert all(os.path.isfile(p) for p in sidecars)
+    assert sorted(
+        r.k for r in dl.read_delta(spark, src).collect()
+    ) == src_rows
