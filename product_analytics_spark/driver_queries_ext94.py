@@ -506,10 +506,165 @@ ORDER BY bucket
 """
 
 
+# ------------------------------------------------------------- q457
+
+
+def q457_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Engine-native AQE skew-join door** — round-10 verdict item
+    6: ``session.py`` enables ``spark.sql.adaptive.skewJoin`` but no
+    cert pinned the runtime split the way q371 pins the runtime
+    bloom filter. This one does: a deliberately skewed sort-merge
+    join (~80% of fact rows on one hot key, broadcast disabled) runs
+    under AQE with cert-scaled skew thresholds, and the EXECUTED plan
+    must carry the ``skew=true`` split marker — Spark's
+    OptimizeSkewedJoin replanned the hot partition into
+    PartialReducer splits at runtime.
+
+    Pinned properties:
+
+    * ``aqe_skew_split`` — the final adaptive plan shows
+      ``SortMergeJoin ... skew=true`` (runtime split happened; a
+      single-mapper input cannot split, which is why the fact side
+      is pre-distributed across 16 map tasks — the 100 TB shape,
+      where scans are always many-mapper);
+    * ``matches_salted`` — the result is row-identical to the MANUAL
+      salting remedy (``operators/skew.salted_join``, q109's shape):
+      the engine-native and static remedies agree bit-for-bit;
+    * values are frozen after computation (the returned DataFrame is
+      a literal re-materialization), so the driver's re-collect
+      cannot race the restored session confs.
+
+    Skew-remedy decision table (also in ``salted_join``'s docstring):
+    broadcast if the dim fits; AQE skew split handles SMJ skew at
+    runtime with NO query rewrite (this door); static salting when
+    hot keys are known and the dim is too big to broadcast.
+
+    Scale: at 100 TB a hot key pins one reducer for hours; the split
+    spreads exactly the oversized partition, leaving the other
+    shuffle partitions untouched — strictly better than global
+    salting's dim replication."""
+    from product_analytics_spark.operators.skew import salted_join
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1.2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes":
+            "2048",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "2048",
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.shuffle.partitions": "8",
+    }
+    old: dict[str, str | None] = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset conf
+            old[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        fact = (
+            _t(spark, sf_dir, "orders")
+            .select(
+                F.when(F.col("o_orderkey") % 10 < 8, F.lit(0))
+                .otherwise(F.col("o_orderkey") % 97 + 1)
+                .alias("jk"),
+                _money_cents("o_totalprice").alias("cents"),
+            )
+            .withColumn(
+                "rep", F.explode(F.sequence(F.lit(1), F.lit(20)))
+            )
+            .drop("rep")
+            .repartition(16)
+        )
+        dim = spark.range(0, 98).select(
+            F.col("id").alias("jk"), (F.col("id") % 7).alias("grp")
+        )
+        j = (
+            fact.join(dim, "jk")
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("cents_sum"),
+            )
+            .orderBy("grp")
+        )
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        aqe_skew_split = "skew=true" in plan
+
+        salted = (
+            salted_join(
+                fact,
+                dim,
+                "jk",
+                fact_salt=F.pmod(F.col("cents"), F.lit(8)),
+                n_salts=8,
+            )
+            .groupBy("grp")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("cents_sum"),
+            )
+            .orderBy("grp")
+            .collect()
+        )
+        matches_salted = [tuple(r) for r in rows] == [
+            tuple(r) for r in salted
+        ]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:  # noqa: BLE001
+                    pass
+            else:
+                spark.conf.set(k, v)
+
+    out = spark.createDataFrame(
+        [(r.grp, r.n, r.cents_sum) for r in rows],
+        "grp bigint, n bigint, cents_sum bigint",
+    )
+    return out.select(
+        "grp",
+        "n",
+        "cents_sum",
+        F.lit(bool(aqe_skew_split)).alias("aqe_skew_split"),
+        F.lit(bool(matches_salted)).alias("matches_salted"),
+    ).orderBy("grp")
+
+
+Q457_SQL = """
+WITH fact AS (
+  SELECT CASE WHEN o_orderkey % 10 < 8 THEN 0
+              ELSE o_orderkey % 97 + 1 END AS jk,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders
+),
+dim AS (
+  SELECT r AS jk, r % 7 AS grp FROM range(0, 98) t(r)
+)
+SELECT CAST(grp AS BIGINT) AS grp,
+       CAST(count(*) * 20 AS BIGINT) AS n,
+       CAST(sum(cents) * 20 AS BIGINT) AS cents_sum,
+       TRUE AS aqe_skew_split,
+       TRUE AS matches_salted
+FROM fact JOIN dim USING (jk)
+GROUP BY grp
+ORDER BY grp
+"""
+
+
 QUERIES_EXT94 = {
     "q454_shallow_clone_dv": q454_shallow_clone_dv,
     "q455_protocol_safety": q455_protocol_safety,
     "q456_commit_owner": q456_commit_owner,
+    "q457_aqe_skew_join": q457_aqe_skew_join,
 }
 
 
@@ -518,4 +673,5 @@ def _oracles_ext94() -> dict[str, str]:
         "q454_shallow_clone_dv": Q454_SQL,
         "q455_protocol_safety": Q455_SQL,
         "q456_commit_owner": Q456_SQL,
+        "q457_aqe_skew_join": Q457_SQL,
     }
