@@ -83,6 +83,12 @@ _CHECKPOINT_MP_RE = re.compile(
 _CHECKPOINT_V2_RE = re.compile(
     r"^(\d{20})\.checkpoint\.([0-9a-f]{16,})\.parquet$"
 )
+#: v2 manifest in JSON form — the protocol allows either format for
+#: the MANIFEST (sidecar shards are always parquet). Distinct from a
+#: commit file by the ``.checkpoint.<uuid>`` infix.
+_CHECKPOINT_V2_JSON_RE = re.compile(
+    r"^(\d{20})\.checkpoint\.([0-9a-f]{16,})\.json$"
+)
 
 #: Fixed timestamp written into protocol-required *Time fields.
 #: The engine's certs compare log CONTENT cross-engine; wall-clock
@@ -314,6 +320,15 @@ def _snap_copy(s: "DeltaSnapshot") -> "DeltaSnapshot":
         files=dict(s.files),
         domains=dict(s.domains),
     )
+
+
+def clear_snapshot_cache() -> None:
+    """Drop every memoized snapshot — the 'fresh reader' switch for
+    fault-injection tests (a cached snapshot legitimately survives
+    out-of-band file corruption, exactly like real Delta's snapshot
+    cache; clearing simulates a new process discovering the log)."""
+    with _SNAP_CACHE_LOCK:
+        _SNAP_CACHE.clear()
 
 
 def snapshot_cache_stats(reset: bool = False) -> dict:
@@ -678,7 +693,7 @@ class DeltaLog:
                 )
                 mp.setdefault((ver, of), {})[part] = p
                 continue
-            m = _CHECKPOINT_V2_RE.match(f)
+            m = _CHECKPOINT_V2_RE.match(f) or _CHECKPOINT_V2_JSON_RE.match(f)
             if m:
                 v2.setdefault(int(m.group(1)), []).append(p)
         best: dict[int, tuple[str, list[str]]] = {}
@@ -1217,10 +1232,10 @@ class DeltaLog:
             return {}
         out: dict[tuple[str, str], dict] = {}
         try:
-            t = pq.read_table(v2s[-1][1], columns=["sidecar"])
+            rows = self._v2_manifest_rows(v2s[-1][1])
         except Exception:  # noqa: BLE001 — unreadable: no reuse
             return {}
-        for row in t.to_pylist():
+        for row in rows:
             sc = row.get("sidecar")
             if not sc or not sc.get("path"):
                 continue
@@ -1234,6 +1249,7 @@ class DeltaLog:
         self,
         version: int | None = None,
         max_actions_per_sidecar: int = 50_000,
+        manifest_format: str = "parquet",
     ) -> str:
         """**V2 checkpoint with sidecars** (Delta PROTOCOL.md "V2
         Checkpoint Table Feature"): the live add set is sharded into
@@ -1325,6 +1341,57 @@ class DeltaLog:
                     "tags": tags,
                 }
             )
+        if manifest_format not in ("parquet", "json"):
+            raise ValueError(
+                f"manifest_format must be parquet|json, got "
+                f"{manifest_format!r}"
+            )
+        if manifest_format == "json":
+            # JSON-lines manifest (the protocol's other manifest
+            # form; sidecar shards stay parquet): same actions as
+            # the parquet manifest, commit-file shapes.
+            lines = [
+                json.dumps(
+                    {"checkpointMetadata": {"version": version}},
+                    separators=(",", ":"),
+                ),
+                json.dumps(
+                    {"protocol": snap.protocol or PROTOCOL_ACTION},
+                    separators=(",", ":"), sort_keys=True,
+                ),
+                json.dumps(
+                    {"metaData": snap.metadata},
+                    separators=(",", ":"), sort_keys=True,
+                ),
+            ]
+            lines += [
+                json.dumps({"sidecar": sc}, separators=(",", ":"),
+                           sort_keys=True)
+                for sc in sidecars
+            ]
+            lines += [
+                json.dumps({"domainMetadata": dm},
+                           separators=(",", ":"), sort_keys=True)
+                for dm in self._domain_rows(snap)
+            ]
+            manifest = os.path.join(
+                self.log_dir,
+                f"{version:020d}.checkpoint.{uuid.uuid4().hex}.json",
+            )
+            tmp = manifest + f".tmp{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write("".join(ln + "\n" for ln in lines))
+            os.replace(tmp, manifest)
+            self._write_last_checkpoint(
+                {
+                    "version": version,
+                    "size": len(adds) + 2,
+                    "sizeInBytes": os.path.getsize(manifest),
+                    "checkpointSchema": None,
+                    "v2Checkpoint": {"path": os.path.basename(manifest)},
+                }
+            )
+            return manifest
         side_t = pa.struct(
             [
                 ("path", pa.string()),
@@ -1391,14 +1458,30 @@ class DeltaLog:
         )
         return manifest
 
+    @staticmethod
+    def _v2_manifest_rows(manifest: str) -> list[dict]:
+        """Action rows of a v2 manifest, format-agnostic: the
+        protocol allows the manifest in parquet OR json-lines form
+        (sidecar shards are always parquet)."""
+        if manifest.endswith(".json"):
+            rows: list[dict] = []
+            with open(manifest, encoding="utf-8") as fh:
+                for ln in fh:
+                    ln = ln.strip()
+                    if ln:
+                        rows.append(json.loads(ln))
+            return rows
+        import pyarrow.parquet as pq
+
+        return pq.read_table(manifest).to_pylist()
+
     def _load_checkpoint_v2(self, snap: DeltaSnapshot, manifest: str) -> None:
         """Replay a v2 manifest + its sidecar shards into ``snap``."""
         import pyarrow.parquet as pq
 
-        table = pq.read_table(manifest)
-        cols = set(table.column_names)
+        rows = self._v2_manifest_rows(manifest)
         sidecars: list[str] = []
-        for row in table.to_pylist():
+        for row in rows:
             proto = row.get("protocol")
             meta = row.get("metaData")
             if proto is not None:
@@ -1410,14 +1493,10 @@ class DeltaLog:
                 meta["format"] = fmt
                 meta["configuration"] = dict(meta.get("configuration") or {})
                 snap.metadata = meta
-            sc = row.get("sidecar") if "sidecar" in cols else None
+            sc = row.get("sidecar")
             if sc is not None and sc.get("path"):
                 sidecars.append(sc["path"])
-            dm = (
-                row.get("domainMetadata")
-                if "domainMetadata" in cols
-                else None
-            )
+            dm = row.get("domainMetadata")
             if dm is not None and dm.get("domain"):
                 snap.domains[dm["domain"]] = dict(dm)
         side_dir = os.path.join(self.log_dir, SIDECAR_DIR)
@@ -1529,6 +1608,7 @@ class DeltaLog:
                 _CHECKPOINT_RE.match(f)
                 or _CHECKPOINT_MP_RE.match(f)
                 or _CHECKPOINT_V2_RE.match(f)
+                or _CHECKPOINT_V2_JSON_RE.match(f)
             )
             if m and protected <= int(m.group(1)) < cutoff:
                 try:
@@ -1541,17 +1621,15 @@ class DeltaLog:
         # go here — the _delta_log analog of VACUUM).
         side_dir = os.path.join(self.log_dir, SIDECAR_DIR)
         if os.path.isdir(side_dir):
-            import pyarrow.parquet as pq
-
             live_sc: set[str] = set()
             for _v, kind, paths in self._checkpoint_groups():
                 if kind != "v2":
                     continue
                 try:
-                    t = pq.read_table(paths[0], columns=["sidecar"])
+                    rows = self._v2_manifest_rows(paths[0])
                 except Exception:  # noqa: BLE001 — unreadable manifest
                     continue
-                for row in t.to_pylist():
+                for row in rows:
                     sc = row.get("sidecar")
                     if sc and sc.get("path"):
                         live_sc.add(sc["path"])

@@ -64,7 +64,11 @@ class TestV2Checkpoint:
         assert dl._CHECKPOINT_V2_RE.match(os.path.basename(manifest))
         side = os.path.join(log.log_dir, dl.SIDECAR_DIR)
         n_shards = len(os.listdir(side))
-        assert n_shards == (len(before.files) + 2) // 3
+        # hash-bucket sharding over uuid-named files: bucket count is
+        # the next power of two covering ceil(n/cap) (= 4 here), but
+        # a bucket can legitimately come up empty (no shard written)
+        # — pin the bounds, not a lucky distribution
+        assert 1 < n_shards <= 4, n_shards
         # _last_checkpoint carries the v2 pointer
         lc = json.load(
             open(os.path.join(log.log_dir, "_last_checkpoint"))
@@ -109,6 +113,10 @@ class TestV2Checkpoint:
         victim = sorted(os.listdir(side))[0]
         os.unlink(os.path.join(side, victim))
         log.cleanup_log()  # commits below the checkpoint are gone
+        # a FRESH reader (no memoized snapshot) must hit the torn
+        # checkpoint loudly; the in-process cache legitimately still
+        # serves the snapshot it built before the corruption
+        dl.clear_snapshot_cache()
         with pytest.raises(dl.DeltaProtocolError, match="sidecar"):
             dl.DeltaLog(tdir).snapshot()
 
@@ -207,3 +215,89 @@ class TestMultipartCheckpoint:
         assert len(groups) == 1 and groups[0][1] == "v2"
         snap = dl.DeltaLog(tdir).snapshot()
         assert snap.num_records() == 200 + 3 * 50
+
+
+class TestV2JsonManifest:
+    """Round 11: the protocol's OTHER manifest form — a JSON-lines
+    ``<v>.checkpoint.<uuid>.json`` manifest over the same parquet
+    sidecar shards. Reconstruction, tail replay, shard reuse across
+    formats, and cleanup GC must all be format-agnostic."""
+
+    def test_round_trip_and_tail(self, spark, store):
+        tdir = _build(spark, store)
+        log = dl.DeltaLog(tdir)
+        v = log.latest_version()
+        manifest = log.write_checkpoint_v2(v, manifest_format="json")
+        assert manifest.endswith(".json")
+        assert os.path.basename(manifest).startswith(f"{v:020d}.checkpoint.")
+        # raw manifest is commit-shaped JSON lines
+        with open(manifest, encoding="utf-8") as fh:
+            rows = [json.loads(ln) for ln in fh if ln.strip()]
+        assert any("checkpointMetadata" in r for r in rows)
+        assert any(
+            r.get("sidecar", {}).get("path") for r in rows if "sidecar" in r
+        )
+        store.append(
+            "t",
+            spark.range(9000, 9025).select(
+                F.col("k") if False else F.col("id").alias("k"),
+                (F.col("id") % 7).alias("g"),
+            ),
+        )
+        snap = dl.DeltaLog(tdir).snapshot()
+        df = dl.read_delta(spark, tdir)
+        assert df.count() == 200 + 3 * 50 + 25
+        assert len(snap.files) == len(set(snap.files))
+
+    def test_discovery_and_replay_after_cleanup(self, spark, store):
+        tdir = _build(spark, store)
+        log = dl.DeltaLog(tdir)
+        v = log.latest_version()
+        log.write_checkpoint_v2(v, manifest_format="json")
+        removed = dl.DeltaLog(tdir).cleanup_log()
+        assert removed > 0
+        assert dl.read_delta(spark, tdir).count() == 200 + 3 * 50
+
+    def test_shard_reuse_across_formats(self, spark, store):
+        tdir = _build(spark, store)
+        log = dl.DeltaLog(tdir)
+        v = log.latest_version()
+        m1 = log.write_checkpoint_v2(v, max_actions_per_sidecar=2)  # parquet
+        shards1 = {
+            r["sidecar"]["path"]
+            for r in dl.DeltaLog._v2_manifest_rows(m1)
+            if r.get("sidecar") and r["sidecar"].get("path")
+        }
+        store.append(
+            "t",
+            spark.range(5000, 5010)
+            .select(F.col("id").alias("k"), (F.col("id") % 7).alias("g"))
+            .repartition(1),
+        )
+        v2 = dl.DeltaLog(tdir).latest_version()
+        m2 = dl.DeltaLog(tdir).write_checkpoint_v2(
+            v2, max_actions_per_sidecar=2, manifest_format="json"
+        )
+        shards2 = {
+            r["sidecar"]["path"]
+            for r in dl.DeltaLog._v2_manifest_rows(m2)
+            if r.get("sidecar") and r["sidecar"].get("path")
+        }
+        # the JSON manifest REUSED the parquet checkpoint's unchanged
+        # shards: one small append rewrites at most a few buckets
+        assert shards1 & shards2, "no shard reuse across formats"
+        assert dl.read_delta(spark, tdir).count() == 200 + 3 * 50 + 10
+
+    def test_sidecar_gc_format_agnostic(self, spark, store):
+        tdir = _build(spark, store)
+        log = dl.DeltaLog(tdir)
+        v = log.latest_version()
+        log.write_checkpoint_v2(v, manifest_format="json")
+        side_dir = os.path.join(tdir, "_delta_log", dl.SIDECAR_DIR)
+        # orphan shard: must be GC'd; live shards must survive
+        orphan = os.path.join(side_dir, "deadbeef" * 4 + ".parquet")
+        with open(orphan, "wb") as fh:
+            fh.write(b"PAR1junkPAR1")
+        dl.DeltaLog(tdir).cleanup_log()
+        assert not os.path.isfile(orphan)
+        assert dl.read_delta(spark, tdir).count() == 200 + 3 * 50
