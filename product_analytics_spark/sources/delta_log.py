@@ -947,14 +947,87 @@ class DeltaLog:
                     _SNAP_CACHE.popitem(last=False)
         return snap
 
+    def _pointer_checkpoint(
+        self, version: int
+    ) -> tuple[int, str, list[str]] | None:
+        """Resolve the checkpoint FROM the ``_last_checkpoint``
+        pointer, the spec's documented read path: one O(1) file read
+        instead of a directory LIST (which on an object store is the
+        expensive operation the pointer exists to avoid). Returns
+        ``(cp_version, kind, paths)`` when the pointer names a
+        complete checkpoint at or below ``version`` whose files all
+        exist, else None (no pointer / too new / torn) — the caller
+        falls back to listing discovery. A STALE pointer (older than
+        the newest checkpoint) is legal per the spec; the caller
+        retries by listing if the stale tail was already cleaned."""
+        try:
+            with open(
+                os.path.join(self.log_dir, "_last_checkpoint"),
+                encoding="utf-8",
+            ) as fh:
+                hint = json.load(fh)
+        except (OSError, ValueError):
+            return None
+        try:
+            v = int(hint.get("version"))
+        except (TypeError, ValueError):
+            return None
+        if v > version:
+            return None
+        v2p = (hint.get("v2Checkpoint") or {}).get("path")
+        if v2p:
+            m = _CHECKPOINT_V2_RE.match(v2p) or _CHECKPOINT_V2_JSON_RE.match(
+                v2p
+            )
+            p = os.path.join(self.log_dir, v2p)
+            if m and int(m.group(1)) == v and os.path.isfile(p):
+                return (v, "v2", [p])
+            return None
+        parts = hint.get("parts")
+        if parts:
+            try:
+                n = int(parts)
+            except (TypeError, ValueError):
+                return None
+            paths = [
+                os.path.join(
+                    self.log_dir,
+                    f"{v:020d}.checkpoint.{i:010d}.{n:010d}.parquet",
+                )
+                for i in range(1, n + 1)
+            ]
+            if all(os.path.isfile(p) for p in paths):
+                return (v, "mp", paths)
+            return None
+        p = os.path.join(self.log_dir, f"{v:020d}.checkpoint.parquet")
+        if os.path.isfile(p):
+            return (v, "v1", [p])
+        return None
+
     def _reconstruct(
         self, version: int, commits: list[tuple[int, str]]
     ) -> DeltaSnapshot:
+        # pointer-first discovery; a stale pointer whose tail was
+        # already cleaned raises a gap error — re-discover by listing
+        hint = self._pointer_checkpoint(version)
+        if hint is not None:
+            try:
+                return self._replay(version, commits, hint)
+            except DeltaProtocolError:
+                pass
+        cps = [c for c in self._checkpoint_groups() if c[0] <= version]
+        return self._replay(version, commits, cps[-1] if cps else None)
+
+    def _replay(
+        self,
+        version: int,
+        commits: list[tuple[int, str]],
+        cp: tuple[int, str, list[str]] | None,
+    ) -> DeltaSnapshot:
         snap = DeltaSnapshot(version=version)
         start = 0
-        cps = [c for c in self._checkpoint_groups() if c[0] <= version]
-        if cps:
-            cp_version, kind, cp_paths = cps[-1]
+        if cp is not None:
+            cp_version, kind, cp_paths = cp
             if kind == "v2":
                 self._load_checkpoint_v2(snap, cp_paths[0])
             else:  # v1 single-file or all parts of a multi-part
