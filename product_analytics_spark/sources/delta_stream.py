@@ -117,18 +117,58 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         self.read_cdf = (
             str(options.get("read_change_feed", "false")).lower() == "true"
         )
+        # Admission control (Delta's maxFilesPerTrigger): cap the
+        # number of data files one micro-batch plans. 0/absent =
+        # unlimited. At 100 TB a restarted stream facing 10k pending
+        # commits must page through them in bounded batches, not plan
+        # one giant scan that outlives its executors.
+        self.max_files = int(options.get("max_files_per_trigger", "0"))
+        #: last batch-end version this reader instance planned or
+        #: committed — the reference point rate limiting caps from.
+        #: None until the first initialOffset/partitions call (a
+        #: restart learns it from the engine's first partitions()
+        #: call; that first batch is admitted uncapped, like Delta's
+        #: best-effort contract).
+        self._pos: int | None = None
 
     # ---------------------------------------------------- offsets
 
     def initialOffset(self):
+        self._pos = self.start_version
         return {"version": self.start_version}
+
+    def _n_files(self, version: int) -> int:
+        """Data files a commit would contribute to a batch (add
+        actions with dataChange, matching the read path's admission
+        of append commits). One O(commit-size) JSON read."""
+        n = 0
+        for a in self._commit_actions(version):
+            add = a.get("add")
+            if add is not None and add.get("dataChange", True):
+                n += 1
+        return n
 
     def latestOffset(self):
         from product_analytics_spark.sources import delta_log as dl
 
         latest = dl.DeltaLog(self.table_dir).latest_version()
         nxt = self.start_version if latest is None else latest + 1
-        return {"version": max(nxt, self.start_version)}
+        end = max(nxt, self.start_version)
+        if self.max_files > 0 and self._pos is not None:
+            admitted, budget = self._pos, self.max_files
+            while admitted < end:
+                try:
+                    cost = self._n_files(admitted)
+                except Exception:  # noqa: BLE001 — cleaned tail etc.
+                    break
+                if cost > budget and admitted > self._pos:
+                    break  # cap reached (always admit >= 1 commit)
+                budget -= cost
+                admitted += 1
+                if budget <= 0:
+                    break
+            end = max(admitted, self._pos)
+        return {"version": end}
 
     # -------------------------------------------------- planning
 
@@ -149,6 +189,9 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         from product_analytics_spark.sources import delta_log as dl
 
         s, e = int(start["version"]), int(end["version"])
+        # learn/advance the rate-limit reference point (a restarted
+        # reader first hears its true position here)
+        self._pos = max(self._pos, e) if self._pos is not None else e
         if e <= s:
             return [_AddFilePartition("", [], empty=True)]
         schema, part_cols, mapping = _snapshot_schema(self.table_dir)
@@ -276,7 +319,13 @@ class DeltaTailStreamReader(DataSourceStreamReader):
             yield tuple(cols[n][i] for n in names)
 
     def commit(self, end):
-        pass  # offsets are durable in the engine's checkpoint
+        # offsets are durable in the engine's checkpoint; track the
+        # committed position for rate-limit admission
+        try:
+            v = int(end["version"])
+        except (TypeError, KeyError, ValueError):
+            return
+        self._pos = max(self._pos, v) if self._pos is not None else v
 
 
 class DeltaTailDataSource(DataSource):

@@ -1,0 +1,124 @@
+"""delta_tail admission control (round 11): ``max_files_per_trigger``
+caps the data files one micro-batch plans — Delta's maxFilesPerTrigger.
+Driven at the reader-object level over a handcrafted log (offset
+admission reads only the JSON tail, no Spark needed).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+
+from product_analytics_spark.sources import delta_log as dl
+from product_analytics_spark.sources.delta_stream import (
+    DeltaTailStreamReader,
+)
+
+TDIR = "/tmp/pa_test_ratelimit/t"
+
+SCHEMA = (
+    '{"type":"struct","fields":[{"name":"k","type":"long",'
+    '"nullable":true,"metadata":{}}]}'
+)
+
+
+@pytest.fixture()
+def tdir():
+    shutil.rmtree("/tmp/pa_test_ratelimit", ignore_errors=True)
+    os.makedirs(TDIR, exist_ok=True)
+    log = dl.DeltaLog(TDIR)
+    log.commit(
+        [
+            {"protocol": dict(dl.PROTOCOL_ACTION)},
+            {"metaData": dl.make_metadata(SCHEMA, [])},
+            _add("f0a"), _add("f0b"),
+        ],
+        version=0,
+    )
+    for v in range(1, 5):  # v1..v4: 2 files each
+        log.commit([_add(f"f{v}a"), _add(f"f{v}b")], version=v)
+    yield TDIR
+    shutil.rmtree("/tmp/pa_test_ratelimit", ignore_errors=True)
+
+
+def _add(name: str) -> dict:
+    return {
+        "add": {
+            "path": name + ".parquet",
+            "partitionValues": {},
+            "size": 1,
+            "modificationTime": 0,
+            "dataChange": True,
+            "stats": '{"numRecords":1,"minValues":{"k":1},'
+            '"maxValues":{"k":1},"nullCount":{"k":0}}',
+        }
+    }
+
+
+def _drain_offsets(reader) -> list[tuple[int, int]]:
+    """Simulate the engine's trigger loop: latestOffset → batch
+    [pos, end) → commit, until no progress. Returns batch ranges."""
+    batches = []
+    start = reader.initialOffset()["version"]
+    for _ in range(50):
+        end = reader.latestOffset()["version"]
+        if end <= start:
+            break
+        reader.partitions({"version": start}, {"version": end})
+        reader.commit({"version": end})
+        batches.append((start, end))
+        start = end
+    return batches
+
+
+def test_unlimited_is_one_batch(tdir):
+    r = DeltaTailStreamReader({"path": tdir})
+    assert _drain_offsets(r) == [(0, 5)]
+
+
+def test_cap_pages_through_the_tail(tdir):
+    # 2 files per commit, cap 2 -> one commit per trigger
+    r = DeltaTailStreamReader(
+        {"path": tdir, "max_files_per_trigger": "2"}
+    )
+    assert _drain_offsets(r) == [(v, v + 1) for v in range(5)]
+
+
+def test_cap_spanning_commits(tdir):
+    # cap 4 admits two 2-file commits per trigger
+    r = DeltaTailStreamReader(
+        {"path": tdir, "max_files_per_trigger": "4"}
+    )
+    assert _drain_offsets(r) == [(0, 2), (2, 4), (4, 5)]
+
+
+def test_oversized_commit_admitted_alone(tdir):
+    log = dl.DeltaLog(tdir)
+    log.commit([_add(f"big{i}") for i in range(6)], version=5)
+    r = DeltaTailStreamReader(
+        {"path": tdir, "max_files_per_trigger": "3"}
+    )
+    batches = _drain_offsets(r)
+    # v0+v1 (4 files > 3? no: v0=2 <=3 budget 1, v1 cost 2 > 1 -> stop)
+    assert batches[0] == (0, 1)
+    assert (5, 6) in batches  # the 6-file commit still flows, alone
+    assert batches[-1][1] == 6
+
+
+def test_restart_with_checkpoint_then_capped(tdir):
+    """A restarted reader (no initialOffset) learns its position from
+    the engine's first partitions() call; admission is capped from
+    the NEXT trigger on — and never regresses below the checkpoint."""
+    r = DeltaTailStreamReader(
+        {"path": tdir, "max_files_per_trigger": "2"}
+    )
+    # engine replays the checkpointed batch [2, 3) directly
+    r.partitions({"version": 2}, {"version": 3})
+    r.commit({"version": 3})
+    end = r.latestOffset()["version"]
+    assert end == 4  # capped: one 2-file commit past position 3
+    r.partitions({"version": 3}, {"version": 4})
+    r.commit({"version": 4})
+    assert r.latestOffset()["version"] == 5
