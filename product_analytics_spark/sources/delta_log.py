@@ -1977,6 +1977,19 @@ def read_delta(spark, table_dir: str, version: int | None = None):
     from pyspark.sql import functions as F
 
     snap = DeltaLog(table_dir).snapshot(version)
+    # The universal reader rule (Delta PROTOCOL.md "Table Features"):
+    # a table declaring a reader feature outside this engine's set is
+    # UNREADABLE — guessing would silently return wrong rows (e.g. a
+    # reader that ignored deletionVectors would resurrect tombstones).
+    unknown_r = (
+        set((snap.protocol or {}).get("readerFeatures") or [])
+        - ENGINE_READER_FEATURES
+    )
+    if unknown_r:
+        raise DeltaProtocolError(
+            f"cannot read {table_dir}: unsupported reader features "
+            f"{sorted(unknown_r)}"
+        )
     part_cols = (snap.metadata or {}).get("partitionColumns") or []
     paths = sorted(snap.files)
     if not paths:

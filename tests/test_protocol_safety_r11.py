@@ -247,3 +247,27 @@ class TestCommitOwnerFuzz:
                     for ln in fh:
                         if ln.strip():
                             json.loads(ln)
+
+
+class TestUniversalReaderRule:
+    def test_unknown_reader_feature_unreadable(self, spark, wh):
+        store = SnapshotStore(spark, wh, retain_versions=8,
+                              delta_log=True)
+        store.overwrite(
+            "t", spark.range(0, 10).select(F.col("id").alias("k"))
+        )
+        tdir = store.path("t")
+        assert dl.read_delta(spark, tdir).count() == 10
+        snap = dl.DeltaLog(tdir).snapshot()
+        proto = dict(snap.protocol or dl.PROTOCOL_ACTION)
+        proto["minReaderVersion"] = 3
+        proto["readerFeatures"] = list(
+            proto.get("readerFeatures") or []
+        ) + ["futureReaderFeatureXyz"]
+        dl.DeltaLog(tdir).commit(
+            [{"protocol": proto}], operation="UPGRADE PROTOCOL"
+        )
+        with pytest.raises(
+            dl.DeltaProtocolError, match="futureReaderFeatureXyz"
+        ):
+            dl.read_delta(spark, tdir)
