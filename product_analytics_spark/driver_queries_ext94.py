@@ -660,11 +660,111 @@ ORDER BY grp
 """
 
 
+# ------------------------------------------------------------- q458
+
+
+def q458_aqe_coalesce_partitions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Engine-native AQE partition coalescing door** — q457's
+    sibling: where the skew split divides an OVERSIZED partition at
+    runtime, coalescing merges UNDERSIZED ones. A grouped aggregation
+    is forced through a deliberately over-partitioned shuffle (64
+    shuffle partitions for a handful of groups); AQE must merge the
+    post-shuffle reads — the EXECUTED plan carries the
+    ``AQEShuffleRead coalesced`` node and the final stage runs a
+    small fraction of the static partition count.
+
+    Pinned properties:
+
+    * ``aqe_coalesced`` — the final adaptive plan shows a coalesced
+      shuffle read (runtime merge happened);
+    * ``few_tasks`` — the result's partition count collapsed to at
+      most HALF the static 64 (with ~25 nation groups and tiny
+      bytes, AQE merges to ~#groups nonempty reads — 20 measured);
+    * values frozen post-computation (same driver-re-collect safety
+      as q457).
+
+    Scale: the INVERSE pathology of skew — a 100 TB job tuned to
+    20k shuffle partitions emits mostly-empty reducers on filtered
+    intermediate stages; runtime coalescing recovers task-scheduling
+    overhead (at 10ms/task, 19k empty tasks is 3+ idle minutes per
+    stage) without hand-tuning every stage's parallelism."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize": "1",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8m",
+        "spark.sql.shuffle.partitions": "64",
+    }
+    old: dict[str, str | None] = {}
+    for k in confs:
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:  # noqa: BLE001 — unset conf
+            old[k] = None
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        j = (
+            _t(spark, sf_dir, "customer")
+            .select(
+                F.col("c_nationkey").cast("long").alias("nation"),
+                _money_cents("c_acctbal").alias("cents"),
+            )
+            .groupBy("nation")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum("cents").alias("cents_sum"),
+            )
+        )
+        rows = j.collect()
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        aqe_coalesced = "coalesced" in plan
+        n_parts = j.rdd.getNumPartitions()
+        few_tasks = n_parts <= 32  # at most half the static 64
+    finally:
+        for k, v in old.items():
+            if v is None:
+                try:
+                    spark.conf.unset(k)
+                except Exception:  # noqa: BLE001
+                    pass
+            else:
+                spark.conf.set(k, v)
+
+    out = spark.createDataFrame(
+        [(r.nation, r.n, r.cents_sum) for r in rows],
+        "nation bigint, n bigint, cents_sum bigint",
+    )
+    return out.select(
+        "nation",
+        "n",
+        "cents_sum",
+        F.lit(bool(aqe_coalesced)).alias("aqe_coalesced"),
+        F.lit(bool(few_tasks)).alias("few_tasks"),
+    ).orderBy("nation")
+
+
+Q458_SQL = """
+SELECT CAST(c_nationkey AS BIGINT) AS nation,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT))
+            AS BIGINT) AS cents_sum,
+       TRUE AS aqe_coalesced,
+       TRUE AS few_tasks
+FROM customer
+GROUP BY nation
+ORDER BY nation
+"""
+
+
 QUERIES_EXT94 = {
     "q454_shallow_clone_dv": q454_shallow_clone_dv,
     "q455_protocol_safety": q455_protocol_safety,
     "q456_commit_owner": q456_commit_owner,
     "q457_aqe_skew_join": q457_aqe_skew_join,
+    "q458_aqe_coalesce_partitions": q458_aqe_coalesce_partitions,
 }
 
 
@@ -674,4 +774,5 @@ def _oracles_ext94() -> dict[str, str]:
         "q455_protocol_safety": Q455_SQL,
         "q456_commit_owner": Q456_SQL,
         "q457_aqe_skew_join": Q457_SQL,
+        "q458_aqe_coalesce_partitions": Q458_SQL,
     }

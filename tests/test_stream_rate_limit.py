@@ -122,3 +122,37 @@ def test_restart_with_checkpoint_then_capped(tdir):
     r.partitions({"version": 3}, {"version": 4})
     r.commit({"version": 4})
     assert r.latestOffset()["version"] == 5
+
+
+def test_cdf_stream_respects_cap(spark):
+    """Composition: read_change_feed × max_files_per_trigger — the
+    CDF stream pages through pending DML commits in bounded batches
+    and the concatenated feed equals the unlimited one."""
+    from product_analytics_spark.sources.sinks import SnapshotStore
+    from pyspark.sql import functions as F
+
+    wh = "/tmp/pa_test_ratelimit_cdf"
+    shutil.rmtree(wh, ignore_errors=True)
+    store = SnapshotStore(spark, wh, retain_versions=10,
+                          delta_log=True, cdf=True)
+    store.overwrite(
+        "t", spark.range(0, 20).select(F.col("id").alias("k"))
+    )
+    for lo in (20, 30, 40):
+        store.append(
+            "t",
+            spark.range(lo, lo + 10).select(F.col("id").alias("k"))
+            .repartition(1),
+        )
+    tdir = store.path("t")
+    capped = DeltaTailStreamReader(
+        {"path": tdir, "read_change_feed": "true",
+         "max_files_per_trigger": "1"}
+    )
+    batches = _drain_offsets(capped)
+    assert len(batches) >= 3, batches  # paged, not one giant batch
+    free = DeltaTailStreamReader(
+        {"path": tdir, "read_change_feed": "true"}
+    )
+    assert _drain_offsets(free)[-1][1] == batches[-1][1]
+    shutil.rmtree(wh, ignore_errors=True)
