@@ -619,6 +619,55 @@ class InProcessCommitOwner(CommitOwner):
             owned.add(version)
 
 
+class FileRegistryCommitOwner(CommitOwner):
+    """DURABLE registry owner: ownership is recorded in a registry
+    file (``_commit_owner.json`` inside ``_delta_log``, flock-
+    serialized) that survives process restarts — the single-machine
+    model of a CATALOG-owned table, where the coordinator's record
+    (not the storage) is the authority. The defining property the
+    in-process registry lacks: after a crash/restart, a version the
+    owner granted stays granted — even if the commit FILE vanished
+    out-of-band, re-minting it is refused (exactly how a catalog
+    protects against the lost-putIfAbsent double-commit on object
+    stores). The leading underscore keeps the registry invisible to
+    commit/checkpoint discovery and log cleanup."""
+
+    REGISTRY = "_commit_owner.json"
+
+    def put_if_absent(
+        self, log_dir: str, version: int, payload: str
+    ) -> None:
+        import fcntl
+
+        os.makedirs(log_dir, exist_ok=True)
+        reg = os.path.join(log_dir, self.REGISTRY)
+        with open(reg, "a+", encoding="utf-8") as fh:
+            fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
+            try:
+                fh.seek(0)
+                raw = fh.read().strip()
+                owned = set(json.loads(raw)["owned"]) if raw else set()
+                target = os.path.join(log_dir, f"{version:020d}.json")
+                if version in owned or os.path.exists(target):
+                    raise DeltaConflictError(
+                        f"delta commit {version} already owned in "
+                        f"{log_dir}; re-read the snapshot and retry"
+                    )
+                tmp = os.path.join(
+                    log_dir, f"_tmp_{uuid.uuid4().hex[:12]}.json"
+                )
+                with open(tmp, "w", encoding="utf-8") as out:
+                    out.write(payload)
+                os.rename(tmp, target)  # publish under the lock
+                owned.add(version)
+                rtmp = reg + f".tmp{uuid.uuid4().hex[:8]}"
+                with open(rtmp, "w", encoding="utf-8") as out:
+                    json.dump({"owned": sorted(owned)}, out)
+                os.replace(rtmp, reg)  # durable grant, atomic
+            finally:
+                fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
+
+
 _DEFAULT_OWNER = FileSystemCommitOwner()
 
 

@@ -271,3 +271,89 @@ class TestUniversalReaderRule:
             dl.DeltaProtocolError, match="futureReaderFeatureXyz"
         ):
             dl.read_delta(spark, tdir)
+
+
+class TestFileRegistryOwner:
+    """Durable (catalog-model) commit owner: the registry file is the
+    authority and survives 'process restarts' (fresh owner objects)."""
+
+    def _mk(self, wh):
+        tdir = os.path.join(wh, "t")
+        os.makedirs(tdir, exist_ok=True)
+        owner = dl.FileRegistryCommitOwner()
+        log = dl.DeltaLog(tdir, owner=owner)
+        schema = (
+            '{"type":"struct","fields":[{"name":"k","type":"long",'
+            '"nullable":true,"metadata":{}}]}'
+        )
+        log.commit(
+            [
+                {"protocol": dict(dl.PROTOCOL_ACTION)},
+                {"metaData": dl.make_metadata(schema, [])},
+            ],
+            version=0,
+        )
+        return tdir
+
+    def test_grant_survives_restart_and_file_loss(self, wh):
+        os.makedirs(wh, exist_ok=True)
+        tdir = self._mk(wh)
+        ldir = os.path.join(tdir, "_delta_log")
+        dm = {
+            "domainMetadata": {
+                "domain": "x.y",
+                "configuration": "{}",
+                "removed": False,
+            }
+        }
+        dl.DeltaLog(tdir, owner=dl.FileRegistryCommitOwner()).commit(
+            [dm], version=1
+        )
+        # the commit FILE vanishes out-of-band (lost object-store
+        # write, aggressive cleanup, operator error)...
+        os.unlink(os.path.join(ldir, f"{1:020d}.json"))
+        # ...but a FRESH owner instance (new process) still refuses
+        # to re-mint version 1: the registry is the authority
+        fresh = dl.DeltaLog(tdir, owner=dl.FileRegistryCommitOwner())
+        with pytest.raises(dl.DeltaConflictError, match="owned"):
+            fresh.commit([dm], version=1)
+        # the hardlink owner would have happily double-committed here
+        dl.DeltaLog(tdir).commit([dm], version=1)
+
+    def test_threaded_race_contiguous(self, wh):
+        os.makedirs(wh, exist_ok=True)
+        tdir = self._mk(wh)
+        errs: list[Exception] = []
+
+        def _writer(tag: int):
+            log = dl.DeltaLog(tdir, owner=dl.FileRegistryCommitOwner())
+            for i in range(4):
+                dm = {
+                    "domainMetadata": {
+                        "domain": f"freg.w{tag}.c{i}",
+                        "configuration": "{}",
+                        "removed": False,
+                    }
+                }
+                for _ in range(200):
+                    v = (log.latest_version() or 0) + 1
+                    try:
+                        log.commit([dm], version=v)
+                        break
+                    except dl.DeltaConflictError:
+                        continue
+                else:  # pragma: no cover
+                    errs.append(RuntimeError(f"w{tag} starved"))
+
+        ts = [
+            threading.Thread(target=_writer, args=(t,)) for t in range(3)
+        ]
+        for t in ts:
+            t.start()
+        for t in ts:
+            t.join()
+        assert not errs
+        log = dl.DeltaLog(tdir)
+        assert log.latest_version() == 12
+        snap = log.snapshot()
+        assert sum(1 for d in snap.domains if d.startswith("freg.")) == 12
