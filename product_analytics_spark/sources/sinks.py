@@ -96,6 +96,7 @@ class SnapshotStore:
         retain_versions: int = 1,
         delta_log: bool = False,
         cdf: bool = False,
+        commit_owner=None,
     ):
         """``retain_versions`` — how many committed versions to keep on
         disk (≥1). With >1, superseded versions stay readable via
@@ -132,6 +133,11 @@ class SnapshotStore:
         if cdf and not delta_log:
             raise ValueError("cdf=True requires delta_log=True")
         self.cdf = bool(cdf)
+        #: CommitOwner for the table's _delta_log commits (None =
+        #: hardlink putIfAbsent). A registry/catalog owner makes the
+        #: store's DML commits coordinator-mediated — the
+        #: multi-cluster story (see delta_log.CommitOwner, q456).
+        self.commit_owner = commit_owner
         import threading
 
         # Staged-but-uncommitted CDF files, keyed by table name.
@@ -1704,7 +1710,7 @@ class SnapshotStore:
         data = self.current_data_dir(name)
         if data is None:
             return
-        log = dl.DeltaLog(table)
+        log = dl.DeltaLog(table, owner=self.commit_owner)
         latest = log.latest_version()
         prev = log.snapshot(latest) if latest is not None else None
 

@@ -357,3 +357,40 @@ class TestFileRegistryOwner:
         assert log.latest_version() == 12
         snap = log.snapshot()
         assert sum(1 for d in snap.domains if d.startswith("freg.")) == 12
+
+
+class TestStoreCommitOwner:
+    def test_store_dml_routes_through_owner(self, spark, wh):
+        """SnapshotStore(commit_owner=...) makes every _delta_log
+        commit owner-mediated: the durable registry records each DML
+        version the store commits."""
+        owner = dl.FileRegistryCommitOwner()
+        store = SnapshotStore(
+            spark, wh, retain_versions=8, delta_log=True,
+            commit_owner=owner,
+        )
+        store.overwrite(
+            "t", spark.range(0, 20).select(F.col("id").alias("k"))
+        )
+        store.append(
+            "t", spark.range(20, 30).select(F.col("id").alias("k"))
+        )
+        store.delete_where("t", "k < 3")
+        tdir = store.path("t")
+        reg = os.path.join(
+            tdir, "_delta_log", dl.FileRegistryCommitOwner.REGISTRY
+        )
+        assert os.path.isfile(reg)
+        owned = set(json.load(open(reg))["owned"])
+        assert owned == {0, 1, 2}
+        assert store.read("t").count() == 27
+        assert dl.read_delta(spark, tdir).count() == 27
+        # a second store WITHOUT the owner still interoperates (same
+        # log format; the hardlink owner just doesn't consult the
+        # registry — single-filesystem deployments may mix)
+        store2 = SnapshotStore(spark, wh, retain_versions=8,
+                               delta_log=True)
+        store2.append(
+            "t", spark.range(30, 35).select(F.col("id").alias("k"))
+        )
+        assert dl.read_delta(spark, tdir).count() == 32
