@@ -5323,3 +5323,11 @@ from product_analytics_spark.driver_queries_ext94 import (  # noqa: E402
 
 QUERIES.update(QUERIES_EXT94)
 ORACLES.update(_oracles_ext94())
+
+from product_analytics_spark.driver_queries_ext95 import (  # noqa: E402
+    QUERIES_EXT95,
+    _oracles_ext95,
+)
+
+QUERIES.update(QUERIES_EXT95)
+ORACLES.update(_oracles_ext95())

@@ -1,0 +1,267 @@
+"""Round-12 driver family, batch 95: the round-11 verdict's ranked
+engine-depth gaps, as lifecycle certs.
+
+* q459 — **append-only tables + column invariants** (Delta
+  PROTOCOL.md "Append-only Tables" / "Column Invariants"): the
+  engine declares both writer features
+  (``delta_log.ENGINE_WRITER_FEATURES``) and now ENFORCES them —
+  every DML/overwrite/RESTORE path refuses on an append-only table
+  with the version unchanged, appends still land, invariant
+  violations (null-or-false) are refused at write time with nothing
+  committed, and a FOREIGN table declaring the property refuses
+  remove commits at the ``DeltaLog.commit`` chokepoint.
+
+Reference mapping: the reference's bronze CDC tables
+(models/sources/bronze.yml:8-71) are immutable change streams — the
+exact shape ``delta.appendOnly`` exists to protect; its Databricks
+engine (profiles.yml:10) enforces both features on every write. At
+100 TB: an engine that silently rewrites an append-only audit table
+corrupts the lake's compliance story; enforcement is one property
+check per DML (O(1)) and one fused predicate per write scan (no extra
+pass, no shuffle).
+
+Same contract as the other driver_queries modules: each query takes
+(spark, sf_dir) and returns a DataFrame; ``_oracles_ext95`` maps the
+key to an equivalent DuckDB SQL string over the same parquet inputs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from product_analytics_spark.qcommon import _money_cents, _t
+
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_FIX = os.path.join(_REPO, ".fixtures")
+
+# ------------------------------------------------------------- q459
+
+Q459_WH = os.path.join(_FIX, "q459_warehouse")
+Q459_FOREIGN = os.path.join(_FIX, "q459_foreign")
+
+
+def q459_append_only_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Append-only tables + column invariants enforced** — the
+    round-11 verdict's #1: ``ENGINE_WRITER_FEATURES`` declares
+    ``appendOnly`` and ``invariants`` (sources/delta_log.py), so a
+    compliant writer must enforce or refuse; previously no DML path
+    checked either.
+
+    Lifecycle: overwrite 4 files from ``orders`` → declare the
+    invariant ``cents > 0`` (validating scan) → ``delta.appendOnly =
+    true`` → prove the gates.
+
+    Pinned properties:
+
+    * ``dml_all_refused`` — DELETE/UPDATE/MERGE (COW and MoR),
+      overwrite, and RESTORE all raise ``DeltaProtocolError`` with
+      the pointer version AND the log version unchanged;
+    * ``append_landed`` — a valid append still lands (version +1),
+      per the feature's contract;
+    * ``invariant_refused`` — an append with ``cents <= 0`` rows is
+      refused at write time, nothing committed;
+    * ``null_violates`` — a NULL ``cents`` row violates the
+      INVARIANT (delta-spark CheckDeltaInvariant: null-or-false
+      throws) — stricter than CHECK constraints, where NULL
+      satisfies;
+    * ``log_declares_both`` — the log metaData carries
+      ``delta.appendOnly = true`` in configuration AND the spec's
+      persisted-rule JSON under ``delta.invariants`` in the column's
+      field metadata (parsed from the raw commit JSON);
+    * ``foreign_refused`` — a handcrafted FOREIGN table declaring
+      the property refuses a ``remove``-with-``dataChange`` commit
+      at the ``DeltaLog.commit`` chokepoint, while a rearrange-only
+      (``dataChange: false``) remove passes, per the protocol.
+
+    Scale: the append-only gate is one property lookup per DML; the
+    invariant check is one codegen'd predicate fused into the write's
+    existing scan — no extra pass at 100 TB.
+
+    Reference: bronze.yml:8-71 (immutable CDC streams — the
+    append-only shape); dbt_project.yml:39 (delta file format).
+    """
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.sinks import (
+        ConstraintViolationError,
+        SnapshotStore,
+    )
+
+    shutil.rmtree(Q459_WH, ignore_errors=True)
+    shutil.rmtree(Q459_FOREIGN, ignore_errors=True)
+    store = SnapshotStore(spark, Q459_WH, retain_versions=6,
+                          delta_log=True)
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_custkey").cast("long").alias("cust"),
+        _money_cents("o_totalprice").alias("cents"),
+    )
+    store.overwrite("audit", base, n_files=4)
+    store.set_invariant("audit", "cents", "cents > 0")
+    store.set_append_only("audit")
+
+    tdir = store.path("audit")
+    ver0 = store.current_version("audit")
+    log_ver0 = dl.DeltaLog(tdir).latest_version()
+    batch = spark.createDataFrame(
+        [(1, 1, 100)], "k long, cust long, cents long"
+    )
+    refused = 0
+    attempts = (
+        lambda: store.delete_where("audit", "k % 2 = 0"),
+        lambda: store.update_where("audit", "k % 2 = 0",
+                                   {"cents": "cents + 1"}),
+        lambda: store.merge("audit", batch, "k"),
+        lambda: store.delete_where_mor("audit", "k % 2 = 0"),
+        lambda: store.update_where_mor("audit", "k % 2 = 0",
+                                       {"cents": "cents + 1"}),
+        lambda: store.merge_mor("audit", batch, "k"),
+        lambda: store.overwrite("audit", base.limit(5)),
+        lambda: store.restore("audit", 0),
+    )
+    for op in attempts:
+        try:
+            op()
+        except dl.DeltaProtocolError:
+            refused += 1
+    dml_all_refused = (
+        refused == len(attempts)
+        and store.current_version("audit") == ver0
+        and dl.DeltaLog(tdir).latest_version() == log_ver0
+    )
+
+    # a valid append still lands — that's the point of the feature
+    appended = base.where("k % 1000 = 32").select(
+        (F.col("k") + F.lit(2_000_000_000)).alias("k"),
+        "cust",
+        "cents",
+    )
+    store.append("audit", appended)
+    append_landed = (
+        dl.DeltaLog(tdir).latest_version() == (log_ver0 or 0) + 1
+    )
+
+    log_ver1 = dl.DeltaLog(tdir).latest_version()
+    invariant_refused = False
+    try:
+        store.append("audit", spark.createDataFrame(
+            [(3_000_000_001, 1, -5)], "k long, cust long, cents long"
+        ))
+    except ConstraintViolationError:
+        invariant_refused = (
+            dl.DeltaLog(tdir).latest_version() == log_ver1
+        )
+    null_violates = False
+    try:
+        store.append("audit", spark.createDataFrame(
+            [(3_000_000_002, 1, None)], "k long, cust long, cents long"
+        ))
+    except ConstraintViolationError:
+        null_violates = (
+            dl.DeltaLog(tdir).latest_version() == log_ver1
+        )
+
+    # the log's raw JSON carries both declarations
+    snap = dl.DeltaLog(tdir).snapshot()
+    conf = (snap.metadata or {}).get("configuration") or {}
+    fields = json.loads(snap.metadata["schemaString"])["fields"]
+    raw_inv = next(
+        (f.get("metadata") or {}).get(dl.INVARIANTS_META_KEY)
+        for f in fields if f["name"] == "cents"
+    )
+    log_declares_both = (
+        conf.get(dl.APPEND_ONLY_PROP) == "true"
+        and snap.append_only()
+        and json.loads(raw_inv)
+        == {"expression": {"expression": "cents > 0"}}
+        and snap.invariants() == {"cents": "cents > 0"}
+    )
+
+    # FOREIGN table: another writer's log declaring the property —
+    # the engine's commit chokepoint must refuse, no store involved
+    os.makedirs(os.path.join(Q459_FOREIGN, dl.LOG_DIR))
+    fmeta = dl.make_metadata(json.dumps({
+        "type": "struct",
+        "fields": [{"name": "k", "type": "long",
+                    "nullable": True, "metadata": {}}],
+    }))
+    fmeta["configuration"] = {dl.APPEND_ONLY_PROP: "true"}
+    flog = dl.DeltaLog(Q459_FOREIGN)
+    flog.commit([{"protocol": dl.PROTOCOL_ACTION},
+                 {"metaData": fmeta}], version=0)
+    fadd = {"path": "part-0.parquet", "partitionValues": {}, "size": 1,
+            "modificationTime": 0, "dataChange": True}
+    flog.commit([{"add": fadd}], version=1)
+    foreign_refused = False
+    try:
+        flog.commit([{"remove": dl.make_remove("part-0.parquet")}])
+    except dl.DeltaProtocolError:
+        foreign_refused = flog.latest_version() == 1
+    if foreign_refused:
+        # rearrange-only removes (OPTIMIZE) still pass
+        rm = dl.make_remove("part-0.parquet")
+        rm["dataChange"] = False
+        add2 = dict(fadd, path="part-1.parquet", dataChange=False)
+        flog.commit([{"remove": rm}, {"add": add2}], version=2)
+        foreign_refused = flog.latest_version() == 2
+
+    out = (
+        store.read("audit")
+        .groupBy((F.col("k") % 7).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    return out.select(
+        "bucket",
+        "n",
+        "cents_sum",
+        F.lit(bool(dml_all_refused)).alias("dml_all_refused"),
+        F.lit(bool(append_landed)).alias("append_landed"),
+        F.lit(bool(invariant_refused)).alias("invariant_refused"),
+        F.lit(bool(null_violates)).alias("null_violates"),
+        F.lit(bool(log_declares_both)).alias("log_declares_both"),
+        F.lit(bool(foreign_refused)).alias("foreign_refused"),
+    ).orderBy("bucket")
+
+
+Q459_SQL = """
+WITH audit AS (
+  SELECT o_orderkey AS k, CAST(o_custkey AS BIGINT) AS cust,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+  UNION ALL
+  SELECT o_orderkey + 2000000000 AS k, CAST(o_custkey AS BIGINT) AS cust,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+  WHERE o_orderkey % 1000 = 32
+)
+SELECT k % 7 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       TRUE AS dml_all_refused,
+       TRUE AS append_landed,
+       TRUE AS invariant_refused,
+       TRUE AS null_violates,
+       TRUE AS log_declares_both,
+       TRUE AS foreign_refused
+FROM audit
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+QUERIES_EXT95 = {
+    "q459_append_only_invariants": q459_append_only_invariants,
+}
+
+
+def _oracles_ext95() -> dict[str, str]:
+    return {
+        "q459_append_only_invariants": Q459_SQL,
+    }

@@ -280,6 +280,16 @@ def make_metadata(
 
 PROTOCOL_ACTION = {"minReaderVersion": 1, "minWriterVersion": 2}
 
+#: Append-only tables (Delta PROTOCOL.md "Append-only Tables"):
+#: activated by this table property; the feature itself is legacy
+#: writer version 2 (every protocol-v2 writer must ENFORCE it).
+APPEND_ONLY_PROP = "delta.appendOnly"
+
+#: Column invariants (Delta PROTOCOL.md "Column Invariants"): SQL
+#: rules stored in the schema's per-field metadata under this key;
+#: legacy writer version 2. Unlike CHECK constraints, NULL violates.
+INVARIANTS_META_KEY = "delta.invariants"
+
 #: Table-features protocol required once any add carries a
 #: ``deletionVector`` descriptor (Delta PROTOCOL.md: DVs are a
 #: reader+writer table feature on protocol 3/7).
@@ -404,6 +414,44 @@ class DeltaSnapshot:
     def row_tracking_enabled(self) -> bool:
         conf = (self.metadata or {}).get("configuration") or {}
         return conf.get("delta.enableRowTracking") == "true"
+
+    def append_only(self) -> bool:
+        """``delta.appendOnly = true`` (Delta PROTOCOL.md
+        "Append-only Tables", the legacy writer-version-2 /
+        ``appendOnly`` table feature): when active, writers must not
+        commit ``remove`` actions with ``dataChange = true`` —
+        DELETE/UPDATE/MERGE/overwrite/RESTORE are refused; appends
+        and rearrange-only commits (OPTIMIZE, ``dataChange: false``)
+        still land."""
+        conf = (self.metadata or {}).get("configuration") or {}
+        return conf.get(APPEND_ONLY_PROP) == "true"
+
+    def invariants(self) -> dict[str, str]:
+        """Column invariants from the schema's field metadata
+        (``delta.invariants``, Delta PROTOCOL.md "Column Invariants"
+        — the legacy writer-version-2 / ``invariants`` table
+        feature): column -> SQL expression every written row must
+        satisfy. Accepts both the spec's persisted-rule JSON form
+        ``{"expression": {"expression": "<sql>"}}`` and a plain SQL
+        string. Unlike CHECK constraints, a NULL result VIOLATES an
+        invariant (delta-spark's CheckDeltaInvariant throws on null
+        or false)."""
+        schema_str = (self.metadata or {}).get("schemaString")
+        if not schema_str:
+            return {}
+        out: dict[str, str] = {}
+        for f in json.loads(schema_str).get("fields", []):
+            raw = (f.get("metadata") or {}).get(INVARIANTS_META_KEY)
+            if not raw:
+                continue
+            expr = raw
+            if isinstance(raw, str) and raw.lstrip().startswith("{"):
+                try:
+                    expr = json.loads(raw)["expression"]["expression"]
+                except (ValueError, KeyError, TypeError):
+                    expr = raw
+            out[f["name"]] = expr
+        return out
 
     def clustering_columns(self) -> list[str]:
         """Liquid-clustering columns from the ``delta.clustering``
@@ -815,6 +863,38 @@ class DeltaLog:
         if version is None:
             latest = self.latest_version()
             version = 0 if latest is None else latest + 1
+        # Append-only enforcement (Delta PROTOCOL.md "Append-only
+        # Tables"): this engine DECLARES the appendOnly writer
+        # feature, so it must enforce it — when the commit's
+        # effective metadata (the metaData action in THIS commit if
+        # present, else the previous snapshot's) activates
+        # ``delta.appendOnly``, any ``remove`` with ``dataChange``
+        # is refused before anything lands. ``dataChange: false``
+        # removes (OPTIMIZE / purge-style rearrangements) pass —
+        # they move bytes, not logical rows.
+        if any(
+            a.get("remove") is not None
+            and a["remove"].get("dataChange", True)
+            for a in actions
+        ):
+            eff_meta = next(
+                (a["metaData"] for a in actions if a.get("metaData")),
+                None,
+            )
+            if eff_meta is None and version > 0:
+                try:
+                    eff_meta = self.snapshot(version - 1).metadata
+                except (DeltaProtocolError, OSError, ValueError):
+                    eff_meta = None
+            conf = (eff_meta or {}).get("configuration") or {}
+            if conf.get(APPEND_ONLY_PROP) == "true":
+                raise DeltaProtocolError(
+                    f"table {self.table_dir} is append-only "
+                    f"({APPEND_ONLY_PROP}=true): a compliant writer "
+                    "must not commit remove actions with "
+                    "dataChange=true (DELETE/UPDATE/MERGE/overwrite/"
+                    "RESTORE forbidden); nothing committed"
+                )
         proposed = (
             int(timestamp_ms) if timestamp_ms is not None
             else version * 1000
@@ -2975,6 +3055,111 @@ def rename_column(table_dir: str, old: str, new: str) -> int:
     meta = dict(snap.metadata)
     meta["schemaString"] = json.dumps(schema, separators=(",", ":"))
     return log.commit([{"metaData": meta}], operation="RENAME COLUMN")
+
+
+# ------------------------------------------------------------------
+# Append-only tables / column invariants (legacy writer version 2)
+# ------------------------------------------------------------------
+
+
+def _declare_writer_feature(proto: dict | None, feature: str) -> dict | None:
+    """Return a protocol action declaring ``feature`` when the
+    table's protocol is the table-features form (writer 7) and the
+    feature is missing; None when nothing needs to change (legacy
+    protocols ≥ the feature's floor imply it)."""
+    proto = dict(proto or PROTOCOL_ACTION)
+    if proto.get("minWriterVersion", 2) < 7:
+        return None  # legacy protocol v2+ already implies both
+    feats = list(proto.get("writerFeatures") or [])
+    if feature in feats:
+        return None
+    proto["writerFeatures"] = sorted(feats + [feature])
+    return proto
+
+
+def set_append_only(table_dir: str, enabled: bool = True) -> int:
+    """``ALTER TABLE t SET TBLPROPERTIES (delta.appendOnly = ...)``
+    for a log-managed table: one metaData commit flipping the
+    property (plus the ``appendOnly`` writer feature when the
+    protocol is the table-features form). From the next commit on,
+    ``DeltaLog.commit`` refuses remove actions with
+    ``dataChange = true`` — see ``commit`` for the enforcement."""
+    log = DeltaLog(table_dir)
+    snap = log.snapshot()
+    if not snap.metadata:
+        raise DeltaProtocolError(f"no metaData at {table_dir}")
+    meta = dict(snap.metadata)
+    conf = dict(meta.get("configuration") or {})
+    conf[APPEND_ONLY_PROP] = "true" if enabled else "false"
+    meta["configuration"] = conf
+    actions: list[dict] = []
+    if enabled:
+        proto = _declare_writer_feature(snap.protocol, "appendOnly")
+        if proto is not None:
+            actions.append({"protocol": proto})
+    actions.append({"metaData": meta})
+    return log.commit(actions, operation="SET TBLPROPERTIES")
+
+
+def set_column_invariant(table_dir: str, col: str, expr_sql: str) -> int:
+    """Declare a **column invariant** (Delta PROTOCOL.md "Column
+    Invariants") on a log-managed table: the expression is persisted
+    in the column's field metadata under ``delta.invariants`` in the
+    spec's rule form ``{"expression": {"expression": "<sql>"}}``.
+    Every compliant writer must validate each written row (null or
+    false ⇒ refuse the write) — this engine does, in
+    ``validate_invariants`` / SnapshotStore's write paths."""
+    log = DeltaLog(table_dir)
+    snap = log.snapshot()
+    if not snap.metadata:
+        raise DeltaProtocolError(f"no metaData at {table_dir}")
+    schema = json.loads(snap.metadata["schemaString"])
+    names = [f["name"] for f in schema["fields"]]
+    if col not in names:
+        raise DeltaProtocolError(f"no column {col!r} in {names}")
+    for f in schema["fields"]:
+        if f["name"] == col:
+            md = dict(f.get("metadata") or {})
+            md[INVARIANTS_META_KEY] = json.dumps(
+                {"expression": {"expression": expr_sql}},
+                separators=(",", ":"),
+            )
+            f["metadata"] = md
+    meta = dict(snap.metadata)
+    meta["schemaString"] = json.dumps(schema, separators=(",", ":"))
+    actions: list[dict] = []
+    proto = _declare_writer_feature(snap.protocol, "invariants")
+    if proto is not None:
+        actions.append({"protocol": proto})
+    actions.append({"metaData": meta})
+    return log.commit(actions, operation="ALTER TABLE")
+
+
+def validate_invariants(df, invariants: dict[str, str]) -> None:
+    """Writer-side invariant check: raise ``DeltaProtocolError`` if
+    any row of ``df`` violates any invariant (expression false OR
+    NULL — delta-spark's CheckDeltaInvariant rule; stricter than
+    CHECK constraints, where NULL satisfies). A declared column
+    missing from the write entirely is a violation too (its value
+    would be null for every row). One fused predicate per scan — no
+    shuffle, no extra pass at any scale."""
+    from pyspark.sql import functions as F
+
+    for col, expr_sql in invariants.items():
+        if col not in df.columns:
+            raise DeltaProtocolError(
+                f"column invariant on {col!r} ({expr_sql}): the "
+                "write is missing the column entirely (all-null "
+                "violates); nothing committed"
+            )
+        bad = df.where(
+            ~F.coalesce(F.expr(expr_sql), F.lit(False))
+        ).take(1)
+        if bad:
+            raise DeltaProtocolError(
+                f"column invariant on {col!r} ({expr_sql}) violated, "
+                f"e.g. by row {bad[0].asDict()!r}; nothing committed"
+            )
 
 
 # ------------------------------------------------------------------

@@ -59,6 +59,8 @@ _LAYOUT = "_LAYOUT"
 _CONSTRAINTS = "_CONSTRAINTS"
 _GENERATED = "_GENERATED"
 _IDENTITY = "_IDENTITY"
+_PROPS = "_PROPS"
+_INVARIANTS = "_INVARIANTS"
 _ROW_TRACKING = "_ROW_TRACKING"
 
 #: Sentinel default for ``expected_version`` — distinct from None,
@@ -284,10 +286,144 @@ class SnapshotStore:
             )
 
     def _validate_constraints(self, name: str, df: DataFrame) -> None:
-        """Validate a write's rows against every declared constraint
-        (called by the write paths BEFORE any data lands)."""
+        """Validate a write's rows against every declared CHECK
+        constraint AND column invariant (called by the write paths
+        BEFORE any data lands). Invariants use Delta's stricter
+        rule — NULL violates (delta-spark CheckDeltaInvariant throws
+        on null or false), unlike CHECK where NULL satisfies."""
         for cname, expr_sql in self.constraints(name).items():
             self._assert_satisfies(df, cname, expr_sql)
+        for col, expr_sql in self.invariants(name).items():
+            if col not in df.columns:
+                raise ConstraintViolationError(
+                    f"column invariant on {col!r} ({expr_sql}): the "
+                    "write is missing the column entirely (all-null "
+                    "violates an invariant); nothing committed"
+                )
+            bad = df.where(
+                ~F.coalesce(F.expr(expr_sql), F.lit(False))
+            ).take(1)
+            if bad:
+                raise ConstraintViolationError(
+                    f"column invariant on {col!r} ({expr_sql}) "
+                    f"violated (null or false), e.g. by row "
+                    f"{bad[0].asDict()!r}; nothing committed"
+                )
+
+    # ------------------------------------- table properties / invariants
+
+    def table_properties(self, name: str) -> dict[str, str]:
+        """Declared table properties (``delta.appendOnly``, ...) —
+        the pointer-file analog of Delta's TBLPROPERTIES, mirrored
+        into the delta log's metaData configuration when
+        ``delta_log=True``."""
+        import json
+
+        p = os.path.join(self.path(name), _PROPS)
+        if not os.path.isfile(p):
+            return {}
+        with open(p, encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def set_table_property(self, name: str, key: str, value: str) -> None:
+        """``ALTER TABLE t SET TBLPROPERTIES (key = value)`` — one
+        sidecar write plus (under ``delta_log=True``) a metaData-only
+        log commit so protocol-aware readers see the property
+        immediately, like Delta's ALTER TABLE."""
+        import json
+
+        props = self.table_properties(name)
+        props[str(key)] = str(value)
+        os.makedirs(self.path(name), exist_ok=True)
+        tmp = os.path.join(self.path(name), f"_props_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(props, fh, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path(name), _PROPS))
+        if self.delta_log and self.current_data_dir(name) is not None:
+            with self._commit_lock(name):
+                self._delta_commit(name, operation="SET TBLPROPERTIES")
+
+    def set_append_only(self, name: str, enabled: bool = True) -> None:
+        """Activate Delta's **append-only** writer feature
+        (``delta.appendOnly = true``, PROTOCOL.md "Append-only
+        Tables"): every mutating path — DELETE/UPDATE/MERGE (COW and
+        MoR alike), overwrite, RESTORE — refuses with nothing
+        written; appends and OPTIMIZE (rearrange-only,
+        ``dataChange: false``) still land. The reference's bronze CDC
+        tables are exactly this shape (bronze.yml: immutable change
+        streams)."""
+        from product_analytics_spark.sources import delta_log as dl
+
+        self.set_table_property(
+            name, dl.APPEND_ONLY_PROP, "true" if enabled else "false"
+        )
+
+    def append_only(self, name: str) -> bool:
+        from product_analytics_spark.sources import delta_log as dl
+
+        return self.table_properties(name).get(
+            dl.APPEND_ONLY_PROP
+        ) == "true"
+
+    def _assert_appendable(self, name: str, op: str) -> None:
+        """The writer-side append-only gate: called at the TOP of
+        every data-mutating path, before any data is written — a
+        compliant Delta writer must refuse, not repair (PROTOCOL.md
+        "Append-only Tables")."""
+        from product_analytics_spark.sources import delta_log as dl
+
+        if self.append_only(name):
+            raise dl.DeltaProtocolError(
+                f"table {name!r} is append-only "
+                f"({dl.APPEND_ONLY_PROP}=true): {op} is forbidden; "
+                "appends and rearrange-only OPTIMIZE still land"
+            )
+
+    def invariants(self, name: str) -> dict[str, str]:
+        """Declared column invariants, column -> SQL expression
+        (Delta's ``delta.invariants`` field metadata, the legacy
+        writer-version-2 feature) — enforced on every write by
+        ``_validate_constraints``; mirrored into the log metaData's
+        schemaString field metadata when ``delta_log=True``."""
+        import json
+
+        p = os.path.join(self.path(name), _INVARIANTS)
+        if not os.path.isfile(p):
+            return {}
+        with open(p, encoding="utf-8") as fh:
+            return json.load(fh)
+
+    def set_invariant(self, name: str, col: str, expr_sql: str) -> None:
+        """Declare a column invariant: existing data must already
+        satisfy it (one validating scan, null-violates rule — an
+        invariant the table breaks is a lie), then every subsequent
+        write validates its rows and raises
+        :class:`ConstraintViolationError` with NOTHING committed."""
+        import json
+
+        df = self.read(name)
+        if df is None:
+            raise ValueError(f"unknown table {name!r}")
+        if col not in df.columns:
+            raise ValueError(f"no column {col!r} in table {name!r}")
+        bad = df.where(
+            ~F.coalesce(F.expr(expr_sql), F.lit(False))
+        ).take(1)
+        if bad:
+            raise ConstraintViolationError(
+                f"existing data violates invariant on {col!r} "
+                f"({expr_sql}), e.g. row {bad[0].asDict()!r}"
+            )
+        invs = self.invariants(name)
+        invs[col] = expr_sql
+        os.makedirs(self.path(name), exist_ok=True)
+        tmp = os.path.join(self.path(name), f"_invs_{uuid.uuid4().hex[:8]}")
+        with open(tmp, "w", encoding="utf-8") as fh:
+            json.dump(invs, fh, sort_keys=True)
+        os.replace(tmp, os.path.join(self.path(name), _INVARIANTS))
+        if self.delta_log and self.current_data_dir(name) is not None:
+            with self._commit_lock(name):
+                self._delta_commit(name, operation="ALTER TABLE")
 
     # --------------------------------------------- generated columns
 
@@ -844,6 +980,7 @@ class SnapshotStore:
         reader 3 / writer 7 with the deletionVectors table feature —
         see ``sources/deletion_vectors.py``), so log consumers
         (``read_delta``/``read_pruned``) see exactly the live rows."""
+        self._assert_appendable(name, "DELETE (merge-on-read)")
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             expected = self.current_version(name)
@@ -946,6 +1083,7 @@ class SnapshotStore:
                     f"update_where_mor cannot reassign partition columns "
                     f"{sorted(bad)}"
                 )
+        self._assert_appendable(name, "UPDATE (merge-on-read)")
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             expected = self.current_version(name)
@@ -1095,6 +1233,7 @@ class SnapshotStore:
         ``post_scan`` fault-injection window as the other DML paths.
         Under ``delta_log=True`` the commit carries protocol-v3
         ``deletionVector`` descriptors like the other MoR ops."""
+        self._assert_appendable(name, "MERGE (merge-on-read)")
         keys = [key] if isinstance(key, str) else list(key)
         last_err: ConcurrentWriteError | None = None
         batch = self._apply_generated(name, batch)
@@ -1354,6 +1493,7 @@ class SnapshotStore:
         |files| hardlinks/manifest entries. The expensive mistake
         this removes at scale is "full-refresh back to yesterday":
         RESTORE is a metadata operation, the refresh is a rewrite."""
+        self._assert_appendable(name, "RESTORE")
         table = self.path(name)
         if isinstance(version, int):
             vs = self.versions(name)
@@ -1876,14 +2016,28 @@ class SnapshotStore:
         }
         gens = self.generated_columns(name)
         idents = self.identity_columns(name)
+        props = self.table_properties(name)
+        invs = self.invariants(name)
+        # The spec's persisted-rule form for delta.invariants field
+        # metadata (Delta PROTOCOL.md "Column Invariants").
+        invs_json = {
+            c: json.dumps(
+                {"expression": {"expression": e}}, separators=(",", ":")
+            )
+            for c, e in invs.items()
+        }
         prev_gens: dict[str, str] = {}
         prev_idents: dict[str, dict] = {}
+        prev_invs: dict[str, str] = {}
         if prev is not None and (prev.metadata or {}).get("schemaString"):
             for f in json.loads(prev.metadata["schemaString"])["fields"]:
                 fmd = f.get("metadata") or {}
                 ge = fmd.get("delta.generationExpression")
                 if ge:
                     prev_gens[f["name"]] = ge
+                iv = fmd.get(dl.INVARIANTS_META_KEY)
+                if iv:
+                    prev_invs[f["name"]] = iv
                 if "delta.identity.start" in fmd:
                     prev_idents[f["name"]] = {
                         "start": fmd.get("delta.identity.start"),
@@ -1910,6 +2064,8 @@ class SnapshotStore:
             )
             or prev_cons != cons
             or prev_gens != gens
+            or prev_invs != invs_json
+            or any(prev_conf.get(k) != v for k, v in props.items())
             or prev_idents
             != {
                 c: {
@@ -1994,14 +2150,17 @@ class SnapshotStore:
                     if f["name"] not in rt_phys_cols
                 ]
                 schema_json = json.dumps(sch, separators=(",", ":"))
-            if gens or idents:
-                # generation expressions and identity specs live in
-                # the FIELD metadata, not configuration
+            if gens or idents or invs_json:
+                # generation expressions, identity specs, and column
+                # invariants live in the FIELD metadata, not
+                # configuration
                 sch = json.loads(schema_json)
                 for f in sch["fields"]:
                     md = dict(f.get("metadata") or {})
                     if f["name"] in gens:
                         md["delta.generationExpression"] = gens[f["name"]]
+                    if f["name"] in invs_json:
+                        md[dl.INVARIANTS_META_KEY] = invs_json[f["name"]]
                     if f["name"] in idents:
                         spec = idents[f["name"]]
                         md["delta.identity.start"] = spec.get("start")
@@ -2037,6 +2196,10 @@ class SnapshotStore:
                 conf["delta.enableChangeDataFeed"] = "true"
             for cn, ce in cons.items():
                 conf[f"delta.constraints.{cn}"] = ce
+            # declared table properties (delta.appendOnly, ...) win
+            # over whatever a previous commit recorded
+            for pk, pv in props.items():
+                conf[pk] = pv
             meta["configuration"] = conf
             actions.append({"metaData": meta})
         # OPTIMIZE/compaction rearranges bytes without changing rows:
@@ -2201,6 +2364,12 @@ class SnapshotStore:
         z-order key flips the write to equal-DEPTH quantile lanes; the
         RESOLVED boolean is what gets recorded in the layout, so a
         later ``optimize()`` reclusters with the same scheme."""
+        if operation != "OPTIMIZE" and self.current_data_dir(name) is not None:
+            # Replacing an EXISTING table's rows removes data —
+            # forbidden on an append-only table (PROTOCOL.md). The
+            # initial write and rearrange-only rewrites (purge_dv's
+            # OPTIMIZE) are not removals.
+            self._assert_appendable(name, "overwrite")
         ident = self.identity_columns(name)
         ident_supplied = bool(ident) and next(iter(ident)) in df.columns
         if ident and not ident_supplied:
@@ -2307,6 +2476,7 @@ class SnapshotStore:
         interleaving certs (q425) can land a concurrent commit inside
         the exact window the OCC check must catch.
         """
+        self._assert_appendable(name, "MERGE")
         attempts = max_retries if isolated else 1
         last_err: ConcurrentWriteError | None = None
         # Generated columns: a batch that omits them gets them
@@ -2740,6 +2910,7 @@ class SnapshotStore:
         its commit — interleaving certs (q413) land a concurrent merge
         there to exercise the conflict-and-retry path deterministically.
         """
+        self._assert_appendable(name, "DELETE/UPDATE (COW rewrite)")
         last_err: ConcurrentWriteError | None = None
         for _ in range(max_retries):
             # A pending deletion vector must be MATERIALIZED before a
