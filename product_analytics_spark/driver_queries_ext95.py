@@ -27,6 +27,7 @@ key to an equivalent DuckDB SQL string over the same parquet inputs.
 
 from __future__ import annotations
 
+import glob
 import json
 import os
 import shutil
@@ -256,12 +257,225 @@ ORDER BY bucket
 """
 
 
+# ------------------------------------------------------------- q460
+
+Q460_TABLE = os.path.join(_FIX, "q460_table")
+Q460_LOGTBL = os.path.join(_FIX, "q460_logtable")
+_DAY_MS = 86_400_000
+_Q460_NOW = 100 * _DAY_MS
+
+
+def q460_time_based_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Time-based retention horizons** (delta.io
+    ``delta.deletedFileRetentionDuration`` /
+    ``delta.logRetentionDuration``) — round-11 verdict item 2: the
+    engine's VACUUM previously deleted everything below the current
+    snapshot and ``cleanup_log`` truncated below the newest
+    checkpoint; real Delta retains tombstones (and log commits)
+    inside a time window so time travel keeps working.
+
+    Lifecycle: 5 one-bucket files of ``supplier`` → tombstone bucket
+    0 at now−2d (inside the 7-day window) and bucket 1 at now−30d
+    (lapsed) → VACUUM at a pinned clock → prove the horizon both
+    ways; separate log-retention arm with controlled in-commit
+    timestamps.
+
+    Pinned properties:
+
+    * ``spared_inside_window`` — VACUUM collects ONLY the lapsed
+      tombstone; the recent one survives on disk;
+    * ``travel_inside_window`` — after that VACUUM, time travel to
+      the pre-delete version still reads all rows (the whole point
+      of the retention window);
+    * ``collected_after_lapse`` — a later VACUUM (clock advanced
+      past the window) collects the spared file, and travel to the
+      old version dies with it — Delta's contract;
+    * ``log_retention_respected`` — ``cleanup_log`` spares commits
+      whose in-commit timestamp is inside
+      ``delta.logRetentionDuration`` and retreats its cutoff to a
+      checkpoint at or below the first retained commit, so every
+      retained version stays reconstructible;
+    * ``files_on_disk_after_vacuum`` — cross-checked by DuckDB
+      recomputing the retained set FROM THE RAW COMMIT JSON:
+      |adds| − |removes with deletionTimestamp ≤ horizon|.
+
+    Scale: the tombstone sweep is O(log tail) JSON reads — zero data
+    I/O; at 100 TB the alternative (no window) silently breaks every
+    reader time-traveling for reproducibility (training-data
+    snapshots pinned by version are exactly that).
+
+    Reference: dbt_project.yml:39 (delta file format);
+    delta.io VACUUM retention semantics.
+    """
+    from product_analytics_spark.sources import delta_log as dl
+
+    shutil.rmtree(Q460_TABLE, ignore_errors=True)
+    shutil.rmtree(Q460_LOGTBL, ignore_errors=True)
+    os.makedirs(os.path.join(Q460_TABLE, dl.LOG_DIR))
+
+    base = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        F.col("s_nationkey").cast("long").alias("nation"),
+        _money_cents("s_acctbal").alias("cents"),
+    )
+    # five single-file buckets, file identity = key bucket (so the
+    # oracle can recompute survivors from the base table)
+    adds = []
+    for b in range(5):
+        tmp = os.path.join(Q460_TABLE, f"_tmp_b{b}")
+        base.where(F.col("k") % 5 == b).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(Q460_TABLE, f"bucket-{b}.parquet")
+        os.replace(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        adds.append(dl.make_add(Q460_TABLE, dst))
+    meta = dl.make_metadata(
+        base.schema.json()
+    )
+    log = dl.DeltaLog(Q460_TABLE)
+    log.commit([{"protocol": dl.PROTOCOL_ACTION}, {"metaData": meta}],
+               version=0)
+    log.commit([{"add": a} for a in adds], version=1)
+
+    def _remove_at(rel: str, ts: int) -> None:
+        rm = dl.make_remove(rel)
+        rm["deletionTimestamp"] = ts
+        log.commit([{"remove": rm}], operation="DELETE")
+
+    # v2: the LAPSED tombstone lands first, v3: the recent one — so
+    # version 2 references only live + inside-window files and is the
+    # travel target the retention window must keep readable
+    _remove_at("bucket-1.parquet", _Q460_NOW - 30 * _DAY_MS)  # lapsed
+    _remove_at("bucket-0.parquet", _Q460_NOW - 2 * _DAY_MS)   # recent
+
+    victims = log.vacuum(now_ms=_Q460_NOW)  # default 7d window
+    spared_inside_window = (
+        victims == ["bucket-1.parquet"]
+        and os.path.isfile(os.path.join(Q460_TABLE, "bucket-0.parquet"))
+    )
+    files_on_disk = len(
+        glob.glob(os.path.join(Q460_TABLE, "bucket-*.parquet"))
+    )
+
+    n_v2 = base.where(F.col("k") % 5 != 1).count()
+    travel_inside_window = (
+        dl.read_delta(spark, Q460_TABLE, version=2).count() == n_v2
+    )
+
+    cur = dl.read_delta(spark, Q460_TABLE).select("k", "nation", "cents")
+    # freeze NOW — the upcoming lapse-vacuum deletes the spared file
+    # a lazy plan would still reference
+    cur = spark.createDataFrame(cur.collect(), cur.schema)
+
+    victims2 = log.vacuum(now_ms=_Q460_NOW + 30 * _DAY_MS)
+    travel_dead_after = False
+    try:
+        dl.read_delta(spark, Q460_TABLE, version=2).count()
+    except Exception:  # noqa: BLE001 — the referenced file is gone
+        travel_dead_after = True
+    collected_after_lapse = (
+        victims2 == ["bucket-0.parquet"] and travel_dead_after
+    )
+
+    # ---- log-retention arm (separate dir so the main table's log
+    # stays complete for the oracle's raw-JSON recompute)
+    os.makedirs(os.path.join(Q460_LOGTBL, dl.LOG_DIR))
+    meta2 = dl.make_metadata(json.dumps({
+        "type": "struct",
+        "fields": [{"name": "k", "type": "long",
+                    "nullable": True, "metadata": {}}],
+    }))
+    log2 = dl.DeltaLog(Q460_LOGTBL)
+    log2.commit([{"protocol": dl.PROTOCOL_ACTION},
+                 {"metaData": meta2}], version=0)
+    for v in range(1, 12):
+        ts = (
+            _Q460_NOW - 60 * _DAY_MS if v < 8   # expired (>30d)
+            else _Q460_NOW - _DAY_MS + v        # retained (<30d)
+        )
+        log2.commit([{"metaData": meta2}], version=v, timestamp_ms=ts)
+    log2.write_checkpoint(5)
+    log2.write_checkpoint(11)
+    removed = log2.cleanup_log(now_ms=_Q460_NOW)
+    surviving = [v for v, _p in log2._commits()]
+    log_retention_respected = (
+        removed == 5
+        and surviving == list(range(5, 12))
+        and log2.snapshot(8).version == 8
+    )
+
+    out = (
+        cur.groupBy("nation")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    return out.select(
+        "nation",
+        "n",
+        "cents_sum",
+        F.lit(int(files_on_disk)).cast("long").alias(
+            "files_on_disk_after_vacuum"
+        ),
+        F.lit(bool(spared_inside_window)).alias("spared_inside_window"),
+        F.lit(bool(travel_inside_window)).alias("travel_inside_window"),
+        F.lit(bool(collected_after_lapse)).alias("collected_after_lapse"),
+        F.lit(bool(log_retention_respected)).alias(
+            "log_retention_respected"
+        ),
+    ).orderBy("nation")
+
+
+Q460_SQL = f"""
+WITH log AS (
+  SELECT * FROM read_json_auto(
+    '{Q460_TABLE}/_delta_log/*.json',
+    format='newline_delimited', union_by_name=true)
+),
+adds AS (
+  SELECT DISTINCT "add".path AS path FROM log WHERE "add" IS NOT NULL
+),
+lapsed AS (
+  SELECT remove.path AS path FROM log
+  WHERE remove IS NOT NULL
+    AND CAST(remove.deletionTimestamp AS BIGINT)
+        <= {_Q460_NOW} - 7 * 86400000
+),
+retained AS (
+  SELECT (SELECT count(*) FROM adds)
+       - (SELECT count(*) FROM lapsed) AS files_on_disk
+),
+survivors AS (
+  SELECT s_suppkey AS k, CAST(s_nationkey AS BIGINT) AS nation,
+         CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM supplier
+  WHERE NOT (s_suppkey % 5 IN (0, 1))
+)
+SELECT nation,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       (SELECT files_on_disk FROM retained) AS files_on_disk_after_vacuum,
+       TRUE AS spared_inside_window,
+       TRUE AS travel_inside_window,
+       TRUE AS collected_after_lapse,
+       TRUE AS log_retention_respected
+FROM survivors
+GROUP BY nation
+ORDER BY nation
+"""
+
+
 QUERIES_EXT95 = {
     "q459_append_only_invariants": q459_append_only_invariants,
+    "q460_time_based_retention": q460_time_based_retention,
 }
 
 
 def _oracles_ext95() -> dict[str, str]:
     return {
         "q459_append_only_invariants": Q459_SQL,
+        "q460_time_based_retention": Q460_SQL,
     }

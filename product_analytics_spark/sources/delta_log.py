@@ -285,6 +285,50 @@ PROTOCOL_ACTION = {"minReaderVersion": 1, "minWriterVersion": 2}
 #: writer version 2 (every protocol-v2 writer must ENFORCE it).
 APPEND_ONLY_PROP = "delta.appendOnly"
 
+#: Time-based retention horizons (delta.io table properties): a
+#: tombstoned data file survives VACUUM until
+#: ``deletedFileRetentionDuration`` has passed since its remove
+#: action's ``deletionTimestamp`` (default 7 days) — which is what
+#: keeps time travel working inside the window; log commits survive
+#: ``cleanup_log`` until ``logRetentionDuration`` has passed since
+#: their in-commit timestamp (default 30 days).
+DELETED_FILE_RETENTION_PROP = "delta.deletedFileRetentionDuration"
+LOG_RETENTION_PROP = "delta.logRetentionDuration"
+DEFAULT_DELETED_FILE_RETENTION_MS = 7 * 24 * 3600 * 1000
+DEFAULT_LOG_RETENTION_MS = 30 * 24 * 3600 * 1000
+
+_INTERVAL_UNIT_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 7 * 86_400_000,
+}
+
+
+def parse_interval_ms(raw: str | None, default_ms: int) -> int:
+    """Parse Delta's retention-property format — ``interval <n>
+    <unit>`` (units week/day/hour/minute/second/millisecond, plural
+    accepted) — into milliseconds; ``default_ms`` on absent/blank.
+    Malformed values raise rather than silently defaulting: a typo'd
+    retention that quietly became 7 days would vacuum files the user
+    asked to keep."""
+    if raw is None or not str(raw).strip():
+        return default_ms
+    parts = str(raw).strip().lower().split()
+    if len(parts) == 3 and parts[0] == "interval":
+        n, unit = parts[1], parts[2].rstrip("s")
+        if unit in _INTERVAL_UNIT_MS:
+            try:
+                return int(n) * _INTERVAL_UNIT_MS[unit]
+            except ValueError:
+                pass
+    raise DeltaProtocolError(
+        f"unparseable retention interval {raw!r} (expected "
+        "'interval <n> <week|day|hour|minute|second|millisecond>s')"
+    )
+
 #: Column invariants (Delta PROTOCOL.md "Column Invariants"): SQL
 #: rules stored in the schema's per-field metadata under this key;
 #: legacy writer version 2. Unlike CHECK constraints, NULL violates.
@@ -1755,17 +1799,55 @@ class DeltaLog:
 
     # ------------------------------------------------- log retention
 
-    def cleanup_log(self) -> int:
+    def cleanup_log(self, now_ms: int | None = None) -> int:
         """Delta's metadata-retention pass: delete JSON commits
         STRICTLY BELOW the newest checkpoint — readers reconstruct any
         retained version from the checkpoint + tail, so those commits
-        are dead weight (Delta does the same after
-        ``delta.logRetentionDuration``). Returns the number of commit
-        files removed; no checkpoint ⇒ no-op (never orphan readers)."""
+        are dead weight — **except commits still inside
+        ``delta.logRetentionDuration``** (default 30 days, measured
+        against each commit's in-commit timestamp): those survive,
+        and the cutoff retreats to the newest checkpoint AT OR BELOW
+        the first retained commit so every retained version stays
+        reconstructible (checkpoint + tail). ``now_ms`` defaults to
+        wall clock — injectable so retention certs are deterministic.
+        Returns the number of commit files removed; no checkpoint ⇒
+        no-op (never orphan readers)."""
+        import time as _time
+
         cps = self._checkpoint_groups()
         if not cps:
             return 0
         cutoff = cps[-1][0]
+        # Time-based retention: find the FIRST commit whose in-commit
+        # timestamp is inside the window; the cutoff must not pass it.
+        try:
+            snap = self.snapshot()
+            conf = (snap.metadata or {}).get("configuration") or {}
+            log_retention_ms = parse_interval_ms(
+                conf.get(LOG_RETENTION_PROP), DEFAULT_LOG_RETENTION_MS
+            )
+        except (DeltaProtocolError, ValueError, TypeError):
+            log_retention_ms = DEFAULT_LOG_RETENTION_MS
+        horizon = (
+            int(now_ms if now_ms is not None else _time.time() * 1000)
+            - log_retention_ms
+        )
+        first_retained = None
+        for v, _path in self._commits():
+            if v >= cutoff:
+                break
+            ict = self._prev_ict(v + 1)  # commit v's own timestamp
+            if ict is not None and ict > horizon:
+                first_retained = v
+                break
+        if first_retained is not None and first_retained < cutoff:
+            at_or_below = [v for v, _k, _p in cps if v <= first_retained]
+            if not at_or_below:
+                # no checkpoint at or below the first retained commit:
+                # its reconstruction needs the tail from version 0 —
+                # nothing may be cleaned yet
+                return 0
+            cutoff = max(at_or_below)
         # checkpointProtection (Delta PROTOCOL.md): versions below
         # delta.requireCheckpointProtectionBeforeVersion are exempt
         # from cleanup — history across a protocol-transition
@@ -1919,22 +2001,39 @@ class DeltaLog:
         return out
 
     def vacuum(
-        self, dry_run: bool = False, cdc_grace_s: float = 0.0
+        self,
+        dry_run: bool = False,
+        cdc_grace_s: float = 0.0,
+        retention_ms: int | None = None,
+        now_ms: int | None = None,
     ) -> list[str]:
         """Delta VACUUM for a standalone log-managed table: delete
         data files under the table dir that the CURRENT snapshot does
-        not reference (tombstoned by remove actions, or orphaned).
-        After this, time travel below the current version is gone —
-        exactly Delta's contract. Returns the (relative) paths
-        removed; ``dry_run`` lists without deleting. Candidates are
-        parquet data files outside ``_delta_log`` plus deletion-vector
-        sidecars (``deletion_vector_*.bin``) no live add references,
-        plus Change-Data-Feed files under ``_change_data/`` that no
+        not reference (tombstoned by remove actions, or orphaned) —
+        **except tombstones still inside the retention window**
+        (``delta.deletedFileRetentionDuration``, default 7 days,
+        overridable per-call via ``retention_ms``): a file whose
+        remove action's ``deletionTimestamp`` is newer than
+        ``now - retention`` survives, which is exactly what keeps
+        time travel to recent versions working after a VACUUM
+        (delta.io's contract; the old all-or-nothing behavior is
+        ``retention_ms=0``). ``now_ms`` defaults to wall clock —
+        injectable so retention certs are deterministic. After the
+        window passes, time travel to versions referencing the
+        collected files is gone — exactly Delta's contract. Returns
+        the (relative) paths removed; ``dry_run`` lists without
+        deleting. Candidates are parquet data files outside
+        ``_delta_log`` plus deletion-vector sidecars
+        (``deletion_vector_*.bin``) no live add references, plus
+        Change-Data-Feed files under ``_change_data/`` that no
         SURVIVING commit's ``cdc`` action references (after
         ``cleanup_log`` truncates the JSON tail, the dead commits'
         change files are unreachable by ``table_changes`` and go with
         them — Delta's CDF retention follows log retention the same
-        way).
+        way). Tombstone timestamps come from the surviving JSON
+        tail's remove actions (O(tail) reads, no data I/O); orphans
+        with NO tombstone anywhere are collected immediately — an
+        untracked file is garbage, not history.
 
         ``cdc_grace_s`` (ADVICE r9): a change file another writer has
         STAGED but not yet committed is referenced by nothing — a
@@ -1962,6 +2061,38 @@ class DeltaLog:
                 f"writer features {sorted(unknown_w)} this engine "
                 "does not support"
             )
+        if retention_ms is None:
+            conf = (snap.metadata or {}).get("configuration") or {}
+            retention_ms = parse_interval_ms(
+                conf.get(DELETED_FILE_RETENTION_PROP),
+                DEFAULT_DELETED_FILE_RETENTION_MS,
+            )
+        horizon = (
+            int(now_ms if now_ms is not None else _time.time() * 1000)
+            - int(retention_ms)
+        )
+        # Latest deletionTimestamp per tombstoned path, from the
+        # surviving JSON tail (checkpoints drop tombstones; after
+        # cleanup_log truncates the tail those files' retention has
+        # necessarily lapsed with the log's own).
+        tombstoned_at: dict[str, int] = {}
+        for _v, cpath in self._commits():
+            try:
+                with open(cpath, encoding="utf-8") as fh:
+                    for ln in fh:
+                        if not ln.strip():
+                            continue
+                        rm = json.loads(ln).get("remove")
+                        if rm and rm.get("path"):
+                            ts = int(rm.get("deletionTimestamp") or 0)
+                            p = rm["path"]
+                            if ts > tombstoned_at.get(p, -1):
+                                tombstoned_at[p] = ts
+            except (OSError, ValueError):
+                continue
+        spared = {
+            p for p, ts in tombstoned_at.items() if ts > horizon
+        }
         live = set(snap.files)
         referenced_cdc = self.referenced_cdc_paths()
         live_dv_bins = set()
@@ -1995,10 +2126,10 @@ class DeltaLog:
                                 continue  # possibly staged, in-flight
                         victims.append(rel)
                 elif f.endswith(".parquet"):
-                    if rel not in live:
+                    if rel not in live and rel not in spared:
                         victims.append(rel)
                 elif f.startswith("deletion_vector_") and f.endswith(".bin"):
-                    if rel not in live_dv_bins:
+                    if rel not in live_dv_bins and rel not in spared:
                         victims.append(rel)
         if not dry_run:
             for rel in victims:
