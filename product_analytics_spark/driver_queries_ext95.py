@@ -468,9 +468,216 @@ ORDER BY nation
 """
 
 
+# ------------------------------------------------------------- q461
+
+Q461_WH = os.path.join(_FIX, "q461_warehouse")
+Q461_MIX = os.path.join(_FIX, "q461_mixed")
+
+
+def q461_stream_byte_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Byte-based streaming admission** (Delta's
+    ``maxBytesPerTrigger``, ``sources/delta_stream.py``) — round-11
+    verdict item 4: the ``delta_tail`` source gained
+    ``max_files_per_trigger`` last round, but a file-count cap
+    under-admits small-file tables and over-admits compacted ones —
+    100 files can be 10 MB or 12 GB. The byte budget (from the adds'
+    ``size``) is the robust twin; both caps compose (whichever trips
+    first binds).
+
+    Two arms:
+
+    * **deterministic paging** over a handcrafted mixed small/large
+      tail (2×10 B, 1×100 B, 4×5 B, 1×1000 B, 2×10 B): a 120 B
+      budget admits v0+v1 exactly, the 4-small-file commit rides the
+      next trigger (a file cap of 2 would stall on it), the 1000 B
+      oversized commit flows ALONE (never starves), and the batch
+      ranges are strictly monotone — ``position never regresses``;
+    * **end-to-end completeness**: a real structured stream over a
+      store table with a 1-byte budget pages one commit per trigger
+      (``paged_per_commit``) yet the concatenated sink equals the
+      unlimited stream's content bit-for-bit.
+
+    Scale: a restarted stream facing 10 TB of pending commits must
+    page through them in executor-memory-sized batches; bytes — not
+    file counts — are what executor memory is sized in.
+
+    Reference: chained incremental delta models (dbt_project.yml:39)
+    run as this streaming read with rate limiting on Databricks.
+    """
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.delta_stream import (
+        DeltaTailStreamReader,
+        register_delta_tail,
+    )
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    # ---- arm 1: deterministic paging over a handcrafted tail
+    shutil.rmtree(Q461_MIX, ignore_errors=True)
+    os.makedirs(os.path.join(Q461_MIX, dl.LOG_DIR))
+    schema = json.dumps({
+        "type": "struct",
+        "fields": [{"name": "k", "type": "long",
+                    "nullable": True, "metadata": {}}],
+    })
+
+    def _add(name: str, size: int) -> dict:
+        return {"add": {
+            "path": f"{name}.parquet", "partitionValues": {},
+            "size": size, "modificationTime": 0, "dataChange": True,
+        }}
+
+    mlog = dl.DeltaLog(Q461_MIX)
+    mlog.commit([{"protocol": dl.PROTOCOL_ACTION},
+                 {"metaData": dl.make_metadata(schema)},
+                 _add("f0a", 10), _add("f0b", 10)], version=0)
+    mlog.commit([_add("f1a", 100)], version=1)
+    mlog.commit([_add(f"f2{c}", 5) for c in "abcd"], version=2)
+    mlog.commit([_add("f3a", 1000)], version=3)
+    mlog.commit([_add("f4a", 10), _add("f4b", 10)], version=4)
+
+    def _drain(reader) -> list[tuple[int, int]]:
+        batches = []
+        start = reader.initialOffset()["version"]
+        for _ in range(50):
+            end = reader.latestOffset()["version"]
+            if end <= start:
+                break
+            reader.commit({"version": end})
+            batches.append((start, end))
+            start = end
+        return batches
+
+    b120 = _drain(DeltaTailStreamReader(
+        {"path": Q461_MIX, "max_bytes_per_trigger": "120"}))
+    b_combo = _drain(DeltaTailStreamReader(
+        {"path": Q461_MIX, "max_bytes_per_trigger": "120",
+         "max_files_per_trigger": "2"}))
+    paging_pinned = (
+        b120[0] == (0, 2)          # 20 + 100 B fill the budget exactly
+        and (2, 3) in b120         # 4 small files ride one trigger
+        and (3, 4) in b120         # oversized commit flows ALONE
+        and b120[-1][1] == 5
+        and b_combo[0] == (0, 1)   # the 2-file cap binds first
+        and b_combo[-1][1] == 5
+    )
+    position_never_regresses = all(
+        e > s for s, e in b120 + b_combo
+    ) and all(
+        b120[i][1] == b120[i + 1][0] for i in range(len(b120) - 1)
+    )
+
+    # ---- arm 2: end-to-end completeness under a 1-byte budget
+    shutil.rmtree(Q461_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q461_WH, retain_versions=10,
+                          delta_log=True)
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("feed", base, n_files=3)                    # v0
+    app1 = cust.where("c_custkey % 13 = 0").select(
+        (F.col("c_custkey") + 30_000_000).alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(100).cast("long").alias("cents"),
+    )
+    store.append("feed", app1)                                  # v1
+    app2 = cust.where("c_custkey % 17 = 0").select(
+        (F.col("c_custkey") + 40_000_000).alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(200).cast("long").alias("cents"),
+    )
+    store.append("feed", app2)                                  # v2
+
+    register_delta_tail(spark)
+    tdir = store.path("feed")
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = (
+            spark.readStream.format("delta_tail")
+            .option("path", tdir)
+            .option("max_bytes_per_trigger", "1")
+            .load()
+        )
+        q = (
+            src.writeStream.format("memory")
+            .queryName("q461_sink")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination(60)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    streamed = spark.table("q461_sink")
+    expected = base.unionByName(app1).unionByName(app2)
+    complete_despite_paging = (
+        streamed.exceptAll(expected).count() == 0
+        and expected.exceptAll(streamed).count() == 0
+    )
+    # a 1-byte budget admits exactly one commit per trigger
+    r1 = DeltaTailStreamReader(
+        {"path": tdir, "max_bytes_per_trigger": "1"})
+    paged_per_commit = _drain(r1) == [(0, 1), (1, 2), (2, 3)]
+
+    return (
+        streamed.groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .select(
+            "seg",
+            "n",
+            "cents_sum",
+            F.lit(bool(paging_pinned)).alias("paging_pinned"),
+            F.lit(bool(position_never_regresses)).alias(
+                "position_never_regresses"
+            ),
+            F.lit(bool(complete_despite_paging)).alias(
+                "complete_despite_paging"
+            ),
+            F.lit(bool(paged_per_commit)).alias("paged_per_commit"),
+        )
+        .orderBy("seg")
+    )
+
+
+Q461_SQL = """
+WITH feed AS (
+  SELECT c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+  FROM customer
+  UNION ALL
+  SELECT c_mktsegment AS seg, CAST(100 AS BIGINT) AS cents
+  FROM customer WHERE c_custkey % 13 = 0
+  UNION ALL
+  SELECT c_mktsegment AS seg, CAST(200 AS BIGINT) AS cents
+  FROM customer WHERE c_custkey % 17 = 0
+)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       TRUE AS paging_pinned,
+       TRUE AS position_never_regresses,
+       TRUE AS complete_despite_paging,
+       TRUE AS paged_per_commit
+FROM feed
+GROUP BY seg
+ORDER BY seg
+"""
+
+
 QUERIES_EXT95 = {
     "q459_append_only_invariants": q459_append_only_invariants,
     "q460_time_based_retention": q460_time_based_retention,
+    "q461_stream_byte_admission": q461_stream_byte_admission,
 }
 
 
@@ -478,4 +685,5 @@ def _oracles_ext95() -> dict[str, str]:
     return {
         "q459_append_only_invariants": Q459_SQL,
         "q460_time_based_retention": Q460_SQL,
+        "q461_stream_byte_admission": Q461_SQL,
     }

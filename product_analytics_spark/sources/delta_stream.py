@@ -117,12 +117,17 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         self.read_cdf = (
             str(options.get("read_change_feed", "false")).lower() == "true"
         )
-        # Admission control (Delta's maxFilesPerTrigger): cap the
-        # number of data files one micro-batch plans. 0/absent =
-        # unlimited. At 100 TB a restarted stream facing 10k pending
-        # commits must page through them in bounded batches, not plan
-        # one giant scan that outlives its executors.
+        # Admission control (Delta's maxFilesPerTrigger +
+        # maxBytesPerTrigger): cap the number of data files / total
+        # data BYTES one micro-batch plans. 0/absent = unlimited.
+        # At 100 TB a restarted stream facing 10k pending commits
+        # must page through them in bounded batches, not plan one
+        # giant scan that outlives its executors. The byte budget
+        # (from the adds' ``size``) is the robust twin: a file-count
+        # cap under-admits small-file tables and over-admits
+        # compacted ones — 100 files can be 10 MB or 12 GB.
         self.max_files = int(options.get("max_files_per_trigger", "0"))
+        self.max_bytes = int(options.get("max_bytes_per_trigger", "0"))
         #: last batch-end version this reader instance planned or
         #: committed — the reference point rate limiting caps from.
         #: None until the first initialOffset/partitions call (a
@@ -137,16 +142,17 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         self._pos = self.start_version
         return {"version": self.start_version}
 
-    def _n_files(self, version: int) -> int:
-        """Data files a commit would contribute to a batch (add
-        actions with dataChange, matching the read path's admission
-        of append commits). One O(commit-size) JSON read."""
-        n = 0
+    def _commit_cost(self, version: int) -> tuple[int, int]:
+        """(data files, data bytes) a commit would contribute to a
+        batch (add actions with dataChange, matching the read path's
+        admission of append commits). One O(commit-size) JSON read."""
+        n = b = 0
         for a in self._commit_actions(version):
             add = a.get("add")
             if add is not None and add.get("dataChange", True):
                 n += 1
-        return n
+                b += int(add.get("size") or 0)
+        return n, b
 
     def latestOffset(self):
         from product_analytics_spark.sources import delta_log as dl
@@ -154,18 +160,31 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         latest = dl.DeltaLog(self.table_dir).latest_version()
         nxt = self.start_version if latest is None else latest + 1
         end = max(nxt, self.start_version)
-        if self.max_files > 0 and self._pos is not None:
-            admitted, budget = self._pos, self.max_files
+        if (self.max_files > 0 or self.max_bytes > 0) and (
+            self._pos is not None
+        ):
+            admitted = self._pos
+            fbudget = self.max_files if self.max_files > 0 else None
+            bbudget = self.max_bytes if self.max_bytes > 0 else None
             while admitted < end:
                 try:
-                    cost = self._n_files(admitted)
+                    nf, nb = self._commit_cost(admitted)
                 except Exception:  # noqa: BLE001 — cleaned tail etc.
                     break
-                if cost > budget and admitted > self._pos:
+                over = (
+                    (fbudget is not None and nf > fbudget)
+                    or (bbudget is not None and nb > bbudget)
+                )
+                if over and admitted > self._pos:
                     break  # cap reached (always admit >= 1 commit)
-                budget -= cost
+                if fbudget is not None:
+                    fbudget -= nf
+                if bbudget is not None:
+                    bbudget -= nb
                 admitted += 1
-                if budget <= 0:
+                if (fbudget is not None and fbudget <= 0) or (
+                    bbudget is not None and bbudget <= 0
+                ):
                     break
             end = max(admitted, self._pos)
         return {"version": end}

@@ -156,3 +156,76 @@ def test_cdf_stream_respects_cap(spark):
     )
     assert _drain_offsets(free)[-1][1] == batches[-1][1]
     shutil.rmtree(wh, ignore_errors=True)
+
+
+# ------------------------------------------------- maxBytesPerTrigger
+
+
+def _add_sized(name: str, size: int) -> dict:
+    a = _add(name)
+    a["add"]["size"] = size
+    return a
+
+
+@pytest.fixture()
+def tdir_sized():
+    """v0: 2×10 B, v1: 1×100 B, v2: 4×5 B, v3: 1×1000 B (oversized),
+    v4: 2×10 B — a mixed small/large-file tail, the case a file-count
+    cap mis-admits both ways."""
+    shutil.rmtree("/tmp/pa_test_ratelimit", ignore_errors=True)
+    os.makedirs(TDIR, exist_ok=True)
+    log = dl.DeltaLog(TDIR)
+    log.commit(
+        [
+            {"protocol": dict(dl.PROTOCOL_ACTION)},
+            {"metaData": dl.make_metadata(SCHEMA, [])},
+            _add_sized("f0a", 10), _add_sized("f0b", 10),
+        ],
+        version=0,
+    )
+    log.commit([_add_sized("f1a", 100)], version=1)
+    log.commit([_add_sized(f"f2{c}", 5) for c in "abcd"], version=2)
+    log.commit([_add_sized("f3a", 1000)], version=3)
+    log.commit([_add_sized("f4a", 10), _add_sized("f4b", 10)], version=4)
+    yield TDIR
+    shutil.rmtree("/tmp/pa_test_ratelimit", ignore_errors=True)
+
+
+def test_byte_cap_pages_by_bytes_not_count(tdir_sized):
+    # 120 B budget: v0 (20) + v1 (100) fill it exactly; v2's 4 small
+    # files (20 B) ride the next trigger — a 4-file commit a
+    # file-count cap of 2 would have stalled on
+    r = DeltaTailStreamReader(
+        {"path": tdir_sized, "max_bytes_per_trigger": "120"}
+    )
+    batches = _drain_offsets(r)
+    assert batches[0] == (0, 2)
+    assert (3, 4) in batches  # the 1000 B commit flows ALONE
+    assert batches[-1][1] == 5  # position reaches the head, never regresses
+    assert all(b[1] > b[0] for b in batches)
+
+
+def test_byte_cap_oversized_commit_admitted_alone(tdir_sized):
+    r = DeltaTailStreamReader(
+        {"path": tdir_sized, "max_bytes_per_trigger": "50"}
+    )
+    batches = _drain_offsets(r)
+    # v0 (20B) admitted, v1 (100B) > remaining -> stop; v1 alone next
+    assert batches[0] == (0, 1)
+    assert (1, 2) in batches
+    assert (3, 4) in batches
+    assert batches[-1][1] == 5
+
+
+def test_files_and_bytes_caps_compose(tdir_sized):
+    # whichever budget trips first binds: byte cap would admit v0+v1
+    # (120 B) but the 2-file cap stops after v0's two files
+    r = DeltaTailStreamReader(
+        {"path": tdir_sized, "max_bytes_per_trigger": "120",
+         "max_files_per_trigger": "2"}
+    )
+    batches = _drain_offsets(r)
+    assert batches[0] == (0, 1)
+    # and the file cap alone would admit v1+v2 (5 files? no: v1 is 1
+    # file, v2 is 4 files > remaining 1) — bytes bind there instead
+    assert batches[-1][1] == 5
