@@ -367,12 +367,22 @@ _SNAP_STATS = {"hits": 0, "misses": 0}
 
 
 def _snap_copy(s: "DeltaSnapshot") -> "DeltaSnapshot":
+    """Copy a snapshot for cache store/return. The inner add/domain
+    dicts are copied ONE LEVEL too (round-11 verdict hardening): a
+    caller doing ``add["stats"] = ...`` in place can no longer poison
+    the module-wide cache — previously that discipline was
+    convention-only (every mutation site copied first, but one slip
+    would corrupt every later reader silently). Nested containers
+    (partitionValues, deletionVector) stay shared — copying them
+    would double the per-read cost at millions of files; the
+    mutation-canary pytest (tests/test_snapshot_cache.py) pins that
+    no code path mutates those in place."""
     return DeltaSnapshot(
         version=s.version,
         protocol=dict(s.protocol) if s.protocol else dict(),
         metadata=dict(s.metadata) if s.metadata else dict(),
-        files=dict(s.files),
-        domains=dict(s.domains),
+        files={k: dict(v) for k, v in s.files.items()},
+        domains={k: dict(v) for k, v in s.domains.items()},
     )
 
 

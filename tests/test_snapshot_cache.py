@@ -103,3 +103,69 @@ def test_caller_mutation_does_not_poison(spark, wh):
     s2 = dl.DeltaLog(tdir).snapshot()
     assert len(s2.files) == n
     assert (s2.metadata.get("configuration") or {}).get("hacked") is None
+
+
+def test_inner_add_mutation_does_not_poison(spark, wh):
+    """Round-11 verdict hardening: copy discipline for the INNER add
+    dicts is no longer convention-only — a caller assigning into a
+    returned add (``add["stats"] = ...``) must not corrupt the
+    module-wide cache."""
+    store = _mk(spark, wh)
+    tdir = store.path("t")
+    s1 = dl.DeltaLog(tdir).snapshot()
+    rel = next(iter(s1.files))
+    orig_stats = s1.files[rel].get("stats")
+    s1.files[rel]["stats"] = '{"numRecords":0}'   # in-place poison try
+    s1.files[rel]["deletionVector"] = {"fake": True}
+    s2 = dl.DeltaLog(tdir).snapshot()
+    assert s2.files[rel].get("stats") == orig_stats
+    assert s2.files[rel].get("deletionVector") is None
+    # domains too
+    if s2.domains:
+        d = next(iter(s2.domains))
+        s2.domains[d]["configuration"] = "poisoned"
+        s3 = dl.DeltaLog(tdir).snapshot()
+        assert s3.domains[d]["configuration"] != "poisoned"
+
+
+def test_mutation_canary_across_dml_lifecycle(spark, wh):
+    """Canary for NESTED sharing (partitionValues/deletionVector stay
+    shared between cache and returned copies for cost): drive every
+    DML family and verify the cached entries' deep fingerprints never
+    change between store-time and a later hit — i.e. no engine code
+    path mutates a cached add in place."""
+    import json as _json
+
+    store = SnapshotStore(spark, WH, retain_versions=10,
+                          delta_log=True)
+    store.overwrite("t", spark.range(0, 40).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("p"),
+    ), partition_by=("p",))
+    tdir = store.path("t")
+
+    def _fp_all() -> dict:
+        """version -> deep fingerprint of the CACHED snapshot."""
+        out = {}
+        log = dl.DeltaLog(tdir)
+        for v in range(log.latest_version() + 1):
+            s = log.snapshot(v)
+            out[v] = _json.dumps(
+                {"f": s.files, "m": s.metadata, "d": s.domains},
+                sort_keys=True, default=str,
+            )
+        return out
+
+    before = _fp_all()
+    # every DML family, each of which reads cached snapshots
+    store.append("t", spark.range(100, 110).select(
+        F.col("id").alias("k"),
+        (F.col("id") % 4).cast("string").alias("p")))
+    store.delete_where("t", "k % 7 = 1")
+    store.update_where("t", "k % 7 = 2", {"k": "k + 1000"})
+    store.delete_where_mor("t", "k % 7 = 3")
+    store.compact("t")
+    store.restore("t", 0)
+    after = _fp_all()
+    for v, fp in before.items():
+        assert after[v] == fp, f"cached snapshot v{v} mutated in place"
