@@ -554,6 +554,24 @@ class DeltaSnapshot:
             for f in schema["fields"]
         }
 
+    def column_mapping_ids(self) -> dict[str, int]:
+        """Logical name -> stable ``delta.columnMapping.id`` when
+        column mapping is enabled, else empty. Under ``id`` mode the
+        data files carry these as parquet FIELD IDS and readers
+        resolve columns by id — the Iceberg-compat half of the spec:
+        the parquet column NAME becomes irrelevant, only the id
+        binds."""
+        conf = (self.metadata or {}).get("configuration") or {}
+        if conf.get("delta.columnMapping.mode") not in ("name", "id"):
+            return {}
+        schema = json.loads(self.metadata["schemaString"])
+        out: dict[str, int] = {}
+        for f in schema["fields"]:
+            cid = (f.get("metadata") or {}).get("delta.columnMapping.id")
+            if cid is not None:
+                out[f["name"]] = int(cid)
+        return out
+
     def dv_positions(self, table_dir: str) -> list[tuple[str, int]]:
         """Decode every live file's deletion vector into (relative
         path, row_index) pairs — the reader-side tombstone set. Cost
@@ -2274,9 +2292,16 @@ def read_delta(spark, table_dir: str, version: int | None = None):
     # so the declared logical schema (minus partition columns, which
     # live in the log) becomes the read schema and every old file
     # upcasts in the scan itself, vectorized, no extra pass.
+    #
+    # Under column mapping mode ``id`` the forced read schema ALSO
+    # carries ``parquet.field.id`` metadata and the scan resolves
+    # columns by parquet FIELD ID, not name (Spark's native
+    # ``spark.sql.parquet.fieldId.read.enabled`` path, vectorized) —
+    # the file's parquet column name is irrelevant, per the spec.
+    cm_mode = conf.get("delta.columnMapping.mode")
     read_schema = None
     schema_str0 = (snap.metadata or {}).get("schemaString")
-    if widened and schema_str0:
+    if (widened or cm_mode == "id") and schema_str0:
         try:
             from pyspark.sql.types import StructField, StructType
 
@@ -2285,18 +2310,29 @@ def read_delta(spark, table_dir: str, version: int | None = None):
             # the forced read schema must match the files, or the
             # scan drops the renamed column and _to_logical fails.
             cmap = snap.column_mapping() or {}
-            read_schema = StructType(
-                [
+            cids = snap.column_mapping_ids() if cm_mode == "id" else {}
+            fields = []
+            for f in st.fields:
+                if f.name in part_cols:
+                    continue
+                md = dict(f.metadata or {})
+                if f.name in cids:
+                    md["parquet.field.id"] = cids[f.name]
+                fields.append(
                     StructField(
                         cmap.get(f.name, f.name),
                         f.dataType,
                         f.nullable,
-                        f.metadata,
+                        md,
                     )
-                    for f in st.fields
-                    if f.name not in part_cols
-                ]
-            )
+                )
+            read_schema = StructType(fields)
+            if cm_mode == "id":
+                # Inert for every other read (kicks in only when a
+                # read schema carries parquet.field.id metadata).
+                spark.conf.set(
+                    "spark.sql.parquet.fieldId.read.enabled", "true"
+                )
         except Exception:  # noqa: BLE001 — fall back to inference
             read_schema = None
 
@@ -3105,15 +3141,94 @@ def read_row_ids(spark, table_dir: str, version: int | None = None):
 # ------------------------------------------------------------------
 
 
-def enable_column_mapping(table_dir: str) -> int:
+def _verify_field_ids(
+    table_dir: str, snap: "DeltaSnapshot", want: dict[str, int]
+) -> None:
+    """Every live data file must carry ``PARQUET:field_id`` matching
+    the assigned column-mapping ids (by current physical name) before
+    ``id`` mode may activate — an id-mode reader resolves ONLY by id,
+    so an id-less file would read as all-null or error."""
+    import pyarrow.parquet as pq
+
+    for rel in sorted(snap.files):
+        sch = pq.read_schema(resolve_path(table_dir, rel))
+        by_name = {}
+        for fld in sch:
+            md = fld.metadata or {}
+            fid = md.get(b"PARQUET:field_id")
+            if fid is not None:
+                by_name[fld.name] = int(fid)
+        for name, fid in want.items():
+            if by_name.get(name) != fid:
+                raise DeltaProtocolError(
+                    f"cannot enable column mapping mode 'id': file "
+                    f"{rel!r} lacks parquet field id {fid} on column "
+                    f"{name!r} (found {by_name.get(name)}); id-mode "
+                    "readers resolve by field id only — rewrite the "
+                    "file with ids or use mode 'name'"
+                )
+
+
+def arrow_schema_with_field_ids(schema, ids: dict[str, int]):
+    """Attach ``PARQUET:field_id`` metadata to a pyarrow schema —
+    what an id-mode writer must stamp on every file (column name ->
+    field id; columns absent from ``ids`` keep no id)."""
+    import pyarrow as pa
+
+    fields = []
+    for fld in schema:
+        if fld.name in ids:
+            md = dict(fld.metadata or {})
+            md[b"PARQUET:field_id"] = str(ids[fld.name]).encode()
+            fields.append(fld.with_metadata(md))
+        else:
+            fields.append(fld)
+    return pa.schema(fields)
+
+
+def with_field_ids(df, ids: dict[str, int]):
+    """Attach ``parquet.field.id`` column metadata to a DataFrame so
+    Spark's native writer stamps ``PARQUET:field_id`` into every
+    footer (``spark.sql.parquet.fieldId.write.enabled`` is on by
+    default) — the zero-custom-code write path for id-mode tables.
+    Must go through ``Column.alias(metadata=...)``: attaching the
+    metadata to a target StructType and ``df.to(schema)`` silently
+    DROPS it before the write (verified on Spark 4.1)."""
+    from pyspark.sql import functions as F
+
+    return df.select(
+        *[
+            F.col(c).alias(c, metadata={"parquet.field.id": ids[c]})
+            if c in ids
+            else F.col(c)
+            for c in df.columns
+        ]
+    )
+
+
+def enable_column_mapping(table_dir: str, mode: str = "name") -> int:
     """Upgrade a log-managed table to column mapping
-    (``delta.columnMapping.mode = name``): every schema field gets a
-    stable ``delta.columnMapping.id`` and a
+    (``delta.columnMapping.mode = name | id``): every schema field
+    gets a stable ``delta.columnMapping.id`` and a
     ``delta.columnMapping.physicalName`` equal to its CURRENT name
     (so existing data files stay valid byte-for-byte), and the
     protocol moves to reader 2 / writer 5 (the legacy columnMapping
     requirement) unless already higher. MetaData-only commit — zero
-    data I/O at any table size."""
+    data I/O at any table size in ``name`` mode.
+
+    ``mode="id"`` (the Iceberg-compat half of the spec): readers
+    resolve columns by parquet FIELD ID, so every live data file
+    must already carry ``PARQUET:field_id`` on every column matching
+    the assigned ids — verified here with one footer read per live
+    file (enable-time only); real Delta sidesteps the check by
+    allowing ``id`` only on new tables, which is strictly less
+    permissive than verifying. Files written AFTER enablement must
+    carry the ids too (``arrow_schema_with_field_ids`` /
+    ``with_field_ids`` stamp them)."""
+    if mode not in ("name", "id"):
+        raise DeltaProtocolError(
+            f"column mapping mode must be 'name' or 'id', got {mode!r}"
+        )
     log = DeltaLog(table_dir)
     snap = log.snapshot()
     if not snap.metadata:
@@ -3129,9 +3244,17 @@ def enable_column_mapping(table_dir: str) -> int:
         md.setdefault("delta.columnMapping.physicalName", f["name"])
         f["metadata"] = md
         max_id = max(max_id, int(md["delta.columnMapping.id"]))
+    if mode == "id":
+        part_cols = set(snap.metadata.get("partitionColumns") or [])
+        want = {
+            f["name"]: int(f["metadata"]["delta.columnMapping.id"])
+            for f in schema["fields"]
+            if f["name"] not in part_cols
+        }
+        _verify_field_ids(table_dir, snap, want)
     meta = dict(snap.metadata)
     meta["schemaString"] = json.dumps(schema, separators=(",", ":"))
-    conf["delta.columnMapping.mode"] = "name"
+    conf["delta.columnMapping.mode"] = mode
     conf["delta.columnMapping.maxColumnId"] = str(max_id)
     meta["configuration"] = conf
     actions: list[dict] = []
