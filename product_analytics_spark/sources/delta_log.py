@@ -682,6 +682,16 @@ class FileSystemCommitOwner(CommitOwner):
         self, log_dir: str, version: int, payload: str
     ) -> None:
         target = os.path.join(log_dir, f"{version:020d}.json")
+        if os.path.isdir(os.path.join(log_dir, STAGED_DIR)) and (
+            version in _staged_ratified(log_dir)
+        ):
+            # the table has coordinated commits and THIS version is
+            # already ratified (just not backfilled) — minting the
+            # canonical file would silently fork the history
+            raise DeltaConflictError(
+                f"delta commit {version} already ratified by the "
+                f"commit coordinator in {log_dir}; re-read and retry"
+            )
         tmp = os.path.join(log_dir, f"_tmp_{uuid.uuid4().hex[:12]}.json")
         with open(tmp, "w", encoding="utf-8") as fh:
             fh.write(payload)
@@ -739,6 +749,30 @@ class InProcessCommitOwner(CommitOwner):
             owned.add(version)
 
 
+class _flock_file:
+    """Context manager holding an exclusive flock on a dedicated
+    lockfile (created on demand, never replaced — see the
+    flock-vs-replace hazard in FileRegistryCommitOwner)."""
+
+    def __init__(self, path: str):
+        self.path = path
+        self._fh = None
+
+    def __enter__(self):
+        import fcntl
+
+        self._fh = open(self.path, "a+", encoding="utf-8")
+        fcntl.flock(self._fh.fileno(), fcntl.LOCK_EX)
+        return self
+
+    def __exit__(self, *exc):
+        import fcntl
+
+        fcntl.flock(self._fh.fileno(), fcntl.LOCK_UN)
+        self._fh.close()
+        return False
+
+
 class FileRegistryCommitOwner(CommitOwner):
     """DURABLE registry owner: ownership is recorded in a registry
     file (``_commit_owner.json`` inside ``_delta_log``, flock-
@@ -757,35 +791,155 @@ class FileRegistryCommitOwner(CommitOwner):
     def put_if_absent(
         self, log_dir: str, version: int, payload: str
     ) -> None:
-        import fcntl
-
         os.makedirs(log_dir, exist_ok=True)
         reg = os.path.join(log_dir, self.REGISTRY)
-        with open(reg, "a+", encoding="utf-8") as fh:
-            fcntl.flock(fh.fileno(), fcntl.LOCK_EX)
+        # Lock a SEPARATE, never-replaced lockfile. Locking the
+        # registry itself is the classic flock-vs-replace bug: a
+        # writer blocked on the flock holds an fd to the inode that
+        # os.replace just superseded, acquires the lock on that STALE
+        # inode, reads the OLD owned-set through it, and clobbers the
+        # winner's grant when it re-writes the registry — a silently
+        # lost commit under 3-writer contention (reproduced by the
+        # staged-owner fuzz before this fix).
+        with _flock_file(reg + ".lock"):
             try:
-                fh.seek(0)
-                raw = fh.read().strip()
-                owned = set(json.loads(raw)["owned"]) if raw else set()
-                target = os.path.join(log_dir, f"{version:020d}.json")
-                if version in owned or os.path.exists(target):
-                    raise DeltaConflictError(
-                        f"delta commit {version} already owned in "
-                        f"{log_dir}; re-read the snapshot and retry"
-                    )
-                tmp = os.path.join(
-                    log_dir, f"_tmp_{uuid.uuid4().hex[:12]}.json"
+                with open(reg, encoding="utf-8") as fh:
+                    raw = fh.read().strip()
+            except OSError:
+                raw = ""
+            owned = set(json.loads(raw)["owned"]) if raw else set()
+            target = os.path.join(log_dir, f"{version:020d}.json")
+            if version in owned or os.path.exists(target):
+                raise DeltaConflictError(
+                    f"delta commit {version} already owned in "
+                    f"{log_dir}; re-read the snapshot and retry"
                 )
-                with open(tmp, "w", encoding="utf-8") as out:
-                    out.write(payload)
-                os.rename(tmp, target)  # publish under the lock
-                owned.add(version)
-                rtmp = reg + f".tmp{uuid.uuid4().hex[:8]}"
-                with open(rtmp, "w", encoding="utf-8") as out:
-                    json.dump({"owned": sorted(owned)}, out)
-                os.replace(rtmp, reg)  # durable grant, atomic
-            finally:
-                fcntl.flock(fh.fileno(), fcntl.LOCK_UN)
+            tmp = os.path.join(
+                log_dir, f"_tmp_{uuid.uuid4().hex[:12]}.json"
+            )
+            with open(tmp, "w", encoding="utf-8") as out:
+                out.write(payload)
+            os.rename(tmp, target)  # publish under the lock
+            owned.add(version)
+            rtmp = reg + f".tmp{uuid.uuid4().hex[:8]}"
+            with open(rtmp, "w", encoding="utf-8") as out:
+                json.dump({"owned": sorted(owned)}, out)
+            os.replace(rtmp, reg)  # durable grant, atomic
+
+
+#: Delta 4.x coordinated-commits layout: unbackfilled commits live as
+#: UUID-named files under this _delta_log subdirectory; the owner's
+#: registry says which one is THE commit for each version.
+STAGED_DIR = "_staged_commits"
+_STAGED_REGISTRY = "_ratified.json"
+_STAGED_RE = re.compile(r"^(\d{20})\.([0-9a-f-]{8,})\.json$")
+
+
+def _staged_ratified(log_dir: str) -> dict[int, str]:
+    """The staged-commit registry: version -> ratified staged file
+    name (empty when the table has no coordinated commits). One JSON
+    read; readers merge these with the backfilled tail."""
+    reg = os.path.join(log_dir, STAGED_DIR, _STAGED_REGISTRY)
+    try:
+        with open(reg, encoding="utf-8") as fh:
+            raw = json.load(fh)
+    except (OSError, ValueError):
+        return {}
+    return {int(v): str(name) for v, name in raw.items()}
+
+
+class StagedCommitOwner(CommitOwner):
+    """**Coordinated commits with Delta 4.x's file layout** (Delta
+    PROTOCOL.md "Catalog-Managed Tables" / coordinated commits):
+    every commit is first written as an IMMUTABLE UUID-named staged
+    file — ``_staged_commits/<version>.<uuid>.json`` — which never
+    contends with anyone (unique name), and then RATIFIED in the
+    owner's flock-serialized registry, the single-machine stand-in
+    for the catalog's commit record. Exactly one staged file per
+    version wins ratification; losers raise
+    :class:`DeltaConflictError` and their staged files remain as
+    unratified garbage (the spec's behavior — ``backfill`` sweeps
+    them once the version is published). Ratification order IS
+    commit order: the registry only ever grows monotonically per
+    version, and the grant survives restarts and out-of-band staged
+    file loss, like the catalog it models.
+
+    Readers see ratified-but-unbackfilled commits because
+    ``DeltaLog._commits`` merges the registry with the backfilled
+    ``<version>.json`` tail — the reader half of the protocol
+    (consult the coordinator for the unbackfilled suffix).
+
+    ``backfill`` publishes ratified staged commits to their
+    canonical ``<version>.json`` names (hardlink putIfAbsent — a
+    concurrent backfiller is harmless) so ordinary readers that
+    never heard of the coordinator can read the table — Delta's
+    exact interop story on object stores."""
+
+    def put_if_absent(
+        self, log_dir: str, version: int, payload: str
+    ) -> None:
+        sdir = os.path.join(log_dir, STAGED_DIR)
+        os.makedirs(sdir, exist_ok=True)
+        fname = f"{version:020d}.{uuid.uuid4().hex}.json"
+        with open(os.path.join(sdir, fname), "w", encoding="utf-8") as fh:
+            fh.write(payload)  # immutable, uncontended
+        reg = os.path.join(sdir, _STAGED_REGISTRY)
+        # dedicated lockfile — never flock the replaced registry
+        # itself (see FileRegistryCommitOwner for the lost-commit
+        # hazard that invites)
+        with _flock_file(reg + ".lock"):
+            owned = {
+                str(v): n
+                for v, n in _staged_ratified(log_dir).items()
+            }
+            target = os.path.join(log_dir, f"{version:020d}.json")
+            if str(version) in owned or os.path.exists(target):
+                # loser: the staged file stays as unratified
+                # garbage until backfill sweeps it
+                raise DeltaConflictError(
+                    f"delta commit {version} already ratified in "
+                    f"{log_dir}; re-read the snapshot and retry"
+                )
+            owned[str(version)] = fname
+            rtmp = reg + f".tmp{uuid.uuid4().hex[:8]}"
+            with open(rtmp, "w", encoding="utf-8") as out:
+                json.dump(owned, out, sort_keys=True)
+            os.replace(rtmp, reg)  # durable grant, atomic
+
+    @staticmethod
+    def backfill(log_dir: str) -> int:
+        """Publish every ratified staged commit to its canonical
+        ``<version>.json`` name and sweep that version's unratified
+        losers. Hardlink putIfAbsent — concurrent backfillers and
+        pre-existing published files are no-ops. Returns the number
+        of versions published."""
+        sdir = os.path.join(log_dir, STAGED_DIR)
+        ratified = _staged_ratified(log_dir)
+        published = 0
+        for version, fname in sorted(ratified.items()):
+            src = os.path.join(sdir, fname)
+            dst = os.path.join(log_dir, f"{version:020d}.json")
+            if not os.path.exists(dst):
+                try:
+                    os.link(src, dst)
+                    published += 1
+                except FileExistsError:
+                    pass  # concurrent backfiller won — same content
+                except OSError:
+                    continue  # staged file missing — leave for audit
+            # loser sweep: unratified staged files for this version
+            try:
+                names = os.listdir(sdir)
+            except OSError:
+                names = []
+            for n in names:
+                m = _STAGED_RE.match(n)
+                if m and int(m.group(1)) == version and n != fname:
+                    try:
+                        os.unlink(os.path.join(sdir, n))
+                    except OSError:
+                        pass
+        return published
 
 
 _DEFAULT_OWNER = FileSystemCommitOwner()
@@ -810,12 +964,25 @@ class DeltaLog:
     def _commits(self) -> list[tuple[int, str]]:
         if not os.path.isdir(self.log_dir):
             return []
-        out = []
+        out = {}
         for f in os.listdir(self.log_dir):
             m = _COMMIT_RE.match(f)
             if m:
-                out.append((int(m.group(1)), os.path.join(self.log_dir, f)))
-        return sorted(out)
+                out[int(m.group(1))] = os.path.join(self.log_dir, f)
+        # Coordinated commits (Delta 4.x): a ratified-but-unbackfilled
+        # commit lives only under _staged_commits/ — the reader must
+        # consult the owner's registry for the unbackfilled suffix or
+        # it reads a stale table. Backfilled versions win (same
+        # content, canonical name); zero overhead for tables without
+        # a staged dir.
+        sdir = os.path.join(self.log_dir, STAGED_DIR)
+        if os.path.isdir(sdir):
+            for v, fname in _staged_ratified(self.log_dir).items():
+                if v not in out:
+                    p = os.path.join(sdir, fname)
+                    if os.path.isfile(p):
+                        out[v] = p
+        return sorted(out.items())
 
     def _checkpoints(self) -> list[tuple[int, str]]:
         """Single-file (classic v1) checkpoints only — see
@@ -895,6 +1062,12 @@ class DeltaLog:
         if version <= 0:
             return None
         p = os.path.join(self.log_dir, f"{version - 1:020d}.json")
+        if not os.path.isfile(p):
+            # the previous commit may be ratified-but-unbackfilled
+            # (coordinated commits) — one registry read resolves it
+            fname = _staged_ratified(self.log_dir).get(version - 1)
+            if fname is not None:
+                p = os.path.join(self.log_dir, STAGED_DIR, fname)
         try:
             with open(p, encoding="utf-8") as fh:
                 for ln in fh:
