@@ -1078,12 +1078,341 @@ ORDER BY writer
 """
 
 
+# ------------------------------------------------------------- q464
+
+Q464_WH = os.path.join(_FIX, "q464_warehouse")
+
+
+def q464_generated_partition_pruning(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Generated-column partition pruning** (delta.io "use
+    generated columns for partition pruning"): a predicate on a DATA
+    column prunes through any PARTITION column generated from it —
+    ``WHERE odate BETWEEN ...`` on a table partitioned by
+    ``oyear = year(odate)`` skips every other year's directories
+    with NO user-written partition filter. The planner derives the
+    partition conjunct from the ``delta.generationExpression`` field
+    metadata the log already carries; monotone generations (CAST AS
+    DATE, year, date_trunc, prefix) derive range conjuncts, wrapping
+    ones (month/day) derive equality only, strict ops weaken to
+    inclusive so the boundary partition is never over-pruned.
+
+    Pinned properties:
+
+    * ``derived_prunes`` — the data-column predicate alone keeps
+      exactly the files an EXPLICIT partition conjunct would, and
+      strictly fewer than the live total;
+    * ``pruned_read_correct`` — ``read_pruned`` + the row-level
+      filter returns exactly the full scan's filtered rows (file
+      pruning is a superset guarantee — this query's output IS that
+      read);
+    * ``boundary_safe`` — a strict ``>`` with a mid-year literal
+      still keeps that year's partition (deriving ``oyear > 1996``
+      instead of ``>= 1996`` would AND away the boundary directory
+      even though the per-file stats keep it).
+
+    Scale: this is the feature that makes "partition by derived
+    date, query by raw timestamp" free at 100 TB — without it every
+    timestamp-range query scans all partitions unless users remember
+    to repeat the filter on the partition column. The derivation is
+    O(|conjuncts|) driver-side arithmetic on literals; planning
+    stays zero-footer-open.
+
+    Reference: orders_cleaned.sql date derivations +
+    dbt_project.yml:46 partition hooks — the reference partitions
+    derived date columns exactly like this.
+    """
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q464_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q464_WH, retain_versions=3,
+                          delta_log=True)
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("odate"),
+        _money_cents("o_totalprice").alias("cents"),
+    )
+    store.overwrite("sales", base)  # create, then declare + rewrite
+    store.set_generated("sales", "oyear", "year(odate)")
+    store.overwrite("sales", base, partition_by=("oyear",))
+
+    from datetime import datetime as _dt
+
+    lo, hi = _dt(1996, 1, 1), _dt(1996, 12, 31, 23, 59, 59)
+    snap = store.delta_snapshot("sales")
+    total = len(snap.files)
+    kept_derived, _ = store.scan_files(
+        "sales", [("odate", "between", (lo, hi))]
+    )
+    kept_explicit, _ = store.scan_files("sales", [("oyear", "=", 1996)])
+    derived_prunes = (
+        0 < len(kept_derived) < total
+        and sorted(kept_derived) == sorted(kept_explicit)
+    )
+
+    pruned = store.read_pruned(
+        "sales", [("odate", "between", (lo, hi))]
+    ).where(
+        (F.col("odate") >= F.lit(lo)) & (F.col("odate") <= F.lit(hi))
+    )
+    full = store.read("sales").where(
+        (F.col("odate") >= F.lit(lo)) & (F.col("odate") <= F.lit(hi))
+    )
+    pruned_cnt, full_cnt = pruned.count(), full.count()
+    pruned_read_correct = pruned_cnt == full_cnt and full_cnt > 0
+
+    # strict > with a mid-year literal must keep that year's
+    # partition: an unsound derivation (oyear > 1996 instead of
+    # >= 1996) would AND away the 1996 directory even though the
+    # per-file odate stats keep it.
+    kept_boundary, _ = store.scan_files(
+        "sales", [("odate", ">", _dt(1996, 6, 15, 12, 0))]
+    )
+    boundary_safe = any(
+        "oyear=1996" in p for p in kept_boundary
+    )
+
+    out = (
+        pruned.groupBy(F.date_format("odate", "yyyy-MM").alias("om"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    return out.select(
+        "om",
+        "n",
+        "cents_sum",
+        F.lit(bool(derived_prunes)).alias("derived_prunes"),
+        F.lit(bool(pruned_read_correct)).alias("pruned_read_correct"),
+        F.lit(bool(boundary_safe)).alias("boundary_safe"),
+    ).orderBy("om")
+
+
+Q464_SQL = """
+SELECT strftime(o_orderdate, '%Y-%m') AS om,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS BIGINT) AS cents_sum,
+       TRUE AS derived_prunes,
+       TRUE AS pruned_read_correct,
+       TRUE AS boundary_safe
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+GROUP BY om
+ORDER BY om
+"""
+
+
+# ------------------------------------------------------------- q465
+
+Q465_TABLE = os.path.join(_FIX, "q465_table")
+
+
+def q465_coordinator_declaration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Coordinated-commits DECLARATION** (Delta 4.x
+    ``coordinatedCommits-preview`` table properties): the table's
+    metadata NAMES its commit coordinator
+    (``delta.coordinatedCommits.commitCoordinator-preview``), so a
+    coordinator-unaware writer discovers it must refuse instead of
+    forking history via filesystem putIfAbsent. q456 built the owner
+    seam, q463 the staged-file layout — this closes the loop: until
+    now every writer had to simply KNOW to use the registry; after
+    declaration it's enforced by ``DeltaLog.commit``'s protocol
+    check.
+
+    Lifecycle: init + batch A via filesystem →
+    ``enable_coordinated_commits`` (the spec's LAST filesystem
+    commit) → foreign writers refused → batch B through the declared
+    coordinator (staged + ratified) → disable THROUGH the
+    coordinator → filesystem commits resume → backfill for the
+    coordinator-unaware oracle.
+
+    Pinned properties:
+
+    * ``declaration_last_fs_commit`` — the enable commit lands at a
+      canonical ``<v>.json`` (filesystem), while the first
+      post-declaration commit exists ONLY as a ratified staged file;
+    * ``foreign_refused`` — both a plain hardlink writer and a
+      WRONG-named coordinator get ``DeltaProtocolError`` with the
+      version unchanged; a foreign writer also cannot unilaterally
+      UN-coordinate the table (the disable path enforces ownership);
+    * ``coordinator_routes`` — the declared coordinator's append
+      lands and the merged read (canonical tail + registry suffix)
+      returns both batches completely;
+    * ``disable_restores_filesystem`` — the disable goes through
+      the coordinator, after which a plain filesystem commit
+      succeeds;
+    * ``n_decl_in_log`` — DuckDB parses the backfilled canonical
+      JSON and finds EXACTLY ONE metaData action declaring the
+      coordinator (enable sets it, disable removes it, no other
+      metaData carries it).
+
+    Scale: on a 1000-executor lake the coordinator (Unity/Glue-class
+    catalog) owns hot tables' commits; the declaration is what makes
+    every engine — not just the ones configured with the registry —
+    converge on it. The check costs one memoized prev-snapshot
+    lookup per commit; zero data-plane cost.
+
+    Reference: profiles.yml:10 (Databricks = Unity-catalog-owned
+    commits in production).
+    """
+    from product_analytics_spark.sources import delta_log as dl
+
+    shutil.rmtree(Q465_TABLE, ignore_errors=True)
+    os.makedirs(os.path.join(Q465_TABLE, dl.LOG_DIR))
+    ldir = os.path.join(Q465_TABLE, dl.LOG_DIR)
+    COORD = "unity-local"
+
+    base = _t(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").cast("long").alias("nation"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    fs = dl.DeltaLog(Q465_TABLE)
+    fs.commit([{"protocol": dl.PROTOCOL_ACTION},
+               {"metaData": dl.make_metadata(base.schema.json())}],
+              version=0)
+
+    def _land_batch(i: int, pred):
+        tmp = os.path.join(Q465_TABLE, f"_tmp{i}")
+        base.where(pred).coalesce(1).write.parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(Q465_TABLE, f"batch-{i}.parquet")
+        os.replace(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return {"add": dl.make_add(Q465_TABLE, dst)}
+
+    fs.commit([_land_batch(0, F.col("k") % 2 == 0)], version=1)
+    v_decl = dl.enable_coordinated_commits(
+        Q465_TABLE, COORD, {"endpoint": "local"}
+    )
+
+    # foreign writers: plain hardlink, wrong-named coordinator, and
+    # a unilateral un-coordinate attempt — all refused, version pinned
+    refusals = 0
+    for attempt in (
+        lambda: dl.DeltaLog(Q465_TABLE).commit(
+            [_land_batch(9, F.col("k") % 2 == 1)]
+        ),
+        lambda: dl.DeltaLog(
+            Q465_TABLE,
+            owner=dl.StagedCommitOwner(coordinator_name="other"),
+        ).commit([{"domainMetadata": {
+            "domain": "q465.forged", "configuration": "{}",
+            "removed": False}}]),
+        lambda: dl.disable_coordinated_commits(
+            Q465_TABLE, dl.FileSystemCommitOwner()
+        ),
+    ):
+        try:
+            attempt()
+        except dl.DeltaProtocolError:
+            refusals += 1
+    foreign_refused = (
+        refusals == 3
+        and dl.DeltaLog(Q465_TABLE).latest_version() == v_decl
+    )
+
+    coord_log = dl.DeltaLog(
+        Q465_TABLE,
+        owner=dl.StagedCommitOwner(coordinator_name=COORD),
+    )
+    v_b = coord_log.commit([_land_batch(1, F.col("k") % 2 == 1)])
+    declaration_last_fs_commit = (
+        os.path.isfile(os.path.join(ldir, f"{v_decl:020d}.json"))
+        and not os.path.isfile(os.path.join(ldir, f"{v_b:020d}.json"))
+        and v_b in dl._staged_ratified(ldir)
+    )
+    n_expected = base.count()
+    coordinator_routes = (
+        dl.read_delta(spark, Q465_TABLE).count() == n_expected
+    )
+
+    v_off = dl.disable_coordinated_commits(
+        Q465_TABLE, dl.StagedCommitOwner(coordinator_name=COORD)
+    )
+    v_fs = dl.DeltaLog(Q465_TABLE).commit([{"domainMetadata": {
+        "domain": "q465.post", "configuration": "{}",
+        "removed": False}}])
+    conf_now = (
+        dl.DeltaLog(Q465_TABLE).snapshot().metadata["configuration"]
+    )
+    disable_restores_filesystem = (
+        v_fs == v_off + 1
+        and dl.COMMIT_COORDINATOR_PROP not in conf_now
+    )
+
+    dl.StagedCommitOwner.backfill(ldir)
+
+    out = (
+        dl.read_delta(spark, Q465_TABLE)
+        .groupBy((F.col("nation") % 5).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    return out.select(
+        "bucket",
+        "n",
+        "cents_sum",
+        F.lit(1).cast("long").alias("n_decl_in_log"),
+        F.lit(bool(declaration_last_fs_commit)).alias(
+            "declaration_last_fs_commit"),
+        F.lit(bool(foreign_refused)).alias("foreign_refused"),
+        F.lit(bool(coordinator_routes)).alias("coordinator_routes"),
+        F.lit(bool(disable_restores_filesystem)).alias(
+            "disable_restores_filesystem"),
+    ).orderBy("bucket")
+
+
+Q465_SQL = f"""
+WITH log AS (
+  SELECT * FROM read_json_auto(
+    '{Q465_TABLE}/_delta_log/0*.json',
+    format='newline_delimited', union_by_name=true)
+),
+decl AS (
+  SELECT count(*) AS n FROM log
+  WHERE metaData IS NOT NULL
+    AND json_extract_string(to_json(metaData),
+      '$.configuration."delta.coordinatedCommits.commitCoordinator-preview"')
+      = 'unity-local'
+),
+rows_all AS (
+  SELECT c_custkey AS k, CAST(c_nationkey AS BIGINT) AS nation,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM customer
+)
+SELECT nation % 5 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       (SELECT CAST(n AS BIGINT) FROM decl) AS n_decl_in_log,
+       TRUE AS declaration_last_fs_commit,
+       TRUE AS foreign_refused,
+       TRUE AS coordinator_routes,
+       TRUE AS disable_restores_filesystem
+FROM rows_all
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 QUERIES_EXT95 = {
     "q459_append_only_invariants": q459_append_only_invariants,
     "q460_time_based_retention": q460_time_based_retention,
     "q461_stream_byte_admission": q461_stream_byte_admission,
     "q462_column_mapping_id_mode": q462_column_mapping_id_mode,
     "q463_staged_commits": q463_staged_commits,
+    "q464_generated_partition_pruning": q464_generated_partition_pruning,
+    "q465_coordinator_declaration": q465_coordinator_declaration,
 }
 
 
@@ -1094,4 +1423,6 @@ def _oracles_ext95() -> dict[str, str]:
         "q461_stream_byte_admission": Q461_SQL,
         "q462_column_mapping_id_mode": Q462_SQL,
         "q463_staged_commits": Q463_SQL,
+        "q464_generated_partition_pruning": Q464_SQL,
+        "q465_coordinator_declaration": Q465_SQL,
     }

@@ -294,6 +294,22 @@ APPEND_ONLY_PROP = "delta.appendOnly"
 #: their in-commit timestamp (default 30 days).
 DELETED_FILE_RETENTION_PROP = "delta.deletedFileRetentionDuration"
 LOG_RETENTION_PROP = "delta.logRetentionDuration"
+
+#: Coordinated-commits DECLARATION (Delta 4.x
+#: ``coordinatedCommits-preview``): the table's metadata NAMES its
+#: commit coordinator, so a writer that doesn't route commits
+#: through that coordinator can discover it must refuse — without
+#: this, the q456/q463 owner seam is a convention (every writer must
+#: simply KNOW to use the registry) and one coordinator-unaware
+#: writer doing filesystem putIfAbsent forks the history the
+#: coordinator thinks it owns.
+COMMIT_COORDINATOR_PROP = (
+    "delta.coordinatedCommits.commitCoordinator-preview"
+)
+COMMIT_COORDINATOR_CONF_PROP = (
+    "delta.coordinatedCommits.commitCoordinatorConf-preview"
+)
+COORDINATED_COMMITS_FEATURE = "coordinatedCommits-preview"
 DEFAULT_DELETED_FILE_RETENTION_MS = 7 * 24 * 3600 * 1000
 DEFAULT_LOG_RETENTION_MS = 30 * 24 * 3600 * 1000
 
@@ -630,6 +646,147 @@ class DeltaSnapshot:
             return True
         return True  # unknown op: never prune on it
 
+    def generated_partition_sources(
+        self,
+    ) -> dict[str, tuple[str, str, object]]:
+        """Partition columns whose ``delta.generationExpression`` is a
+        recognized function of one data column: partition col ->
+        (source col, kind, arg). Kinds: ``date`` (CAST AS DATE /
+        to_date), ``year``/``month``/``day``, ``trunc_day`` /
+        ``trunc_month`` / ``trunc_year`` (date_trunc), ``prefix``
+        (substring(c,1,n) / left(c,n)). ``date``/``year``/``trunc_*``
+        / ``prefix`` are MONOTONE non-decreasing in the source —
+        usable for range predicates; ``month``/``day`` wrap and are
+        equality-only."""
+        schema_str = (self.metadata or {}).get("schemaString")
+        part_cols = set(self.metadata.get("partitionColumns") or [])
+        if not schema_str or not part_cols:
+            return {}
+        out: dict[str, tuple[str, str, object]] = {}
+        pats = (
+            (r"^cast\s*\(\s*(\w+)\s+as\s+date\s*\)$", "date", None),
+            (r"^to_date\s*\(\s*(\w+)\s*\)$", "date", None),
+            (r"^year\s*\(\s*(\w+)\s*\)$", "year", None),
+            (r"^month\s*\(\s*(\w+)\s*\)$", "month", None),
+            (r"^day\s*\(\s*(\w+)\s*\)$", "day", None),
+            (r"^date_trunc\s*\(\s*'(day|month|year)'\s*,\s*(\w+)\s*\)$",
+             "trunc", None),
+            (r"^substring\s*\(\s*(\w+)\s*,\s*1\s*,\s*(\d+)\s*\)$",
+             "prefix", None),
+            (r"^left\s*\(\s*(\w+)\s*,\s*(\d+)\s*\)$", "prefix", None),
+        )
+        for f in json.loads(schema_str).get("fields", []):
+            if f["name"] not in part_cols:
+                continue
+            expr = (f.get("metadata") or {}).get(
+                "delta.generationExpression"
+            )
+            if not expr:
+                continue
+            e = str(expr).strip().lower()
+            for pat, kind, _ in pats:
+                mm = re.match(pat, e)
+                if not mm:
+                    continue
+                if kind == "trunc":
+                    out[f["name"]] = (
+                        mm.group(2), f"trunc_{mm.group(1)}", None
+                    )
+                elif kind == "prefix":
+                    out[f["name"]] = (
+                        mm.group(1), "prefix", int(mm.group(2))
+                    )
+                else:
+                    out[f["name"]] = (mm.group(1), kind, None)
+                break
+        return out
+
+    @staticmethod
+    def _gen_apply(kind: str, arg, v):
+        """Evaluate the generation function on a predicate LITERAL
+        (driver-side, literals only). None = not computable — the
+        caller derives nothing, pruning stays conservative."""
+        try:
+            if kind == "prefix":
+                return str(v)[: int(arg)]
+            if isinstance(v, str):
+                d = datetime.fromisoformat(v[:19]) if len(v) > 10 \
+                    else datetime.fromisoformat(v[:10])
+            elif isinstance(v, datetime):
+                d = v
+            elif isinstance(v, date):
+                d = datetime(v.year, v.month, v.day)
+            else:
+                return None
+            if kind == "date":
+                return d.date()
+            if kind == "year":
+                return d.year
+            if kind == "month":
+                return d.month
+            if kind == "day":
+                return d.day
+            if kind == "trunc_day":
+                return datetime(d.year, d.month, d.day)
+            if kind == "trunc_month":
+                return datetime(d.year, d.month, 1)
+            if kind == "trunc_year":
+                return datetime(d.year, 1, 1)
+        except (ValueError, TypeError):
+            return None
+        return None
+
+    #: generation kinds that are monotone non-decreasing in the
+    #: source column — safe for range-predicate derivation
+    _GEN_MONOTONE = frozenset(
+        {"date", "year", "trunc_day", "trunc_month", "trunc_year",
+         "prefix"}
+    )
+
+    def derived_partition_conjuncts(
+        self, conjuncts: list[tuple[str, str, object]]
+    ) -> list[tuple[str, str, object]]:
+        """**Generated-column partition pruning** (delta.io "use
+        generated columns for partition pruning"): a predicate on a
+        DATA column implies a predicate on any PARTITION column
+        generated from it — ``WHERE ts >= X`` on a table partitioned
+        by ``day = CAST(ts AS DATE)`` prunes to the matching date
+        directories with no user-written partition filter. Monotone
+        generations derive range conjuncts (strict ops conservatively
+        weaken to inclusive — f(c) > f(v) would over-prune the
+        boundary partition); wrapping ones (month/day) derive
+        equality only."""
+        gens = self.generated_partition_sources()
+        if not gens:
+            return []
+        by_src: dict[str, list[tuple[str, str, object]]] = {}
+        for p, (src, kind, arg) in gens.items():
+            by_src.setdefault(src, []).append((p, kind, arg))
+        derived: list[tuple[str, str, object]] = []
+        for c, op, lit in conjuncts:
+            for p, kind, arg in by_src.get(c, ()):
+                mono = kind in self._GEN_MONOTONE
+                if op == "=":
+                    pv = self._gen_apply(kind, arg, lit)
+                    if pv is not None:
+                        derived.append((p, "=", pv))
+                elif not mono:
+                    continue
+                elif op in (">", ">="):
+                    pv = self._gen_apply(kind, arg, lit)
+                    if pv is not None:
+                        derived.append((p, ">=", pv))
+                elif op in ("<", "<="):
+                    pv = self._gen_apply(kind, arg, lit)
+                    if pv is not None:
+                        derived.append((p, "<=", pv))
+                elif op == "between":
+                    a = self._gen_apply(kind, arg, lit[0])
+                    b = self._gen_apply(kind, arg, lit[1])
+                    if a is not None and b is not None:
+                        derived.append((p, "between", (a, b)))
+        return derived
+
     def plan_files(
         self, conjuncts: list[tuple[str, str, object]] | None = None
     ) -> list[str]:
@@ -638,14 +795,19 @@ class DeltaSnapshot:
         parquet footer opens. ``conjuncts``: (column, op, literal)
         with op in =, <, <=, >, >=, between. Columns are LOGICAL
         names; under column mapping they are translated to the
-        physical names the stats are keyed by."""
+        physical names the stats are keyed by. Predicates on a data
+        column additionally prune through partition columns GENERATED
+        from it (``derived_partition_conjuncts``) — Delta's
+        generated-column partition pruning."""
         m = self.column_mapping()
+        conj = list(conjuncts or [])
+        conj += self.derived_partition_conjuncts(conj)
         out = []
         for path in sorted(self.files):
             add = self.files[path]
             if all(
                 self._file_overlaps(add, m.get(c, c), op, lit)
-                for (c, op, lit) in (conjuncts or [])
+                for (c, op, lit) in conj
             ):
                 out.append(path)
         return out
@@ -664,7 +826,19 @@ class CommitOwner:
     hardlinks, an object store without putIfAbsent needs a catalog /
     registry to own the table's commits. Implementations must raise
     :class:`DeltaConflictError` when the version is already taken and
-    must never let readers observe partial content."""
+    must never let readers observe partial content.
+
+    ``coordinator_name`` is the owner's identity for the table-level
+    coordinator DECLARATION (``COMMIT_COORDINATOR_PROP``): when a
+    table's metadata names a coordinator, ``DeltaLog.commit`` refuses
+    any owner whose name doesn't match — the mechanism that turns
+    "every writer must know to use the registry" from convention into
+    protocol."""
+
+    coordinator_name: str | None = None
+
+    def __init__(self, coordinator_name: str | None = None):
+        self.coordinator_name = coordinator_name
 
     def put_if_absent(
         self, log_dir: str, version: int, payload: str
@@ -1139,6 +1313,39 @@ class DeltaLog:
                     "must not commit remove actions with "
                     "dataChange=true (DELETE/UPDATE/MERGE/overwrite/"
                     "RESTORE forbidden); nothing committed"
+                )
+        # Coordinated-commits declaration (Delta 4.x
+        # ``coordinatedCommits-preview``): when the PREVIOUS
+        # version's metadata names a commit coordinator, filesystem
+        # putIfAbsent is no longer this table's commit protocol — a
+        # writer not routing through that coordinator must refuse
+        # (a coordinator-unaware writer racing the catalog would
+        # fork the history the coordinator thinks it owns). The
+        # commit that ENABLES the coordinator is the table's last
+        # filesystem commit (prev metadata is still un-coordinated);
+        # the commit that DISABLES it goes THROUGH the coordinator
+        # (prev still declares it), after which filesystem commits
+        # resume. Prev-snapshot reconstruction is module-memoized,
+        # so this is one dict lookup on the hot path.
+        if version > 0:
+            try:
+                prev_conf = (
+                    self.snapshot(version - 1).metadata or {}
+                ).get("configuration") or {}
+            except (DeltaProtocolError, OSError, ValueError):
+                prev_conf = {}
+            declared = prev_conf.get(COMMIT_COORDINATOR_PROP)
+            if declared and (
+                getattr(self.owner, "coordinator_name", None)
+                != declared
+            ):
+                raise DeltaProtocolError(
+                    f"table {self.table_dir} commits are owned by "
+                    f"coordinator {declared!r} "
+                    f"({COMMIT_COORDINATOR_PROP}): a compliant "
+                    "writer must route commits through that "
+                    "coordinator, not filesystem putIfAbsent; "
+                    "nothing committed"
                 )
         proposed = (
             int(timestamp_ms) if timestamp_ms is not None
@@ -3637,6 +3844,7 @@ ENGINE_WRITER_FEATURES = frozenset(
         "v2Checkpoint",
         "vacuumProtocolCheck",
         "checkpointProtection",
+        "coordinatedCommits-preview",
     }
 )
 
@@ -3725,6 +3933,85 @@ def enable_checkpoint_protection(
     return log.commit(
         [{"protocol": merge_protocol(prev, need)}, {"metaData": meta}],
         operation="UPGRADE PROTOCOL",
+    )
+
+
+def enable_coordinated_commits(
+    table_dir: str, coordinator: str, conf: dict | None = None
+) -> int:
+    """Declare a **commit coordinator** on a log-managed table
+    (Delta 4.x coordinated commits,
+    ``delta.coordinatedCommits.commitCoordinator-preview``): from
+    the NEXT commit on, ``DeltaLog.commit`` refuses any owner whose
+    ``coordinator_name`` doesn't match — coordinator-unaware
+    filesystem writers fail their protocol check instead of forking
+    the history the coordinator owns. This declaration commit is,
+    by the spec's design, the table's LAST filesystem commit.
+    ``conf`` lands JSON-encoded under the coordinator-conf property
+    (endpoint/credential hints for the coordinator client).
+    Idempotent for the same coordinator; switching coordinators
+    requires disabling through the current one first
+    (``disable_coordinated_commits``)."""
+    log = DeltaLog(table_dir)
+    snap = log.snapshot()
+    if not snap.metadata:
+        raise DeltaProtocolError(f"no metaData at {table_dir}")
+    cur = (snap.metadata.get("configuration") or {}).get(
+        COMMIT_COORDINATOR_PROP
+    )
+    if cur == coordinator:
+        return snap.version  # idempotent
+    if cur:
+        raise DeltaProtocolError(
+            f"table {table_dir} is already coordinated by {cur!r}; "
+            "disable through that coordinator before declaring "
+            "another"
+        )
+    meta = dict(snap.metadata)
+    c = dict(meta.get("configuration") or {})
+    c[COMMIT_COORDINATOR_PROP] = coordinator
+    if conf is not None:
+        c[COMMIT_COORDINATOR_CONF_PROP] = json.dumps(
+            conf, sort_keys=True
+        )
+    meta["configuration"] = c
+    prev = dict(snap.protocol or PROTOCOL_ACTION)
+    need = {
+        "minReaderVersion": prev.get("minReaderVersion", 1),
+        "minWriterVersion": 7,
+        "writerFeatures": _implied_writer_features(
+            prev.get("minWriterVersion", 2)
+        )
+        + [COORDINATED_COMMITS_FEATURE],
+    }
+    return log.commit(
+        [{"protocol": merge_protocol(prev, need)}, {"metaData": meta}],
+        operation="SET TBLPROPERTIES",
+    )
+
+
+def disable_coordinated_commits(
+    table_dir: str, owner: CommitOwner
+) -> int:
+    """Drop the coordinator declaration — THROUGH the coordinator
+    (``owner`` must carry the declared ``coordinator_name``;
+    ``DeltaLog.commit`` enforces it, so a foreign writer can't
+    unilaterally un-coordinate a table it doesn't own). After this
+    commit, filesystem putIfAbsent is the table's commit protocol
+    again; the writer feature stays declared (protocol upgrades are
+    monotone) but is inert without the property, matching Delta's
+    downgrade story."""
+    log = DeltaLog(table_dir, owner=owner)
+    snap = log.snapshot()
+    if not snap.metadata:
+        raise DeltaProtocolError(f"no metaData at {table_dir}")
+    meta = dict(snap.metadata)
+    c = dict(meta.get("configuration") or {})
+    c.pop(COMMIT_COORDINATOR_PROP, None)
+    c.pop(COMMIT_COORDINATOR_CONF_PROP, None)
+    meta["configuration"] = c
+    return log.commit(
+        [{"metaData": meta}], operation="UNSET TBLPROPERTIES"
     )
 
 
