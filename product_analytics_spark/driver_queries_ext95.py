@@ -1207,6 +1207,441 @@ ORDER BY om
 """
 
 
+# ------------------------------------------------------------- q467
+
+Q467_WH = os.path.join(_FIX, "q467_warehouse")
+
+
+def q467_nested_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Column invariants on NESTED struct fields** (Delta
+    PROTOCOL.md "Column Invariants") — q459 enforced top-level
+    invariants; Delta's spec persists the rule in the INNER field's
+    metadata for nested columns, and real schemas at 100 TB are
+    nested (event envelopes, address structs, model metadata). The
+    engine now declares, persists, discovers, and enforces dotted
+    paths end-to-end.
+
+    Lifecycle on ``customer`` reshaped to ``(k, addr struct{zip,
+    city}, cents)``: overwrite → ``set_invariant("addr.zip",
+    "addr.zip >= 0 AND addr.zip < 25")`` (validates existing data
+    first) → good append lands → three refusal shapes.
+
+    Pinned properties:
+
+    * ``violations_refused`` — a negative ``addr.zip``, a NULL
+      ``addr.zip`` (null-or-false VIOLATES, stricter than CHECK),
+      and a write whose struct LACKS the ``zip`` field entirely
+      (all-null by definition) are each refused with the table
+      count unchanged;
+    * ``rule_in_nested_metadata`` — snapshot discovery returns the
+      dotted path, the spec's persisted-rule JSON lives in the
+      INNER field's metadata (the outer ``addr`` field carries
+      none), and a FOREIGN log-level writer can discover + validate
+      via ``DeltaSnapshot.invariants`` / ``validate_invariants``;
+    * ``n_decl_commits`` — DuckDB independently parses the commit
+      JSON's ``metaData.schemaString`` down the nested field path
+      and counts the same declaring commits the engine sees.
+
+    Scale: validation is ONE fused null-safe predicate on the
+    write's existing scan — no extra pass, no shuffle, regardless of
+    nesting depth; discovery is O(schema) driver-side.
+
+    Reference: bronze.yml CDC payload columns — the reference's raw
+    events are exactly the nested-envelope shape these rules guard.
+    """
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.sinks import (
+        ConstraintViolationError,
+        SnapshotStore,
+    )
+
+    shutil.rmtree(Q467_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q467_WH, retain_versions=5,
+                          delta_log=True)
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.struct(
+            F.col("c_nationkey").cast("long").alias("zip"),
+            F.col("c_mktsegment").alias("city"),
+        ).alias("addr"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("t", base)
+    store.set_invariant("t", "addr.zip",
+                        "addr.zip >= 0 AND addr.zip < 25")
+    good = base.withColumn("k", F.col("k") + 9_000_000)
+    store.append("t", good)
+    n_after_good = store.read("t").count()
+
+    def _refused(df) -> bool:
+        try:
+            store.append("t", df)
+            return False
+        except ConstraintViolationError:
+            return True
+
+    bad_val = base.limit(3).withColumn(
+        "addr", F.struct(F.lit(-1).cast("long").alias("zip"),
+                         F.lit("y").alias("city")))
+    bad_null = base.limit(3).withColumn(
+        "addr", F.struct(F.lit(None).cast("long").alias("zip"),
+                         F.lit("y").alias("city")))
+    bad_missing = cust.limit(3).select(
+        F.col("c_custkey").alias("k"),
+        F.struct(F.col("c_mktsegment").alias("city")).alias("addr"),
+        F.lit(0).cast("long").alias("cents"),
+    )
+    violations_refused = (
+        _refused(bad_val) and _refused(bad_null)
+        and _refused(bad_missing)
+        and store.read("t").count() == n_after_good
+    )
+
+    snap = store.delta_snapshot("t")
+    invs = snap.invariants()
+    sch = json.loads(snap.metadata["schemaString"])
+    addr_f = next(f for f in sch["fields"] if f["name"] == "addr")
+    zip_f = next(f for f in addr_f["type"]["fields"]
+                 if f["name"] == "zip")
+    try:
+        rule = json.loads(
+            zip_f["metadata"][dl.INVARIANTS_META_KEY]
+        )["expression"]["expression"]
+    except (KeyError, ValueError):
+        rule = None
+    foreign_ok = True
+    try:  # foreign validation path accepts good rows...
+        dl.validate_invariants(good, invs)
+    except dl.DeltaProtocolError:
+        foreign_ok = False
+    try:  # ...and refuses bad ones
+        dl.validate_invariants(bad_null, invs)
+        foreign_ok = False
+    except dl.DeltaProtocolError:
+        pass
+    rule_in_nested_metadata = (
+        invs == {"addr.zip": "addr.zip >= 0 AND addr.zip < 25"}
+        and rule == "addr.zip >= 0 AND addr.zip < 25"
+        and dl.INVARIANTS_META_KEY not in (addr_f.get("metadata") or {})
+        and foreign_ok
+    )
+
+    ldir = os.path.join(store.path("t"), dl.LOG_DIR)
+    n_decl = 0
+    for fn in sorted(os.listdir(ldir)):
+        if not dl._COMMIT_RE.match(fn):
+            continue
+        with open(os.path.join(ldir, fn), encoding="utf-8") as fh:
+            for ln in fh:
+                if not ln.strip():
+                    continue
+                a = json.loads(ln)
+                ss = (a.get("metaData") or {}).get("schemaString")
+                if ss and dl.INVARIANTS_META_KEY in ss:
+                    n_decl += 1
+
+    out = (
+        store.read("t")
+        .groupBy(F.col("addr.city").alias("city"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    return out.select(
+        "city",
+        "n",
+        "cents_sum",
+        F.lit(int(n_decl)).cast("long").alias("n_decl_commits"),
+        F.lit(bool(violations_refused)).alias("violations_refused"),
+        F.lit(bool(rule_in_nested_metadata)).alias(
+            "rule_in_nested_metadata"),
+    ).orderBy("city")
+
+
+Q467_SQL = f"""
+WITH log AS (
+  SELECT * FROM read_json_auto(
+    '{Q467_WH}/t/_delta_log/0*.json',
+    format='newline_delimited', union_by_name=true)
+),
+decl AS (
+  SELECT count(*) AS n FROM log
+  WHERE metaData IS NOT NULL
+    AND json_extract_string(metaData.schemaString,
+      '$.fields[1].type.fields[0].metadata."delta.invariants"')
+      IS NOT NULL
+),
+base AS (
+  SELECT c_custkey AS k, c_mktsegment AS city,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM customer
+),
+allr AS (
+  SELECT city, cents FROM base
+  UNION ALL
+  SELECT city, cents FROM base
+)
+SELECT city,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       (SELECT CAST(n AS BIGINT) FROM decl) AS n_decl_commits,
+       TRUE AS violations_refused,
+       TRUE AS rule_in_nested_metadata
+FROM allr
+GROUP BY city
+ORDER BY city
+"""
+
+
+# ------------------------------------------------------------- q466
+
+Q466_WH = os.path.join(_FIX, "q466_warehouse")
+
+
+def q466_cdf_stream_admission(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**Mode-aware streaming admission** (Delta's
+    ``maxBytesPerTrigger`` × ``readChangeFeed``): q461's byte budget
+    priced every commit by its dataChange ADD actions — but in
+    change-feed mode the read path serves the commit's cdc files and
+    IGNORES the add/remove churn of a COW rewrite. Pricing the churn
+    makes a tiny logical change (a DELETE touching 9% of rows) look
+    like the whole rewritten table, forcing it to page alone and
+    splitting batches that fit comfortably. ``_commit_cost`` now
+    prices exactly what ``partitions()`` serves per mode.
+
+    Lifecycle on a real CDF table: v0 overwrite (3 files) → v1
+    ``DELETE WHERE cents < 0`` (COW: small cdc file, near-full-table
+    add churn) → v2 small append. The byte budget is set to
+    ``cost(v1 cdc) + cost(v2 adds)`` — strictly below v1's churn.
+
+    Pinned properties:
+
+    * ``cdc_priced_not_churn`` — on a handcrafted log (10 B cdc vs
+      1000 B add churn in one commit, deterministic at every SF), a
+      30 B budget batches all three commits in ONE trigger; churn
+      pricing would page the DML alone;
+    * ``dml_batches_with_neighbor`` — offset drain yields exactly
+      [(0,1), (1,3)]: the oversized v0 pages alone, then v1+v2 ride
+      ONE trigger (the old add-churn pricing would split them);
+    * ``skipped_commits_cost_zero`` — in plain append mode with
+      ``skip_change_commits``, the dropped DML commit burns no
+      budget: v0's files and v2's append page without v1's churn
+      splitting them;
+    * ``stream_matches_batch`` — the real structured stream under
+      the same budget, concatenated across its paged triggers,
+      equals the batch ``table_changes`` feed bit-for-bit.
+
+    Scale: a restarted CDF consumer facing 10 TB of pending DML
+    commits pages by what it will actually READ — the change files —
+    not by the rewrite bytes it will never touch; the wrong pricing
+    under-utilizes every trigger by the table/change ratio (often
+    10-100×).
+
+    Reference: customers_latest.sql:3-6 (merge on a CDC stream) —
+    the rate-limited restart path of the reference's incremental
+    models.
+    """
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.delta_stream import (
+        DeltaTailStreamReader,
+        register_delta_tail,
+    )
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q466_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q466_WH, retain_versions=10,
+                          delta_log=True, cdf=True)
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("feed", base, n_files=3)                   # v0
+    store.delete_where("feed", "cents < 0")                    # v1
+    app = cust.where("c_custkey % 17 = 0").select(
+        (F.col("c_custkey") + 50_000_000).alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        F.lit(300).cast("long").alias("cents"),
+    )
+    store.append("feed", app)                                  # v2
+
+    tdir = store.path("feed")
+    ldir = os.path.join(tdir, dl.LOG_DIR)
+
+    def _acts(v: int) -> list[dict]:
+        with open(os.path.join(ldir, f"{v:020d}.json"),
+                  encoding="utf-8") as fh:
+            return [json.loads(ln) for ln in fh if ln.strip()]
+
+    cdc1 = sum(a["cdc"]["size"] for a in _acts(1) if a.get("cdc"))
+    add2 = sum(
+        a["add"]["size"] for a in _acts(2)
+        if a.get("add") and a["add"].get("dataChange", True)
+    )
+    budget = cdc1 + add2
+
+    def _drain(reader) -> list[tuple[int, int]]:
+        batches = []
+        start = reader.initialOffset()["version"]
+        for _ in range(50):
+            end = reader.latestOffset()["version"]
+            if end <= start:
+                break
+            reader.commit({"version": end})
+            batches.append((start, end))
+            start = end
+        return batches
+
+    b_cdf = _drain(DeltaTailStreamReader({
+        "path": tdir, "read_change_feed": "true",
+        "max_bytes_per_trigger": str(budget),
+    }))
+    dml_batches_with_neighbor = b_cdf == [(0, 1), (1, 3)]
+
+    # deterministic arm: handcrafted sizes prove cdc-vs-churn
+    # pricing independent of parquet overhead at any SF — a 30 B
+    # budget fits v0(10) + v1(cdc 10, churn 1000) + v2(10) in ONE
+    # trigger; churn pricing would page v1 alone
+    mixdir = os.path.join(_FIX, "q466_mix")
+    shutil.rmtree(mixdir, ignore_errors=True)
+    os.makedirs(os.path.join(mixdir, dl.LOG_DIR))
+    mschema = json.dumps({
+        "type": "struct",
+        "fields": [{"name": "k", "type": "long",
+                    "nullable": True, "metadata": {}}],
+    })
+
+    def _madd(name: str, size: int) -> dict:
+        return {"add": {
+            "path": f"{name}.parquet", "partitionValues": {},
+            "size": size, "modificationTime": 0, "dataChange": True,
+        }}
+
+    mlog = dl.DeltaLog(mixdir)
+    mlog.commit([{"protocol": dl.PROTOCOL_ACTION},
+                 {"metaData": dl.make_metadata(mschema)},
+                 _madd("f0", 10)], version=0)
+    mlog.commit([{"cdc": {"path": "_change_data/c1.parquet",
+                          "partitionValues": {}, "size": 10,
+                          "dataChange": False}},
+                 _madd("f1", 1000),
+                 {"remove": {"path": "f0.parquet",
+                             "dataChange": True,
+                             "deletionTimestamp": 0}}], version=1)
+    mlog.commit([_madd("f2", 10)], version=2)
+    b_mix = _drain(DeltaTailStreamReader({
+        "path": mixdir, "read_change_feed": "true",
+        "max_bytes_per_trigger": "30",
+    }))
+    cdc_priced_not_churn = b_mix == [(0, 3)]
+
+    # append mode + skip_change_commits: the skipped v1 costs zero,
+    # so a budget of exactly v2's bytes still lands v0 then v2 in
+    # two triggers spanning the skipped commit
+    b_skip = _drain(DeltaTailStreamReader({
+        "path": tdir, "skip_change_commits": "true",
+        "max_bytes_per_trigger": str(add2),
+    }))
+    skipped_commits_cost_zero = b_skip == [(0, 1), (1, 3)]
+
+    register_delta_tail(spark)
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        src = (
+            spark.readStream.format("delta_tail")
+            .option("path", tdir)
+            .option("read_change_feed", "true")
+            .option("max_bytes_per_trigger", str(budget))
+            .load()
+        )
+        q = (
+            src.writeStream.format("memory")
+            .queryName("q466_sink")
+            .outputMode("append")
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        q.awaitTermination(60)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+
+    streamed = spark.table("q466_sink")
+    batch_feed = dl.table_changes(spark, tdir, 0).select(
+        *streamed.columns
+    )
+    stream_matches_batch = (
+        streamed.count() == batch_feed.count()
+        and streamed.exceptAll(batch_feed).count() == 0
+    )
+
+    return (
+        streamed.groupBy(
+            F.col("_commit_version").alias("commit_version"),
+            F.col("_change_type").alias("change_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+        .select(
+            "commit_version",
+            "change_type",
+            "n",
+            "cents_sum",
+            F.lit(bool(cdc_priced_not_churn)).alias(
+                "cdc_priced_not_churn"),
+            F.lit(bool(dml_batches_with_neighbor)).alias(
+                "dml_batches_with_neighbor"),
+            F.lit(bool(skipped_commits_cost_zero)).alias(
+                "skipped_commits_cost_zero"),
+            F.lit(bool(stream_matches_batch)).alias(
+                "stream_matches_batch"),
+        )
+        .orderBy("commit_version", "change_type")
+    )
+
+
+Q466_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM customer
+),
+feed AS (
+  SELECT CAST(0 AS BIGINT) AS commit_version, 'insert' AS change_type,
+         cents
+  FROM base
+  UNION ALL
+  SELECT CAST(1 AS BIGINT), 'delete', cents
+  FROM base WHERE cents < 0
+  UNION ALL
+  SELECT CAST(2 AS BIGINT), 'insert', CAST(300 AS BIGINT)
+  FROM customer WHERE c_custkey % 17 = 0
+)
+SELECT commit_version, change_type,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       TRUE AS cdc_priced_not_churn,
+       TRUE AS dml_batches_with_neighbor,
+       TRUE AS skipped_commits_cost_zero,
+       TRUE AS stream_matches_batch
+FROM feed
+GROUP BY commit_version, change_type
+ORDER BY commit_version, change_type
+"""
+
+
 # ------------------------------------------------------------- q465
 
 Q465_TABLE = os.path.join(_FIX, "q465_table")
@@ -1413,6 +1848,8 @@ QUERIES_EXT95 = {
     "q463_staged_commits": q463_staged_commits,
     "q464_generated_partition_pruning": q464_generated_partition_pruning,
     "q465_coordinator_declaration": q465_coordinator_declaration,
+    "q466_cdf_stream_admission": q466_cdf_stream_admission,
+    "q467_nested_invariants": q467_nested_invariants,
 }
 
 
@@ -1425,4 +1862,6 @@ def _oracles_ext95() -> dict[str, str]:
         "q463_staged_commits": Q463_SQL,
         "q464_generated_partition_pruning": Q464_SQL,
         "q465_coordinator_declaration": Q465_SQL,
+        "q466_cdf_stream_admission": Q466_SQL,
+        "q467_nested_invariants": Q467_SQL,
     }

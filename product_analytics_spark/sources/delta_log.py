@@ -350,6 +350,32 @@ def parse_interval_ms(raw: str | None, default_ms: int) -> int:
 #: legacy writer version 2. Unlike CHECK constraints, NULL violates.
 INVARIANTS_META_KEY = "delta.invariants"
 
+
+def walk_schema_fields(fields: list, prefix: str = ""):
+    """Yield ``(dotted path, field dict)`` for every field in a
+    Delta schema JSON, descending struct types — nested fields carry
+    their own metadata (Delta persists nested-column invariants on
+    the INNER field), so anything reading field metadata must walk,
+    not just scan the top level."""
+    for f in fields:
+        name = prefix + f["name"]
+        yield name, f
+        t = f.get("type")
+        if isinstance(t, dict) and t.get("type") == "struct":
+            yield from walk_schema_fields(
+                t.get("fields", []), name + "."
+            )
+
+
+def schema_field_at(schema: dict, path: str) -> dict | None:
+    """The field dict at a (possibly dotted) ``path`` in a Delta
+    schema JSON, or None when absent. Mutating the returned dict
+    mutates the schema — how callers attach nested field metadata."""
+    for name, f in walk_schema_fields(schema.get("fields", [])):
+        if name == path:
+            return f
+    return None
+
 #: Table-features protocol required once any add carries a
 #: ``deletionVector`` descriptor (Delta PROTOCOL.md: DVs are a
 #: reader+writer table feature on protocol 3/7).
@@ -501,7 +527,10 @@ class DeltaSnapshot:
         (``delta.invariants``, Delta PROTOCOL.md "Column Invariants"
         — the legacy writer-version-2 / ``invariants`` table
         feature): column -> SQL expression every written row must
-        satisfy. Accepts both the spec's persisted-rule JSON form
+        satisfy. NESTED struct fields carry their own metadata
+        (Delta persists a nested-column invariant on the inner
+        field), so keys are dotted paths (``addr.zip``). Accepts
+        both the spec's persisted-rule JSON form
         ``{"expression": {"expression": "<sql>"}}`` and a plain SQL
         string. Unlike CHECK constraints, a NULL result VIOLATES an
         invariant (delta-spark's CheckDeltaInvariant throws on null
@@ -510,7 +539,9 @@ class DeltaSnapshot:
         if not schema_str:
             return {}
         out: dict[str, str] = {}
-        for f in json.loads(schema_str).get("fields", []):
+        for name, f in walk_schema_fields(
+            json.loads(schema_str).get("fields", [])
+        ):
             raw = (f.get("metadata") or {}).get(INVARIANTS_META_KEY)
             if not raw:
                 continue
@@ -520,7 +551,7 @@ class DeltaSnapshot:
                     expr = json.loads(raw)["expression"]["expression"]
                 except (ValueError, KeyError, TypeError):
                     expr = raw
-            out[f["name"]] = expr
+            out[name] = expr
         return out
 
     def clustering_columns(self) -> list[str]:
@@ -3758,17 +3789,16 @@ def set_column_invariant(table_dir: str, col: str, expr_sql: str) -> int:
     if not snap.metadata:
         raise DeltaProtocolError(f"no metaData at {table_dir}")
     schema = json.loads(snap.metadata["schemaString"])
-    names = [f["name"] for f in schema["fields"]]
-    if col not in names:
+    target = schema_field_at(schema, col)  # dotted paths descend
+    if target is None:
+        names = [n for n, _ in walk_schema_fields(schema["fields"])]
         raise DeltaProtocolError(f"no column {col!r} in {names}")
-    for f in schema["fields"]:
-        if f["name"] == col:
-            md = dict(f.get("metadata") or {})
-            md[INVARIANTS_META_KEY] = json.dumps(
-                {"expression": {"expression": expr_sql}},
-                separators=(",", ":"),
-            )
-            f["metadata"] = md
+    md = dict(target.get("metadata") or {})
+    md[INVARIANTS_META_KEY] = json.dumps(
+        {"expression": {"expression": expr_sql}},
+        separators=(",", ":"),
+    )
+    target["metadata"] = md
     meta = dict(snap.metadata)
     meta["schemaString"] = json.dumps(schema, separators=(",", ":"))
     actions: list[dict] = []
@@ -3788,17 +3818,28 @@ def validate_invariants(df, invariants: dict[str, str]) -> None:
     would be null for every row). One fused predicate per scan — no
     shuffle, no extra pass at any scale."""
     from pyspark.sql import functions as F
+    from pyspark.errors import AnalysisException
 
     for col, expr_sql in invariants.items():
-        if col not in df.columns:
+        if col.split(".", 1)[0] not in df.columns:
             raise DeltaProtocolError(
                 f"column invariant on {col!r} ({expr_sql}): the "
                 "write is missing the column entirely (all-null "
                 "violates); nothing committed"
             )
-        bad = df.where(
-            ~F.coalesce(F.expr(expr_sql), F.lit(False))
-        ).take(1)
+        try:
+            bad = df.where(
+                ~F.coalesce(F.expr(expr_sql), F.lit(False))
+            ).take(1)
+        except AnalysisException:
+            # a nested field the write's struct lacks — all-null,
+            # which violates
+            raise DeltaProtocolError(
+                f"column invariant on {col!r} ({expr_sql}): the "
+                "write cannot resolve the invariant's column "
+                "(missing nested field is all-null, which "
+                "violates); nothing committed"
+            ) from None
         if bad:
             raise DeltaProtocolError(
                 f"column invariant on {col!r} ({expr_sql}) violated, "

@@ -143,16 +143,51 @@ class DeltaTailStreamReader(DataSourceStreamReader):
         return {"version": self.start_version}
 
     def _commit_cost(self, version: int) -> tuple[int, int]:
-        """(data files, data bytes) a commit would contribute to a
-        batch (add actions with dataChange, matching the read path's
-        admission of append commits). One O(commit-size) JSON read."""
-        n = b = 0
-        for a in self._commit_actions(version):
-            add = a.get("add")
-            if add is not None and add.get("dataChange", True):
-                n += 1
-                b += int(add.get("size") or 0)
-        return n, b
+        """(data files, data bytes) the READ PATH would actually load
+        for this commit under the current mode — admission must price
+        what ``partitions`` serves, or byte budgets mis-admit:
+
+        * cdf mode, commit WITH ``cdc`` actions: the change files
+          ALONE (the reader ignores the add/remove churn of a COW
+          rewrite — pricing those adds would make a tiny logical
+          change look like the whole rewritten table);
+        * cdf mode, commit WITHOUT ``cdc``: dataChange adds (inserts)
+          PLUS dataChange removes (delete rows are read from the
+          removed files; a remove without ``size`` prices 0 bytes but
+          still counts against the file cap);
+        * append mode: dataChange adds; a change commit that
+          ``skip_change_commits`` will drop entirely costs ZERO
+          (burning budget on files never read would split batches
+          around skipped commits).
+
+        One O(commit-size) JSON read."""
+        actions = self._commit_actions(version)
+        adds = [
+            a["add"] for a in actions
+            if a.get("add") and a["add"].get("dataChange", True)
+        ]
+        if self.read_cdf:
+            cdc = [a["cdc"] for a in actions if a.get("cdc")]
+            if cdc:
+                files = cdc
+            else:
+                files = adds + [
+                    a["remove"] for a in actions
+                    if a.get("remove")
+                    and a["remove"].get("dataChange", True)
+                ]
+        else:
+            is_change = any(
+                a.get("remove") and a["remove"].get("dataChange", True)
+                for a in actions
+            ) or any(a.get("deletionVector") for a in adds)
+            if is_change and self.skip_change:
+                return 0, 0
+            files = adds
+        return (
+            len(files),
+            sum(int(f.get("size") or 0) for f in files),
+        )
 
     def latestOffset(self):
         from product_analytics_spark.sources import delta_log as dl

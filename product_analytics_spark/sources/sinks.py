@@ -41,6 +41,7 @@ import shutil
 import uuid
 from collections.abc import Sequence
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -294,15 +295,25 @@ class SnapshotStore:
         for cname, expr_sql in self.constraints(name).items():
             self._assert_satisfies(df, cname, expr_sql)
         for col, expr_sql in self.invariants(name).items():
-            if col not in df.columns:
+            if col.split(".", 1)[0] not in df.columns:
                 raise ConstraintViolationError(
                     f"column invariant on {col!r} ({expr_sql}): the "
                     "write is missing the column entirely (all-null "
                     "violates an invariant); nothing committed"
                 )
-            bad = df.where(
-                ~F.coalesce(F.expr(expr_sql), F.lit(False))
-            ).take(1)
+            try:
+                bad = df.where(
+                    ~F.coalesce(F.expr(expr_sql), F.lit(False))
+                ).take(1)
+            except AnalysisException:
+                # nested field the write's struct lacks — all-null,
+                # which violates an invariant
+                raise ConstraintViolationError(
+                    f"column invariant on {col!r} ({expr_sql}): the "
+                    "write cannot resolve the invariant's column "
+                    "(missing nested field is all-null, which "
+                    "violates); nothing committed"
+                ) from None
             if bad:
                 raise ConstraintViolationError(
                     f"column invariant on {col!r} ({expr_sql}) "
@@ -404,11 +415,17 @@ class SnapshotStore:
         df = self.read(name)
         if df is None:
             raise ValueError(f"unknown table {name!r}")
-        if col not in df.columns:
+        if col.split(".", 1)[0] not in df.columns:
             raise ValueError(f"no column {col!r} in table {name!r}")
-        bad = df.where(
-            ~F.coalesce(F.expr(expr_sql), F.lit(False))
-        ).take(1)
+        try:
+            bad = df.where(
+                ~F.coalesce(F.expr(expr_sql), F.lit(False))
+            ).take(1)
+        except AnalysisException:
+            raise ValueError(
+                f"no column {col!r} in table {name!r} (nested field "
+                "missing)"
+            ) from None
         if bad:
             raise ConstraintViolationError(
                 f"existing data violates invariant on {col!r} "
@@ -2030,16 +2047,18 @@ class SnapshotStore:
         prev_idents: dict[str, dict] = {}
         prev_invs: dict[str, str] = {}
         if prev is not None and (prev.metadata or {}).get("schemaString"):
-            for f in json.loads(prev.metadata["schemaString"])["fields"]:
+            for fpath, f in dl.walk_schema_fields(
+                json.loads(prev.metadata["schemaString"])["fields"]
+            ):
                 fmd = f.get("metadata") or {}
                 ge = fmd.get("delta.generationExpression")
                 if ge:
-                    prev_gens[f["name"]] = ge
+                    prev_gens[fpath] = ge
                 iv = fmd.get(dl.INVARIANTS_META_KEY)
                 if iv:
-                    prev_invs[f["name"]] = iv
+                    prev_invs[fpath] = iv
                 if "delta.identity.start" in fmd:
-                    prev_idents[f["name"]] = {
+                    prev_idents[fpath] = {
                         "start": fmd.get("delta.identity.start"),
                         "step": fmd.get("delta.identity.step"),
                         "high_water_mark": fmd.get(
@@ -2155,6 +2174,17 @@ class SnapshotStore:
                 # invariants live in the FIELD metadata, not
                 # configuration
                 sch = json.loads(schema_json)
+                # invariants may target NESTED fields (dotted paths):
+                # the rule lives in the inner field's metadata, per
+                # Delta's persistence of nested-column invariants
+                for ipath, rule in invs_json.items():
+                    if "." not in ipath:
+                        continue
+                    tgt = dl.schema_field_at(sch, ipath)
+                    if tgt is not None:
+                        tmd = dict(tgt.get("metadata") or {})
+                        tmd[dl.INVARIANTS_META_KEY] = rule
+                        tgt["metadata"] = tmd
                 for f in sch["fields"]:
                     md = dict(f.get("metadata") or {})
                     if f["name"] in gens:
