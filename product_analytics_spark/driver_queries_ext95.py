@@ -1207,6 +1207,349 @@ ORDER BY om
 """
 
 
+# ------------------------------------------------------------- q469
+
+Q469_WH = os.path.join(_FIX, "q469_warehouse")
+Q469_MIX = os.path.join(_FIX, "q469_mix")
+
+
+def q469_vacuum_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**VACUUM LITE** (Delta 4.0): derive the vacuum victim set
+    from the TRANSACTION LOG alone — zero directory listing. Full
+    VACUUM's dominant cost at 100 TB is the recursive LIST of the
+    table directory (millions of object-store LIST calls, paid even
+    when nothing is collectible); LITE reads the JSON tail the
+    engine already has and collects exactly the lapsed tombstones,
+    honoring the same ``delta.deletedFileRetentionDuration``
+    horizon. The documented tradeoff: files the log never tracked
+    (crashed-writer orphans) are invisible to LITE — full vacuum's
+    listing finds them.
+
+    Two arms:
+
+    * **real store** (``supplier`` reshaped): overwrite → overwrite
+      (tombstones the first generation) → an UNTRACKED orphan
+      planted in the table dir. Full vacuum's dry-run sees victims =
+      lite's ∪ {orphan}; lite deletes the tracked garbage, leaves
+      the orphan, and the table reads back whole;
+    * **handcrafted log** (deterministic timestamps): at
+      ``now = 55 d`` under the 7-day default, a tombstone stamped
+      day 1 (54 d old) is collected, one stamped day 53 (2 d old) is
+      spared (time travel inside the window still works), and a
+      RE-ADDED path is recognized as live even when an old tombstone
+      for it lapsed.
+
+    Pinned properties: ``tracked_sets_match`` (full ∩ tracked ==
+    lite), ``lite_skips_untracked``, ``retention_respected``,
+    ``readded_is_live``, ``read_ok`` after collection.
+
+    Scale: LITE is the frequent schedule (O(log tail) planning, no
+    listing), full vacuum the rare orphan sweep — the exact split
+    Delta 4.0 ships.
+
+    Reference: dbt_project.yml:39 Delta models — table maintenance
+    at the reference's deployment scale runs VACUUM on a schedule.
+    """
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    # ---- arm 1: real store with a planted orphan
+    shutil.rmtree(Q469_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q469_WH, retain_versions=10,
+                          delta_log=True)
+    base = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("k"),
+        F.col("s_nationkey").cast("long").alias("nation"),
+        _money_cents("s_acctbal").alias("cents"),
+    )
+    store.overwrite("t", base, n_files=2)
+    store.overwrite("t", base, n_files=2)  # tombstones gen-1 files
+    tdir = store.path("t")
+    with open(os.path.join(tdir, "orphan-crashed-writer.parquet"),
+              "wb") as fh:
+        fh.write(b"PAR1 not a real file")
+
+    now = 10_000 * 86_400_000  # deterministic, far past epoch-0 ts
+    full_dry = set(dl.DeltaLog(tdir).vacuum(
+        dry_run=True, retention_ms=0, now_ms=now))
+    lite_dry = set(dl.DeltaLog(tdir).vacuum_lite(
+        dry_run=True, retention_ms=0, now_ms=now))
+    lite_skips_untracked = (
+        "orphan-crashed-writer.parquet" in full_dry
+        and "orphan-crashed-writer.parquet" not in lite_dry
+    )
+    tracked_sets_match = (
+        lite_dry == full_dry - {"orphan-crashed-writer.parquet"}
+        and len(lite_dry) > 0
+    )
+    removed = dl.DeltaLog(tdir).vacuum_lite(
+        retention_ms=0, now_ms=now)
+    read_ok = (
+        set(removed) == lite_dry
+        and os.path.exists(
+            os.path.join(tdir, "orphan-crashed-writer.parquet"))
+        and dl.read_delta(spark, tdir).count() == base.count()
+    )
+
+    # ---- arm 2: handcrafted log, deterministic retention horizon
+    shutil.rmtree(Q469_MIX, ignore_errors=True)
+    os.makedirs(os.path.join(Q469_MIX, dl.LOG_DIR))
+    mschema = json.dumps({
+        "type": "struct",
+        "fields": [{"name": "k", "type": "long",
+                    "nullable": True, "metadata": {}}],
+    })
+    day = 86_400_000
+
+    def _madd(name: str) -> dict:
+        return {"add": {"path": f"{name}.parquet",
+                        "partitionValues": {}, "size": 4,
+                        "modificationTime": 0, "dataChange": True}}
+
+    def _mrm(name: str, ts: int) -> dict:
+        return {"remove": {"path": f"{name}.parquet",
+                           "dataChange": True,
+                           "deletionTimestamp": ts}}
+
+    mlog = dl.DeltaLog(Q469_MIX)
+    mlog.commit([{"protocol": dl.PROTOCOL_ACTION},
+                 {"metaData": dl.make_metadata(mschema)},
+                 _madd("f0"), _madd("f1"), _madd("f2")], version=0)
+    # at now = 55 d under the 7 d default: a tombstone stamped day 1
+    # is 54 d old (lapsed), one stamped day 53 is 2 d old (retained)
+    mlog.commit([_mrm("f0", 1 * day)], version=1)
+    mlog.commit([_mrm("f1", 53 * day)], version=2)
+    mlog.commit([_mrm("f2", 2 * day), _madd("f2")], version=3)
+    for f in ("f0", "f1", "f2"):
+        with open(os.path.join(Q469_MIX, f + ".parquet"), "wb") as fh:
+            fh.write(b"PAR1")
+    lv = dl.DeltaLog(Q469_MIX).vacuum_lite(now_ms=55 * day)
+    retention_respected = (
+        lv == ["f0.parquet"]
+        and os.path.exists(os.path.join(Q469_MIX, "f1.parquet"))
+    )
+    readded_is_live = os.path.exists(
+        os.path.join(Q469_MIX, "f2.parquet")
+    )
+
+    out = (
+        dl.read_delta(spark, tdir)
+        .groupBy((F.col("nation") % 5).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    return out.select(
+        "bucket",
+        "n",
+        "cents_sum",
+        F.lit(bool(tracked_sets_match)).alias("tracked_sets_match"),
+        F.lit(bool(lite_skips_untracked)).alias("lite_skips_untracked"),
+        F.lit(bool(retention_respected)).alias("retention_respected"),
+        F.lit(bool(readded_is_live)).alias("readded_is_live"),
+        F.lit(bool(read_ok)).alias("read_ok"),
+    ).orderBy("bucket")
+
+
+Q469_SQL = """
+WITH rows_all AS (
+  SELECT CAST(s_nationkey AS BIGINT) AS nation,
+         CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM supplier
+)
+SELECT nation % 5 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       TRUE AS tracked_sets_match,
+       TRUE AS lite_skips_untracked,
+       TRUE AS retention_respected,
+       TRUE AS readded_is_live,
+       TRUE AS read_ok
+FROM rows_all
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+# ------------------------------------------------------------- q468
+
+Q468_WH = os.path.join(_FIX, "q468_warehouse")
+
+
+def q468_drop_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**ALTER TABLE DROP FEATURE** (Delta PROTOCOL.md / delta.io
+    "drop Delta table features"): the explicit protocol DOWNGRADE
+    procedure — the one commit allowed to shrink the feature lists.
+    Without it a table that ever used deletion vectors is FOREVER
+    unreadable to legacy readers, even after every DV is purged:
+    upgrades are monotone (``merge_protocol``), so un-declaring a
+    feature needs its own spec'd procedure with safety gates.
+
+    Lifecycle on ``part`` reshaped to ``(k, brand, cents)``: MoR
+    DELETE plants deletion vectors → three ordered refusals → the
+    TRUNCATE HISTORY dance (purge → checkpoint → ``cleanup_log``) →
+    the drop lands → a legacy reader is whole again.
+
+    Pinned properties:
+
+    * ``refusals_ordered`` — (a) ``delta.enableDeletionVectors``
+      still true ⇒ refused; (b) property off but LIVE files still
+      carry DVs ⇒ refused (purge first); (c) snapshot clean but the
+      available HISTORY still carries DV'd adds ⇒ refused (an old
+      reader could time-travel into needing the feature) — each with
+      the version unchanged;
+    * ``drop_lands_after_truncation`` — checkpoint + lapsed
+      ``cleanup_log`` leave a clean available history; the DROP
+      FEATURE commit removes the feature from BOTH lists and is
+      idempotent afterwards;
+    * ``legacy_reader_whole`` — after the drop, a reader supporting
+      everything EXCEPT deletionVectors passes the universal
+      unknown-reader-feature rule and reads the full table (the
+      entire point of the procedure);
+    * ``n_clean_proto`` — DuckDB parses the surviving canonical log
+      JSON and counts the protocol actions whose readerFeatures
+      lack the feature (the drop commit), cross-checked.
+
+    Scale: at 100 TB the fleet is heterogeneous — BI engines and old
+    readers coexist with the writer fleet; DROP FEATURE is how a
+    table returns to the widest audience after a feature experiment,
+    and the checkpointProtection machinery (q455) is what makes its
+    history truncation safe to run online.
+
+    Reference: dbt_project.yml:39 (``file_format: delta``) — table
+    lifecycle management is part of operating the reference's models.
+    """
+    import time as _time
+
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q468_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q468_WH, retain_versions=10,
+                          delta_log=True)
+    base = _t(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.col("p_brand").alias("brand"),
+        _money_cents("p_retailprice").alias("cents"),
+    )
+    store.overwrite("t", base, n_files=3)
+    store.delete_where_mor("t", "k % 10 = 3")  # plants DVs
+    tdir = store.path("t")
+
+    def _refused(expect: str) -> bool:
+        before = dl.DeltaLog(tdir).latest_version()
+        try:
+            dl.drop_table_feature(tdir, "deletionVectors")
+            return False
+        except dl.DeltaProtocolError as exc:
+            return (
+                expect in str(exc)
+                and dl.DeltaLog(tdir).latest_version() == before
+            )
+
+    r_prop = _refused("still true")
+    store.set_table_property(
+        "t", "delta.enableDeletionVectors", "false"
+    )
+    r_live = _refused("purge")
+    store.purge_dv("t")
+    r_hist = _refused("TRUNCATE HISTORY")
+    refusals_ordered = r_prop and r_live and r_hist
+
+    log = dl.DeltaLog(tdir)
+    log.write_checkpoint(log.latest_version())
+    log.cleanup_log(
+        now_ms=int(_time.time() * 1000) + 10_000 * 86_400_000
+    )
+    v_drop = dl.drop_table_feature(tdir, "deletionVectors")
+    snap = dl.DeltaLog(tdir).snapshot()
+    rf = snap.protocol.get("readerFeatures") or []
+    wf = snap.protocol.get("writerFeatures") or []
+    drop_lands_after_truncation = (
+        "deletionVectors" not in rf
+        and "deletionVectors" not in wf
+        and dl.drop_table_feature(tdir, "deletionVectors") == v_drop
+    )
+
+    # a reader supporting everything EXCEPT deletionVectors applies
+    # the universal unknown-reader-feature rule — and passes
+    legacy_set = dl.ENGINE_READER_FEATURES - {"deletionVectors"}
+    n_expected = base.where("k % 10 != 3").count()
+    legacy_reader_whole = (
+        not (set(rf) - legacy_set)
+        and dl.read_delta(spark, tdir).count() == n_expected
+    )
+
+    ldir = os.path.join(tdir, dl.LOG_DIR)
+    n_clean = 0
+    for fn in sorted(os.listdir(ldir)):
+        if not dl._COMMIT_RE.match(fn):
+            continue
+        with open(os.path.join(ldir, fn), encoding="utf-8") as fh:
+            for ln in fh:
+                if not ln.strip():
+                    continue
+                pr = json.loads(ln).get("protocol")
+                if pr is not None and "deletionVectors" not in (
+                    pr.get("readerFeatures") or []
+                ):
+                    n_clean += 1
+
+    out = (
+        dl.read_delta(spark, tdir)
+        .groupBy(F.col("brand").alias("mfr"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    return out.select(
+        "mfr",
+        "n",
+        "cents_sum",
+        F.lit(int(n_clean)).cast("long").alias("n_clean_proto"),
+        F.lit(bool(refusals_ordered)).alias("refusals_ordered"),
+        F.lit(bool(drop_lands_after_truncation)).alias(
+            "drop_lands_after_truncation"),
+        F.lit(bool(legacy_reader_whole)).alias("legacy_reader_whole"),
+    ).orderBy("mfr")
+
+
+Q468_SQL = f"""
+WITH log AS (
+  SELECT * FROM read_json_auto(
+    '{Q468_WH}/t/_delta_log/0*.json',
+    format='newline_delimited', union_by_name=true)
+),
+clean AS (
+  SELECT count(*) AS n FROM log
+  WHERE protocol IS NOT NULL
+    AND NOT contains(
+      COALESCE(CAST(protocol.readerFeatures AS VARCHAR), '[]'),
+      'deletionVectors')
+),
+live AS (
+  SELECT p_brand AS mfr,
+         CAST(CAST(p_retailprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM part
+  WHERE p_partkey % 10 != 3
+)
+SELECT mfr,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       (SELECT CAST(n AS BIGINT) FROM clean) AS n_clean_proto,
+       TRUE AS refusals_ordered,
+       TRUE AS drop_lands_after_truncation,
+       TRUE AS legacy_reader_whole
+FROM live
+GROUP BY mfr
+ORDER BY mfr
+"""
+
+
 # ------------------------------------------------------------- q467
 
 Q467_WH = os.path.join(_FIX, "q467_warehouse")
@@ -1850,6 +2193,8 @@ QUERIES_EXT95 = {
     "q465_coordinator_declaration": q465_coordinator_declaration,
     "q466_cdf_stream_admission": q466_cdf_stream_admission,
     "q467_nested_invariants": q467_nested_invariants,
+    "q468_drop_feature": q468_drop_feature,
+    "q469_vacuum_lite": q469_vacuum_lite,
 }
 
 
@@ -1864,4 +2209,6 @@ def _oracles_ext95() -> dict[str, str]:
         "q465_coordinator_declaration": Q465_SQL,
         "q466_cdf_stream_admission": Q466_SQL,
         "q467_nested_invariants": Q467_SQL,
+        "q468_drop_feature": Q468_SQL,
+        "q469_vacuum_lite": Q469_SQL,
     }

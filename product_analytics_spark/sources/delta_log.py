@@ -2439,6 +2439,119 @@ class DeltaLog:
                 continue
         return out
 
+    def _tombstoned_at(self) -> dict[str, tuple[int, dict | None]]:
+        """Latest ``deletionTimestamp`` (and that remove action's
+        ``deletionVector`` descriptor, if any) per tombstoned path,
+        from the surviving JSON tail — O(tail) reads, no data I/O."""
+        out: dict[str, tuple[int, dict | None]] = {}
+        for _v, cpath in self._commits():
+            try:
+                with open(cpath, encoding="utf-8") as fh:
+                    for ln in fh:
+                        if not ln.strip():
+                            continue
+                        rm = json.loads(ln).get("remove")
+                        if rm and rm.get("path"):
+                            ts = int(rm.get("deletionTimestamp") or 0)
+                            p = rm["path"]
+                            if ts > out.get(p, (-1, None))[0]:
+                                out[p] = (ts, rm.get("deletionVector"))
+            except (OSError, ValueError):
+                continue
+        return out
+
+    def _vacuum_protocol_check(self, snap) -> None:
+        """The FULL writer protocol check the vacuumProtocolCheck
+        feature mandates: refuse to garbage-collect a table whose
+        writer features this engine does not implement — an unknown
+        feature may mark files live in ways we cannot see."""
+        declared_w = set(
+            (snap.protocol or {}).get("writerFeatures") or []
+        )
+        unknown_w = declared_w - ENGINE_WRITER_FEATURES
+        if unknown_w:
+            raise DeltaProtocolError(
+                f"vacuum refused: table {self.table_dir} declares "
+                f"writer features {sorted(unknown_w)} this engine "
+                "does not support"
+            )
+
+    def vacuum_lite(
+        self,
+        dry_run: bool = False,
+        retention_ms: int | None = None,
+        now_ms: int | None = None,
+    ) -> list[str]:
+        """Delta 4.0 **VACUUM LITE**: derive the victim set from the
+        TRANSACTION LOG alone — zero directory listing. Full VACUUM's
+        cost at scale is the recursive LIST of the table directory
+        (millions of object-store LIST calls on a 100 TB table, paid
+        even when nothing is collectible); LITE reads the surviving
+        JSON tail it already has and collects exactly the tombstoned
+        files whose retention lapsed (same
+        ``delta.deletedFileRetentionDuration`` horizon as full
+        vacuum, same time-travel contract), plus the DV sidecars
+        those remove actions reference that no live add still uses.
+
+        The documented tradeoff: files the log never tracked
+        (crashed-writer orphans, foreign droppings) are INVISIBLE to
+        LITE — only full ``vacuum``'s listing finds them. Run LITE
+        on the frequent schedule, full vacuum rarely.
+
+        Same writer-protocol check as full vacuum
+        (vacuumProtocolCheck): both plan deletions."""
+        import time as _time
+        from product_analytics_spark.sources import (
+            deletion_vectors as dvs,
+        )
+
+        snap = self.snapshot()
+        self._vacuum_protocol_check(snap)
+        if retention_ms is None:
+            conf = (snap.metadata or {}).get("configuration") or {}
+            retention_ms = parse_interval_ms(
+                conf.get(DELETED_FILE_RETENTION_PROP),
+                DEFAULT_DELETED_FILE_RETENTION_MS,
+            )
+        horizon = (
+            int(now_ms if now_ms is not None else _time.time() * 1000)
+            - int(retention_ms)
+        )
+        live = set(snap.files)
+        live_dv_bins = set()
+        for add in snap.files.values():
+            dvd = add.get("deletionVector")
+            if dvd and dvd.get("storageType") == "u":
+                live_dv_bins.add(
+                    os.path.relpath(
+                        dvs.dv_file_path(self.table_dir, dvd),
+                        self.table_dir,
+                    ).replace(os.sep, "/")
+                )
+        victims: list[str] = []
+        for p, (ts, dvd) in self._tombstoned_at().items():
+            if ts > horizon or p in live:
+                continue  # retained for time travel, or re-added
+            if os.path.isfile(os.path.join(self.table_dir, p)):
+                victims.append(p)
+            if dvd and dvd.get("storageType") == "u":
+                rel = os.path.relpath(
+                    dvs.dv_file_path(self.table_dir, dvd),
+                    self.table_dir,
+                ).replace(os.sep, "/")
+                if rel not in live_dv_bins and os.path.isfile(
+                    os.path.join(self.table_dir, rel)
+                ):
+                    victims.append(rel)
+        victims = sorted(set(victims))
+        if not dry_run:
+            for rel in victims:
+                try:
+                    os.unlink(os.path.join(self.table_dir, rel))
+                except OSError:
+                    pass
+        return victims
+
     def vacuum(
         self,
         dry_run: bool = False,
@@ -2492,14 +2605,7 @@ class DeltaLog:
         # garbage-collect a table whose writer features this engine
         # does not implement — an unknown feature may mark files live
         # in ways we cannot see.
-        declared_w = set((snap.protocol or {}).get("writerFeatures") or [])
-        unknown_w = declared_w - ENGINE_WRITER_FEATURES
-        if unknown_w:
-            raise DeltaProtocolError(
-                f"vacuum refused: table {self.table_dir} declares "
-                f"writer features {sorted(unknown_w)} this engine "
-                "does not support"
-            )
+        self._vacuum_protocol_check(snap)
         if retention_ms is None:
             conf = (snap.metadata or {}).get("configuration") or {}
             retention_ms = parse_interval_ms(
@@ -2514,23 +2620,10 @@ class DeltaLog:
         # surviving JSON tail (checkpoints drop tombstones; after
         # cleanup_log truncates the tail those files' retention has
         # necessarily lapsed with the log's own).
-        tombstoned_at: dict[str, int] = {}
-        for _v, cpath in self._commits():
-            try:
-                with open(cpath, encoding="utf-8") as fh:
-                    for ln in fh:
-                        if not ln.strip():
-                            continue
-                        rm = json.loads(ln).get("remove")
-                        if rm and rm.get("path"):
-                            ts = int(rm.get("deletionTimestamp") or 0)
-                            p = rm["path"]
-                            if ts > tombstoned_at.get(p, -1):
-                                tombstoned_at[p] = ts
-            except (OSError, ValueError):
-                continue
+        tombstoned_at = self._tombstoned_at()
         spared = {
-            p for p, ts in tombstoned_at.items() if ts > horizon
+            p for p, (ts, _dvd) in tombstoned_at.items()
+            if ts > horizon
         }
         live = set(snap.files)
         referenced_cdc = self.referenced_cdc_paths()
@@ -3974,6 +4067,149 @@ def enable_checkpoint_protection(
     return log.commit(
         [{"protocol": merge_protocol(prev, need)}, {"metaData": meta}],
         operation="UPGRADE PROTOCOL",
+    )
+
+
+#: feature -> is it still ACTIVE in the current snapshot? (reason
+#: string, or None when deactivated). Delta's DROP FEATURE refuses
+#: while the feature is in use — the table property must be unset /
+#: the traces rewritten first.
+def _feature_active_reason(snap: DeltaSnapshot, feature: str) -> str | None:
+    conf = (snap.metadata or {}).get("configuration") or {}
+    schema_str = (snap.metadata or {}).get("schemaString") or ""
+
+    def _prop(key):
+        return conf.get(key) == "true"
+
+    if feature == "deletionVectors":
+        if _prop("delta.enableDeletionVectors"):
+            return "delta.enableDeletionVectors is still true"
+        if any(a.get("deletionVector") for a in snap.files.values()):
+            return "live files still carry deletion vectors (purge first)"
+    elif feature == "appendOnly":
+        if conf.get(APPEND_ONLY_PROP) == "true":
+            return f"{APPEND_ONLY_PROP} is still true"
+    elif feature == "invariants":
+        if snap.invariants():
+            return "column invariants are still declared"
+    elif feature == "checkConstraints":
+        if any(k.startswith("delta.constraints.") for k in conf):
+            return "CHECK constraints are still declared"
+    elif feature == "changeDataFeed":
+        if _prop("delta.enableChangeDataFeed"):
+            return "delta.enableChangeDataFeed is still true"
+    elif feature == "columnMapping":
+        if conf.get("delta.columnMapping.mode") in ("name", "id"):
+            return "column mapping is still enabled"
+    elif feature == "rowTracking":
+        if _prop("delta.enableRowTracking"):
+            return "delta.enableRowTracking is still true"
+    elif feature == "typeWidening":
+        if _prop("delta.enableTypeWidening"):
+            return "delta.enableTypeWidening is still true"
+    elif feature == "generatedColumns":
+        if "delta.generationExpression" in schema_str:
+            return "generated columns are still declared"
+    elif feature == "identityColumns":
+        if "delta.identity.start" in schema_str:
+            return "identity columns are still declared"
+    elif feature == COORDINATED_COMMITS_FEATURE:
+        if conf.get(COMMIT_COORDINATOR_PROP):
+            return "a commit coordinator is still declared"
+    elif feature == "clustering":
+        if snap.clustering_columns():
+            return "liquid clustering columns are still declared"
+    return None
+
+
+#: reader features whose TRACES linger in history: an old reader
+#: that time-travels below the drop would still need the feature, so
+#: Delta's DROP FEATURE requires the available history to be clean
+#: (TRUNCATE HISTORY: purge + checkpointProtection + log cleanup).
+_FEATURE_HISTORY_TRACES = {
+    # ADD-side descriptors only: a reconstructible version whose
+    # snapshot includes a DV'd add NEEDS the feature; a remove's
+    # descriptor is writer-side GC bookkeeping for a dead file and
+    # contributes no readable state.
+    "deletionVectors": lambda a: bool(
+        (a.get("add") or {}).get("deletionVector")
+    ),
+    "columnMapping": lambda a: (
+        ((a.get("metaData") or {}).get("configuration") or {}).get(
+            "delta.columnMapping.mode"
+        )
+        in ("name", "id")
+    ),
+    "typeWidening": lambda a: (
+        ((a.get("metaData") or {}).get("configuration") or {}).get(
+            "delta.enableTypeWidening"
+        )
+        == "true"
+        or "delta.typeChanges"
+        in ((a.get("metaData") or {}).get("schemaString") or "")
+    ),
+}
+
+
+def drop_table_feature(table_dir: str, feature: str) -> int:
+    """``ALTER TABLE t DROP FEATURE f`` (Delta PROTOCOL.md /
+    delta.io "drop Delta table features"): the explicit protocol
+    DOWNGRADE procedure — the one commit allowed to shrink the
+    feature lists (ordinary upgrades are monotone,
+    ``merge_protocol``). Three gates, matching the spec's order:
+
+    1. the feature must be DEACTIVATED in the current snapshot
+       (property unset, traces rewritten) — refuse with the reason
+       otherwise;
+    2. a READER feature must additionally have a CLEAN available
+       history: any surviving commit still carrying its traces means
+       an old reader could time-travel into needing it — refuse and
+       point at the TRUNCATE HISTORY procedure (purge +
+       ``enable_checkpoint_protection`` + ``cleanup_log``), which is
+       exactly what checkpointProtection (q455) exists to make safe;
+    3. then one ``DROP FEATURE`` commit removes it from both lists.
+
+    Idempotent when the feature isn't declared. After the drop, a
+    legacy reader whose set lacks the feature can read the table
+    again — the point of the procedure."""
+    log = DeltaLog(table_dir)
+    snap = log.snapshot()
+    proto = dict(snap.protocol or PROTOCOL_ACTION)
+    rf = list(proto.get("readerFeatures") or [])
+    wf = list(proto.get("writerFeatures") or [])
+    if feature not in rf and feature not in wf:
+        return snap.version  # idempotent: not declared
+    reason = _feature_active_reason(snap, feature)
+    if reason:
+        raise DeltaProtocolError(
+            f"cannot drop feature {feature!r} from {table_dir}: "
+            f"{reason}; deactivate it first"
+        )
+    if feature in rf:
+        trace = _FEATURE_HISTORY_TRACES.get(feature)
+        if trace is not None:
+            for v, cpath in log._commits():
+                try:
+                    with open(cpath, encoding="utf-8") as fh:
+                        dirty = any(
+                            trace(json.loads(ln))
+                            for ln in fh if ln.strip()
+                        )
+                except (OSError, ValueError):
+                    continue
+                if dirty:
+                    raise DeltaProtocolError(
+                        f"cannot drop reader feature {feature!r}: "
+                        f"commit {v} still carries its traces — an "
+                        "old reader could time-travel into needing "
+                        "it. TRUNCATE HISTORY first: purge, "
+                        "enable_checkpoint_protection, cleanup_log"
+                    )
+    new_proto = dict(proto)
+    new_proto["readerFeatures"] = [f for f in rf if f != feature]
+    new_proto["writerFeatures"] = [f for f in wf if f != feature]
+    return log.commit(
+        [{"protocol": new_proto}], operation="DROP FEATURE"
     )
 
 
