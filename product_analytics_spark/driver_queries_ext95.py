@@ -1207,6 +1207,173 @@ ORDER BY om
 """
 
 
+# ------------------------------------------------------------- q471
+
+Q471_TABLE = os.path.join(_FIX, "q471_table")
+
+
+def q471_set_transaction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """**SetTransaction / ``txn`` actions** (Delta PROTOCOL.md
+    "Transaction Identifiers"): the log-native idempotent-writer
+    protocol — every batch commit carries ``{appId, version}``
+    ATOMICALLY with its data actions, so a crash between "write
+    data" and "record progress" cannot exist, and a retried batch is
+    detected from the TABLE ITSELF (no side-channel offsets). This
+    is the exactly-once contract ``foreachBatch`` sinks and
+    Kafka→Delta connectors are built on.
+
+    Lifecycle on ``events`` micro-batches (4 batches split by
+    ``event_id % 4``): batches 0-2 land via ``commit_txn`` → batch 1
+    is REPLAYED (crash-retry: same appId+version, different file) →
+    no-op, nothing committed → restart recovery reads
+    ``txn_version`` from the log and resumes at batch 3 → checkpoint
+    + log truncation → the gate still holds from checkpoint state
+    alone.
+
+    Pinned properties:
+
+    * ``replay_noop`` — the duplicate batch changes neither the
+      version nor the file set; an OLDER version replay is also a
+      no-op; an independent appId is unaffected;
+    * ``resume_from_log`` — after "restart", ``txn_version(appId)``
+      says 2, the writer resumes with batch 3, and the final table
+      has each event exactly once (the output aggregation IS the
+      no-duplicates check);
+    * ``txn_survives_checkpoint`` — after ``write_checkpoint`` +
+      lapsed ``cleanup_log`` (tail gone), a fresh reader still
+      refuses the replay and accepts the next version;
+    * ``n_txn_in_checkpoint`` — DuckDB reads the CHECKPOINT PARQUET
+      itself and counts the persisted txn rows (cross-engine check
+      of the checkpoint's SetTransaction column).
+
+    Scale: at 1000 concurrent streaming sinks the side-channel
+    alternative (offset files per sink) is a consistency liability —
+    the log IS the offset store, surviving restarts, checkpoints,
+    and log truncation; the gate costs one memoized snapshot lookup
+    per batch.
+
+    Reference: customers_latest.sql:3-6 — the reference's
+    incremental CDC merge is exactly the retried-micro-batch shape
+    this protocol makes exactly-once.
+    """
+    import time as _time
+
+    from product_analytics_spark.sources import delta_log as dl
+
+    shutil.rmtree(Q471_TABLE, ignore_errors=True)
+    os.makedirs(os.path.join(Q471_TABLE, dl.LOG_DIR))
+    base = _t(spark, sf_dir, "events").select(
+        F.col("event_id").alias("k"),
+        F.col("event_type").alias("etype"),
+        F.col("value").cast("double").alias("val"),
+    )
+    log = dl.DeltaLog(Q471_TABLE)
+    log.commit([{"protocol": dl.PROTOCOL_ACTION},
+                {"metaData": dl.make_metadata(base.schema.json())}],
+               version=0)
+    APP = "q471-stream"
+
+    def _land(idx: str, df) -> dict:
+        tmp = os.path.join(Q471_TABLE, f"_tmp{idx}")
+        df.coalesce(1).write.parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(Q471_TABLE, f"batch-{idx}.parquet")
+        os.replace(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return {"add": dl.make_add(Q471_TABLE, dst)}
+
+    batches = {
+        i: _land(str(i), base.where(F.col("k") % 4 == i))
+        for i in range(4)
+    }
+    dup = _land("1dup", base.where(F.col("k") % 4 == 1))
+
+    for i in range(3):                                 # batches 0-2
+        log.commit_txn([batches[i]], APP, i)
+    v_before = log.latest_version()
+    files_before = set(dl.DeltaLog(Q471_TABLE).snapshot().files)
+    replay_noop = (
+        log.commit_txn([dup], APP, 1) is None          # crash retry
+        and log.commit_txn([dup], APP, 0) is None      # older too
+        and dl.DeltaLog(Q471_TABLE).latest_version() == v_before
+        and set(dl.DeltaLog(Q471_TABLE).snapshot().files)
+        == files_before
+        and log.commit_txn(
+            [{"domainMetadata": {"domain": "q471.other",
+                                 "configuration": "{}",
+                                 "removed": False}}],
+            "q471-other-app", 0,
+        ) is not None                                  # independent
+    )
+
+    # restart recovery: a fresh writer asks the LOG where it was
+    fresh = dl.DeltaLog(Q471_TABLE)
+    recorded = fresh.txn_version(APP)
+    if recorded == 2:
+        fresh.commit_txn([batches[3]], APP, recorded + 1)
+    resume_from_log = (
+        recorded == 2 and fresh.txn_version(APP) == 3
+    )
+
+    # checkpoint + truncation: the gate holds from checkpoint alone
+    cp_path = fresh.write_checkpoint(fresh.latest_version())
+    fresh.cleanup_log(
+        now_ms=int(_time.time() * 1000) + 10_000 * 86_400_000
+    )
+    dl.clear_snapshot_cache()
+    after = dl.DeltaLog(Q471_TABLE)
+    txn_survives_checkpoint = (
+        after.txn_version(APP) == 3
+        and after.commit_txn([dup], APP, 3) is None
+        and after.txn_version("q471-other-app") == 0
+    )
+    import pyarrow.parquet as pq
+    n_txn = sum(
+        1 for r in pq.read_table(cp_path, columns=["txn"]).to_pylist()
+        if r.get("txn") is not None
+    )
+
+    out = (
+        dl.read_delta(spark, Q471_TABLE)
+        .groupBy("etype")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("val"), 2).alias("val_sum"),
+        )
+    )
+    return out.select(
+        "etype",
+        "n",
+        "val_sum",
+        F.lit(int(n_txn)).cast("long").alias("n_txn_in_checkpoint"),
+        F.lit(bool(replay_noop)).alias("replay_noop"),
+        F.lit(bool(resume_from_log)).alias("resume_from_log"),
+        F.lit(bool(txn_survives_checkpoint)).alias(
+            "txn_survives_checkpoint"),
+    ).orderBy("etype")
+
+
+Q471_SQL = f"""
+WITH cp AS (
+  SELECT count(*) AS n
+  FROM parquet_scan('{Q471_TABLE}/_delta_log/0*.checkpoint.parquet')
+  WHERE txn IS NOT NULL
+)
+SELECT event_type AS etype,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 2) AS val_sum,
+       (SELECT CAST(n AS BIGINT) FROM cp) AS n_txn_in_checkpoint,
+       TRUE AS replay_noop,
+       TRUE AS resume_from_log,
+       TRUE AS txn_survives_checkpoint
+FROM events
+GROUP BY etype
+ORDER BY etype
+"""
+
+
 # ------------------------------------------------------------- q470
 
 Q470_TABLE = os.path.join(_FIX, "q470_table")
@@ -2451,6 +2618,7 @@ QUERIES_EXT95 = {
     "q468_drop_feature": q468_drop_feature,
     "q469_vacuum_lite": q469_vacuum_lite,
     "q470_logical_conflicts": q470_logical_conflicts,
+    "q471_set_transaction": q471_set_transaction,
 }
 
 
@@ -2468,4 +2636,5 @@ def _oracles_ext95() -> dict[str, str]:
         "q468_drop_feature": Q468_SQL,
         "q469_vacuum_lite": Q469_SQL,
         "q470_logical_conflicts": Q470_SQL,
+        "q471_set_transaction": Q471_SQL,
     }

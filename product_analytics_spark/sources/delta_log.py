@@ -453,6 +453,7 @@ def _snap_copy(s: "DeltaSnapshot") -> "DeltaSnapshot":
         metadata=dict(s.metadata) if s.metadata else dict(),
         files={k: dict(v) for k, v in s.files.items()},
         domains={k: dict(v) for k, v in s.domains.items()},
+        transactions=dict(s.transactions),
     )
 
 
@@ -518,6 +519,12 @@ class DeltaSnapshot:
     #: writer feature) — e.g. ``delta.rowTracking`` carries the
     #: row-id high-water mark. ``removed: true`` deletes the domain.
     domains: dict[str, dict] = field(default_factory=dict)
+    #: SetTransaction state (Delta PROTOCOL.md "Transaction
+    #: Identifiers"): appId -> latest recorded transaction version —
+    #: the idempotent-writer protocol streaming sinks use to make a
+    #: retried micro-batch a no-op. Folded from ``txn`` actions and
+    #: persisted through every checkpoint form.
+    transactions: dict[str, int] = field(default_factory=dict)
 
     def row_id_high_water_mark(self) -> int:
         """The row-tracking high-water mark from the
@@ -1611,6 +1618,49 @@ class DeltaLog:
             f"{self.log_dir}"
         )
 
+    # ---------------------------------------- transaction identifiers
+
+    def txn_version(self, app_id: str) -> int | None:
+        """The latest SetTransaction version recorded for ``app_id``
+        (Delta PROTOCOL.md "Transaction Identifiers"), or None if the
+        application never committed. One memoized snapshot lookup —
+        the read half of the idempotent-writer protocol."""
+        return self.snapshot().transactions.get(app_id)
+
+    def commit_txn(
+        self,
+        actions: list[dict],
+        app_id: str,
+        txn_version: int,
+        operation: str = "STREAMING UPDATE",
+    ) -> int | None:
+        """Idempotent commit (Delta's ``txn`` / SetTransaction
+        action — the contract ``foreachBatch`` exactly-once sinks
+        and connectors like Kafka→Delta rely on): the commit carries
+        ``{appId, version}``; a RETRY of the same (or an older)
+        application version is a NO-OP returning None, because the
+        table already contains that batch's writes. The action set
+        lands atomically with its marker — there is no state where
+        the data committed but the marker didn't, which is exactly
+        what makes replay safe after a crash between "write" and
+        "record progress". Restart recovery is
+        ``txn_version(app_id)`` — the sink resumes from the batch
+        AFTER the recorded one, with the log (not a side channel) as
+        the source of truth."""
+        recorded = self.txn_version(app_id)
+        if recorded is not None and int(txn_version) <= recorded:
+            return None  # replay of an already-applied batch
+        marker = {
+            "txn": {
+                "appId": str(app_id),
+                "version": int(txn_version),
+                "lastUpdated": _FIXED_TIME_MS,
+            }
+        }
+        return self.commit(
+            list(actions) + [marker], operation=operation
+        )
+
     # ---------------------------------------------------- checksum
 
     def _crc_path(self, version: int) -> str:
@@ -1697,6 +1747,10 @@ class DeltaLog:
                 snap.domains.pop(dm.get("domain"), None)
             else:
                 snap.domains[dm["domain"]] = dm
+        elif "txn" in action and action["txn"] is not None:
+            t = action["txn"]
+            if t.get("appId") is not None:
+                snap.transactions[t["appId"]] = int(t["version"])
 
     def snapshot(self, version: int | None = None) -> DeltaSnapshot:
         """Reconstruct the table state at ``version`` (default:
@@ -1959,6 +2013,26 @@ class DeltaLog:
             ]
         )
 
+    @staticmethod
+    def _txn_type():
+        import pyarrow as pa
+
+        return pa.struct(
+            [
+                ("appId", pa.string()),
+                ("version", pa.int64()),
+                ("lastUpdated", pa.int64()),
+            ]
+        )
+
+    @staticmethod
+    def _txn_rows(snap: DeltaSnapshot) -> list:
+        return [
+            {"appId": a, "version": int(v),
+             "lastUpdated": _FIXED_TIME_MS}
+            for a, v in sorted(snap.transactions.items())
+        ]
+
     def _write_cp_part(
         self,
         final_path: str,
@@ -1966,6 +2040,7 @@ class DeltaLog:
         meta_rows: list,
         add_rows: list,
         domain_rows: list | None = None,
+        txn_rows: list | None = None,
     ) -> None:
         """One checkpoint part file, written tmp-then-rename (readers
         never observe a torn part)."""
@@ -1974,14 +2049,20 @@ class DeltaLog:
 
         add_t, meta_t, proto_t = self._cp_types()
         domain_rows = list(domain_rows or [])
+        txn_rows = list(txn_rows or [])
         # one action per ROW (the protocol's checkpoint shape):
-        # domain rows get their own rows after the others
+        # domain and txn rows get their own rows after the others
         base = max(len(proto_rows), len(meta_rows), len(add_rows))
-        n = base + len(domain_rows)
+        n = base + len(domain_rows) + len(txn_rows)
         proto_rows = proto_rows + [None] * (n - len(proto_rows))
         meta_rows = meta_rows + [None] * (n - len(meta_rows))
         add_rows = add_rows + [None] * (n - len(add_rows))
-        domain_rows = [None] * base + domain_rows
+        txn_col = (
+            [None] * (base + len(domain_rows)) + txn_rows
+        )
+        domain_rows = (
+            [None] * base + domain_rows + [None] * len(txn_rows)
+        )
         table = pa.table(
             {
                 "protocol": pa.array(proto_rows, type=proto_t),
@@ -1990,6 +2071,7 @@ class DeltaLog:
                 "domainMetadata": pa.array(
                     domain_rows, type=self._dm_type()
                 ),
+                "txn": pa.array(txn_col, type=self._txn_type()),
             }
         )
         tmp = final_path + f".tmp{uuid.uuid4().hex[:8]}"
@@ -2033,6 +2115,7 @@ class DeltaLog:
         self._write_cp_part(
             cp_path, proto_rows, meta_rows, add_rows,
             domain_rows=self._domain_rows(snap),
+            txn_rows=self._txn_rows(snap),
         )
         self._write_last_checkpoint(
             {"version": version, "size": len(add_rows)}
@@ -2071,10 +2154,12 @@ class DeltaLog:
             proto_rows: list = []
             meta_rows: list = []
             domain_rows: list = []
+            txn_rows: list = []
             if i == 1:
                 proto_rows = [snap.protocol or PROTOCOL_ACTION, None]
                 meta_rows = [None, self._cp_meta_payload(snap.metadata)]
                 domain_rows = self._domain_rows(snap)
+                txn_rows = self._txn_rows(snap)
                 shard = [None, None] + shard
             p = os.path.join(
                 self.log_dir,
@@ -2082,7 +2167,8 @@ class DeltaLog:
                 ".parquet",
             )
             self._write_cp_part(
-                p, proto_rows, meta_rows, shard, domain_rows=domain_rows
+                p, proto_rows, meta_rows, shard,
+                domain_rows=domain_rows, txn_rows=txn_rows,
             )
             paths.append(p)
         self._write_last_checkpoint(
@@ -2250,6 +2336,11 @@ class DeltaLog:
                            separators=(",", ":"), sort_keys=True)
                 for dm in self._domain_rows(snap)
             ]
+            lines += [
+                json.dumps({"txn": tx}, separators=(",", ":"),
+                           sort_keys=True)
+                for tx in self._txn_rows(snap)
+            ]
             manifest = os.path.join(
                 self.log_dir,
                 f"{version:020d}.checkpoint.{uuid.uuid4().hex}.json",
@@ -2278,7 +2369,8 @@ class DeltaLog:
         )
         cpmeta_t = pa.struct([("version", pa.int64())])
         domain_rows = self._domain_rows(snap)
-        n = 3 + len(sidecars) + len(domain_rows)
+        txn_rows = self._txn_rows(snap)
+        n = 3 + len(sidecars) + len(domain_rows) + len(txn_rows)
 
         def _pad(rows: list) -> list:
             return rows + [None] * (n - len(rows))
@@ -2297,22 +2389,29 @@ class DeltaLog:
                     type=meta_t,
                 ),
                 "sidecar": pa.array(
-                    [None, None, None]
-                    + [
-                        {
-                            **sc,
-                            "tags": sorted(
-                                dict(sc.get("tags") or {}).items()
-                            ),
-                        }
-                        for sc in sidecars
-                    ]
-                    + [None] * len(domain_rows),
+                    _pad(
+                        [None, None, None]
+                        + [
+                            {
+                                **sc,
+                                "tags": sorted(
+                                    dict(sc.get("tags") or {}).items()
+                                ),
+                            }
+                            for sc in sidecars
+                        ]
+                    ),
                     type=side_t,
                 ),
                 "domainMetadata": pa.array(
-                    [None] * (3 + len(sidecars)) + domain_rows,
+                    [None] * (3 + len(sidecars)) + domain_rows
+                    + [None] * len(txn_rows),
                     type=self._dm_type(),
+                ),
+                "txn": pa.array(
+                    [None] * (3 + len(sidecars) + len(domain_rows))
+                    + txn_rows,
+                    type=self._txn_type(),
                 ),
             }
         )
@@ -2375,6 +2474,9 @@ class DeltaLog:
             dm = row.get("domainMetadata")
             if dm is not None and dm.get("domain"):
                 snap.domains[dm["domain"]] = dict(dm)
+            tx = row.get("txn")
+            if tx is not None and tx.get("appId") is not None:
+                snap.transactions[tx["appId"]] = int(tx["version"])
         side_dir = os.path.join(self.log_dir, SIDECAR_DIR)
         for name in sidecars:
             sp = os.path.join(side_dir, name)
@@ -2411,6 +2513,9 @@ class DeltaLog:
             meta = row.get("metaData")
             add = row.get("add")
             dm = row.get("domainMetadata") if "domainMetadata" in cols else None
+            tx = row.get("txn") if "txn" in cols else None
+            if tx is not None and tx.get("appId") is not None:
+                snap.transactions[tx["appId"]] = int(tx["version"])
             if proto is not None:
                 snap.protocol = proto
             if meta is not None:
