@@ -1207,6 +1207,445 @@ ORDER BY om
 """
 
 
+# ------------------------------------------------------------- q474
+
+Q474_WH = os.path.join(_FIX, "q474_warehouse")
+
+
+def q474_auto_optimize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Auto optimize** (delta.io ``delta.autoOptimize.
+    optimizeWrite`` / ``delta.autoOptimize.autoCompact``): the
+    writer-side half of small-file hygiene, declared as TABLE
+    properties so every writer behaves — without them a 200-task
+    micro-batch mints 200 small files per partition per trigger and
+    the scheduled OPTIMIZE job becomes load-bearing.
+
+    Two arms on ``customer`` partitioned by ``seg``:
+
+    * **optimizeWrite** — two tables take the SAME 6-task appends;
+      the property-carrying table shuffles each batch so every hive
+      partition receives ONE writer task (one file per partition per
+      append), the control table mints up to 6. Pinned:
+      ``ow_one_file_per_append`` (≤ 1 + 2 appends per partition) and
+      strictly fewer files than the control;
+    * **autoCompact** — ``minNumFiles = 4``: three 1-file-per-
+      partition appends take each partition to 4 files, which
+      triggers INLINE partition-scoped compaction (through q472's
+      ``optimize(where=...)`` — cold partitions ride by hardlink)
+      with NO explicit maintenance call. Pinned:
+      ``auto_compacted`` (counts drop below the threshold),
+      ``rearrange_only`` (every compaction add carries
+      ``dataChange: false`` — streams and change feeds see
+      nothing), and ``n_optimize_commits`` (exactly one OPTIMIZE
+      commit per partition, DuckDB-recounted from the log's
+      commitInfo).
+
+    Scale: optimizeWrite bounds file count at WRITE time (one
+    shuffle of the batch — cheap, it was about to be written
+    anyway); autoCompact amortizes maintenance into the write path
+    where the small files appear, partition-scoped so its cost
+    tracks the hot partition, not the table.
+
+    Reference: dbt_project.yml:40-41 incremental appends — exactly
+    the micro-batch append pattern that fragments tables without
+    these properties.
+    """
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q474_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q474_WH, retain_versions=5,
+                          delta_log=True)
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+
+    def _per_part_counts(name: str) -> dict[str, int]:
+        out: dict[str, int] = {}
+        data = store.current_data_dir(name)
+        for root, _dirs, files in os.walk(data):
+            n = sum(1 for f in files if f.endswith(".parquet"))
+            if n:
+                out[os.path.relpath(root, data)] = (
+                    out.get(os.path.relpath(root, data), 0) + n
+                )
+        return out
+
+    # ---- arm 1: optimizeWrite vs control, identical 6-task appends
+    for name in ("ow", "ctl"):
+        store.overwrite(name, base.coalesce(1),
+                        partition_by=("seg",))
+    store.set_table_property(
+        "ow", "delta.autoOptimize.optimizeWrite", "true"
+    )
+    for i, off in enumerate((9_000_000, 18_000_000)):
+        batch = base.withColumn("k", F.col("k") + off).repartition(6)
+        store.append("ow", batch, partition_by=("seg",))
+        store.append("ctl", batch, partition_by=("seg",))
+    ow_max = max(_per_part_counts("ow").values())
+    ctl_max = max(_per_part_counts("ctl").values())
+    ow_one_file_per_append = ow_max <= 3 and ctl_max > ow_max
+
+    # ---- arm 2: autoCompact at minNumFiles=4
+    store.overwrite("ac", base.coalesce(1), partition_by=("seg",),
+                    cluster_by=("k",))
+    store.set_table_property(
+        "ac", "delta.autoOptimize.autoCompact", "true"
+    )
+    store.set_table_property(
+        "ac", "engine.autoCompact.minNumFiles", "4"
+    )
+    for off in (10_000_000, 20_000_000, 30_000_000):
+        store.append(
+            "ac",
+            base.withColumn("k", F.col("k") + off).repartition(1),
+            partition_by=("seg",),
+        )
+    counts = _per_part_counts("ac")
+    auto_compacted = counts and max(counts.values()) < 4
+
+    ldir = os.path.join(store.path("ac"), dl.LOG_DIR)
+    n_opt = 0
+    rearrange_only = True
+    for fn in sorted(os.listdir(ldir)):
+        if not dl._COMMIT_RE.match(fn):
+            continue
+        with open(os.path.join(ldir, fn), encoding="utf-8") as fh:
+            actions = [json.loads(ln) for ln in fh if ln.strip()]
+        ci = next((a["commitInfo"] for a in actions
+                   if a.get("commitInfo")), {})
+        if ci.get("operation") != "OPTIMIZE":
+            continue
+        n_opt += 1
+        for a in actions:
+            if a.get("add") and a["add"].get("dataChange", True):
+                rearrange_only = False
+
+    out = (
+        store.read("ac")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    return out.select(
+        "seg",
+        "n",
+        "cents_sum",
+        F.lit(int(n_opt)).cast("long").alias("n_optimize_commits"),
+        F.lit(bool(ow_one_file_per_append)).alias(
+            "ow_one_file_per_append"),
+        F.lit(bool(auto_compacted)).alias("auto_compacted"),
+        F.lit(bool(rearrange_only)).alias("rearrange_only"),
+    ).orderBy("seg")
+
+
+Q474_SQL = f"""
+WITH log AS (
+  SELECT * FROM read_json_auto(
+    '{Q474_WH}/ac/_delta_log/0*.json',
+    format='newline_delimited', union_by_name=true)
+),
+opt AS (
+  SELECT count(*) AS n FROM log
+  WHERE commitInfo IS NOT NULL
+    AND json_extract_string(to_json(commitInfo), '$.operation')
+        = 'OPTIMIZE'
+),
+base AS (
+  SELECT c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM customer
+),
+allr AS (
+  SELECT seg, cents FROM base
+  UNION ALL SELECT seg, cents FROM base
+  UNION ALL SELECT seg, cents FROM base
+  UNION ALL SELECT seg, cents FROM base
+)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       (SELECT CAST(n AS BIGINT) FROM opt) AS n_optimize_commits,
+       TRUE AS ow_one_file_per_append,
+       TRUE AS auto_compacted,
+       TRUE AS rearrange_only
+FROM allr
+GROUP BY seg
+ORDER BY seg
+"""
+
+
+# ------------------------------------------------------------- q472
+
+Q472_WH = os.path.join(_FIX, "q472_warehouse")
+
+
+def q472_optimize_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**OPTIMIZE ... WHERE** (partition-scoped compaction, Delta's
+    ``OPTIMIZE t WHERE part = v``): q417 certified the full-table
+    recluster; at 100 TB nobody compacts the table — maintenance
+    targets the hot day's partition. ``store.optimize(where=...)``
+    rewrites ONLY the matching hive partition dirs; every other
+    partition is carried into the new version by HARDLINK — zero
+    bytes moved, byte-identical files, same inodes.
+
+    Lifecycle: ``customer`` partitioned by ``seg``
+    (5 partitions), clustered by ``k``, fragmented by 1 overwrite +
+    2 appends (≥3 files per partition) →
+    ``optimize(where={"seg": "BUILDING"})``.
+
+    Pinned properties:
+
+    * ``target_compacted`` — the BUILDING partition collapses to
+      fewer files than before (one, at this target size);
+    * ``untouched_zero_copy`` — every OTHER partition's file set
+      after the optimize has exactly the same INODES as before (the
+      files were hardlinked, not rewritten — the filesystem proof
+      that zero bytes moved);
+    * ``read_intact`` — the full table reads back with every row
+      (the output aggregation IS that read).
+
+    Scale: partition-scoped maintenance is what makes OPTIMIZE
+    schedulable at all — cost is one shuffle of the HOT partition's
+    bytes; the cold 99.9% of the table costs one metadata op per
+    file. The hardlink carry is the single-filesystem analog of
+    Delta's skip-untouched-partitions rule.
+
+    Reference: dbt_project.yml:46 partition hooks + ZORDER
+    post-hooks — the reference's tables are exactly this
+    partitioned-and-clustered shape.
+    """
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q472_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q472_WH, retain_versions=5,
+                          delta_log=True)
+    cust = _t(spark, sf_dir, "customer")
+    base = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("seg"),
+        _money_cents("c_acctbal").alias("cents"),
+    )
+    store.overwrite("t", base, partition_by=("seg",),
+                    cluster_by=("k",))
+    for i, off in enumerate((9_000_000, 18_000_000)):
+        store.append(
+            "t",
+            base.where(F.col("k") % 3 == i).withColumn(
+                "k", F.col("k") + off),
+            partition_by=("seg",),
+        )
+
+    def _inodes(data: str) -> dict[str, frozenset]:
+        out: dict[str, set] = {}
+        for root, _dirs, files in os.walk(data):
+            for f in files:
+                if f.endswith(".parquet"):
+                    rel = os.path.relpath(root, data)
+                    out.setdefault(rel, set()).add(
+                        os.stat(os.path.join(root, f)).st_ino
+                    )
+        return {r: frozenset(s) for r, s in out.items()}
+
+    before = _inodes(store.current_data_dir("t"))
+    n_before_target = len(before.get("seg=BUILDING", ()))
+    res = store.optimize("t", target_bytes=1 << 30,
+                         where={"seg": "BUILDING"})
+    after = _inodes(store.current_data_dir("t"))
+
+    target_compacted = (
+        res.get("reclustered") is True
+        and 0 < len(after.get("seg=BUILDING", ()))
+        < n_before_target
+    )
+    untouched_zero_copy = all(
+        after.get(rel) == ino
+        for rel, ino in before.items()
+        if rel != "seg=BUILDING"
+    ) and len(after) == len(before)
+
+    out = (
+        store.read("t")
+        .groupBy("seg")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    return out.select(
+        "seg",
+        "n",
+        "cents_sum",
+        F.lit(bool(target_compacted)).alias("target_compacted"),
+        F.lit(bool(untouched_zero_copy)).alias("untouched_zero_copy"),
+        F.lit(True).alias("read_intact"),
+    ).orderBy("seg")
+
+
+Q472_SQL = """
+WITH base AS (
+  SELECT c_custkey AS k, c_mktsegment AS seg,
+         CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM customer
+),
+allr AS (
+  SELECT seg, cents FROM base
+  UNION ALL
+  SELECT seg, cents FROM base WHERE k % 3 = 0
+  UNION ALL
+  SELECT seg, cents FROM base WHERE k % 3 = 1
+)
+SELECT seg,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       TRUE AS target_compacted,
+       TRUE AS untouched_zero_copy,
+       TRUE AS read_intact
+FROM allr
+GROUP BY seg
+ORDER BY seg
+"""
+
+
+# ------------------------------------------------------------- q473
+
+Q473_TABLE = os.path.join(_FIX, "q473_table")
+
+
+def q473_checkpoint_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Checkpoint cadence + form as table properties**
+    (delta.io ``delta.checkpointInterval``, Delta PROTOCOL.md
+    ``delta.checkpointPolicy``): the auto-checkpoint was a
+    hard-coded every-10-commits classic parquet file; real tables
+    tune the interval per workload (shorter replay tails for
+    thousand-reader session starts, longer when checkpoint cost
+    dominates tiny commits) and flip the FORM to v2 so checkpoint
+    cost is O(changed files) via sidecar reuse — all declared in
+    the table's own metadata so every writer maintains the same
+    cadence.
+
+    Lifecycle on ``supplier`` batches: table declaring
+    ``checkpointInterval = 3`` → 7 data commits → classic
+    checkpoints appear at exactly versions 2 and 5; a second table
+    declaring ``interval = 2, policy = v2`` → auto-checkpoints are
+    v2 MANIFESTS (uuid-named, sidecar-sharded) and after a lapsed
+    ``cleanup_log`` the table reconstructs from them alone with
+    every row intact.
+
+    Pinned properties: ``interval_respected`` (the exact checkpoint
+    version set), ``v2_policy_manifests`` (form + names),
+    ``reconstructs_after_truncation`` (rows survive on checkpoint
+    state alone — the output aggregation reads the truncated
+    table).
+
+    Scale: at commit rates of thousands/day the interval IS the
+    reader's session-start latency dial, and v2 sidecar reuse is
+    the difference between a multi-GB serial checkpoint write per
+    interval and a few small shards.
+
+    Reference: dbt_project.yml:39 Delta models — checkpoint cadence
+    is operated via exactly these properties on Databricks.
+    """
+    import time as _time
+
+    from product_analytics_spark.sources import delta_log as dl
+
+    def _mk_table(suffix: str, conf: dict) -> str:
+        tdir = Q473_TABLE + suffix
+        shutil.rmtree(tdir, ignore_errors=True)
+        os.makedirs(os.path.join(tdir, dl.LOG_DIR))
+        base = _t(spark, sf_dir, "supplier").select(
+            F.col("s_suppkey").alias("k"),
+            F.col("s_nationkey").cast("long").alias("nation"),
+            _money_cents("s_acctbal").alias("cents"),
+        )
+        meta = dl.make_metadata(base.schema.json())
+        meta["configuration"] = conf
+        log = dl.DeltaLog(tdir)
+        log.commit([{"protocol": dl.PROTOCOL_ACTION},
+                    {"metaData": meta}], version=0)
+        for i in range(7):
+            tmp = os.path.join(tdir, f"_tmp{i}")
+            base.where(F.col("k") % 7 == i).coalesce(1)\
+                .write.parquet(tmp)
+            src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(tdir, f"batch-{i}.parquet")
+            os.replace(src, dst)
+            shutil.rmtree(tmp, ignore_errors=True)
+            log.commit([{"add": dl.make_add(tdir, dst)}])
+        return tdir
+
+    t_int = _mk_table("_interval",
+                      {"delta.checkpointInterval": "3"})
+    ldir = os.path.join(t_int, dl.LOG_DIR)
+    cp_vers = sorted(
+        int(f.split(".")[0]) for f in os.listdir(ldir)
+        if ".checkpoint." in f
+    )
+    interval_respected = cp_vers == [2, 5]
+
+    t_v2 = _mk_table("_v2", {"delta.checkpointInterval": "2",
+                             "delta.checkpointPolicy": "v2"})
+    l2 = os.path.join(t_v2, dl.LOG_DIR)
+    v2_names = [f for f in os.listdir(l2) if ".checkpoint." in f]
+    v2_policy_manifests = bool(v2_names) and all(
+        f.count(".") >= 3 for f in v2_names  # <v>.checkpoint.<uuid>.<ext>
+    ) and os.path.isdir(os.path.join(l2, dl.SIDECAR_DIR))
+
+    dl.DeltaLog(t_v2).cleanup_log(
+        now_ms=int(_time.time() * 1000) + 10_000 * 86_400_000
+    )
+    dl.clear_snapshot_cache()
+    full = _t(spark, sf_dir, "supplier").count()
+    reconstructs_after_truncation = (
+        dl.read_delta(spark, t_v2).count() == full
+    )
+
+    out = (
+        dl.read_delta(spark, t_v2)
+        .groupBy((F.col("nation") % 5).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    return out.select(
+        "bucket",
+        "n",
+        "cents_sum",
+        F.lit(bool(interval_respected)).alias("interval_respected"),
+        F.lit(bool(v2_policy_manifests)).alias("v2_policy_manifests"),
+        F.lit(bool(reconstructs_after_truncation)).alias(
+            "reconstructs_after_truncation"),
+    ).orderBy("bucket")
+
+
+Q473_SQL = """
+WITH rows_all AS (
+  SELECT CAST(s_nationkey AS BIGINT) AS nation,
+         CAST(CAST(s_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM supplier
+)
+SELECT nation % 5 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       TRUE AS interval_respected,
+       TRUE AS v2_policy_manifests,
+       TRUE AS reconstructs_after_truncation
+FROM rows_all
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 # ------------------------------------------------------------- q471
 
 Q471_TABLE = os.path.join(_FIX, "q471_table")
@@ -2619,6 +3058,9 @@ QUERIES_EXT95 = {
     "q469_vacuum_lite": q469_vacuum_lite,
     "q470_logical_conflicts": q470_logical_conflicts,
     "q471_set_transaction": q471_set_transaction,
+    "q472_optimize_where": q472_optimize_where,
+    "q473_checkpoint_policy": q473_checkpoint_policy,
+    "q474_auto_optimize": q474_auto_optimize,
 }
 
 
@@ -2637,4 +3079,7 @@ def _oracles_ext95() -> dict[str, str]:
         "q469_vacuum_lite": Q469_SQL,
         "q470_logical_conflicts": Q470_SQL,
         "q471_set_transaction": Q471_SQL,
+        "q472_optimize_where": Q472_SQL,
+        "q473_checkpoint_policy": Q473_SQL,
+        "q474_auto_optimize": Q474_SQL,
     }

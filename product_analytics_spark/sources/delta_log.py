@@ -1393,6 +1393,7 @@ class DeltaLog:
         # (prev still declares it), after which filesystem commits
         # resume. Prev-snapshot reconstruction is module-memoized,
         # so this is one dict lookup on the hot path.
+        prev_conf: dict = {}
         if version > 0:
             try:
                 prev_conf = (
@@ -1444,9 +1445,37 @@ class DeltaLog:
         self.owner.put_if_absent(
             self.log_dir, version, "".join(ln + "\n" for ln in lines)
         )
-        if (version + 1) % self.CHECKPOINT_INTERVAL == 0:
+        # Auto-checkpoint cadence + form are TABLE PROPERTIES
+        # (delta.io ``delta.checkpointInterval``, Delta PROTOCOL.md
+        # ``delta.checkpointPolicy``): the effective configuration is
+        # this commit's own metaData action if present, else the
+        # previous snapshot's. A hot 100 TB table tunes the interval
+        # DOWN (shorter replay tails for thousand-reader sessions)
+        # or UP (checkpoint write cost dominates tiny commits), and
+        # ``v2`` policy shards the checkpoint into reusable sidecars
+        # so its cost is O(changed files), not O(table).
+        eff_meta_cp = next(
+            (a["metaData"] for a in actions if a.get("metaData")),
+            None,
+        )
+        conf_cp = (
+            (eff_meta_cp.get("configuration") or {})
+            if eff_meta_cp is not None
+            else prev_conf
+        )
+        try:
+            interval = int(
+                conf_cp.get("delta.checkpointInterval")
+                or self.CHECKPOINT_INTERVAL
+            )
+        except (TypeError, ValueError):
+            interval = self.CHECKPOINT_INTERVAL
+        if (version + 1) % max(1, interval) == 0:
             try:
-                self.write_checkpoint(version)
+                if conf_cp.get("delta.checkpointPolicy") == "v2":
+                    self.write_checkpoint_v2(version)
+                else:
+                    self.write_checkpoint(version)
             except Exception:  # noqa: BLE001 — checkpoint is an optimization
                 pass
         try:

@@ -2462,6 +2462,23 @@ class SnapshotStore:
         df = self._apply_identity(name, df)
         df = self._apply_generated(name, df)
         self._validate_constraints(name, df)
+        if (
+            self.table_properties(name).get(
+                "delta.autoOptimize.optimizeWrite"
+            )
+            == "true"
+        ):
+            # optimizeWrite (delta.io auto optimize): shuffle the
+            # incoming batch so each hive partition receives ONE
+            # writer task — one file per partition per append instead
+            # of one per (task × partition). At 100 TB the property
+            # is what keeps a 200-task micro-batch from minting 200
+            # small files per partition every trigger.
+            df = (
+                df.repartition(*[F.col(c) for c in partition_by])
+                if partition_by
+                else df.coalesce(1)
+            )
         data = self.current_data_dir(name) or self.path(name)
         writer = df.write.mode("append")
         if partition_by:
@@ -2472,6 +2489,42 @@ class SnapshotStore:
             # new files (reconciled: disk minus log-live), no removes.
             with self._commit_lock(name):
                 self._delta_commit(name, operation="WRITE")
+        self._maybe_auto_compact(name)
+
+    def _maybe_auto_compact(self, name: str) -> None:
+        """``delta.autoOptimize.autoCompact`` (delta.io auto
+        optimize): after an append, any partition that accumulated
+        ``engine.autoCompact.minNumFiles`` (default 8) or more files
+        is compacted INLINE through the partition-scoped
+        :meth:`optimize` — the cold partitions ride along by
+        hardlink, and the compaction commit is rearrange-only
+        (``dataChange: false``), so change feeds and streams see
+        nothing. This is the writer-side half of small-file hygiene:
+        the scheduled OPTIMIZE job stops being load-bearing for
+        tables whose writers keep themselves tidy."""
+        props = self.table_properties(name)
+        if props.get("delta.autoOptimize.autoCompact") != "true":
+            return
+        try:
+            min_files = int(
+                props.get("engine.autoCompact.minNumFiles") or 8
+            )
+        except (TypeError, ValueError):
+            min_files = 8
+        data = self.current_data_dir(name)
+        if data is None:
+            return
+        parts = self._partition_dirs(data)
+        hot = [rel for rel, fs in parts if len(fs) >= max(2, min_files)]
+        if not hot:
+            return
+        if "." in hot:
+            self.optimize(name)  # flat table: whole-table compaction
+            return
+        for rel in hot:
+            self.optimize(
+                name, where=dict(self._partition_literals(rel))
+            )
 
     def merge(
         self,
@@ -2744,6 +2797,7 @@ class SnapshotStore:
         name: str,
         target_bytes: int = 128 << 20,
         max_retries: int = 3,
+        where: dict | None = None,
     ) -> dict:
         """Delta's ``OPTIMIZE [ZORDER BY …]`` proper: compaction that
         RESTORES the table's declared clustering. Appends and COW
@@ -2761,10 +2815,16 @@ class SnapshotStore:
         scanned version; a concurrent writer forces a re-scan.
         Returns {files_before, files_after, reclustered}.
 
+        ``where`` ({partition col -> value}) is ``OPTIMIZE t WHERE
+        p = v``: only matching hive partition dirs are rewritten;
+        everything else is carried into the new version by HARDLINK
+        (zero bytes moved, same inodes) — at 100 TB you compact the
+        hot day's partition, never the table.
+
         Scale: this is the maintenance job real lakehouses schedule —
         cost is one shuffle of the rewritten partitions' bytes on the
-        cluster key; untouched partition dirs rewrite too here for
-        simplicity, where Delta would skip dirs already within
+        cluster key; without ``where``, untouched partition dirs
+        rewrite too, where Delta would skip dirs already within
         tolerance (the planner hook to add when partition counts make
         it matter)."""
         # Liquid clustering: keys declared IN THE LOG
@@ -2787,7 +2847,7 @@ class SnapshotStore:
         keys = liquid_keys or list(
             layout.get("zorder_by") or layout.get("cluster_by") or ()
         )
-        if not keys:
+        if not keys and where is None:
             out = self.compact(name, target_bytes, max_retries=max_retries)
             out["reclustered"] = False
             return out
@@ -2827,6 +2887,25 @@ class SnapshotStore:
                 n_before = sum(len(fs) for _r, fs in parts)
                 for rel, files in parts:
                     out_dir = vdir if rel == "." else os.path.join(vdir, rel)
+                    if where is not None and not all(
+                        (k, str(v)) in self._partition_literals(rel)
+                        for k, v in where.items()
+                    ):
+                        # OPTIMIZE ... WHERE: partitions outside the
+                        # predicate are carried by HARDLINK — zero
+                        # bytes moved, same inodes (Delta skips
+                        # untouched partitions the same way; at
+                        # 100 TB you compact the hot day's
+                        # partition, never the table)
+                        os.makedirs(out_dir, exist_ok=True)
+                        for f in files:
+                            os.link(
+                                f,
+                                os.path.join(
+                                    out_dir, os.path.basename(f)
+                                ),
+                            )
+                        continue
                     n_files = max(
                         1,
                         -(-sum(os.path.getsize(f) for f in files) // target_bytes),
@@ -2853,9 +2932,15 @@ class SnapshotStore:
                         sort_keys = ["__zval"]
                     else:
                         sort_keys = keys
-                    df = df.repartitionByRange(
-                        n_files, *sort_keys
-                    ).sortWithinPartitions(*sort_keys)
+                    if sort_keys:
+                        df = df.repartitionByRange(
+                            n_files, *sort_keys
+                        ).sortWithinPartitions(*sort_keys)
+                    else:
+                        # no declared clustering (WHERE-scoped
+                        # compaction of an unclustered table):
+                        # plain bin-pack
+                        df = df.repartition(n_files)
                     if zorder:
                         df = df.drop("__zval")
                     df.write.mode("append").parquet(out_dir)
@@ -2878,7 +2963,7 @@ class SnapshotStore:
             return {
                 "files_before": n_before,
                 "files_after": n_after,
-                "reclustered": True,
+                "reclustered": bool(keys),
             }
         assert last_err is not None
         raise last_err
