@@ -1207,6 +1207,155 @@ ORDER BY om
 """
 
 
+# ------------------------------------------------------------- q475
+
+Q475_TABLE = os.path.join(_FIX, "q475_table")
+
+
+def q475_txn_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**SetTransaction retention**
+    (``delta.setTransactionRetentionDuration``, delta.io): q471's
+    idempotence gate, bounded — a table written by many transient
+    streaming apps would otherwise accumulate txn entries forever in
+    every checkpoint. With the property set, entries whose
+    ``lastUpdated`` lapsed are dropped AT CHECKPOINT TIME (the
+    spec's permitted expiry); the documented cost is pinned too: an
+    app restarted after the window has LOST its replay gate.
+
+    Lifecycle on ``orders`` halves: retention ``interval 7 days``;
+    app-old writes batch 5 stamped day 1, app-new writes batch 9
+    stamped day 53 → checkpoint at ``now = day 55`` → lapsed
+    ``cleanup_log`` (checkpoint state is the only source).
+
+    Pinned properties:
+
+    * ``expired_dropped_kept`` — app-old's entry is GONE from the
+      reconstructed state while app-new survives with its ORIGINAL
+      stamp (not re-stamped at checkpoint);
+    * ``expired_gate_gone`` — app-old replaying batch 5 now LANDS
+      (the documented double-write risk of restarting past the
+      window — why the default is no expiry);
+    * ``fresh_gate_holds`` — app-new replaying batch 9 is still a
+      no-op;
+    * ``n_txn_in_checkpoint`` — DuckDB reads the checkpoint parquet
+      and finds EXACTLY the surviving txn row.
+
+    Scale: checkpoints are read at every session start by every
+    reader — an unbounded txn column from years of transient
+    one-shot writer apps is pure dead weight; the retention dial
+    trades that against the replay-gate horizon.
+
+    Reference: profiles.yml:8 threads: 5 + incremental models — a
+    fleet of periodic writer apps is exactly the accumulation shape.
+    """
+    from product_analytics_spark.sources import delta_log as dl
+
+    shutil.rmtree(Q475_TABLE, ignore_errors=True)
+    os.makedirs(os.path.join(Q475_TABLE, dl.LOG_DIR))
+    day = 86_400_000
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        _money_cents("o_totalprice").alias("cents"),
+    )
+    log = dl.DeltaLog(Q475_TABLE)
+    meta = dl.make_metadata(base.schema.json())
+    meta["configuration"] = {
+        dl.SET_TXN_RETENTION_PROP: "interval 7 days"
+    }
+    log.commit([{"protocol": dl.PROTOCOL_ACTION},
+                {"metaData": meta}], version=0)
+
+    def _land(idx: str, df) -> dict:
+        tmp = os.path.join(Q475_TABLE, f"_tmp{idx}")
+        df.coalesce(1).write.parquet(tmp)
+        src = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(Q475_TABLE, f"batch-{idx}.parquet")
+        os.replace(src, dst)
+        shutil.rmtree(tmp, ignore_errors=True)
+        return {"add": dl.make_add(Q475_TABLE, dst)}
+
+    log.commit_txn([_land("old", base.where(F.col("k") % 2 == 0))],
+                   "app-old", 5, last_updated_ms=1 * day)
+    log.commit_txn([_land("new", base.where(F.col("k") % 2 == 1))],
+                   "app-new", 9, last_updated_ms=53 * day)
+
+    cp_path = log.write_checkpoint(log.latest_version(),
+                                   now_ms=55 * day)
+    log.cleanup_log(now_ms=10_000 * day)
+    dl.clear_snapshot_cache()
+    fresh = dl.DeltaLog(Q475_TABLE)
+    snap = fresh.snapshot()
+    expired_dropped_kept = (
+        fresh.txn_version("app-old") is None
+        and fresh.txn_version("app-new") == 9
+        and snap.txn_updated.get("app-new") == 53 * day
+    )
+    n_before = fresh.latest_version()
+    # the expired app replaying its batch LANDS (gate gone) — use a
+    # rearrange-free marker commit so the data stays comparable
+    expired_gate_gone = (
+        fresh.commit_txn(
+            [{"domainMetadata": {"domain": "q475.replay",
+                                 "configuration": "{}",
+                                 "removed": False}}],
+            "app-old", 5,
+        ) == n_before + 1
+    )
+    fresh_gate_holds = (
+        fresh.commit_txn([_land("dup",
+                                base.where(F.col("k") % 2 == 1))],
+                         "app-new", 9) is None
+        and dl.DeltaLog(Q475_TABLE).latest_version() == n_before + 1
+    )
+
+    import pyarrow.parquet as pq
+    txn_rows = [
+        r["txn"] for r in
+        pq.read_table(cp_path, columns=["txn"]).to_pylist()
+        if r.get("txn") is not None
+    ]
+    n_txn = len(txn_rows)
+
+    out = (
+        dl.read_delta(spark, Q475_TABLE)
+        .groupBy((F.col("k") % 5).alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    return out.select(
+        "bucket",
+        "n",
+        "cents_sum",
+        F.lit(int(n_txn)).cast("long").alias("n_txn_in_checkpoint"),
+        F.lit(bool(expired_dropped_kept)).alias(
+            "expired_dropped_kept"),
+        F.lit(bool(expired_gate_gone)).alias("expired_gate_gone"),
+        F.lit(bool(fresh_gate_holds)).alias("fresh_gate_holds"),
+    ).orderBy("bucket")
+
+
+Q475_SQL = f"""
+WITH cp AS (
+  SELECT count(*) AS n
+  FROM parquet_scan('{Q475_TABLE}/_delta_log/0*.checkpoint.parquet')
+  WHERE txn IS NOT NULL
+)
+SELECT o_orderkey % 5 AS bucket,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+                     AS BIGINT)) AS BIGINT) AS cents_sum,
+       (SELECT CAST(n AS BIGINT) FROM cp) AS n_txn_in_checkpoint,
+       TRUE AS expired_dropped_kept,
+       TRUE AS expired_gate_gone,
+       TRUE AS fresh_gate_holds
+FROM orders
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
 # ------------------------------------------------------------- q474
 
 Q474_WH = os.path.join(_FIX, "q474_warehouse")
@@ -3061,6 +3210,7 @@ QUERIES_EXT95 = {
     "q472_optimize_where": q472_optimize_where,
     "q473_checkpoint_policy": q473_checkpoint_policy,
     "q474_auto_optimize": q474_auto_optimize,
+    "q475_txn_retention": q475_txn_retention,
 }
 
 
@@ -3082,4 +3232,5 @@ def _oracles_ext95() -> dict[str, str]:
         "q472_optimize_where": Q472_SQL,
         "q473_checkpoint_policy": Q473_SQL,
         "q474_auto_optimize": Q474_SQL,
+        "q475_txn_retention": Q475_SQL,
     }

@@ -322,6 +322,10 @@ APPEND_ONLY_PROP = "delta.appendOnly"
 #: their in-commit timestamp (default 30 days).
 DELETED_FILE_RETENTION_PROP = "delta.deletedFileRetentionDuration"
 LOG_RETENTION_PROP = "delta.logRetentionDuration"
+#: SetTransaction expiry horizon (delta.io): txn entries whose
+#: lastUpdated lapsed may be dropped AT CHECKPOINT TIME. Default:
+#: keep forever (no property).
+SET_TXN_RETENTION_PROP = "delta.setTransactionRetentionDuration"
 
 #: Coordinated-commits DECLARATION (Delta 4.x
 #: ``coordinatedCommits-preview``): the table's metadata NAMES its
@@ -454,6 +458,7 @@ def _snap_copy(s: "DeltaSnapshot") -> "DeltaSnapshot":
         files={k: dict(v) for k, v in s.files.items()},
         domains={k: dict(v) for k, v in s.domains.items()},
         transactions=dict(s.transactions),
+        txn_updated=dict(s.txn_updated),
     )
 
 
@@ -525,6 +530,10 @@ class DeltaSnapshot:
     #: retried micro-batch a no-op. Folded from ``txn`` actions and
     #: persisted through every checkpoint form.
     transactions: dict[str, int] = field(default_factory=dict)
+    #: appId -> the txn action's ``lastUpdated`` stamp — what
+    #: ``delta.setTransactionRetentionDuration`` expires against at
+    #: checkpoint time.
+    txn_updated: dict[str, int] = field(default_factory=dict)
 
     def row_id_high_water_mark(self) -> int:
         """The row-tracking high-water mark from the
@@ -1662,6 +1671,7 @@ class DeltaLog:
         app_id: str,
         txn_version: int,
         operation: str = "STREAMING UPDATE",
+        last_updated_ms: int | None = None,
     ) -> int | None:
         """Idempotent commit (Delta's ``txn`` / SetTransaction
         action — the contract ``foreachBatch`` exactly-once sinks
@@ -1683,7 +1693,11 @@ class DeltaLog:
             "txn": {
                 "appId": str(app_id),
                 "version": int(txn_version),
-                "lastUpdated": _FIXED_TIME_MS,
+                "lastUpdated": int(
+                    last_updated_ms
+                    if last_updated_ms is not None
+                    else _FIXED_TIME_MS
+                ),
             }
         }
         return self.commit(
@@ -1780,6 +1794,9 @@ class DeltaLog:
             t = action["txn"]
             if t.get("appId") is not None:
                 snap.transactions[t["appId"]] = int(t["version"])
+                snap.txn_updated[t["appId"]] = int(
+                    t.get("lastUpdated") or 0
+                )
 
     def snapshot(self, version: int | None = None) -> DeltaSnapshot:
         """Reconstruct the table state at ``version`` (default:
@@ -2055,11 +2072,37 @@ class DeltaLog:
         )
 
     @staticmethod
-    def _txn_rows(snap: DeltaSnapshot) -> list:
+    def _txn_rows(
+        snap: DeltaSnapshot, now_ms: int | None = None
+    ) -> list:
+        """SetTransaction rows for a checkpoint. Per
+        ``delta.setTransactionRetentionDuration`` (delta.io), entries
+        whose ``lastUpdated`` lapsed are DROPPED at checkpoint time —
+        the spec's permitted expiry, bounding checkpoint growth for
+        tables with many transient writer apps. The documented cost:
+        a sink restarted after the retention window loses its
+        idempotence gate and may re-apply its last batch — which is
+        why the DEFAULT is no expiry. ``now_ms`` is injectable for
+        deterministic certs; wall clock otherwise."""
+        conf = (snap.metadata or {}).get("configuration") or {}
+        raw = conf.get(SET_TXN_RETENTION_PROP)
+        horizon = None
+        if raw:
+            import time as _time
+
+            retention = parse_interval_ms(raw, None)
+            if retention is not None:
+                now = (
+                    now_ms if now_ms is not None
+                    else int(_time.time() * 1000)
+                )
+                horizon = now - int(retention)
         return [
             {"appId": a, "version": int(v),
-             "lastUpdated": _FIXED_TIME_MS}
+             "lastUpdated": int(snap.txn_updated.get(a, 0))}
             for a, v in sorted(snap.transactions.items())
+            if horizon is None
+            or int(snap.txn_updated.get(a, 0)) > horizon
         ]
 
     def _write_cp_part(
@@ -2124,7 +2167,10 @@ class DeltaLog:
             json.dump(body, fh)
         os.replace(lc_tmp, os.path.join(self.log_dir, "_last_checkpoint"))
 
-    def write_checkpoint(self, version: int | None = None) -> str:
+    def write_checkpoint(
+        self, version: int | None = None,
+        now_ms: int | None = None,
+    ) -> str:
         """Parquet checkpoint of the snapshot at ``version`` + the
         ``_last_checkpoint`` pointer — bounds the JSON tail readers
         replay. One row per action; struct columns add/metaData/
@@ -2144,7 +2190,7 @@ class DeltaLog:
         self._write_cp_part(
             cp_path, proto_rows, meta_rows, add_rows,
             domain_rows=self._domain_rows(snap),
-            txn_rows=self._txn_rows(snap),
+            txn_rows=self._txn_rows(snap, now_ms),
         )
         self._write_last_checkpoint(
             {"version": version, "size": len(add_rows)}
@@ -2152,7 +2198,8 @@ class DeltaLog:
         return cp_path
 
     def write_checkpoint_multipart(
-        self, version: int | None = None, n_parts: int = 2
+        self, version: int | None = None, n_parts: int = 2,
+        now_ms: int | None = None,
     ) -> list[str]:
         """Classic MULTI-PART checkpoint
         (``<v>.checkpoint.<part>.<of>.parquet``, Delta PROTOCOL.md):
@@ -2188,7 +2235,7 @@ class DeltaLog:
                 proto_rows = [snap.protocol or PROTOCOL_ACTION, None]
                 meta_rows = [None, self._cp_meta_payload(snap.metadata)]
                 domain_rows = self._domain_rows(snap)
-                txn_rows = self._txn_rows(snap)
+                txn_rows = self._txn_rows(snap, now_ms)
                 shard = [None, None] + shard
             p = os.path.join(
                 self.log_dir,
@@ -2241,6 +2288,7 @@ class DeltaLog:
         version: int | None = None,
         max_actions_per_sidecar: int = 50_000,
         manifest_format: str = "parquet",
+        now_ms: int | None = None,
     ) -> str:
         """**V2 checkpoint with sidecars** (Delta PROTOCOL.md "V2
         Checkpoint Table Feature"): the live add set is sharded into
@@ -2368,7 +2416,7 @@ class DeltaLog:
             lines += [
                 json.dumps({"txn": tx}, separators=(",", ":"),
                            sort_keys=True)
-                for tx in self._txn_rows(snap)
+                for tx in self._txn_rows(snap, now_ms)
             ]
             manifest = os.path.join(
                 self.log_dir,
@@ -2398,7 +2446,7 @@ class DeltaLog:
         )
         cpmeta_t = pa.struct([("version", pa.int64())])
         domain_rows = self._domain_rows(snap)
-        txn_rows = self._txn_rows(snap)
+        txn_rows = self._txn_rows(snap, now_ms)
         n = 3 + len(sidecars) + len(domain_rows) + len(txn_rows)
 
         def _pad(rows: list) -> list:
@@ -2506,6 +2554,9 @@ class DeltaLog:
             tx = row.get("txn")
             if tx is not None and tx.get("appId") is not None:
                 snap.transactions[tx["appId"]] = int(tx["version"])
+                snap.txn_updated[tx["appId"]] = int(
+                    tx.get("lastUpdated") or 0
+                )
         side_dir = os.path.join(self.log_dir, SIDECAR_DIR)
         for name in sidecars:
             sp = os.path.join(side_dir, name)
@@ -2545,6 +2596,9 @@ class DeltaLog:
             tx = row.get("txn") if "txn" in cols else None
             if tx is not None and tx.get("appId") is not None:
                 snap.transactions[tx["appId"]] = int(tx["version"])
+                snap.txn_updated[tx["appId"]] = int(
+                    tx.get("lastUpdated") or 0
+                )
             if proto is not None:
                 snap.protocol = proto
             if meta is not None:

@@ -84,3 +84,49 @@ def test_txn_state_survives_checkpoints(tmp_path, form):
     # the idempotence gate still holds post-checkpoint
     assert fresh.commit_txn([_add("dup")], "app-1", 7) is None
     assert fresh.commit_txn([_add("b8")], "app-1", 8) is not None
+
+
+_DAY = 86_400_000
+
+
+def test_txn_retention_expires_at_checkpoint(tmp_path):
+    """delta.setTransactionRetentionDuration: lapsed txn entries are
+    dropped AT CHECKPOINT TIME — the expired app loses its
+    idempotence gate (the spec's documented cost), fresh apps keep
+    theirs."""
+    table = _mk(tmp_path)
+    log = dl.DeltaLog(table)
+    meta = dict(log.snapshot().metadata)
+    meta["configuration"] = {
+        dl.SET_TXN_RETENTION_PROP: "interval 7 days"
+    }
+    log.commit([{"metaData": meta}], version=1)
+    log.commit_txn([_add("old")], "app-old", 5,
+                   last_updated_ms=1 * _DAY)
+    log.commit_txn([_add("new")], "app-new", 9,
+                   last_updated_ms=53 * _DAY)
+    # both gates live pre-checkpoint (state from the JSON tail)
+    assert log.txn_version("app-old") == 5
+    log.write_checkpoint(log.latest_version(), now_ms=55 * _DAY)
+    dl.DeltaLog(table).cleanup_log(now_ms=10_000 * _DAY)
+    dl.clear_snapshot_cache()
+    fresh = dl.DeltaLog(table)
+    # expired entry gone from checkpoint state; fresh one kept with
+    # its original stamp
+    assert fresh.txn_version("app-old") is None
+    assert fresh.txn_version("app-new") == 9
+    assert fresh.snapshot().txn_updated["app-new"] == 53 * _DAY
+    # the expired app's replay gate is GONE (documented risk)...
+    assert fresh.commit_txn([_add("old2")], "app-old", 5) is not None
+    # ...while the fresh app still dedupes
+    assert fresh.commit_txn([_add("dup")], "app-new", 9) is None
+
+
+def test_no_retention_property_keeps_forever(tmp_path):
+    table = _mk(tmp_path)
+    log = dl.DeltaLog(table)
+    log.commit_txn([_add("b")], "app-1", 1, last_updated_ms=0)
+    log.write_checkpoint(log.latest_version(), now_ms=10_000 * _DAY)
+    dl.DeltaLog(table).cleanup_log(now_ms=10_000 * _DAY)
+    dl.clear_snapshot_cache()
+    assert dl.DeltaLog(table).txn_version("app-1") == 1
