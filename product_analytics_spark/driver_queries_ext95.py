@@ -1207,6 +1207,218 @@ ORDER BY om
 """
 
 
+# ------------------------------------------------------------- q476
+
+Q476_WH = os.path.join(_FIX, "q476_warehouse")
+
+
+def q476_round12_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """**Round-12 composition capstone** (q444's role for this
+    round): the new protocol features are only real if they COMPOSE
+    on one table without interfering. One ``orders`` table carries,
+    simultaneously: a GENERATED partition column (q464), the
+    ``appendOnly`` writer gate (q459), a declared checkpoint cadence
+    (q473), coordinated commits — declaration (q465) + staged
+    layout/backfill (q463) — and log-derived VACUUM LITE (q469).
+
+    Lifecycle: create partitioned-by-``oyear = year(odate)`` →
+    declare appendOnly + ``checkpointInterval = 4`` → appends land →
+    DELETE refused (version pinned) → declare the coordinator (the
+    last filesystem commit) → a filesystem append is REFUSED → the
+    same append routed through the named ``StagedCommitOwner`` LANDS
+    (ratified-unbackfilled, readable) → ``backfill`` → a
+    coordinator-unaware reader sees the same table.
+
+    Pinned properties:
+
+    * ``append_only_enforced`` — DELETE refused, version unchanged,
+      while appends keep landing (before AND after coordination);
+    * ``coordinator_enforced`` — filesystem writer refused after the
+      declaration; the declared owner's append lands and is
+      readable BEFORE backfill;
+    * ``derived_prunes`` — with all of the above active, a
+      data-column ``odate`` range still prunes through the
+      generated ``oyear`` partition (planner metadata is
+      orthogonal to commit routing);
+    * ``checkpoint_cadence`` — auto-checkpoints appear at exactly
+      the declared every-4-commits versions, INCLUDING through
+      staged commits (the coordinator path runs the same
+      auto-checkpoint);
+    * ``lite_clean_on_append_only`` — the only tombstones are the
+      creation overwrites' (appendOnly admitted none since): VACUUM
+      LITE plans exactly full vacuum's tracked victims from the log
+      alone, while the planted crashed-writer orphan stays
+      invisible to it (q469's contract, under the full stack).
+
+    Found and FIXED while building this capstone: ``store.append``
+    wrote parquet into the current data dir BEFORE the log commit,
+    so a coordinator-refused append left orphaned files the next
+    writer's disk-minus-log reconcile silently ADOPTED — committing
+    rows a writer was just told it could not commit. The append
+    path now fail-fasts on the coordinator declaration before any
+    byte lands (``_assert_coordinator_routed``).
+
+    Scale: this is the production stack — a catalog-owned,
+    append-only, generated-partitioned fact table with declared
+    maintenance cadence is precisely the 100 TB CDC ingest shape;
+    every component's cost argument (one property lookup per
+    commit, O(conjuncts) derivation, O(log tail) vacuum planning)
+    must survive the others being active.
+
+    Reference: bronze.yml CDC tables (append-only) +
+    dbt_project.yml:46 partition hooks + profiles.yml Databricks
+    (catalog-owned commits) — the composed shape IS the reference's
+    production deployment.
+    """
+    from datetime import datetime as _dt
+
+    from product_analytics_spark.sources import delta_log as dl
+    from product_analytics_spark.sources.sinks import SnapshotStore
+
+    shutil.rmtree(Q476_WH, ignore_errors=True)
+    store = SnapshotStore(spark, Q476_WH, retain_versions=10,
+                          delta_log=True)
+    base = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderdate").alias("odate"),
+        _money_cents("o_totalprice").alias("cents"),
+    )
+    store.overwrite("fact", base.where(F.col("k") % 2 == 0))
+    store.set_generated("fact", "oyear", "year(odate)")
+    store.overwrite("fact", base.where(F.col("k") % 2 == 0),
+                    partition_by=("oyear",))
+    store.set_table_property("fact", "delta.checkpointInterval", "4")
+    store.set_table_property("fact", dl.APPEND_ONLY_PROP, "true")
+    tdir = store.path("fact")
+    COORD = "unity-local"
+
+    # appends land under appendOnly; DELETE is refused, version pinned
+    store.append("fact", base.where(F.col("k") % 4 == 1),
+                 partition_by=("oyear",))
+    v_pin = dl.DeltaLog(tdir).latest_version()
+    delete_refused = False
+    try:
+        store.delete_where("fact", "cents < 0")
+    except dl.DeltaProtocolError:
+        delete_refused = (
+            dl.DeltaLog(tdir).latest_version() == v_pin
+        )
+
+    v_decl = dl.enable_coordinated_commits(tdir, COORD)
+    # filesystem writer refused now — including the ENGINE's own
+    # store when it isn't configured with the coordinator
+    fs_refused = False
+    try:
+        store.append("fact", base.where(F.col("k") % 4 == 3),
+                     partition_by=("oyear",))
+    except dl.DeltaProtocolError:
+        fs_refused = dl.DeltaLog(tdir).latest_version() == v_decl
+    coord_store = SnapshotStore(
+        spark, Q476_WH, retain_versions=10, delta_log=True,
+        commit_owner=dl.StagedCommitOwner(coordinator_name=COORD),
+    )
+    coord_store.append("fact", base.where(F.col("k") % 4 == 3),
+                       partition_by=("oyear",))
+    n_expected = base.where(
+        (F.col("k") % 2 == 0) | (F.col("k") % 4 == 1)
+        | (F.col("k") % 4 == 3)
+    ).count()
+    readable_before_backfill = (
+        dl.read_delta(spark, tdir).count() == n_expected
+    )
+    append_only_enforced = delete_refused
+    coordinator_enforced = fs_refused and readable_before_backfill
+
+    ldir = os.path.join(tdir, dl.LOG_DIR)
+    dl.StagedCommitOwner.backfill(ldir)
+    unaware_reads = (
+        dl.read_delta(spark, tdir).count() == n_expected
+    )
+    coordinator_enforced = coordinator_enforced and unaware_reads
+
+    # generated-column pruning through everything above
+    lo, hi = _dt(1996, 1, 1), _dt(1996, 12, 31, 23, 59, 59)
+    snap = store.delta_snapshot("fact")
+    kept, _ = store.scan_files(
+        "fact", [("odate", "between", (lo, hi))]
+    )
+    derived_prunes = (
+        0 < len(kept) < len(snap.files)
+        and all("oyear=1996" in p for p in kept)
+    )
+
+    # declared cadence: every-4-commits checkpoints, staged included
+    cp_vers = sorted(
+        int(f.split(".")[0])
+        for f in os.listdir(ldir) if ".checkpoint." in f
+    )
+    checkpoint_cadence = bool(cp_vers) and all(
+        (v + 1) % 4 == 0 for v in cp_vers
+    )
+
+    # vacuum lite composes: the ONLY tombstones are the creation
+    # overwrites' (appendOnly added none since); lite plans exactly
+    # full-vacuum's tracked victims from the log alone, while the
+    # planted crashed-writer orphan stays invisible to it
+    with open(os.path.join(tdir, "orphan.parquet"), "wb") as fh:
+        fh.write(b"PAR1")
+    lite = set(dl.DeltaLog(tdir).vacuum_lite(
+        dry_run=True, retention_ms=0, now_ms=10_000 * 86_400_000
+    ))
+    full = set(dl.DeltaLog(tdir).vacuum(
+        dry_run=True, retention_ms=0, now_ms=10_000 * 86_400_000
+    ))
+    lite_clean_on_append_only = (
+        "orphan.parquet" in full
+        and lite == full - {"orphan.parquet"}
+    )
+
+    out = (
+        dl.read_delta(spark, tdir)
+        .groupBy("oyear")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("cents_sum"),
+        )
+    )
+    return out.select(
+        F.col("oyear").cast("long").alias("oyear"),
+        "n",
+        "cents_sum",
+        F.lit(bool(append_only_enforced)).alias(
+            "append_only_enforced"),
+        F.lit(bool(coordinator_enforced)).alias(
+            "coordinator_enforced"),
+        F.lit(bool(derived_prunes)).alias("derived_prunes"),
+        F.lit(bool(checkpoint_cadence)).alias("checkpoint_cadence"),
+        F.lit(bool(lite_clean_on_append_only)).alias(
+            "lite_clean_on_append_only"),
+    ).orderBy("oyear")
+
+
+Q476_SQL = """
+WITH rows_all AS (
+  SELECT year(o_orderdate) AS oyear,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents
+  FROM orders
+  WHERE o_orderkey % 2 = 0 OR o_orderkey % 4 = 1
+     OR o_orderkey % 4 = 3
+)
+SELECT CAST(oyear AS BIGINT) AS oyear,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(cents) AS BIGINT) AS cents_sum,
+       TRUE AS append_only_enforced,
+       TRUE AS coordinator_enforced,
+       TRUE AS derived_prunes,
+       TRUE AS checkpoint_cadence,
+       TRUE AS lite_clean_on_append_only
+FROM rows_all
+GROUP BY oyear
+ORDER BY oyear
+"""
+
+
 # ------------------------------------------------------------- q475
 
 Q475_TABLE = os.path.join(_FIX, "q475_table")
@@ -3211,6 +3423,7 @@ QUERIES_EXT95 = {
     "q473_checkpoint_policy": q473_checkpoint_policy,
     "q474_auto_optimize": q474_auto_optimize,
     "q475_txn_retention": q475_txn_retention,
+    "q476_round12_capstone": q476_round12_capstone,
 }
 
 
@@ -3233,4 +3446,5 @@ def _oracles_ext95() -> dict[str, str]:
         "q473_checkpoint_policy": Q473_SQL,
         "q474_auto_optimize": Q474_SQL,
         "q475_txn_retention": Q475_SQL,
+        "q476_round12_capstone": Q476_SQL,
     }

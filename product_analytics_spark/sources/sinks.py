@@ -2459,6 +2459,7 @@ class SnapshotStore:
         dbt's default incremental behavior; use merge/overwrite for
         transactional semantics.
         """
+        self._assert_coordinator_routed(name)
         df = self._apply_identity(name, df)
         df = self._apply_generated(name, df)
         self._validate_constraints(name, df)
@@ -2490,6 +2491,37 @@ class SnapshotStore:
             with self._commit_lock(name):
                 self._delta_commit(name, operation="WRITE")
         self._maybe_auto_compact(name)
+
+    def _assert_coordinator_routed(self, name: str) -> None:
+        """Coordinated-commits FAIL-FAST for the in-place append
+        path (found by the q476 composition capstone): ``append``
+        writes parquet into the CURRENT data dir before the log
+        commit, so letting ``DeltaLog.commit`` refuse afterwards
+        leaves orphaned data files that the next writer's
+        disk-minus-log reconcile silently ADOPTS — committing rows a
+        writer was just told it could not commit. Check the table's
+        coordinator declaration BEFORE any byte lands."""
+        if not self.delta_log:
+            return
+        from product_analytics_spark.sources import delta_log as dl
+
+        try:
+            conf = (
+                self.delta_snapshot(name).metadata or {}
+            ).get("configuration") or {}
+        except Exception:  # noqa: BLE001 — no log yet: nothing declared
+            return
+        declared = conf.get(dl.COMMIT_COORDINATOR_PROP)
+        if declared and (
+            getattr(self.commit_owner, "coordinator_name", None)
+            != declared
+        ):
+            raise dl.DeltaProtocolError(
+                f"table {name!r} commits are owned by coordinator "
+                f"{declared!r} ({dl.COMMIT_COORDINATOR_PROP}): "
+                "configure SnapshotStore(commit_owner=...) with that "
+                "coordinator; nothing written"
+            )
 
     def _maybe_auto_compact(self, name: str) -> None:
         """``delta.autoOptimize.autoCompact`` (delta.io auto
