@@ -3099,6 +3099,40 @@ def convert_to_delta(spark, table_dir: str) -> int:
 # ------------------------------------------------------------------
 
 
+def _positions_df(spark, rows, schema: str):
+    """A small position/metadata list as a ONE-partition, Arrow-backed
+    DataFrame — the broadcast-side shape (round-12 optimization).
+
+    ``spark.createDataFrame(list_of_tuples)`` parallelizes through the
+    pickled-row Python path into ``defaultParallelism`` mostly-empty
+    partitions, so EVERY broadcast build over it pays ~32 Python-worker
+    round-trips (measured 0.3-1.1s per build in the MoR certs).
+    pandas + Arrow halves the serialization and ``coalesce(1)`` makes
+    the build a single task (guide §4: cross the Python boundary in
+    Arrow batches, and as few times as possible)."""
+    import pandas as pd
+
+    cols = [c.strip().split()[0] for c in schema.split(",")]
+    pdf = pd.DataFrame(list(rows), columns=cols)
+    return spark.createDataFrame(pdf, schema=schema).coalesce(1)
+
+
+def _dv_anti_join(df, pos_df, path_col: str, ri_col: str):
+    """One broadcast anti-join of tagged (path, row_index) columns
+    against a deletion-vector positions relation; drops the tag
+    columns. Shared by every DV read path so the positions relation is
+    broadcast ONCE per read, not once per partition-group branch."""
+    from pyspark.sql import functions as F
+
+    cols = [c for c in df.columns if c not in (path_col, ri_col)]
+    return df.join(
+        F.broadcast(pos_df),
+        (F.col(path_col) == pos_df["path"])
+        & (F.col(ri_col) == pos_df["row_index"]),
+        "left_anti",
+    ).select(*cols)
+
+
 def apply_dv_filter(spark, df, table_dir: str, positions):
     """Filter a file-scan DataFrame by deletion-vector positions:
     broadcast anti-join on (table-relative path, ``_metadata.
@@ -3117,21 +3151,15 @@ def apply_dv_filter(spark, df, table_dir: str, positions):
     # string the scan reports.
     base = os.path.abspath(table_dir)
     full = [("file:" + resolve_path(base, p), ri) for p, ri in positions]
-    pos_df = spark.createDataFrame(
-        full, schema="path string, row_index bigint"
+    pos_df = _positions_df(
+        spark, full, "path string, row_index bigint"
     )
-    cols = df.columns
     tagged = df.select(
         "*",
         F.col("_metadata.file_path").alias("__dv_f"),
         F.col("_metadata.row_index").alias("__dv_ri"),
     )
-    return tagged.join(
-        F.broadcast(pos_df),
-        (F.col("__dv_f") == pos_df["path"])
-        & (F.col("__dv_ri") == pos_df["row_index"]),
-        "left_anti",
-    ).select(*cols)
+    return _dv_anti_join(tagged, pos_df, "__dv_f", "__dv_ri")
 
 
 def read_delta(spark, table_dir: str, version: int | None = None):
@@ -3181,10 +3209,22 @@ def read_delta(spark, table_dir: str, version: int | None = None):
     # columns by parquet FIELD ID, not name (Spark's native
     # ``spark.sql.parquet.fieldId.read.enabled`` path, vectorized) —
     # the file's parquet column name is irrelevant, per the spec.
+    # Round-12 optimization (guide §1.2/§6): the read schema is ALWAYS
+    # forced from the log's schemaString when present — the log is the
+    # source of truth for the table schema, so the per-read parquet
+    # schema-inference job (one driver-side footer job per read_delta
+    # call, one PER PARTITION GROUP on partitioned tables) and the
+    # row-tracked mergeSchema footer scan of every file are pure
+    # overhead. Old narrow files upcast via parquet type promotion
+    # (the widened path proved this), files missing later-added
+    # columns read as null (Delta's semantics), and row-tracking's
+    # physical id columns are simply not read — read_delta hides
+    # them anyway (read_row_ids, which needs them, has its own
+    # reader).
     cm_mode = conf.get("delta.columnMapping.mode")
     read_schema = None
     schema_str0 = (snap.metadata or {}).get("schemaString")
-    if (widened or cm_mode == "id") and schema_str0:
+    if schema_str0:
         try:
             from pyspark.sql.types import StructField, StructType
 
@@ -3309,18 +3349,43 @@ def read_delta(spark, table_dir: str, version: int | None = None):
         pv = snap.files[p].get("partitionValues") or {}
         key = tuple(pv.get(c) for c in part_cols)
         groups.setdefault(key, []).append(p)
+    # DV positions are anti-joined ONCE, above the union: each branch
+    # only tags the scan's (file_path, row_index) pseudo-columns as
+    # real columns (a projection — _metadata itself does not survive
+    # unions/joins), and the single broadcast of the positions
+    # relation serves every partition group. The per-branch form
+    # built one BroadcastExchange per group — N identical broadcasts
+    # of the same positions for an N-partition table (round-12
+    # optimization; guide §2.4).
+    base_abs = os.path.abspath(table_dir)
     out = None
     for key in sorted(groups, key=lambda k: tuple(str(x) for x in k)):
         df = _reader().parquet(
             *[resolve_path(table_dir, p) for p in groups[key]]
         )
-        df = apply_dv_filter(spark, df, table_dir, positions)
+        if positions:
+            df = df.select(
+                "*",
+                F.col("_metadata.file_path").alias("__dv_f"),
+                F.col("_metadata.row_index").alias("__dv_ri"),
+            )
         df = _conform_types(df)
         for c, v in zip(part_cols, key):
             df = df.withColumn(
                 c, F.lit(v).cast(part_types.get(c, "string"))
             )
         out = df if out is None else out.unionByName(df, allowMissingColumns=True)
+    if positions:
+        full = [
+            ("file:" + resolve_path(base_abs, p), ri)
+            for p, ri in positions
+        ]
+        out = _dv_anti_join(
+            out,
+            _positions_df(spark, full, "path string, row_index bigint"),
+            "__dv_f",
+            "__dv_ri",
+        )
     return _hide_rt(_conform_types(_to_logical(out)))
 
 
@@ -3356,6 +3421,29 @@ def _part_types_of(snap: "DeltaSnapshot") -> dict:
         return {}
 
 
+def _footer_schema(path: str):
+    """Spark read schema from one parquet footer, read driver-side via
+    pyarrow (microseconds; no Spark inference job). Returns None — the
+    caller falls back to Spark inference — for nanosecond timestamps
+    (the session's ``nanosAsLong`` legacy conf makes inference map
+    them to long; Arrow conversion would produce a timestamp type) or
+    any conversion hiccup."""
+    try:
+        import pyarrow.parquet as pq
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        sch = pq.read_schema(path)
+        for f in sch:
+            if "timestamp[ns" in str(f.type):
+                return None
+        # prefer_timestamp_ntz matches Spark's own inference:
+        # isAdjustedToUTC files carry tz=UTC (-> TimestampType),
+        # NTZ files carry no tz (-> TimestampNTZType).
+        return from_arrow_schema(sch, prefer_timestamp_ntz=True)
+    except Exception:  # noqa: BLE001 — inference fallback
+        return None
+
+
 def _load_with_partitions(
     spark, table_dir: str, files_pv: list[tuple[str, dict]],
     part_cols: list[str], part_types: dict,
@@ -3384,9 +3472,18 @@ def _load_with_partitions(
         groups.setdefault(key, []).append(rel)
     out = None
     for key in sorted(groups, key=lambda k: tuple(str(x) for x in k)):
-        df = spark.read.parquet(
-            *[resolve_path(table_dir, p) for p in groups[key]]
-        )
+        resolved = [resolve_path(table_dir, p) for p in groups[key]]
+        # Round-12 optimization (guide §1.2): Spark's schema inference
+        # runs one driver-side footer job PER read.parquet call — a
+        # change feed over N versions paid N+ of them. Read the first
+        # file's footer via pyarrow on the driver (no Spark job; same
+        # single-footer semantics as the inference it replaces) and
+        # force it as the read schema. Nanosecond timestamps fall back
+        # to inference (the session's nanosAsLong legacy conf maps
+        # them to long there; Arrow would disagree).
+        schema = _footer_schema(sorted(resolved)[0])
+        reader = spark.read.schema(schema) if schema else spark.read
+        df = reader.parquet(*resolved)
         for c, v in zip(part_cols, key):
             if v is not None and c not in df.columns:
                 df = df.withColumn(
@@ -3939,19 +4036,53 @@ def read_row_ids(spark, table_dir: str, version: int | None = None):
             (rel, int(add["baseRowId"]),
              int(add.get("defaultRowCommitVersion") or 0))
         )
-    base_df = spark.createDataFrame(
-        base_rows,
+    base_df = _positions_df(
+        spark, base_rows,
         "__rt_p string, __rt_base bigint, __rt_cv bigint",
     )
     positions = snap.dv_positions(table_dir)
     pos_df = None
     if positions:
-        pos_df = spark.createDataFrame(
-            positions, schema="path string, row_index bigint"
+        pos_df = _positions_df(
+            spark, positions, "path string, row_index bigint"
         )
     prefix = "file:" + os.path.abspath(table_dir).rstrip("/") + "/"
     part_cols = (snap.metadata or {}).get("partitionColumns") or []
     part_types = _part_types_of(snap)
+    # Round-12 optimization (guide §1.2): mergeSchema footer-scans
+    # every file in a distributed job per partition group, only to
+    # discover whether rewritten files carry the materialized id
+    # columns. Force the schema instead: metadata fields (physical
+    # names, partition columns live in the log) plus the two
+    # materialized long columns, nullable — files lacking them read
+    # null, exactly what mergeSchema + allowMissingColumns produced,
+    # and the existing coalesce fallback handles null identically.
+    read_schema = None
+    schema_str = (snap.metadata or {}).get("schemaString")
+    if schema_str:
+        try:
+            from pyspark.sql.types import (
+                LongType,
+                StructField,
+                StructType,
+            )
+
+            st = StructType.fromJson(json.loads(schema_str))
+            cmap = snap.column_mapping() or {}
+            fields = [
+                StructField(cmap.get(f.name, f.name), f.dataType, True)
+                for f in st.fields
+                if f.name not in part_cols
+            ]
+            fields += [
+                StructField(MATERIALIZED_ROW_ID_COL, LongType(), True),
+                StructField(
+                    MATERIALIZED_ROW_COMMIT_COL, LongType(), True
+                ),
+            ]
+            read_schema = StructType(fields)
+        except Exception:  # noqa: BLE001 — fall back to mergeSchema
+            read_schema = None
     groups: dict[tuple, list[str]] = {}
     for rel in sorted(snap.files):
         pv = snap.files[rel].get("partitionValues") or {}
@@ -3960,9 +4091,10 @@ def read_row_ids(spark, table_dir: str, version: int | None = None):
     out = None
     for key in sorted(groups, key=lambda k: tuple(str(x) for x in k)):
         df = (
-            spark.read.option("mergeSchema", "true")
-            .parquet(*[resolve_path(table_dir, p) for p in groups[key]])
-        )
+            spark.read.schema(read_schema)
+            if read_schema is not None
+            else spark.read.option("mergeSchema", "true")
+        ).parquet(*[resolve_path(table_dir, p) for p in groups[key]])
         tagged = df.select(
             "*",
             F.substring(
@@ -3970,19 +4102,22 @@ def read_row_ids(spark, table_dir: str, version: int | None = None):
             ).alias("__rt_path"),
             F.col("_metadata.row_index").alias("__rt_ri"),
         )
-        if pos_df is not None:
-            tagged = tagged.join(
-                F.broadcast(pos_df),
-                (F.col("__rt_path") == pos_df["path"])
-                & (F.col("__rt_ri") == pos_df["row_index"]),
-                "left_anti",
-            )
         for c, v in zip(part_cols, key):
             tagged = tagged.withColumn(
                 c, F.lit(v).cast(part_types.get(c, "string"))
             )
         out = tagged if out is None else out.unionByName(
             tagged, allowMissingColumns=True
+        )
+    if pos_df is not None:
+        # One DV anti-join above the union (tag columns kept — the
+        # row-id computation still needs them) instead of one
+        # broadcast per partition group (round-12 optimization).
+        out = out.join(
+            F.broadcast(pos_df),
+            (F.col("__rt_path") == pos_df["path"])
+            & (F.col("__rt_ri") == pos_df["row_index"]),
+            "left_anti",
         )
     joined = out.join(
         F.broadcast(base_df), F.col("__rt_path") == F.col("__rt_p"), "left"

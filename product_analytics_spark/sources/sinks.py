@@ -44,6 +44,7 @@ from collections.abc import Sequence
 from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from product_analytics_spark.operators.incremental import merge_upsert
 
@@ -291,20 +292,38 @@ class SnapshotStore:
         constraint AND column invariant (called by the write paths
         BEFORE any data lands). Invariants use Delta's stricter
         rule — NULL violates (delta-spark CheckDeltaInvariant throws
-        on null or false), unlike CHECK where NULL satisfies."""
-        for cname, expr_sql in self.constraints(name).items():
-            self._assert_satisfies(df, cname, expr_sql)
-        for col, expr_sql in self.invariants(name).items():
+        on null or false), unlike CHECK where NULL satisfies.
+
+        All predicates are fused into ONE scan (round-12
+        optimization, guide §1.2): the per-rule form ran one full
+        pass over the write per declared rule — a table with k rules
+        paid k validation scans per write. One ``take(1)`` over the
+        OR of every violation predicate, with per-rule flag columns
+        so the raised error still names the violated rule and an
+        example row. Resolution errors (missing nested fields) are
+        caught at ANALYSIS time per rule — driver-only, no job."""
+        cons = self.constraints(name)
+        invs = self.invariants(name)
+        if not cons and not invs:
+            return
+        checks: list[tuple[str, str, str, object]] = []
+        for cname, expr_sql in cons.items():
+            checks.append(
+                (
+                    "check", cname, expr_sql,
+                    ~F.coalesce(F.expr(expr_sql), F.lit(True)),
+                )
+            )
+        for col, expr_sql in invs.items():
             if col.split(".", 1)[0] not in df.columns:
                 raise ConstraintViolationError(
                     f"column invariant on {col!r} ({expr_sql}): the "
                     "write is missing the column entirely (all-null "
                     "violates an invariant); nothing committed"
                 )
+            viol = ~F.coalesce(F.expr(expr_sql), F.lit(False))
             try:
-                bad = df.where(
-                    ~F.coalesce(F.expr(expr_sql), F.lit(False))
-                ).take(1)
+                df.select(viol)  # analysis only — no job
             except AnalysisException:
                 # nested field the write's struct lacks — all-null,
                 # which violates an invariant
@@ -314,12 +333,37 @@ class SnapshotStore:
                     "(missing nested field is all-null, which "
                     "violates); nothing committed"
                 ) from None
-            if bad:
+            checks.append(("inv", col, expr_sql, viol))
+        any_viol = checks[0][3]
+        for _, _, _, v in checks[1:]:
+            any_viol = any_viol | v
+        bad = (
+            df.where(any_viol)
+            .select(
+                F.struct(*df.columns).alias("__row"),
+                *[
+                    F.coalesce(v, F.lit(False)).alias(f"__v{i}")
+                    for i, (_, _, _, v) in enumerate(checks)
+                ],
+            )
+            .take(1)
+        )
+        if not bad:
+            return
+        row = bad[0]["__row"].asDict()
+        for i, (kind, label, expr_sql, _) in enumerate(checks):
+            if not bad[0][f"__v{i}"]:
+                continue
+            if kind == "check":
                 raise ConstraintViolationError(
-                    f"column invariant on {col!r} ({expr_sql}) "
-                    f"violated (null or false), e.g. by row "
-                    f"{bad[0].asDict()!r}; nothing committed"
+                    f"CHECK constraint {label!r} ({expr_sql}) "
+                    f"violated, e.g. by row {row!r}; nothing committed"
                 )
+            raise ConstraintViolationError(
+                f"column invariant on {label!r} ({expr_sql}) "
+                f"violated (null or false), e.g. by row "
+                f"{row!r}; nothing committed"
+            )
 
     # ------------------------------------- table properties / invariants
 
@@ -886,8 +930,9 @@ class SnapshotStore:
                     int(add.get("defaultRowCommitVersion") or 0),
                 )
             )
-        return self.spark.createDataFrame(
-            rows, "__rt_p string, __rt_base bigint, __rt_cv bigint"
+        return dl._positions_df(
+            self.spark, rows,
+            "__rt_p string, __rt_base bigint, __rt_cv bigint",
         )
 
     def _rt_attach_ids(
@@ -1007,42 +1052,65 @@ class SnapshotStore:
                 data = self.current_data_dir(name)
                 if data is None:
                     raise ValueError(f"unknown table {name!r}")
-                # positions of matching rows among LIVE rows only
+                # positions of matching rows among LIVE rows only.
+                # With CDF on, the matched rows feed BOTH the change
+                # file and the deletion vector — one persisted
+                # O(matched) intermediate instead of two full scans
+                # of the live relation (round-12 optimization, guide
+                # §1.2: every extra consumer re-ran the scan + DV
+                # anti-join).
                 live = self._apply_dv(data)
-                new_pos = live.where(predicate).select(
-                    self._rel_path_col(data).alias("path"),
-                    F.col("_metadata.row_index").alias("row_index"),
+                matched = live.where(predicate).select(
+                    "*",
+                    self._rel_path_col(data).alias("__pos_f"),
+                    F.col("_metadata.row_index").alias("__pos_ri"),
                 )
-                old_dv_dir = self._dv_dir(data)
-                if os.path.isdir(old_dv_dir):
-                    merged_dv = (
-                        self.spark.read.parquet(old_dv_dir)
-                        .unionByName(new_pos)
-                        .distinct()
-                    )
-                else:
-                    merged_dv = new_pos.distinct()
-                if post_scan is not None:
-                    post_scan()
                 if self.cdf:
-                    self._stage_cdc(
-                        name,
-                        live.where(predicate).withColumn(
-                            "_change_type", F.lit("delete")
-                        ),
+                    matched = matched.persist(
+                        StorageLevel.MEMORY_AND_DISK
                     )
-                n_link = 0
-                for rel, files in self._partition_dirs(data):
-                    out_dir = vdir if rel == "." else os.path.join(vdir, rel)
-                    os.makedirs(out_dir, exist_ok=True)
-                    for f in files:
-                        os.link(f, os.path.join(out_dir, os.path.basename(f)))
-                        n_link += 1
-                merged_dv.coalesce(1).write.parquet(self._dv_dir(vdir))
-                self._commit(
-                    name, version, expected_version=expected,
-                    operation="DELETE",
-                )
+                try:
+                    new_pos = matched.select(
+                        F.col("__pos_f").alias("path"),
+                        F.col("__pos_ri").alias("row_index"),
+                    )
+                    old_dv_dir = self._dv_dir(data)
+                    if os.path.isdir(old_dv_dir):
+                        merged_dv = (
+                            self.spark.read.parquet(old_dv_dir)
+                            .unionByName(new_pos)
+                            .distinct()
+                        )
+                    else:
+                        merged_dv = new_pos.distinct()
+                    if post_scan is not None:
+                        post_scan()
+                    if self.cdf:
+                        self._stage_cdc(
+                            name,
+                            matched.drop("__pos_f", "__pos_ri").withColumn(
+                                "_change_type", F.lit("delete")
+                            ),
+                        )
+                    n_link = 0
+                    for rel, files in self._partition_dirs(data):
+                        out_dir = (
+                            vdir if rel == "." else os.path.join(vdir, rel)
+                        )
+                        os.makedirs(out_dir, exist_ok=True)
+                        for f in files:
+                            os.link(
+                                f, os.path.join(out_dir, os.path.basename(f))
+                            )
+                            n_link += 1
+                    merged_dv.coalesce(1).write.parquet(self._dv_dir(vdir))
+                    self._commit(
+                        name, version, expected_version=expected,
+                        operation="DELETE",
+                    )
+                finally:
+                    if self.cdf:
+                        matched.unpersist(False)
             except ConcurrentWriteError as exc:
                 last_err = exc
                 shutil.rmtree(vdir, ignore_errors=True)
@@ -1133,66 +1201,122 @@ class SnapshotStore:
                     for c, _v in self._partition_literals(rel)
                 ]
                 part_cols_now = list(dict.fromkeys(part_cols_now))
-                matching = live.where(predicate)
-                new_pos = matching.select(
-                    self._rel_path_col(data).alias("path"),
-                    F.col("_metadata.row_index").alias("row_index"),
-                )
-                old_dv_dir = self._dv_dir(data)
-                if os.path.isdir(old_dv_dir):
-                    merged_dv = (
-                        self.spark.read.parquet(old_dv_dir)
-                        .unionByName(new_pos)
-                        .distinct()
+                # ONE scan finds the matched rows WITH their positions;
+                # everything downstream (deletion vector, rewritten
+                # rows, constraint validation, CDF pre/post images)
+                # derives from this persisted O(matched) intermediate.
+                # The per-consumer form re-ran the live scan + DV
+                # anti-join up to 4x per UPDATE (round-12 optimization,
+                # guide §1.2).
+                matched = live.where(predicate).select(
+                    "*",
+                    self._rel_path_col(data).alias("__pos_f"),
+                    F.col("_metadata.row_index").alias("__pos_ri"),
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                try:
+                    new_pos = matched.select(
+                        F.col("__pos_f").alias("path"),
+                        F.col("__pos_ri").alias("row_index"),
                     )
-                else:
-                    merged_dv = new_pos.distinct()
-                # Row tracking: the rewritten rows carry their OLD ids
-                # in the materialized columns, so identity survives
-                # the tombstone-and-rewrite (Delta's exact mechanism).
-                updated = (
-                    self._rt_attach_ids(name, data, matching)
-                    if rt
-                    else matching
-                )
-                for col, expr_sql in assignments.items():
-                    updated = updated.withColumn(
-                        col,
-                        F.expr(expr_sql).cast(live.schema[col].dataType),
-                    )
-                updated = updated.select(*logical_cols, *rt_cols)
-                self._validate_constraints(
-                    name, updated.select(*logical_cols)
-                )
-                if post_scan is not None:
-                    post_scan()
-                if self.cdf:
-                    self._stage_cdc(
-                        name,
-                        matching.select(*logical_cols)
-                        .withColumn("_change_type", F.lit("update_preimage"))
-                        .unionByName(
-                            updated.select(*logical_cols).withColumn(
-                                "_change_type", F.lit("update_postimage")
+                    old_dv_dir = self._dv_dir(data)
+                    if os.path.isdir(old_dv_dir):
+                        merged_dv = (
+                            self.spark.read.parquet(old_dv_dir)
+                            .unionByName(new_pos)
+                            .distinct()
+                        )
+                    else:
+                        merged_dv = new_pos.distinct()
+                    # Row tracking: the rewritten rows carry their OLD
+                    # ids in the materialized columns, so identity
+                    # survives the tombstone-and-rewrite (Delta's exact
+                    # mechanism). The position tags double as the
+                    # row-id join key — no second scan.
+                    if rt:
+                        from product_analytics_spark.sources import (
+                            delta_log as dl,
+                        )
+
+                        rt_id, rt_cv = (
+                            dl.MATERIALIZED_ROW_ID_COL,
+                            dl.MATERIALIZED_ROW_COMMIT_COL,
+                        )
+                        base_df = self._rt_base_df(name, data)
+                        mat_id = (
+                            F.col(rt_id)
+                            if rt_id in live.columns
+                            else F.lit(None).cast("long")
+                        )
+                        mat_cv = (
+                            F.col(rt_cv)
+                            if rt_cv in live.columns
+                            else F.lit(None).cast("long")
+                        )
+                        updated = matched.join(
+                            F.broadcast(base_df),
+                            F.col("__pos_f") == F.col("__rt_p"),
+                            "left",
+                        ).select(
+                            *logical_cols,
+                            F.coalesce(
+                                mat_id,
+                                F.col("__rt_base") + F.col("__pos_ri"),
                             )
-                        ),
+                            .cast("long")
+                            .alias(rt_id),
+                            F.coalesce(mat_cv, F.col("__rt_cv"))
+                            .cast("long")
+                            .alias(rt_cv),
+                        )
+                    else:
+                        updated = matched.drop("__pos_f", "__pos_ri")
+                    for col, expr_sql in assignments.items():
+                        updated = updated.withColumn(
+                            col,
+                            F.expr(expr_sql).cast(live.schema[col].dataType),
+                        )
+                    updated = updated.select(*logical_cols, *rt_cols)
+                    self._validate_constraints(
+                        name, updated.select(*logical_cols)
                     )
-                n_link = 0
-                for rel, files in self._partition_dirs(data):
-                    out_dir = vdir if rel == "." else os.path.join(vdir, rel)
-                    os.makedirs(out_dir, exist_ok=True)
-                    for f in files:
-                        os.link(f, os.path.join(out_dir, os.path.basename(f)))
-                        n_link += 1
-                writer = updated.write.mode("append")
-                if part_cols_now:
-                    writer = writer.partitionBy(*part_cols_now)
-                writer.parquet(vdir)
-                merged_dv.coalesce(1).write.parquet(self._dv_dir(vdir))
-                self._commit(
-                    name, version, expected_version=expected,
-                    operation="UPDATE",
-                )
+                    if post_scan is not None:
+                        post_scan()
+                    if self.cdf:
+                        self._stage_cdc(
+                            name,
+                            matched.select(*logical_cols)
+                            .withColumn(
+                                "_change_type", F.lit("update_preimage")
+                            )
+                            .unionByName(
+                                updated.select(*logical_cols).withColumn(
+                                    "_change_type",
+                                    F.lit("update_postimage"),
+                                )
+                            ),
+                        )
+                    n_link = 0
+                    for rel, files in self._partition_dirs(data):
+                        out_dir = (
+                            vdir if rel == "." else os.path.join(vdir, rel)
+                        )
+                        os.makedirs(out_dir, exist_ok=True)
+                        for f in files:
+                            os.link(
+                                f, os.path.join(out_dir, os.path.basename(f))
+                            )
+                            n_link += 1
+                    writer = updated.write.mode("append")
+                    if part_cols_now:
+                        writer = writer.partitionBy(*part_cols_now)
+                    writer.parquet(vdir)
+                    merged_dv.coalesce(1).write.parquet(self._dv_dir(vdir))
+                    self._commit(
+                        name, version, expected_version=expected,
+                        operation="UPDATE",
+                    )
+                finally:
+                    matched.unpersist(False)
             except ConcurrentWriteError as exc:
                 last_err = exc
                 shutil.rmtree(vdir, ignore_errors=True)
@@ -1308,104 +1432,152 @@ class SnapshotStore:
                     for c, _v in self._partition_literals(rel)
                 ]
                 part_cols_now = list(dict.fromkeys(part_cols_now))
-                # materialize positions BEFORE the join — _metadata is
-                # a scan pseudo-column and does not resolve through one
-                tagged = live.select(
-                    *keys,
+                # ONE live scan: the semi-join against the batch keys
+                # finds every matched row WITH its position, the
+                # logical columns (CDF preimages) and — on row-tracked
+                # tables — the materialized id columns. The deletion
+                # vector, the CDF classification (matched keys stand
+                # in for "batch keys present in live") and the
+                # inherited row ids all derive from this persisted
+                # O(matched) intermediate; the per-consumer form
+                # re-scanned live + DV anti-join up to 4x per MERGE
+                # (round-12 optimization, guide §1.2). The batch side
+                # is persisted too — it feeds the key broadcast, the
+                # CDF post/insert images and the data write.
+                aligned = aligned.persist(StorageLevel.MEMORY_AND_DISK)
+                matched = live.select(
+                    "*",
                     self._rel_path_col(data).alias("__pos_f"),
                     F.col("_metadata.row_index").alias("__pos_ri"),
-                )
-                new_pos = tagged.join(
+                ).join(
                     F.broadcast(aligned.select(*keys).distinct()),
                     on=keys,
                     how="left_semi",
-                ).select(
-                    F.col("__pos_f").alias("path"),
-                    F.col("__pos_ri").alias("row_index"),
-                )
-                old_dv_dir = self._dv_dir(data)
-                if os.path.isdir(old_dv_dir):
-                    merged_dv = (
-                        self.spark.read.parquet(old_dv_dir)
-                        .unionByName(new_pos)
-                        .distinct()
+                ).persist(StorageLevel.MEMORY_AND_DISK)
+                try:
+                    new_pos = matched.select(
+                        F.col("__pos_f").alias("path"),
+                        F.col("__pos_ri").alias("row_index"),
                     )
-                else:
-                    merged_dv = new_pos.distinct()
-                if post_scan is not None:
-                    post_scan()
-                if self.cdf:
-                    ct = "_change_type"
-                    live_l = live.select(*logical_cols)
-                    lkeys = live_l.select(*keys).distinct()
-                    self._stage_cdc(
-                        name,
-                        live_l.join(
-                            F.broadcast(aligned.select(*keys).distinct()),
-                            keys,
-                            "left_semi",
+                    old_dv_dir = self._dv_dir(data)
+                    if os.path.isdir(old_dv_dir):
+                        merged_dv = (
+                            self.spark.read.parquet(old_dv_dir)
+                            .unionByName(new_pos)
+                            .distinct()
                         )
-                        .withColumn(ct, F.lit("update_preimage"))
-                        .unionByName(
-                            aligned.join(lkeys, keys, "left_semi").withColumn(
-                                ct, F.lit("update_postimage")
+                    else:
+                        merged_dv = new_pos.distinct()
+                    if post_scan is not None:
+                        post_scan()
+                    # batch keys that matched a live row — O(matched),
+                    # broadcastable; "batch ∩ live" == "batch ∩ matched"
+                    # by construction, so CDF classification needs no
+                    # further live scan.
+                    mkeys = matched.select(*keys).distinct()
+                    if self.cdf:
+                        ct = "_change_type"
+                        self._stage_cdc(
+                            name,
+                            matched.select(*logical_cols)
+                            .withColumn(ct, F.lit("update_preimage"))
+                            .unionByName(
+                                aligned.join(
+                                    F.broadcast(mkeys), keys, "left_semi"
+                                ).withColumn(ct, F.lit("update_postimage"))
                             )
-                        )
-                        .unionByName(
-                            aligned.join(lkeys, keys, "left_anti").withColumn(
-                                ct, F.lit("insert")
-                            )
-                        ),
-                    )
-                # Row tracking: matched batch rows INHERIT the live
-                # row's id via the materialized columns (O(matched)
-                # map, broadcast onto the batch); inserts carry NULL
-                # and read back as fresh baseRowId+index ids.
-                if rt:
-                    # One id per key: the live side may hold duplicate
-                    # keys (e.g. appended dups) — a left join against
-                    # per-row ids would emit the batch row once per
-                    # duplicate, breaking the merge_upsert contract.
-                    # The replacement row inherits the smallest
-                    # (oldest) matched row id, deterministically.
-                    matched_ids = (
-                        self._rt_attach_ids(name, data, live)
-                        .join(
-                            F.broadcast(
-                                aligned.select(*keys).distinct()
+                            .unionByName(
+                                aligned.join(
+                                    F.broadcast(mkeys), keys, "left_anti"
+                                ).withColumn(ct, F.lit("insert"))
                             ),
-                            keys,
-                            "left_semi",
                         )
-                        .groupBy(*keys)
-                        .agg(
-                            *[
-                                F.min(F.col(c)).alias(c)
-                                for c in rt_cols
-                            ]
+                    # Row tracking: matched batch rows INHERIT the live
+                    # row's id via the materialized columns (O(matched)
+                    # map, broadcast onto the batch); inserts carry
+                    # NULL and read back as fresh baseRowId+index ids.
+                    if rt:
+                        from product_analytics_spark.sources import (
+                            delta_log as dl,
                         )
+
+                        rt_id, rt_cv_c = (
+                            dl.MATERIALIZED_ROW_ID_COL,
+                            dl.MATERIALIZED_ROW_COMMIT_COL,
+                        )
+                        base_df = self._rt_base_df(name, data)
+                        mat_id = (
+                            F.col(rt_id)
+                            if rt_id in live.columns
+                            else F.lit(None).cast("long")
+                        )
+                        mat_cv = (
+                            F.col(rt_cv_c)
+                            if rt_cv_c in live.columns
+                            else F.lit(None).cast("long")
+                        )
+                        # One id per key: the live side may hold
+                        # duplicate keys (e.g. appended dups) — a left
+                        # join against per-row ids would emit the batch
+                        # row once per duplicate, breaking the
+                        # merge_upsert contract. The replacement row
+                        # inherits the smallest (oldest) matched row
+                        # id, deterministically.
+                        matched_ids = (
+                            matched.join(
+                                F.broadcast(base_df),
+                                F.col("__pos_f") == F.col("__rt_p"),
+                                "left",
+                            )
+                            .select(
+                                *keys,
+                                F.coalesce(
+                                    mat_id,
+                                    F.col("__rt_base")
+                                    + F.col("__pos_ri"),
+                                )
+                                .cast("long")
+                                .alias(rt_id),
+                                F.coalesce(mat_cv, F.col("__rt_cv"))
+                                .cast("long")
+                                .alias(rt_cv_c),
+                            )
+                            .groupBy(*keys)
+                            .agg(
+                                *[
+                                    F.min(F.col(c)).alias(c)
+                                    for c in rt_cols
+                                ]
+                            )
+                        )
+                        to_write = aligned.join(
+                            F.broadcast(matched_ids), keys, "left"
+                        ).select(*logical_cols, *rt_cols)
+                    else:
+                        to_write = aligned
+                    n_link = 0
+                    for rel, files in self._partition_dirs(data):
+                        out_dir = (
+                            vdir if rel == "." else os.path.join(vdir, rel)
+                        )
+                        os.makedirs(out_dir, exist_ok=True)
+                        for f in files:
+                            os.link(
+                                f, os.path.join(out_dir, os.path.basename(f))
+                            )
+                            n_link += 1
+                    writer = to_write.write.mode("append")
+                    if part_cols_now:
+                        writer = writer.partitionBy(*part_cols_now)
+                    writer.parquet(vdir)
+                    merged_dv.coalesce(1).write.parquet(self._dv_dir(vdir))
+                    self._commit(
+                        name, version, expected_version=expected,
+                        operation="MERGE",
                     )
-                    to_write = aligned.join(
-                        F.broadcast(matched_ids), keys, "left"
-                    ).select(*logical_cols, *rt_cols)
-                else:
-                    to_write = aligned
-                n_link = 0
-                for rel, files in self._partition_dirs(data):
-                    out_dir = vdir if rel == "." else os.path.join(vdir, rel)
-                    os.makedirs(out_dir, exist_ok=True)
-                    for f in files:
-                        os.link(f, os.path.join(out_dir, os.path.basename(f)))
-                        n_link += 1
-                writer = to_write.write.mode("append")
-                if part_cols_now:
-                    writer = writer.partitionBy(*part_cols_now)
-                writer.parquet(vdir)
-                merged_dv.coalesce(1).write.parquet(self._dv_dir(vdir))
-                self._commit(
-                    name, version, expected_version=expected,
-                    operation="MERGE",
-                )
+                finally:
+                    matched.unpersist(False)
+                    aligned.unpersist(False)
             except ConcurrentWriteError as exc:
                 last_err = exc
                 shutil.rmtree(vdir, ignore_errors=True)
@@ -2377,6 +2549,7 @@ class SnapshotStore:
         zorder_depth: bool | str = False,
         expected_version=UNCHECKED,
         operation: str = "WRITE",
+        _validate: bool = True,
     ) -> None:
         """Atomic full replace: write a version dir, commit the pointer.
 
@@ -2411,7 +2584,8 @@ class SnapshotStore:
             # enforce GENERATED ALWAYS refusal.
             df = self._apply_identity(name, df)
         df = self._apply_generated(name, df)
-        self._validate_constraints(name, df)
+        if _validate:
+            self._validate_constraints(name, df)
         if zorder_by and zorder_depth == "auto":
             from product_analytics_spark.functions.zorder import (
                 choose_equal_depth,
@@ -2609,6 +2783,27 @@ class SnapshotStore:
                 else batch
             )
             merged = merge_upsert(prev, batch_eff, key)
+            # CHECK/invariant validation on the NEW rows only (round-12
+            # optimization, guide §1.2): the kept prev-side rows were
+            # validated by their own commits, and add_constraint /
+            # set_invariant validate EXISTING data at declaration time,
+            # so induction covers them — the old form re-scanned the
+            # whole merged table once PER RULE per merge. The batch is
+            # aligned to the merged schema first (batch rows acquire
+            # typed NULLs for prev-only columns in the union, and an
+            # invariant on such a column must still see them).
+            if prev is not None and (
+                self.constraints(name) or self.invariants(name)
+            ):
+                val_df = batch_eff
+                have = set(batch_eff.columns)
+                for fld in prev.schema.fields:
+                    if fld.name not in have:
+                        val_df = val_df.withColumn(
+                            fld.name,
+                            F.lit(None).cast(fld.dataType),
+                        )
+                self._validate_constraints(name, val_df)
             if post_scan is not None:
                 post_scan()
             if self.cdf and prev is not None:
@@ -2643,6 +2838,7 @@ class SnapshotStore:
                     partition_by=partition_by,
                     cluster_by=cluster_by,
                     expected_version=snapshot_version,
+                    _validate=prev is None,
                 )
             except ConcurrentWriteError as exc:
                 last_err = exc
@@ -3083,14 +3279,30 @@ class SnapshotStore:
                 all_files = [f for _rel, fs in parts for f in fs]
                 manifest_local = {os.path.normpath(f) for f in all_files}
                 full = self.spark.read.option("basePath", data).parquet(data)
-                rows_before = full.count()
-                touched = {
-                    r[0]
-                    for r in full.where(predicate)
-                    .select(F.input_file_name())
-                    .distinct()
-                    .collect()
-                }
+                # ONE scan yields both the row count and the touched-
+                # file manifest (round-12 optimization, guide §1.2:
+                # these were two full passes). collect_set over the
+                # conditional file name is |touched files|-sized —
+                # still the documented driver-scalar manifest collect,
+                # never data. input_file_name() is PROJECTED first:
+                # the analyzer refuses non-deterministic expressions
+                # as direct aggregate arguments
+                # (AGGREGATE_FUNCTION_WITH_NONDETERMINISTIC_EXPRESSION);
+                # over the projected attribute the aggregate is legal.
+                agg_row = (
+                    full.select(
+                        F.when(
+                            F.expr(predicate), F.input_file_name()
+                        ).alias("__f")
+                    )
+                    .select(
+                        F.count(F.lit(1)).alias("__n"),
+                        F.collect_set("__f").alias("__files"),
+                    )
+                    .collect()[0]
+                )
+                rows_before = agg_row["__n"]
+                touched = set(agg_row["__files"])
 
                 def _local(p: str) -> str:
                     # input_file_name() yields a percent-encoded file:
