@@ -566,6 +566,12 @@ def q457_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     for k, v in confs.items():
         spark.conf.set(k, v)
     try:
+        # repartition BEFORE the 20x explode (round-12, guide §2.5 /
+        # §3.3): the 16-way distribution shuffles the un-exploded rows
+        # (20x fewer bytes) and the explode itself runs across the 16
+        # map tasks instead of inside the single-split source scan
+        # (measured 1.2-1.4 s single-task stages per arm). The join
+        # input is still 16 mappers, which the skew-split cert needs.
         fact = (
             _t(spark, sf_dir, "orders")
             .select(
@@ -574,11 +580,11 @@ def q457_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("jk"),
                 _money_cents("o_totalprice").alias("cents"),
             )
+            .repartition(16)
             .withColumn(
                 "rep", F.explode(F.sequence(F.lit(1), F.lit(20)))
             )
             .drop("rep")
-            .repartition(16)
         )
         dim = spark.range(0, 98).select(
             F.col("id").alias("jk"), (F.col("id") % 7).alias("grp")

@@ -4435,9 +4435,14 @@ def validate_invariants(df, invariants: dict[str, str]) -> None:
                 "violates); nothing committed"
             )
         try:
-            bad = df.where(
-                ~F.coalesce(F.expr(expr_sql), F.lit(False))
-            ).take(1)
+            # agg(first) not take(1): one fully-parallel job in the
+            # all-pass case (round-12, guide §1.2).
+            bad0 = (
+                df.where(~F.coalesce(F.expr(expr_sql), F.lit(False)))
+                .agg(F.first(F.struct(*df.columns)))
+                .collect()[0][0]
+            )
+            bad = [bad0] if bad0 is not None else []
         except AnalysisException:
             # a nested field the write's struct lacks — all-null,
             # which violates

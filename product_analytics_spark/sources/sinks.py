@@ -278,13 +278,19 @@ class SnapshotStore:
     def _assert_satisfies(
         self, df: DataFrame, cname: str, expr_sql: str
     ) -> None:
-        bad = df.where(
-            ~F.coalesce(F.expr(expr_sql), F.lit(True))
-        ).take(1)
-        if bad:
+        # agg(first) instead of take(1): in the no-violation case
+        # take(1) runs up to 4 escalating jobs (1/4/20/... partitions)
+        # and still ends up scanning everything; one aggregate scans
+        # once, fully parallel, in a single job (round-12, guide §1.2).
+        bad = (
+            df.where(~F.coalesce(F.expr(expr_sql), F.lit(True)))
+            .agg(F.first(F.struct(*df.columns)))
+            .collect()[0][0]
+        )
+        if bad is not None:
             raise ConstraintViolationError(
                 f"CHECK constraint {cname!r} ({expr_sql}) violated, "
-                f"e.g. by row {bad[0].asDict()!r}; nothing committed"
+                f"e.g. by row {bad.asDict()!r}; nothing committed"
             )
 
     def _validate_constraints(self, name: str, df: DataFrame) -> None:
@@ -337,22 +343,29 @@ class SnapshotStore:
         any_viol = checks[0][3]
         for _, _, _, v in checks[1:]:
             any_viol = any_viol | v
+        # agg(first) instead of take(1) — one fully-parallel job in
+        # the (common) all-pass case; take's partition escalation ran
+        # up to 4 jobs per validated write and scanned everything
+        # anyway when nothing violated (round-12, guide §1.2).
         bad = (
             df.where(any_viol)
             .select(
-                F.struct(*df.columns).alias("__row"),
-                *[
-                    F.coalesce(v, F.lit(False)).alias(f"__v{i}")
-                    for i, (_, _, _, v) in enumerate(checks)
-                ],
+                F.struct(
+                    F.struct(*df.columns).alias("__row"),
+                    *[
+                        F.coalesce(v, F.lit(False)).alias(f"__v{i}")
+                        for i, (_, _, _, v) in enumerate(checks)
+                    ],
+                ).alias("__b")
             )
-            .take(1)
+            .agg(F.first("__b"))
+            .collect()[0][0]
         )
-        if not bad:
+        if bad is None:
             return
-        row = bad[0]["__row"].asDict()
+        row = bad["__row"].asDict()
         for i, (kind, label, expr_sql, _) in enumerate(checks):
-            if not bad[0][f"__v{i}"]:
+            if not bad[f"__v{i}"]:
                 continue
             if kind == "check":
                 raise ConstraintViolationError(
@@ -462,18 +475,21 @@ class SnapshotStore:
         if col.split(".", 1)[0] not in df.columns:
             raise ValueError(f"no column {col!r} in table {name!r}")
         try:
-            bad = df.where(
-                ~F.coalesce(F.expr(expr_sql), F.lit(False))
-            ).take(1)
+            # agg(first) not take(1): one job (round-12, guide §1.2).
+            bad = (
+                df.where(~F.coalesce(F.expr(expr_sql), F.lit(False)))
+                .agg(F.first(F.struct(*df.columns)))
+                .collect()[0][0]
+            )
         except AnalysisException:
             raise ValueError(
                 f"no column {col!r} in table {name!r} (nested field "
                 "missing)"
             ) from None
-        if bad:
+        if bad is not None:
             raise ConstraintViolationError(
                 f"existing data violates invariant on {col!r} "
-                f"({expr_sql}), e.g. row {bad[0].asDict()!r}"
+                f"({expr_sql}), e.g. row {bad.asDict()!r}"
             )
         invs = self.invariants(name)
         invs[col] = expr_sql
@@ -536,14 +552,19 @@ class SnapshotStore:
             if col not in df.columns:
                 df = df.withColumn(col, F.expr(expr_sql))
             else:
-                bad = df.where(
-                    ~F.col(col).eqNullSafe(F.expr(expr_sql))
-                ).take(1)
-                if bad:
+                # agg(first) not take(1): one job in the all-pass case
+                # (round-12, guide §1.2 — same rationale as
+                # _validate_constraints).
+                bad = (
+                    df.where(~F.col(col).eqNullSafe(F.expr(expr_sql)))
+                    .agg(F.first(F.struct(*df.columns)))
+                    .collect()[0][0]
+                )
+                if bad is not None:
                     raise ConstraintViolationError(
                         f"generated column {col!r} = ({expr_sql}) "
                         f"violated by supplied value, e.g. row "
-                        f"{bad[0].asDict()!r}; nothing committed"
+                        f"{bad.asDict()!r}; nothing committed"
                     )
         return df
 
@@ -1306,6 +1327,19 @@ class SnapshotStore:
                                 f, os.path.join(out_dir, os.path.basename(f))
                             )
                             n_link += 1
+                    if part_cols_now:
+                        # pinned-count keyed repartition: keep the
+                        # partitioned write parallel under AQE
+                        # coalescing (same rationale as
+                        # _write_version, round-12).
+                        updated = updated.repartition(
+                            int(
+                                self.spark.conf.get(
+                                    "spark.sql.shuffle.partitions"
+                                )
+                            ),
+                            *part_cols_now,
+                        )
                     writer = updated.write.mode("append")
                     if part_cols_now:
                         writer = writer.partitionBy(*part_cols_now)
@@ -1566,6 +1600,17 @@ class SnapshotStore:
                                 f, os.path.join(out_dir, os.path.basename(f))
                             )
                             n_link += 1
+                    if part_cols_now:
+                        # pinned-count keyed repartition (same
+                        # rationale as _write_version, round-12).
+                        to_write = to_write.repartition(
+                            int(
+                                self.spark.conf.get(
+                                    "spark.sql.shuffle.partitions"
+                                )
+                            ),
+                            *part_cols_now,
+                        )
                     writer = to_write.write.mode("append")
                     if part_cols_now:
                         writer = writer.partitionBy(*part_cols_now)
@@ -1783,8 +1828,22 @@ class SnapshotStore:
             # n_files pins the TASK count here (ADVICE r8: it used to be
             # silently ignored on partitioned writes); each hive dir
             # still gets whole files since tasks are keyed on the
-            # partition columns.
-            parts = [n_files] if n_files else []
+            # partition columns. Without n_files the count is pinned to
+            # the session's shuffle-partition conf (round-12, guide
+            # §2.5/§6): a keyed repartition with NO explicit count has a
+            # coalescable shuffle origin, and AQE collapses a small
+            # write to ONE task that then writes every hive directory
+            # serially (measured 1.1 s/write on an ~80-partition
+            # table); the explicit count keeps the write parallel while
+            # each directory still receives whole files (a partition
+            # value hashes to exactly one task, so per-dir file counts
+            # are unchanged). Conf-driven, so a cluster submit scales
+            # it with the cluster.
+            parts = [
+                n_files
+                if n_files
+                else int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+            ]
             df = df.repartition(*parts, *partition_by).sortWithinPartitions(
                 *partition_by, *cluster_by
             )
