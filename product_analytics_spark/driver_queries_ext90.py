@@ -37,7 +37,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from product_analytics_spark.qcommon import _money_cents, _t  # noqa: F401
+from product_analytics_spark.qcommon import (  # noqa: F401
+    _money_cents,
+    _t,
+    multiset_diff_counts,
+    multiset_equal,
+)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -847,8 +852,9 @@ def q429_delta_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
 
         cur_df, prev_df = _at(v), _at(v - 1)
-        inserted = cur_df.exceptAll(prev_df).count()
-        deleted = prev_df.exceptAll(cur_df).count()
+        # one fused job per version instead of two exceptAll+count
+        # actions (round-12, guide §1.2)
+        inserted, deleted = multiset_diff_counts(cur_df, prev_df)
         rows.append(
             (
                 v,

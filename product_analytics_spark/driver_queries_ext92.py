@@ -33,7 +33,8 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _money_cents, _t
+from product_analytics_spark import cache
+from product_analytics_spark.qcommon import _money_cents, _t, multiset_equal
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -106,11 +107,23 @@ def q434_cdf_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tdir = store.path("acct")
     latest = dl.DeltaLog(tdir).latest_version()
-    feed = dl.table_changes(spark, tdir, 0, latest)
-    optimize_invisible = (
-        feed.where(F.col("_commit_version") > 3).count() == 0
-    )
-    seg_nulls = feed.where(F.col("seg").isNull()).count()
+    # Persist: the feed (a union over every version's change files)
+    # feeds THREE consumers — the probe aggregate, the replay window,
+    # and the returned per-(version,type) rollup. O(changes)-sized,
+    # released by cache.clear_all (round-12, guide §5).
+    feed = cache.persist(dl.table_changes(spark, tdir, 0, latest))
+    # One fused probe action instead of two count() passes
+    # (round-12, guide §1.2).
+    probe = feed.agg(
+        F.sum(
+            F.when(F.col("_commit_version") > 3, 1).otherwise(0)
+        ).alias("post_optimize"),
+        F.sum(
+            F.when(F.col("seg").isNull(), 1).otherwise(0)
+        ).alias("seg_nulls"),
+    ).collect()[0]
+    optimize_invisible = int(probe["post_optimize"] or 0) == 0
+    seg_nulls = int(probe["seg_nulls"] or 0)
 
     # replay: last non-preimage change per key, drop deletes == final
     from pyspark.sql import Window
@@ -124,12 +137,7 @@ def q434_cdf_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "seg", "cents")
     )
     final = store.read("acct").select("k", "seg", "cents")
-    # equal counts + empty one-sided multiset difference ⇒ equal
-    # multisets (saves the second exceptAll shuffle)
-    replay_matches = (
-        replayed.count() == final.count()
-        and replayed.exceptAll(final).count() == 0
-    )
+    replay_matches = multiset_equal(replayed, final)
 
     return (
         feed.groupBy(
@@ -272,22 +280,18 @@ def q435_restore_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r = store.restore("acct", target)                         # v3
 
-    final = store.read("acct").select("k", "seg", "cents")
-    restore_equals_target = (
-        final.exceptAll(target_df).count() == 0
-        and target_df.exceptAll(final).count() == 0
-    )
+    # Persist: final feeds both equality probes and the returned
+    # rollup (round-12, guide §5); each probe is one fused job via
+    # multiset_equal instead of 2-3 exceptAll/count actions.
+    final = cache.persist(store.read("acct").select("k", "seg", "cents"))
+    restore_equals_target = multiset_equal(final, target_df)
     history_preserved = (
         store.read("acct", -2).count() == pre_restore_rows
     )
     tdir = store.path("acct")
     log_latest = dl.DeltaLog(tdir).latest_version()
-    log_consistent = (
-        dl.read_delta(spark, tdir)
-        .select("k", "seg", "cents")
-        .exceptAll(final)
-        .count()
-        == 0
+    log_consistent = multiset_equal(
+        dl.read_delta(spark, tdir).select("k", "seg", "cents"), final
     )
 
     return (
@@ -394,10 +398,7 @@ def q436_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     clone_df = dl.read_delta(spark, Q436_CLONE).select(
         "k", "nation", "cents"
     )
-    clone_matches_source = (
-        clone_df.exceptAll(src_df).count() == 0
-        and src_df.exceptAll(clone_df).count() == 0
-    )
+    clone_matches_source = multiset_equal(clone_df, src_df)
 
     # diverge: append "shadow suppliers" to the CLONE's own directory
     extras = base.where("k % 10 = 0").select(
@@ -417,10 +418,7 @@ def q436_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", "nation", "cents"
     )
     src_after = dl.read_delta(spark, src_dir).select("k", "nation", "cents")
-    src_unchanged = (
-        src_after.exceptAll(src_df).count() == 0
-        and src_df.exceptAll(src_after).count() == 0
-    )
+    src_unchanged = multiset_equal(src_after, src_df)
 
     # data-skipping on the clone, from its OWN log, zero footer opens
     snap = clone_log.snapshot()
@@ -1106,10 +1104,7 @@ def q441_cdf_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch_feed = dl.table_changes(spark, tdir, 0).select(
         *streamed.columns
     )
-    stream_matches_batch = (
-        streamed.count() == batch_feed.count()
-        and streamed.exceptAll(batch_feed).count() == 0
-    )
+    stream_matches_batch = multiset_equal(streamed, batch_feed)
 
     return (
         streamed.groupBy(

@@ -43,7 +43,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _money_cents, _t
+from product_analytics_spark.qcommon import _money_cents, _t, multiset_equal
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _FIX = os.path.join(_REPO, ".fixtures")
@@ -107,10 +107,7 @@ def q454_shallow_clone_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     cols = ["k", "nation", "cents"]
     src_df = dl.read_delta(spark, src_dir).select(*cols)
     clone_df = dl.read_delta(spark, Q454_CLONE).select(*cols)
-    clone_matches_source = (
-        clone_df.exceptAll(src_df).count() == 0
-        and src_df.exceptAll(clone_df).count() == 0
-    )
+    clone_matches_source = multiset_equal(clone_df, src_df)
 
     snap = dl.DeltaLog(Q454_CLONE).snapshot()
     dv_adds = [
@@ -134,8 +131,7 @@ def q454_shallow_clone_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     clone_vacuum_spares_source = (
         bool(src_sidecars)
         and all(os.path.isfile(p) for p in src_sidecars)
-        and src_after.exceptAll(src_df).count() == 0
-        and src_df.exceptAll(src_after).count() == 0
+        and multiset_equal(src_after, src_df)
     )
 
     deleted_stay_hidden = (

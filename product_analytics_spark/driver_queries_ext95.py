@@ -35,7 +35,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _money_cents, _t
+from product_analytics_spark.qcommon import _money_cents, _t, multiset_equal
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _FIX = os.path.join(_REPO, ".fixtures")
@@ -617,10 +617,7 @@ def q461_stream_byte_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     streamed = spark.table("q461_sink")
     expected = base.unionByName(app1).unionByName(app2)
-    complete_despite_paging = (
-        streamed.exceptAll(expected).count() == 0
-        and expected.exceptAll(streamed).count() == 0
-    )
+    complete_despite_paging = multiset_equal(streamed, expected)
     # a 1-byte budget admits exactly one commit per trigger
     r1 = DeltaTailStreamReader(
         {"path": tdir, "max_bytes_per_trigger": "1"})
@@ -3144,10 +3141,7 @@ def q466_cdf_stream_admission(
     batch_feed = dl.table_changes(spark, tdir, 0).select(
         *streamed.columns
     )
-    stream_matches_batch = (
-        streamed.count() == batch_feed.count()
-        and streamed.exceptAll(batch_feed).count() == 0
-    )
+    stream_matches_batch = multiset_equal(streamed, batch_feed)
 
     return (
         streamed.groupBy(

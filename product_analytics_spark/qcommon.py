@@ -43,6 +43,58 @@ def combine_single_rows(*dfs: DataFrame) -> DataFrame:
     return base.groupBy().agg(*[F.max(c).alias(c) for c in base.columns])
 
 
+def multiset_equal(a: DataFrame, b: DataFrame) -> bool:
+    """One-job multiset (bag) equality for two same-schema frames.
+
+    Replaces the 3-action probe ``a.count() == b.count() and
+    a.exceptAll(b).count() == 0`` (exceptAll is itself a two-shuffle
+    operator, and each ``count`` re-executes the input plan) with ONE
+    action: tag each side ±1, union, one hash-aggregate on the row
+    value, and ask for the first group whose signed count is nonzero
+    (round-12, guide §1.2 — don't recompute; the certs' dominant cost
+    was probe actions, not data). Bag semantics match exceptAll:
+    NULLs and NaNs group as equal, duplicate multiplicities must
+    match exactly.
+    """
+    cols = a.columns
+    bad = (
+        a.select(*cols)
+        .withColumn("__side", F.lit(1))
+        .unionByName(b.select(*cols).withColumn("__side", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(F.sum("__side").alias("__d"))
+        .where(F.col("__d") != 0)
+        .agg(F.first(F.lit(1)))
+        .collect()[0][0]
+    )
+    return bad is None
+
+
+def multiset_diff_counts(a: DataFrame, b: DataFrame) -> tuple[int, int]:
+    """One-job ``(|a exceptAll b|, |b exceptAll a|)``: signed union +
+    one hash-aggregate, then sum the positive and negative per-row
+    count deltas — replaces two full exceptAll+count actions
+    (round-12, guide §1.2)."""
+    cols = a.columns
+    d = (
+        a.select(*cols)
+        .withColumn("__side", F.lit(1))
+        .unionByName(b.select(*cols).withColumn("__side", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(F.sum("__side").alias("__d"))
+        .agg(
+            F.sum(
+                F.when(F.col("__d") > 0, F.col("__d")).otherwise(0)
+            ).alias("only_a"),
+            F.sum(
+                F.when(F.col("__d") < 0, -F.col("__d")).otherwise(0)
+            ).alias("only_b"),
+        )
+        .collect()[0]
+    )
+    return int(d["only_a"] or 0), int(d["only_b"] or 0)
+
+
 #: Landing dirs already written by this process, keyed (dir, token).
 #: Every streaming-parity landing layout is a pure function of
 #: (source table, split constants), so repeated runs in one process —

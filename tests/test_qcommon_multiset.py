@@ -1,0 +1,86 @@
+"""Focused tests for the round-12 one-job multiset probes in qcommon.
+
+``multiset_equal`` / ``multiset_diff_counts`` replace the multi-action
+``exceptAll``+``count`` probes inside the Delta-lifecycle certs; these
+tests pin their semantics against the exceptAll reference, including
+the edge cases bag-equality cares about (duplicates, NULLs, NaN).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import types as T
+
+from product_analytics_spark.qcommon import (
+    multiset_diff_counts,
+    multiset_equal,
+)
+
+_SCHEMA = T.StructType(
+    [
+        T.StructField("k", T.IntegerType()),
+        T.StructField("v", T.DoubleType()),
+        T.StructField("s", T.StringType()),
+    ]
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def _ref_diff(a, b):
+    return a.exceptAll(b).count(), b.exceptAll(a).count()
+
+
+CASES = [
+    # (a_rows, b_rows, label)
+    ([], [], "both empty"),
+    ([(1, 1.0, "x")], [], "b empty"),
+    ([(1, 1.0, "x")], [(1, 1.0, "x")], "equal singleton"),
+    (
+        [(1, 1.0, "x"), (1, 1.0, "x")],
+        [(1, 1.0, "x")],
+        "duplicate multiplicity differs",
+    ),
+    (
+        [(1, None, None), (2, float("nan"), "y")],
+        [(2, float("nan"), "y"), (1, None, None)],
+        "nulls and NaN, order shuffled",
+    ),
+    (
+        [(1, None, None)],
+        [(1, None, "z")],
+        "null vs non-null cell",
+    ),
+    (
+        [(1, 1.0, "x"), (2, 2.0, "y"), (2, 2.0, "y"), (3, 3.0, "z")],
+        [(2, 2.0, "y"), (1, 1.0, "x"), (4, 4.0, "w")],
+        "overlapping bags",
+    ),
+]
+
+
+def test_multiset_equal_matches_exceptall(spark):
+    for a_rows, b_rows, label in CASES:
+        a, b = _df(spark, a_rows), _df(spark, b_rows)
+        only_a, only_b = _ref_diff(a, b)
+        expected = only_a == 0 and only_b == 0
+        assert multiset_equal(a, b) is expected, label
+
+
+def test_multiset_diff_counts_matches_exceptall(spark):
+    for a_rows, b_rows, label in CASES:
+        a, b = _df(spark, a_rows), _df(spark, b_rows)
+        assert multiset_diff_counts(a, b) == _ref_diff(a, b), label
+
+
+def test_nan_groups_equal(spark):
+    # exceptAll treats NaN == NaN; the grouped probe must too.
+    nan = float("nan")
+    a = _df(spark, [(1, nan, "x")])
+    b = _df(spark, [(1, nan, "x")])
+    assert math.isnan(a.collect()[0]["v"])
+    assert multiset_equal(a, b)
+    assert multiset_diff_counts(a, b) == (0, 0)
