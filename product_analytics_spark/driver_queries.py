@@ -52,6 +52,7 @@ from product_analytics_spark.qcommon import (  # noqa: F401
     _money_cents,
     _money_out,
     _t,
+    local_rows_df,
 )
 
 
@@ -3953,7 +3954,7 @@ def q92_ntile_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
     for pid in sorted(counts):
         offsets.append((pid, acc))
         acc += counts[pid]
-    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    off_df = local_rows_df(spark, offsets, "__pid int, __off long")
     base, rem = n // 10, n % 10
     cut = rem * (base + 1)
     rank = (F.col("__off") + F.col("__lr")).cast("long")

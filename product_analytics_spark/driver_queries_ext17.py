@@ -14,7 +14,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _t
+from product_analytics_spark.qcommon import _t, local_rows_df
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -168,7 +168,7 @@ def q201_append_mode_finalization(spark: SparkSession, sf_dir: str) -> DataFrame
         # never finalize before availableNow terminates); its own window
         # never appears in the output because the watermark never passes
         # its end, so append mode never emits it
-        flush = spark.createDataFrame(
+        flush = local_rows_df(spark, 
             [(-1, "2024-02-15 00:00:00", "flush")],
             "event_id long, ts string, event_type string",
         ).select("event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type")

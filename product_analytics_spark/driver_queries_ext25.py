@@ -15,7 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _t
+from product_analytics_spark.qcommon import _t, local_rows_df
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -81,7 +81,7 @@ def q218_streaming_outer_join_finalization(
         # never passes its own ts).
         known = {"event_id", "ts", "user_id", "event_type"}
         for sid, when in ((-1, "2024-03-01 00:00:00"), (-3, "2024-04-01 00:00:00")):
-            base = spark.createDataFrame(
+            base = local_rows_df(spark, 
                 [(sid, when, -1, "click"), (sid - 1, when, -1, "purchase")],
                 "event_id long, ts string, user_id long, event_type string",
             ).withColumn("ts", F.col("ts").cast("timestamp"))

@@ -12,7 +12,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _t
+from product_analytics_spark.qcommon import _t, local_rows_df
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -314,7 +314,7 @@ def q245_rls_policy_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     masking is a map-side expression — governance costs one join."""
     c = _t(spark, sf_dir, "customer")
     n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
-    policy = spark.createDataFrame(
+    policy = local_rows_df(spark, 
         [(p, r) for p, r in RLS_PRINCIPALS],
         "principal string, region_key int",
     )

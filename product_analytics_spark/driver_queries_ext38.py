@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import SESSION_GAP_MIN, _t
+from product_analytics_spark.qcommon import SESSION_GAP_MIN, _t, local_rows_df
 
 # ------------------------------------------------------------- q270
 
@@ -62,7 +62,7 @@ def q270_batch_model_scoring(spark: SparkSession, sf_dir: str) -> DataFrame:
         "'active_days', active_days, 'spend_cents', spend_cents) "
         "AS (feature, x)",
     )
-    coef = spark.createDataFrame(
+    coef = local_rows_df(spark, 
         SCORING_WEIGHTS, "feature string, w long"
     )
     scored = (

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _t
+from product_analytics_spark.qcommon import _t, local_rows_df
 
 # ------------------------------------------------------------- q286
 
@@ -269,8 +269,8 @@ def q289_dag_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: the DAG is catalog-sized; the same kernel handles
     thousand-model registries (rounds = DAG depth)."""
     edges, durs = _dag_rows()
-    e = spark.createDataFrame(edges, "src string, dst string")
-    d = spark.createDataFrame(durs, "model string, dur long")
+    e = local_rows_df(spark, edges, "src string, dst string")
+    d = local_rows_df(spark, durs, "model string, dur long")
     # earliest finish = dur + max over preds of their finish; iterate
     # depth times (DAG depth ≤ |models|).
     finish = d.select("model", F.col("dur").alias("fin"))

@@ -13,7 +13,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _t
+from product_analytics_spark.qcommon import _t, local_rows_df
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -92,7 +92,7 @@ def q302_wap_publish_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
          int(pub_stats["nulls"] or 0))
         for n, nu, du, ok in results
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         out,
         "attempt string, audit_nulls bigint, audit_dups bigint, "
         "published boolean, live_rows bigint, live_nulls bigint",

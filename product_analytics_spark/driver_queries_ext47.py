@@ -13,7 +13,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _t
+from product_analytics_spark.qcommon import _t, local_rows_df
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -88,7 +88,7 @@ def q306_snapshot_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("churned"),
         ).collect()[0]
         out.append((step, int(row["rows"]), int(row["churned"])))
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         out, "version_step int, n_rows bigint, churned_rows bigint"
     ).select(
         "version_step",

@@ -23,7 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _t
+from product_analytics_spark.qcommon import _t, local_rows_df
 
 LATE_DAYS = 75
 
@@ -238,7 +238,7 @@ def q324_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows_after = store.read("orders_y").count()
     prior_rows = store.read("orders_y", version=0).count()
 
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [
             (
                 rows_before,

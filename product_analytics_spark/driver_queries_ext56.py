@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from product_analytics_spark.operators import corpus
-from product_analytics_spark.qcommon import _money_cents, _t
+from product_analytics_spark.qcommon import _money_cents, _t, local_rows_df
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -57,7 +57,7 @@ def q341_observed_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"), F.sum("c").alias("c")
     ).collect()[0]
     m = obs.get
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [
             (
                 int(row["n"]),
@@ -127,7 +127,7 @@ def q342_decontaminate_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         ngram=Q342_NGRAM,
     )
     n_residual = rescreen.select("doc_id").distinct().count()
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [
             (
                 n_train,

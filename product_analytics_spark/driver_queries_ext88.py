@@ -22,7 +22,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _money_cents, _t
+from product_analytics_spark.qcommon import _money_cents, _t, local_rows_df
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -352,7 +352,7 @@ def q415_dag_executor_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         for e in ledgers
     ]
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         rows,
         "run bigint, model string, level bigint, status string, "
         "rows_built bigint, incremental boolean",
@@ -704,7 +704,7 @@ def q418_dag_retry_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
         for e in ledger2
     ]
     return (
-        spark.createDataFrame(
+        local_rows_df(spark, 
             rows, "phase string, model string, status string, rows_built bigint"
         )
         .withColumn(

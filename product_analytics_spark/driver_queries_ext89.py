@@ -37,7 +37,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from product_analytics_spark.qcommon import _money_cents, _t
+from product_analytics_spark.qcommon import _money_cents, _t, local_rows_df
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -139,7 +139,7 @@ def q421_delta_log_protocol(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("has_metadata", T.BooleanType()),
         ]
     )
-    return spark.createDataFrame(rows, schema).orderBy("version")
+    return local_rows_df(spark, rows, schema).orderBy("version")
 
 
 Q421_SQL = f"""
@@ -271,7 +271,7 @@ def q422_delta_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return (
-        spark.createDataFrame(
+        local_rows_df(spark, 
             [
                 (
                     r["layout"],
@@ -407,7 +407,7 @@ def q423_delta_checkpoint_replay(
             T.StructField("data_ok", T.BooleanType()),
         ]
     )
-    return spark.createDataFrame(rows, schema).orderBy("point")
+    return local_rows_df(spark, rows, schema).orderBy("point")
 
 
 Q423_SQL = f"""

@@ -42,6 +42,7 @@ from product_analytics_spark.qcommon import (  # noqa: F401
     _t,
     multiset_diff_counts,
     multiset_equal,
+    local_rows_df,
 )
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -156,8 +157,14 @@ def q424_exactly_once_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merged = store.read("ledger")
     appended = spark.read.parquet(append_dir)
-    merged_rows = merged.count()
-    merged_distinct = merged.select("op_id").distinct().count()
+    # one fused probe over the merged table (round-12, guide §1.2 —
+    # was a count() plus a distinct().count(), two full passes)
+    mrow = merged.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("op_id").alias("nd"),
+    ).collect()[0]
+    merged_rows = int(mrow["n"])
+    merged_distinct = int(mrow["nd"])
     appended_rows = appended.count()
 
     agg = (
@@ -464,7 +471,7 @@ def q426_advised_equal_depth_zorder(
         ]
     )
     return (
-        spark.createDataFrame(rows, schema)
+        local_rows_df(spark, rows, schema)
         .select(
             "*",
             F.lit(bool(auto_chose_depth)).alias("auto_chose_depth"),
@@ -877,7 +884,7 @@ def q429_delta_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.StructField("net_matches", T.BooleanType()),
         ]
     )
-    return spark.createDataFrame(rows, schema).orderBy("version")
+    return local_rows_df(spark, rows, schema).orderBy("version")
 
 
 Q429_SQL = f"""

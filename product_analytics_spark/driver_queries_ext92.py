@@ -34,7 +34,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from product_analytics_spark import cache
-from product_analytics_spark.qcommon import _money_cents, _t, multiset_equal
+from product_analytics_spark.qcommon import _money_cents, _t, multiset_equal, local_rows_df
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -577,11 +577,21 @@ def q437_delta_tail_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     streamed = spark.table("q437_sink")
-    n_base = base.count()
-    n_app1 = app1.count()
-    n_app2 = app2.count()
+    # one fused scan of customer for all three feed-leg counts
+    # (round-12, guide §1.2 — was three count() actions)
+    legs = cust.agg(
+        F.count(F.lit(1)).alias("n_base"),
+        F.sum(
+            F.when(F.col("c_custkey") % 13 == 0, 1).otherwise(0)
+        ).alias("n_app1"),
+        F.sum(
+            F.when(F.col("c_custkey") % 17 == 0, 1).otherwise(0)
+        ).alias("n_app2"),
+    ).collect()[0]
+    n_app2 = int(legs["n_app2"] or 0)
     change_commit_skipped = (
-        streamed.count() == n_base + n_app1 + n_app2
+        streamed.count()
+        == int(legs["n_base"]) + int(legs["n_app1"] or 0) + n_app2
     )
     tail_rows = spark.table("q437_tail_sink").count()  # app2 only
 
@@ -683,10 +693,10 @@ def q438_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
         bad_alter_refused = True  # negative balances exist in TPC-H
 
     ver = store.current_version("acct")
-    bad = spark.createDataFrame(
+    bad = local_rows_df(spark, 
         [(1, None, 5)], "k long, seg string, cents long"
     )
-    very_neg = spark.createDataFrame(
+    very_neg = local_rows_df(spark, 
         [(1, "BUILDING", -200000000)], "k long, seg string, cents long"
     )
     violations_rejected = 0
@@ -703,7 +713,7 @@ def q438_check_constraints(spark: SparkSession, sf_dir: str) -> DataFrame:
     version_unchanged = store.current_version("acct") == ver
 
     # NULL satisfies CHECK (cents IS NULL passes cents_floor)
-    nullrow = spark.createDataFrame(
+    nullrow = local_rows_df(spark, 
         [(90_000_001, "MACHINERY", None)], "k long, seg string, cents long"
     )
     store.merge("acct", nullrow, "k", partition_by=("seg",))
@@ -969,7 +979,7 @@ def q440_history_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
         for h in hist
     ]
     return (
-        spark.createDataFrame(
+        local_rows_df(spark, 
             rows, "version long, operation string, commit_ts long"
         )
         .select(
@@ -1541,7 +1551,7 @@ def q444_writer_features_composed(
     store.merge("dim", b1, "nk", partition_by=("grp",))        # merge 1
 
     ver = store.current_version("dim")
-    bad = spark.createDataFrame(
+    bad = local_rows_df(spark, 
         [(1, "BUILDING", -200_000_000)], "nk long, seg string, cents long"
     )
     rejected = False
@@ -1573,7 +1583,11 @@ def q444_writer_features_composed(
     )
 
     tdir = store.path("dim")
-    feed = dl.table_changes(spark, tdir, 0)
+    # Persist: the feed (union over every version's change files)
+    # feeds the pre/post join AND the insert-null probe — one
+    # O(changes) materialization, released by cache.clear_all
+    # (round-12, guide §5).
+    feed = cache.persist(dl.table_changes(spark, tdir, 0))
     # postimages inherit the matched row's sk; inserts get fresh ones
     post = feed.where("_change_type = 'update_postimage'").select(
         "nk", F.col("sk").alias("post_sk")
@@ -1750,7 +1764,7 @@ def q445_delta_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return (
-        spark.createDataFrame(
+        local_rows_df(spark, 
             rows,
             "version long, num_files long, table_size_bytes long, "
             "num_records long",

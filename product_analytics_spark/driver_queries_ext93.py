@@ -39,7 +39,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _money_cents, _t
+from product_analytics_spark.qcommon import _money_cents, _t, local_rows_df
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _FIX = os.path.join(_REPO, ".fixtures")
@@ -157,7 +157,7 @@ def q446_checkpoint_v2_sidecars(
             (point, v, len(snap.files), int(snap.num_records()))
         )
     return (
-        spark.createDataFrame(
+        local_rows_df(spark, 
             rows, "point string, version long, n_files long, n_records long"
         )
         .select(
@@ -358,7 +358,7 @@ def q447_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
         rows.append((v, n_base, hwm))
     return (
-        spark.createDataFrame(
+        local_rows_df(spark, 
             rows, "version long, n_base_adds long, hwm long"
         )
         .select(
@@ -658,7 +658,7 @@ def q449_in_commit_timestamps(
         for v in sorted(hist)
     ]
     return (
-        spark.createDataFrame(
+        local_rows_df(spark, 
             rows, "version long, ict long, operation string"
         )
         .select(
@@ -932,7 +932,7 @@ def q451_liquid_clustering(
         lo2 >= hi1 for (_l1, hi1, _n1), (lo2, _h2, _n2) in
         zip(spans, spans[1:])
     )
-    return spark.createDataFrame(
+    return local_rows_df(spark, 
         [
             (
                 len(snap.files),

@@ -43,7 +43,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _money_cents, _t, multiset_equal
+from product_analytics_spark.qcommon import _money_cents, _t, multiset_equal, local_rows_df
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _FIX = os.path.join(_REPO, ".fixtures")
@@ -627,7 +627,7 @@ def q457_aqe_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             else:
                 spark.conf.set(k, v)
 
-    out = spark.createDataFrame(
+    out = local_rows_df(spark, 
         [(r.grp, r.n, r.cents_sum) for r in rows],
         "grp bigint, n bigint, cents_sum bigint",
     )
@@ -735,7 +735,7 @@ def q458_aqe_coalesce_partitions(
             else:
                 spark.conf.set(k, v)
 
-    out = spark.createDataFrame(
+    out = local_rows_df(spark, 
         [(r.nation, r.n, r.cents_sum) for r in rows],
         "nation bigint, n bigint, cents_sum bigint",
     )

@@ -35,7 +35,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _money_cents, _t, multiset_equal
+from product_analytics_spark.qcommon import _money_cents, _t, multiset_equal, local_rows_df
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _FIX = os.path.join(_REPO, ".fixtures")
@@ -108,7 +108,7 @@ def q459_append_only_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     tdir = store.path("audit")
     ver0 = store.current_version("audit")
     log_ver0 = dl.DeltaLog(tdir).latest_version()
-    batch = spark.createDataFrame(
+    batch = local_rows_df(spark, 
         [(1, 1, 100)], "k long, cust long, cents long"
     )
     refused = 0
@@ -149,7 +149,7 @@ def q459_append_only_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
     log_ver1 = dl.DeltaLog(tdir).latest_version()
     invariant_refused = False
     try:
-        store.append("audit", spark.createDataFrame(
+        store.append("audit", local_rows_df(spark, 
             [(3_000_000_001, 1, -5)], "k long, cust long, cents long"
         ))
     except ConstraintViolationError:
@@ -158,7 +158,7 @@ def q459_append_only_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     null_violates = False
     try:
-        store.append("audit", spark.createDataFrame(
+        store.append("audit", local_rows_df(spark, 
             [(3_000_000_002, 1, None)], "k long, cust long, cents long"
         ))
     except ConstraintViolationError:
@@ -367,7 +367,7 @@ def q460_time_based_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     cur = dl.read_delta(spark, Q460_TABLE).select("k", "nation", "cents")
     # freeze NOW — the upcoming lapse-vacuum deletes the spared file
     # a lazy plan would still reference
-    cur = spark.createDataFrame(cur.collect(), cur.schema)
+    cur = local_rows_df(spark, cur.collect(), cur.schema)
 
     victims2 = log.vacuum(now_ms=_Q460_NOW + 30 * _DAY_MS)
     travel_dead_after = False

@@ -284,4 +284,6 @@ class DagExecutor:
             )
             for e in ledger
         ]
-        return self.store.spark.createDataFrame(rows, schema)
+        from product_analytics_spark.qcommon import local_rows_df
+
+        return local_rows_df(self.store.spark, rows, schema)

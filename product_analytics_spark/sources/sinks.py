@@ -69,6 +69,10 @@ _ROW_TRACKING = "_ROW_TRACKING"
 #: which is a MEANINGFUL expectation (first write: no pointer yet).
 UNCHECKED = object()
 
+#: Read schema per immutable version dir (see _read_version_dir):
+#: metadata-only memo — (abs dir, mergeSchema flag) -> StructType.
+_VERSION_DIR_SCHEMAS: dict[tuple[str, bool], object] = {}
+
 
 class ConcurrentWriteError(RuntimeError):
     """Optimistic-concurrency conflict: the table's committed version
@@ -1006,6 +1010,31 @@ class SnapshotStore:
             )
         )
 
+    def _read_version_dir(
+        self, data_dir: str, merge_schema: bool = False
+    ) -> DataFrame:
+        """Parquet read of an IMMUTABLE store directory with the read
+        schema memoized per (dir, mergeSchema) for the life of the
+        process (round-12, guide §1.2/§6): version dirs are
+        ``v_<uuid>``-named and written exactly once before their
+        commit, so the schema inference every repeated read paid
+        (~70-80 ms of footer resolution per ``spark.read.parquet``
+        call; the DML certs re-read the same version several times
+        per op) resolves once and is forced thereafter. The memo
+        holds METADATA only (StructType per dir) — never rows — and
+        uuid naming means a rebuilt table can never collide with a
+        stale entry."""
+        key = (os.path.abspath(data_dir), bool(merge_schema))
+        sch = _VERSION_DIR_SCHEMAS.get(key)
+        if sch is not None:
+            return self.spark.read.schema(sch).parquet(data_dir)
+        reader = self.spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        base = reader.parquet(data_dir)
+        _VERSION_DIR_SCHEMAS[key] = base.schema
+        return base
+
     def _apply_dv(
         self, data_dir: str, merge_schema: bool = False
     ) -> DataFrame:
@@ -1014,14 +1043,11 @@ class SnapshotStore:
         ``merge_schema`` is set by row-tracked tables, whose rewritten
         files carry the materialized row-id columns the hardlinked
         ones lack."""
-        reader = self.spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        base = reader.parquet(data_dir)
+        base = self._read_version_dir(data_dir, merge_schema=merge_schema)
         dv_dir = self._dv_dir(data_dir)
         if not os.path.isdir(dv_dir):
             return base
-        dv = self.spark.read.parquet(dv_dir)
+        dv = self._read_version_dir(dv_dir)
         cols = base.columns
         return (
             base.select(
@@ -1098,7 +1124,7 @@ class SnapshotStore:
                     old_dv_dir = self._dv_dir(data)
                     if os.path.isdir(old_dv_dir):
                         merged_dv = (
-                            self.spark.read.parquet(old_dv_dir)
+                            self._read_version_dir(old_dv_dir)
                             .unionByName(new_pos)
                             .distinct()
                         )
@@ -1146,7 +1172,7 @@ class SnapshotStore:
                     f"table {name!r}: snapshot GC'd under MoR delete"
                 )
                 continue
-            dv_rows = self.spark.read.parquet(
+            dv_rows = self._read_version_dir(
                 self._dv_dir(os.path.join(self.path(name), version))
             ).count()
             return {
@@ -1242,7 +1268,7 @@ class SnapshotStore:
                     old_dv_dir = self._dv_dir(data)
                     if os.path.isdir(old_dv_dir):
                         merged_dv = (
-                            self.spark.read.parquet(old_dv_dir)
+                            self._read_version_dir(old_dv_dir)
                             .unionByName(new_pos)
                             .distinct()
                         )
@@ -1366,7 +1392,7 @@ class SnapshotStore:
                 )
                 continue
             vdir_now = os.path.join(self.path(name), version)
-            dv_rows = self.spark.read.parquet(
+            dv_rows = self._read_version_dir(
                 self._dv_dir(vdir_now)
             ).count()
             return {
@@ -1496,7 +1522,7 @@ class SnapshotStore:
                     old_dv_dir = self._dv_dir(data)
                     if os.path.isdir(old_dv_dir):
                         merged_dv = (
-                            self.spark.read.parquet(old_dv_dir)
+                            self._read_version_dir(old_dv_dir)
                             .unionByName(new_pos)
                             .distinct()
                         )
@@ -1637,7 +1663,7 @@ class SnapshotStore:
                     f"table {name!r}: snapshot GC'd under MoR merge"
                 )
                 continue
-            dv_rows = self.spark.read.parquet(
+            dv_rows = self._read_version_dir(
                 self._dv_dir(os.path.join(self.path(name), version))
             ).count()
             return {
@@ -3337,7 +3363,9 @@ class SnapshotStore:
                 parts = self._partition_dirs(data)
                 all_files = [f for _rel, fs in parts for f in fs]
                 manifest_local = {os.path.normpath(f) for f in all_files}
-                full = self.spark.read.option("basePath", data).parquet(data)
+                # basePath == the dir itself ⇒ identical to a plain
+                # dir read; route through the schema memo.
+                full = self._read_version_dir(data)
                 # ONE scan yields both the row count and the touched-
                 # file manifest (round-12 optimization, guide §1.2:
                 # these were two full passes). collect_set over the
@@ -3391,6 +3419,7 @@ class SnapshotStore:
                     # basePath), so the staged change files pair with
                     # this attempt's commit; a lost race discards them.
                     self._stage_cdc(name, cdc_build(full, F.expr(predicate)))
+                touched_by_rel: list[tuple[str, list[str]]] = []
                 for rel, files in parts:
                     out_dir = vdir if rel == "." else os.path.join(vdir, rel)
                     os.makedirs(out_dir, exist_ok=True)
@@ -3404,21 +3433,61 @@ class SnapshotStore:
                             )
                             n_link += 1
                     if dir_touched:
-                        df = self.spark.read.parquet(*dir_touched)
-                        for col, val in self._partition_literals(rel):
-                            df = df.withColumn(col, F.lit(val).cast("string"))
-                        replaced = transform(df, F.expr(predicate))
-                        # COW UPDATE can mint violating rows — gate
-                        # the rewritten dirs (DELETE only removes, but
-                        # the check is one fused predicate either way)
-                        self._validate_constraints(name, replaced)
-                        drop_cols = [
-                            c for c, _v in self._partition_literals(rel)
-                        ]
-                        if drop_cols:
-                            replaced = replaced.drop(*drop_cols)
-                        replaced.write.mode("append").parquet(out_dir)
+                        touched_by_rel.append((rel, dir_touched))
                         n_rewrite += len(dir_touched)
+                # ONE rewrite pass over every touched file (round-12,
+                # guide §1.2/§6): the per-directory loop paid one
+                # schema resolution, one constraint probe and one
+                # write JOB per touched hive dir, serially — a
+                # partitioned table whose predicate touched every
+                # partition serialized 3×|dirs| tiny jobs. One
+                # hive-aware read (partition columns attached by the
+                # scan; type inference disabled so they arrive as the
+                # same STRINGS the literal injection produced), one
+                # transform, one validation probe, one partitioned
+                # write clustered by the partition key (1 file per
+                # touched dir, matching the old per-dir output).
+                if touched_by_rel and touched_by_rel[0][0] == ".":
+                    df = self.spark.read.parquet(*touched_by_rel[0][1])
+                    replaced = transform(df, F.expr(predicate))
+                    # COW UPDATE can mint violating rows — gate the
+                    # rewritten rows (DELETE only removes, but the
+                    # check is one fused predicate either way)
+                    self._validate_constraints(name, replaced)
+                    replaced.write.mode("append").parquet(vdir)
+                elif touched_by_rel:
+                    part_cols = [
+                        c
+                        for c, _v in self._partition_literals(
+                            touched_by_rel[0][0]
+                        )
+                    ]
+                    all_touched = sorted(
+                        f for _rel, fs in touched_by_rel for f in fs
+                    )
+                    inf_key = (
+                        "spark.sql.sources."
+                        "partitionColumnTypeInference.enabled"
+                    )
+                    prev_inf = self.spark.conf.get(inf_key)
+                    self.spark.conf.set(inf_key, "false")
+                    try:
+                        df = (
+                            self.spark.read.option("basePath", data)
+                            .parquet(*all_touched)
+                        )
+                    finally:
+                        self.spark.conf.set(inf_key, prev_inf)
+                    replaced = transform(df, F.expr(predicate))
+                    self._validate_constraints(name, replaced)
+                    (
+                        replaced.repartition(
+                            max(len(touched_by_rel), 1), *part_cols
+                        )
+                        .write.mode("append")
+                        .partitionBy(*part_cols)
+                        .parquet(vdir)
+                    )
                 self._commit(name, version, expected_version=expected, operation="DML")
             except ConcurrentWriteError as exc:
                 last_err = exc

@@ -76,6 +76,68 @@ def test_multiset_diff_counts_matches_exceptall(spark):
         assert multiset_diff_counts(a, b) == _ref_diff(a, b), label
 
 
+def test_local_rows_df_matches_classic_path(spark):
+    """local_rows_df (Arrow) must be value-identical to the classic
+    createDataFrame(list, schema) path across the type matrix the
+    certs actually use — ints/strings/doubles with NULLs, NaN,
+    booleans, dates, timestamps, decimals, arrays."""
+    import datetime as dt
+    from decimal import Decimal
+
+    from product_analytics_spark.qcommon import local_rows_df
+
+    schema = (
+        "i int, l long, s string, d double, b boolean, "
+        "dt date, ts timestamp, dec decimal(10,2), arr array<int>"
+    )
+    rows = [
+        (
+            1,
+            2**40,
+            "x",
+            1.5,
+            True,
+            dt.date(2020, 1, 2),
+            dt.datetime(2020, 1, 2, 3, 4, 5),
+            Decimal("12.34"),
+            [1, 2],
+        ),
+        (None, None, None, None, None, None, None, None, None),
+        (
+            -3,
+            7,
+            "",
+            float("nan"),
+            False,
+            dt.date(1970, 1, 1),
+            dt.datetime(1970, 1, 1),
+            Decimal("0.00"),
+            [],
+        ),
+    ]
+    fast = local_rows_df(spark, rows, schema)
+    slow = spark.createDataFrame(rows, schema)
+    assert fast.schema == slow.schema
+    import math
+
+    def norm(v):
+        if isinstance(v, float) and math.isnan(v):
+            return "NaN"
+        return repr(v)
+
+    f_rows = [[norm(v) for v in r] for r in fast.collect()]
+    s_rows = [[norm(v) for v in r] for r in slow.collect()]
+    assert f_rows == s_rows
+
+
+def test_local_rows_df_empty(spark):
+    from product_analytics_spark.qcommon import local_rows_df
+
+    df = local_rows_df(spark, [], "a int, b string")
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == ["a", "b"]
+
+
 def test_nan_groups_equal(spark):
     # exceptAll treats NaN == NaN; the grouped probe must too.
     nan = float("nan")
