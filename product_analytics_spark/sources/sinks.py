@@ -1010,6 +1010,64 @@ class SnapshotStore:
             )
         )
 
+    #: Target bytes per written file/task (guide §6: output files in
+    #: the 128 MB - 1 GB range). Drives the size-adaptive write task
+    #: count below; env-overridable for clusters with different file
+    #: sizing goals.
+    _WRITE_TARGET_BYTES = int(
+        os.environ.get("SPARK_GRAFT_WRITE_TARGET_BYTES", str(128 << 20))
+    )
+
+    def _n_write_tasks(self, df: DataFrame, floor: int = 1) -> int:
+        """Size-adaptive task count for a write repartition (round-12,
+        guide §2.5/§6): ``ceil(estimated bytes / 128 MB target)``
+        clamped to ``[floor, spark.sql.shuffle.partitions]``.
+
+        The estimate is Catalyst's ``analyzed().stats()`` — a
+        driver-only py4j call on the ALREADY-analyzed plan (no job,
+        and no extra optimizer pass: the write re-optimizes its own
+        tree regardless); for parquet-backed plans it is the sum of
+        the input file sizes, and for plans with unknown stats it
+        degenerates to Long.MaxValue, which the clamp turns into the
+        conf count (the previous fixed behavior, so the fallback is
+        never worse). A 15k-row lifecycle write thus gets a handful
+        of tasks (measured: 512 ms at 32 tasks -> ~300 ms) while a
+        100 GB write gets est/128MB tasks up to the conf cap, which a
+        cluster submit raises with the cluster."""
+        conf_parts = int(
+            self.spark.conf.get("spark.sql.shuffle.partitions")
+        )
+        floor = max(1, min(floor, conf_parts))
+        try:
+            est = int(
+                df._jdf.queryExecution().analyzed().stats().sizeInBytes()
+            )
+        except Exception:  # noqa: BLE001 — estimate is best-effort
+            return conf_parts
+        n = (est + self._WRITE_TARGET_BYTES - 1) // self._WRITE_TARGET_BYTES
+        return max(floor, min(conf_parts, int(n)))
+
+    def _existing_dir_floor(self, name: str) -> int:
+        """Floor for a partitioned write's task count: the committed
+        version's hive-directory count (driver metadata, no job), so
+        a many-directory table never collapses to one task writing
+        every directory serially (measured 1.1 s/write at ~80 dirs);
+        8 for a fresh table (no dirs to count yet)."""
+        try:
+            cur = self.current_version(name)
+            if cur:
+                return max(
+                    1,
+                    len(
+                        self._partition_dirs(
+                            os.path.join(self.path(name), cur)
+                        )
+                    ),
+                )
+        except Exception:  # noqa: BLE001 — metadata probe only
+            pass
+        return 8
+
     def _read_version_dir(
         self, data_dir: str, merge_schema: bool = False
     ) -> DataFrame:
@@ -1354,16 +1412,13 @@ class SnapshotStore:
                             )
                             n_link += 1
                     if part_cols_now:
-                        # pinned-count keyed repartition: keep the
+                        # size-adaptive keyed repartition: keep the
                         # partitioned write parallel under AQE
-                        # coalescing (same rationale as
+                        # coalescing without 32-task overhead on an
+                        # O(matched)-row rewrite (same rationale as
                         # _write_version, round-12).
                         updated = updated.repartition(
-                            int(
-                                self.spark.conf.get(
-                                    "spark.sql.shuffle.partitions"
-                                )
-                            ),
+                            self._n_write_tasks(updated),
                             *part_cols_now,
                         )
                     writer = updated.write.mode("append")
@@ -1627,14 +1682,10 @@ class SnapshotStore:
                             )
                             n_link += 1
                     if part_cols_now:
-                        # pinned-count keyed repartition (same
+                        # size-adaptive keyed repartition (same
                         # rationale as _write_version, round-12).
                         to_write = to_write.repartition(
-                            int(
-                                self.spark.conf.get(
-                                    "spark.sql.shuffle.partitions"
-                                )
-                            ),
+                            self._n_write_tasks(to_write),
                             *part_cols_now,
                         )
                     writer = to_write.write.mode("append")
@@ -1854,21 +1905,23 @@ class SnapshotStore:
             # n_files pins the TASK count here (ADVICE r8: it used to be
             # silently ignored on partitioned writes); each hive dir
             # still gets whole files since tasks are keyed on the
-            # partition columns. Without n_files the count is pinned to
-            # the session's shuffle-partition conf (round-12, guide
-            # §2.5/§6): a keyed repartition with NO explicit count has a
-            # coalescable shuffle origin, and AQE collapses a small
-            # write to ONE task that then writes every hive directory
+            # partition columns. Without n_files the count is
+            # size-adaptive (round-12, guide §2.5/§6):
+            # ceil(est bytes / 128 MB) clamped to the shuffle-partition
+            # conf, floored at the table's current hive-dir count — an
+            # explicit count because a keyed repartition with NO count
+            # has a coalescable shuffle origin and AQE collapses a
+            # small write to ONE task writing every hive directory
             # serially (measured 1.1 s/write on an ~80-partition
-            # table); the explicit count keeps the write parallel while
-            # each directory still receives whole files (a partition
-            # value hashes to exactly one task, so per-dir file counts
-            # are unchanged). Conf-driven, so a cluster submit scales
-            # it with the cluster.
+            # table); the dir floor keeps the write spread while each
+            # directory still receives whole files (a partition value
+            # hashes to exactly one task).
             parts = [
                 n_files
                 if n_files
-                else int(self.spark.conf.get("spark.sql.shuffle.partitions"))
+                else self._n_write_tasks(
+                    df, floor=self._existing_dir_floor(name)
+                )
             ]
             df = df.repartition(*parts, *partition_by).sortWithinPartitions(
                 *partition_by, *cluster_by
@@ -2067,7 +2120,14 @@ class SnapshotStore:
 
         table = self.path(name)
         tmp = os.path.join(table, f"_cdc_tmp_{uuid.uuid4().hex[:8]}")
-        cdc_df.write.parquet(tmp)
+        # Right-size the change files (round-12, guide §6): the change
+        # set inherits its producer's partitioning (32 near-empty
+        # shuffle partitions for a small DML), so the write emitted
+        # up to 32 tiny files, each paying a task + a pyarrow
+        # metadata probe + a rename below. coalesce (narrow, no extra
+        # shuffle) to ceil(est bytes / 128 MB) — one file for a
+        # cert-sized change set, many for a real churn batch.
+        cdc_df.coalesce(self._n_write_tasks(cdc_df)).write.parquet(tmp)
         dest = os.path.join(table, dl.CDC_DIR)
         os.makedirs(dest, exist_ok=True)
         tag = uuid.uuid4().hex[:12]
