@@ -47,6 +47,55 @@ def _value_expr(df: DataFrame, col: str) -> Column:
     return F.col(col)
 
 
+def _depth_bucket_expr(v: Column, bits: int, bounds: list[float]) -> Column:
+    """Equal-DEPTH lane expression from precomputed quantile
+    boundaries: bucket = count of boundaries <= v. The fold over the
+    literal boundary array is value-identical whether expressed as
+    ``aggregate`` or ``size(filter(...))``; the array itself is built
+    with ONE ``F.lit(list)`` call (round-12: the per-element
+    ``F.lit`` form paid ~2^bits py4j round trips per column,
+    ~0.6 s of driver time per write)."""
+    import math
+
+    n = 1 << bits
+    if not bounds:
+        return F.lit(0).cast("long")
+    if all(math.isfinite(b) for b in bounds):
+        # ONE py4j call: the SQL parser builds the whole array
+        # literal JVM-side. repr() is Python's shortest round-trip
+        # form and Double.parseDouble recovers the identical bits,
+        # so the literal values match the per-element form exactly.
+        barr = F.expr(
+            "array(" + ",".join(f"{b!r}D" for b in bounds) + ")"
+        )
+    else:  # non-finite boundary: fall back to per-element literals
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+    bucket = F.aggregate(
+        barr,
+        F.lit(0),
+        lambda acc, b: acc
+        + F.when(v.cast("double") >= b, F.lit(1)).otherwise(F.lit(0)),
+    )
+    # Rescale onto the FULL [0, 2^bits) lane: heavy repetition
+    # dedups the boundary list (few distinct values ⇒ few distinct
+    # bucket ids), and unscaled those ids live only in the lane's
+    # LOW bits — the interleave then puts every x-distinction below
+    # every y-bit and z-locality on x is lost. Spreading the ids
+    # across the lane keeps each key's distinctions in high bits
+    # proportional to its realized cardinality.
+    scaled = (bucket.cast("long") * F.lit(n - 1)) / F.lit(len(bounds))
+    return F.least(F.lit(n - 1), scaled.cast("long"))
+
+
+def _width_bucket_expr(v: Column, bits: int, lo, hi) -> Column:
+    """Equal-WIDTH lane expression from a precomputed (min, max)."""
+    n = 1 << bits
+    if lo is None or hi is None or lo == hi:
+        return F.lit(0).cast("long")
+    b = F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(n)) - 1
+    return F.least(F.lit(n - 1), F.greatest(F.lit(0), b)).cast("long")
+
+
 def _bucketize(
     df: DataFrame, col: str, bits: int, equal_depth: bool = False
 ) -> Column:
@@ -62,7 +111,10 @@ def _bucketize(
     region into one lane and z-locality (hence file skipping) inside
     it is lost. Bucket lookup is a fold over the literal boundary
     array (pure codegen, O(2^bits) comparisons per row — keep bits
-    modest for very wide configs)."""
+    modest for very wide configs).
+
+    Single-column doorway kept for callers outside the write path;
+    ``morton_zvalue`` computes every column's stats in ONE pass."""
     v = _value_expr(df, col)
     n = 1 << bits
     if equal_depth:
@@ -71,29 +123,9 @@ def _bucketize(
         bounds = sorted(
             set(stats.approxQuantile("_zq", qs, 1.0 / (4 * n)))
         )
-        if not bounds:
-            return F.lit(0).cast("long")
-        barr = F.array(*[F.lit(float(b)) for b in bounds])
-        bucket = F.aggregate(
-            barr,
-            F.lit(0),
-            lambda acc, b: acc
-            + F.when(v.cast("double") >= b, F.lit(1)).otherwise(F.lit(0)),
-        )
-        # Rescale onto the FULL [0, 2^bits) lane: heavy repetition
-        # dedups the boundary list (few distinct values ⇒ few distinct
-        # bucket ids), and unscaled those ids live only in the lane's
-        # LOW bits — the interleave then puts every x-distinction below
-        # every y-bit and z-locality on x is lost. Spreading the ids
-        # across the lane keeps each key's distinctions in high bits
-        # proportional to its realized cardinality.
-        scaled = (bucket.cast("long") * F.lit(n - 1)) / F.lit(len(bounds))
-        return F.least(F.lit(n - 1), scaled.cast("long"))
+        return _depth_bucket_expr(v, bits, bounds)
     lo, hi = df.select(F.min(v), F.max(v)).first()
-    if lo is None or hi is None or lo == hi:
-        return F.lit(0).cast("long")
-    b = F.width_bucket(v, F.lit(lo), F.lit(hi), F.lit(n)) - 1
-    return F.least(F.lit(n - 1), F.greatest(F.lit(0), b)).cast("long")
+    return _width_bucket_expr(v, bits, lo, hi)
 
 
 def morton_zvalue(
@@ -109,7 +141,33 @@ def morton_zvalue(
     if len(cols) < 2:
         raise ValueError("zorder needs >= 2 columns; use cluster_by for 1")
     k = len(cols)
-    buckets = [_bucketize(df, c, bits, equal_depth=equal_depth) for c in cols]
+    # ONE stats pass for every lane (round-12, guide §1.2): the
+    # per-column _bucketize form ran one quantile/min-max JOB per
+    # column. approxQuantile on a column LIST builds the same
+    # per-column sketches in a single scan (identical per-column
+    # results — multipleApproxQuantiles is the one-column path's
+    # implementation too), and the width stats fuse into one
+    # aggregate row.
+    vals = [_value_expr(df, c) for c in cols]
+    n = 1 << bits
+    if equal_depth:
+        qs = [i / n for i in range(1, n)]
+        names = [f"_zq{i}" for i in range(k)]
+        all_bounds = df.select(
+            *[v.cast("double").alias(a) for v, a in zip(vals, names)]
+        ).approxQuantile(names, qs, 1.0 / (4 * n))
+        buckets = [
+            _depth_bucket_expr(v, bits, sorted(set(b)))
+            for v, b in zip(vals, all_bounds)
+        ]
+    else:
+        row = df.select(
+            *[m for v in vals for m in (F.min(v), F.max(v))]
+        ).first()
+        buckets = [
+            _width_bucket_expr(v, bits, row[2 * i], row[2 * i + 1])
+            for i, v in enumerate(vals)
+        ]
     z = F.lit(0).cast("long")
     for i, bucket in enumerate(buckets):
         for b in range(bits):
@@ -156,5 +214,24 @@ def choose_equal_depth(
     write to equal-DEPTH (quantile) lanes. Uniform keys lose nothing
     under equal-depth (lanes coincide with width), so the flip is
     one-way safe; equal-width stays the default because it needs only
-    a min/max aggregate instead of a quantile sketch."""
-    return any(key_skew_ratio(df, c) >= threshold for c in cols)
+    a min/max aggregate instead of a quantile sketch.
+
+    One multi-column approxQuantile pass (round-12, guide §1.2): the
+    per-column key_skew_ratio form ran one quantile job per key; the
+    fused sketch computes the identical per-column quartiles in a
+    single scan."""
+    names = [f"_zs{i}" for i in range(len(cols))]
+    quarts = df.select(
+        *[
+            _value_expr(df, c).cast("double").alias(a)
+            for c, a in zip(cols, names)
+        ]
+    ).approxQuantile(names, [0.0, 0.25, 0.75, 1.0], 0.01)
+    for lo, p25, p75, hi in quarts:
+        rng, iqr = hi - lo, p75 - p25
+        if rng <= 0:
+            continue
+        ratio = float("inf") if iqr <= 0 else rng / (2.0 * iqr)
+        if ratio >= threshold:
+            return True
+    return False

@@ -174,11 +174,18 @@ def _minhash_sig_fold(hashes: Column, num_hashes: int, hasher: str) -> Column:
     """
     if hasher == "portable":
         salts_a, salts_b = minhash_salts(num_hashes)
-        ab = F.array(
-            *[
-                F.struct(F.lit(a).cast("long").alias("a"), F.lit(b).cast("long").alias("b"))
+        # ONE py4j call for the salt array (round-12, guide §1.2 —
+        # driver time): the per-element F.struct(F.lit, F.lit) form
+        # paid ~3 py4j round trips per salt (~0.3 s per operator call
+        # at 32 hashes); the SQL string parses JVM-side to the
+        # identical literal array.
+        ab = F.expr(
+            "array("
+            + ",".join(
+                f"named_struct('a',{a}L,'b',{b}L)"
                 for a, b in zip(salts_a, salts_b)
-            ]
+            )
+            + ")"
         )
         init = F.array_repeat(F.lit(P31).cast("long"), num_hashes)
         return F.aggregate(
@@ -188,13 +195,44 @@ def _minhash_sig_fold(hashes: Column, num_hashes: int, hasher: str) -> Column:
                 acc, ab, lambda m, s: F.least(m, (s["a"] * x + s["b"]) % F.lit(P31))
             ),
         )
-    idx = F.array(*[F.lit(i).cast("long") for i in range(num_hashes)])
+    idx = F.expr(
+        "array(" + ",".join(f"{i}L" for i in range(num_hashes)) + ")"
+    )
     init = F.array_repeat(F.lit((1 << 63) - 1).cast("long"), num_hashes)
     return F.aggregate(
         hashes,
         init,
         lambda acc, x: F.zip_with(acc, idx, lambda m, i: F.least(m, F.xxhash64(i, x))),
     )
+
+
+def _band_hash_array(
+    bands: int, rows_per_band: int, hasher: str, sig_col: str = "sig"
+) -> Column:
+    """The per-band hash array as ONE ``F.expr`` SQL string (round-12,
+    guide §1.2 — driver time): the per-band Column-chain form paid a
+    py4j round trip per arithmetic step (~0.3 s per operator call at
+    16 bands). Values are identical: same fold constants, same 0-based
+    ``sig[i]`` indexing, and the xxhash64 band seed stays an INT
+    literal (hashing an int and a long give different xxhash64
+    results, so ``{b}`` must remain untyped)."""
+    terms = []
+    for b in range(bands):
+        if hasher == "portable":
+            acc = f"CAST({b} AS BIGINT)"
+            for r in range(rows_per_band):
+                acc = (
+                    f"(({acc} * {BAND_FOLD_A}L + "
+                    f"{sig_col}[{b * rows_per_band + r}]) % {P31}L)"
+                )
+        else:
+            cols = ",".join(
+                f"{sig_col}[{b * rows_per_band + r}]"
+                for r in range(rows_per_band)
+            )
+            acc = f"xxhash64({b},{cols})"
+        terms.append(acc)
+    return F.expr("array(" + ",".join(terms) + ")")
 
 
 def minhash_signature(shingles: Column, num_hashes: int = 32) -> Column:
@@ -331,17 +369,11 @@ def minhash_near_dup_pairs(
         hashed.select(F.col(id_col), _minhash_sig_fold(F.col("_sh"), num_hashes, hasher).alias("sig"))
     )
 
-    def band_hash(b: int) -> Column:
-        cols = [F.col("sig")[b * rows_per_band + r] for r in range(rows_per_band)]
-        if hasher == "portable":
-            acc: Column = F.lit(b).cast("long")
-            for c in cols:
-                acc = (acc * F.lit(BAND_FOLD_A) + c) % F.lit(P31)
-            return acc
-        return F.xxhash64(F.lit(b), *cols)
-
     banded = sig.select(
-        F.col(id_col), F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias("band_idx", "bh")
+        F.col(id_col),
+        F.posexplode(
+            _band_hash_array(bands, rows_per_band, hasher)
+        ).alias("band_idx", "bh"),
     )
     cand = (
         banded.select(F.col(id_col).alias("id_a"), "band_idx", "bh")
@@ -436,14 +468,11 @@ def jaccard_band_candidates_iu(
         )
     )
 
-    def band_hash(b: int) -> Column:
-        acc: Column = F.lit(b).cast("long")
-        for r in range(rows_per_band):
-            acc = (acc * F.lit(BAND_FOLD_A) + F.col("sig")[b * rows_per_band + r]) % F.lit(P31)
-        return acc
-
     banded = rel.select(
-        F.col(id_col), F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias("band_idx", "bh")
+        F.col(id_col),
+        F.posexplode(
+            _band_hash_array(bands, rows_per_band, "portable")
+        ).alias("band_idx", "bh"),
     )
     cand = (
         banded.select(F.col(id_col).alias("id_a"), "band_idx", "bh")
@@ -496,15 +525,11 @@ def containment_pairs(
         )
     )
 
-    def band_hash(b: int) -> Column:
-        acc: Column = F.lit(b).cast("long")
-        for r in range(rows_per_band):
-            acc = (acc * F.lit(BAND_FOLD_A) + F.col("sig")[b * rows_per_band + r]) % F.lit(P31)
-        return acc
-
     banded = rel.select(
         F.col(id_col),
-        F.posexplode(F.array(*[band_hash(b) for b in range(bands)])).alias("band_idx", "bh"),
+        F.posexplode(
+            _band_hash_array(bands, rows_per_band, "portable")
+        ).alias("band_idx", "bh"),
     )
     cand = (
         banded.select(F.col(id_col).alias("id_a"), "band_idx", "bh")
