@@ -3060,6 +3060,33 @@ class SnapshotStore:
             plan.extend(groups[g] for g in sorted(groups))
         return plan
 
+    @staticmethod
+    def _parallel_jobs(thunks, max_workers: int = 4) -> None:
+        """Run independent Spark write jobs concurrently (round-12,
+        guide §2.6 — overlap independent jobs): a maintenance rewrite
+        of N partition directories / bin-pack groups is N independent
+        actions whose tails otherwise serialize (each job's last task
+        leaves the rest of local[32] idle). 2-4 jobs in flight
+        back-fill those tails; results are unchanged because each
+        thunk writes a distinct output directory of the same
+        uncommitted version. On failure every in-flight thunk still
+        completes before the first exception propagates, so the
+        caller's cleanup (rmtree of the version dir) never races a
+        live write task."""
+        thunks = list(thunks)
+        if len(thunks) <= 1:
+            for t in thunks:
+                t()
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(
+            max_workers=min(max_workers, len(thunks))
+        ) as tp:
+            futs = [tp.submit(t) for t in thunks]
+            for f in futs:
+                f.result()
+
     def compact(
         self,
         name: str,
@@ -3124,9 +3151,14 @@ class SnapshotStore:
                 rt = self._row_tracking(name)
                 rt_base = self._rt_base_df(name, data) if rt else None
                 n_before = sum(len(g) for g in plan)
-                for group in plan:
-                    rel = os.path.relpath(os.path.dirname(group[0]), data)
-                    out_dir = vdir if rel == "." else os.path.join(vdir, rel)
+
+                def _rewrite_group(group: list[str]) -> None:
+                    rel = os.path.relpath(
+                        os.path.dirname(group[0]), data
+                    )
+                    out_dir = (
+                        vdir if rel == "." else os.path.join(vdir, rel)
+                    )
                     reader = self.spark.read
                     if rt:
                         reader = reader.option("mergeSchema", "true")
@@ -3138,7 +3170,34 @@ class SnapshotStore:
                         df = self._rt_attach_ids(
                             name, data, df, base_df=rt_base
                         )
-                    df.coalesce(1).write.mode("append").parquet(out_dir)
+                    # Groups of one directory share out_dir, and two
+                    # concurrent append jobs into one directory race
+                    # on the commit protocol's shared _temporary/0
+                    # staging dir — write each group into its own
+                    # staging dir and rename the parquet in (the
+                    # _stage_cdc pattern; rename is same-fs atomic).
+                    tmp = os.path.join(
+                        vdir, f"_grp_{uuid.uuid4().hex[:8]}"
+                    )
+                    df.coalesce(1).write.parquet(tmp)
+                    os.makedirs(out_dir, exist_ok=True)
+                    for f in sorted(os.listdir(tmp)):
+                        if f.endswith(".parquet") and not f.startswith(
+                            (".", "_")
+                        ):
+                            os.rename(
+                                os.path.join(tmp, f),
+                                os.path.join(out_dir, f),
+                            )
+                    shutil.rmtree(tmp, ignore_errors=True)
+
+                # independent per-group rewrites overlap (guide §2.6)
+                self._parallel_jobs(
+                    [
+                        (lambda g: lambda: _rewrite_group(g))(group)
+                        for group in plan
+                    ]
+                )
                 self._commit(name, version, expected_version=expected, operation="OPTIMIZE")
             except ConcurrentWriteError as exc:
                 last_err = exc
@@ -3258,27 +3317,11 @@ class SnapshotStore:
                 rt = self._row_tracking(name)
                 rt_base = self._rt_base_df(name, data) if rt else None
                 n_before = sum(len(fs) for _r, fs in parts)
-                for rel, files in parts:
-                    out_dir = vdir if rel == "." else os.path.join(vdir, rel)
-                    if where is not None and not all(
-                        (k, str(v)) in self._partition_literals(rel)
-                        for k, v in where.items()
-                    ):
-                        # OPTIMIZE ... WHERE: partitions outside the
-                        # predicate are carried by HARDLINK — zero
-                        # bytes moved, same inodes (Delta skips
-                        # untouched partitions the same way; at
-                        # 100 TB you compact the hot day's
-                        # partition, never the table)
-                        os.makedirs(out_dir, exist_ok=True)
-                        for f in files:
-                            os.link(
-                                f,
-                                os.path.join(
-                                    out_dir, os.path.basename(f)
-                                ),
-                            )
-                        continue
+
+                def _recluster_dir(rel: str, files: list[str]) -> None:
+                    out_dir = (
+                        vdir if rel == "." else os.path.join(vdir, rel)
+                    )
                     n_files = max(
                         1,
                         -(-sum(os.path.getsize(f) for f in files) // target_bytes),
@@ -3317,6 +3360,39 @@ class SnapshotStore:
                     if zorder:
                         df = df.drop("__zval")
                     df.write.mode("append").parquet(out_dir)
+
+                rewrites = []
+                for rel, files in parts:
+                    out_dir = vdir if rel == "." else os.path.join(vdir, rel)
+                    if where is not None and not all(
+                        (k, str(v)) in self._partition_literals(rel)
+                        for k, v in where.items()
+                    ):
+                        # OPTIMIZE ... WHERE: partitions outside the
+                        # predicate are carried by HARDLINK — zero
+                        # bytes moved, same inodes (Delta skips
+                        # untouched partitions the same way; at
+                        # 100 TB you compact the hot day's
+                        # partition, never the table)
+                        os.makedirs(out_dir, exist_ok=True)
+                        for f in files:
+                            os.link(
+                                f,
+                                os.path.join(
+                                    out_dir, os.path.basename(f)
+                                ),
+                            )
+                        continue
+                    rewrites.append(
+                        (lambda r, fs: lambda: _recluster_dir(r, fs))(
+                            rel, list(files)
+                        )
+                    )
+                # per-directory stats pass + sorted rewrite are
+                # independent jobs — overlap them (guide §2.6); the
+                # per-directory z-value/lane stats are unchanged, so
+                # file layouts and skipping stats stay identical.
+                self._parallel_jobs(rewrites)
                 self._commit(name, version, expected_version=expected, operation="OPTIMIZE")
             except ConcurrentWriteError as exc:
                 last_err = exc
