@@ -23,7 +23,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _t, local_rows_df
+from product_analytics_spark.qcommon import _t, combine_single_rows, local_rows_df
 
 LATE_DAYS = 75
 
@@ -224,7 +224,10 @@ def q324_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.year("o_orderdate") == Q324_YEAR
     )
     store.overwrite("orders_y", o.repartition(Q324_SMALL_FILES))
-    rows_before = store.read("orders_y").count()
+    # Lazy plan pinned to the pre-compaction version (retained within
+    # retain_versions=2); counted in the fused probe below (round-12
+    # batch 8, guide §1.2 — was three separate counts).
+    before_df = store.read("orders_y")
 
     data_dir = store.current_data_dir("orders_y")
     total = sum(
@@ -235,8 +238,18 @@ def q324_compaction_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = total // 3 + 1  # aim for ~3 output files
     plan = store.plan_compaction("orders_y", target_bytes=target)
     stats = store.compact("orders_y", target_bytes=target)
-    rows_after = store.read("orders_y").count()
-    prior_rows = store.read("orders_y", version=0).count()
+    pr = combine_single_rows(
+        before_df.agg(F.count(F.lit(1)).alias("__rows_before")),
+        store.read("orders_y").agg(
+            F.count(F.lit(1)).alias("__rows_after")
+        ),
+        store.read("orders_y", version=0).agg(
+            F.count(F.lit(1)).alias("__prior_rows")
+        ),
+    ).collect()[0]
+    rows_before = int(pr["__rows_before"])
+    rows_after = int(pr["__rows_after"])
+    prior_rows = int(pr["__prior_rows"])
 
     return local_rows_df(spark, 
         [

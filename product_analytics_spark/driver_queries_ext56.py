@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from product_analytics_spark.operators import corpus
-from product_analytics_spark.qcommon import _money_cents, _t, local_rows_df
+from product_analytics_spark.qcommon import (
+    _money_cents,
+    _t,
+    combine_single_rows,
+    local_rows_df,
+)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -117,16 +122,29 @@ def q342_decontaminate_execute(spark: SparkSession, sf_dir: str) -> DataFrame:
     clean = train.join(flagged.select("doc_id"), "doc_id", "left_anti")
     store.overwrite("clean_corpus", clean.select("doc_id", "lang", "text"))
 
-    n_train = train.count()
-    n_flagged = flagged.select("doc_id").distinct().count()
     committed = store.read("clean_corpus")
-    n_clean = committed.count()
     rescreen = corpus.contamination_screen(
         committed.repartition(spark.sparkContext.defaultParallelism, "doc_id"),
         bench,
         ngram=Q342_NGRAM,
     )
-    n_residual = rescreen.select("doc_id").distinct().count()
+    # ONE fused probe action (round-12 batch 8, guide §1.2 — was four
+    # separate counts; .distinct().agg(count) keeps the exact
+    # NULL-inclusive semantics of .distinct().count()).
+    pr = combine_single_rows(
+        train.agg(F.count(F.lit(1)).alias("__n_train")),
+        flagged.select("doc_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("__n_flagged")),
+        committed.agg(F.count(F.lit(1)).alias("__n_clean")),
+        rescreen.select("doc_id")
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("__n_residual")),
+    ).collect()[0]
+    n_train = int(pr["__n_train"])
+    n_flagged = int(pr["__n_flagged"])
+    n_clean = int(pr["__n_clean"])
+    n_residual = int(pr["__n_residual"])
     return local_rows_df(spark, 
         [
             (

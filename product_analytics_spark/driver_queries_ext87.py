@@ -13,7 +13,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _money_cents, _t
+from product_analytics_spark.qcommon import _money_cents, _t, combine_single_rows
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -141,10 +141,16 @@ def q411_cow_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     stats = store.update_where(
         "ord", f"o_orderkey >= {cut}", {"cents": "cents + 100"}
     )
-    prior_sum = (
-        store.read("ord", version=0).agg(F.sum("cents")).collect()[0][0]
-    )
-    orig_sum = o.agg(F.sum("cents")).collect()[0][0]
+    # ONE fused probe action (round-12 batch 8, guide §1.2 — was two
+    # separate sum() collects of the v0 snapshot and the base).
+    pr = combine_single_rows(
+        store.read("ord", version=0).agg(
+            F.sum("cents").alias("__prior_sum")
+        ),
+        o.agg(F.sum("cents").alias("__orig_sum")),
+    ).collect()[0]
+    prior_sum = pr["__prior_sum"]
+    orig_sum = pr["__orig_sum"]
     per_status = (
         store.read("ord")
         .groupBy("o_orderstatus")

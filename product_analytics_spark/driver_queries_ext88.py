@@ -22,7 +22,12 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _money_cents, _t, local_rows_df
+from product_analytics_spark.qcommon import (
+    _money_cents,
+    _t,
+    combine_single_rows,
+    local_rows_df,
+)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -82,15 +87,20 @@ def q413_occ_dml_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = store.read("acct")
     # Lost-update detector: every surviving k%10 account must carry the
     # concurrent merge's +500. Blind v0-based commit loses all of them.
-    exp_cnt, exp_sum = (
-        base.filter((F.col("k") % 10 == 0) & (F.col("k") % 3 != 0))
-        .agg(F.count(F.lit(1)), F.sum("cents"))
-        .collect()[0]
+    # ONE fused probe action (round-12 batch 8, guide §1.2 — was two
+    # separate collects of the expected and surviving sums).
+    pr = combine_single_rows(
+        base.filter((F.col("k") % 10 == 0) & (F.col("k") % 3 != 0)).agg(
+            F.count(F.lit(1)).alias("__exp_cnt"),
+            F.sum("cents").alias("__exp_sum"),
+        ),
+        final.filter(F.col("k") % 10 == 0).agg(
+            F.sum("cents").alias("__got_sum")
+        ),
+    ).collect()[0]
+    merge_preserved = (
+        pr["__got_sum"] == pr["__exp_sum"] + 500 * pr["__exp_cnt"]
     )
-    got_sum = (
-        final.filter(F.col("k") % 10 == 0).agg(F.sum("cents")).collect()[0][0]
-    )
-    merge_preserved = got_sum == exp_sum + 500 * exp_cnt
 
     return (
         final.groupBy("seg")
@@ -191,17 +201,20 @@ def q414_occ_compact_interleave(spark: SparkSession, sf_dir: str) -> DataFrame:
     replanned = plans["n"] >= 2
 
     final = store.read("ord")
-    exp_cnt, exp_sum = (
-        o.filter(F.col("status") == "F")
-        .agg(F.count(F.lit(1)), F.sum("cents"))
-        .collect()[0]
+    # ONE fused probe action (round-12 batch 8, guide §1.2 — was two
+    # separate collects of the expected and post-compaction sums).
+    pr = combine_single_rows(
+        o.filter(F.col("status") == "F").agg(
+            F.count(F.lit(1)).alias("__exp_cnt"),
+            F.sum("cents").alias("__exp_sum"),
+        ),
+        final.filter(F.col("status") == "F").agg(
+            F.sum("cents").alias("__got_sum")
+        ),
+    ).collect()[0]
+    merge_preserved = (
+        pr["__got_sum"] == pr["__exp_sum"] + 100 * pr["__exp_cnt"]
     )
-    got_sum = (
-        final.filter(F.col("status") == "F")
-        .agg(F.sum("cents"))
-        .collect()[0][0]
-    )
-    merge_preserved = got_sum == exp_sum + 100 * exp_cnt
 
     return (
         final.groupBy("status")

@@ -37,7 +37,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from product_analytics_spark.qcommon import _money_cents, _t, local_rows_df
+from product_analytics_spark.qcommon import (
+    _money_cents,
+    _t,
+    combine_single_rows,
+    local_rows_df,
+)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -238,22 +243,42 @@ def q422_delta_stats_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     pred = [("y", "between", (Q422_Y_LO, Q422_Y_HI))]
     where = f"y BETWEEN {Q422_Y_LO} AND {Q422_Y_HI}"
-    out = []
+    # ONE fused probe action for all four (pruned, full) aggregates
+    # (round-12 batch 8, guide §1.2 — the loop ran 2 collects per
+    # layout).
+    probes = []
+    specs = []
     kept_counts = {}
     for layout in ("comp", "zo"):
         kept, total = store.scan_files(layout, pred)
         kept_counts[layout] = len(kept)
-        pruned = store.read_pruned(layout, pred).where(where)
-        full = store.read(layout).where(where)
-        p_n, p_sum = pruned.agg(
-            F.count(F.lit(1)), F.sum("payload")
-        ).collect()[0]
-        f_n, f_sum = full.agg(F.count(F.lit(1)), F.sum("payload")).collect()[0]
+        probes.append(
+            store.read_pruned(layout, pred)
+            .where(where)
+            .agg(
+                F.count(F.lit(1)).alias(f"__{layout}_p_n"),
+                F.sum("payload").alias(f"__{layout}_p_sum"),
+            )
+        )
+        probes.append(
+            store.read(layout)
+            .where(where)
+            .agg(
+                F.count(F.lit(1)).alias(f"__{layout}_f_n"),
+                F.sum("payload").alias(f"__{layout}_f_sum"),
+            )
+        )
+        specs.append((layout, total, len(kept)))
+    pr422 = combine_single_rows(*probes).collect()[0]
+    out = []
+    for layout, total, n_kept in specs:
+        p_n, p_sum = pr422[f"__{layout}_p_n"], pr422[f"__{layout}_p_sum"]
+        f_n, f_sum = pr422[f"__{layout}_f_n"], pr422[f"__{layout}_f_sum"]
         out.append(
             {
                 "layout": layout,
                 "n_files": total,
-                "n_kept": len(kept),
+                "n_kept": n_kept,
                 "n_rows": int(p_n),
                 "payload_sum": int(p_sum) if p_sum is not None else 0,
                 "pruned_equals_full": bool(p_n == f_n and p_sum == f_sum),

@@ -40,9 +40,10 @@ from pyspark.sql import types as T
 from product_analytics_spark.qcommon import (  # noqa: F401
     _money_cents,
     _t,
+    combine_single_rows,
+    local_rows_df,
     multiset_diff_counts,
     multiset_equal,
-    local_rows_df,
 )
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -157,15 +158,19 @@ def q424_exactly_once_restart(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     merged = store.read("ledger")
     appended = spark.read.parquet(append_dir)
-    # one fused probe over the merged table (round-12, guide §1.2 —
-    # was a count() plus a distinct().count(), two full passes)
-    mrow = merged.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.countDistinct("op_id").alias("nd"),
+    # ONE fused probe over the merged AND appended tables (round-12
+    # batch 8, guide §1.2 — was a fused merged-table probe plus a
+    # separate append-side count).
+    mrow = combine_single_rows(
+        merged.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("op_id").alias("nd"),
+        ),
+        appended.agg(F.count(F.lit(1)).alias("__appended_n")),
     ).collect()[0]
     merged_rows = int(mrow["n"])
     merged_distinct = int(mrow["nd"])
-    appended_rows = appended.count()
+    appended_rows = int(mrow["__appended_n"])
 
     agg = (
         merged.groupBy((F.col("customer_id") % Q424_BUCKETS).alias("bucket"))
@@ -446,17 +451,35 @@ def q426_advised_equal_depth_zorder(
                     "y BETWEEN 100 AND 199"),
     }
     kept: dict[tuple[str, str], int] = {}
-    rows = []
+    # ONE fused probe action for all 8 counts (round-12 batch 8,
+    # guide §1.2 — the loop ran 2 count() actions per (layout, pred)).
+    probes = []
+    specs = []
     for layout in ("auto", "width"):
         for pname, (_col, conj, where) in preds.items():
             files, total = store.scan_files(layout, conj)
             kept[(layout, pname)] = len(files)
-            n_rows = store.read_pruned(layout, conj).where(where).count()
-            full_rows = store.read(layout).where(where).count()
-            rows.append(
-                (layout, pname, total, len(files), n_rows,
-                 bool(n_rows == full_rows))
+            a = f"__{layout}_{pname}"
+            probes.append(
+                store.read_pruned(layout, conj)
+                .where(where)
+                .agg(F.count(F.lit(1)).alias(a + "_pruned"))
             )
+            probes.append(
+                store.read(layout)
+                .where(where)
+                .agg(F.count(F.lit(1)).alias(a + "_full"))
+            )
+            specs.append((layout, pname, total, len(files), a))
+    pr426 = combine_single_rows(*probes).collect()[0]
+    rows = [
+        (
+            layout, pname, total, n_kept,
+            int(pr426[a + "_pruned"]),
+            bool(int(pr426[a + "_pruned"]) == int(pr426[a + "_full"])),
+        )
+        for layout, pname, total, n_kept, a in specs
+    ]
     depth_y_wins = kept[("auto", "y_dense")] < kept[("width", "y_dense")]
     x_parity = abs(kept[("auto", "x_low")] - kept[("width", "x_low")]) <= 2
 
@@ -994,12 +1017,20 @@ def q430_mor_delete_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     r2 = store.delete_where_mor("acct", "cents < 0")
     rewrites = r1["files_rewritten"] + r2["files_rewritten"]
 
+    # Lazy plan pinned to the pre-optimize version (retained within
+    # retain_versions=4); counted in the fused probe below instead of
+    # an eager count here (round-12 batch 8, guide §1.2 — was two
+    # separate counts around the optimize).
     expect = store.read("acct")
-    rows_before_purge = expect.count()
     dv_before = store._has_dv("acct")
     out = store.optimize("acct", target_bytes=1 << 30)
     dv_after = store._has_dv("acct")
-    rows_after_purge = store.read("acct").count()
+    pr = combine_single_rows(
+        expect.agg(F.count(F.lit(1)).alias("__rows_before")),
+        store.read("acct").agg(F.count(F.lit(1)).alias("__rows_after")),
+    ).collect()[0]
+    rows_before_purge = int(pr["__rows_before"])
+    rows_after_purge = int(pr["__rows_after"])
 
     return (
         store.read("acct")

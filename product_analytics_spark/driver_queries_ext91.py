@@ -29,7 +29,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _money_cents, _t
+from product_analytics_spark.qcommon import _money_cents, _t, combine_single_rows
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -113,10 +113,19 @@ def q432_mor_merge_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     rewrites = r1["files_rewritten"] + r2["files_rewritten"]
 
     dv_before = store._has_dv("acct")
-    rows_before = store.read("acct").count()
+    # Lazy plan pinned to the pre-optimize version (retained within
+    # retain_versions=4); counted in the fused probe below instead of
+    # an eager count here (round-12 batch 8, guide §1.2 — was two
+    # separate counts around the optimize).
+    before_df = store.read("acct")
     store.optimize("acct", target_bytes=1 << 30)
     dv_after = store._has_dv("acct")
-    rows_after = store.read("acct").count()
+    pr = combine_single_rows(
+        before_df.agg(F.count(F.lit(1)).alias("__rows_before")),
+        store.read("acct").agg(F.count(F.lit(1)).alias("__rows_after")),
+    ).collect()[0]
+    rows_before = int(pr["__rows_before"])
+    rows_after = int(pr["__rows_after"])
 
     return (
         store.read("acct")

@@ -34,7 +34,14 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from product_analytics_spark import cache
-from product_analytics_spark.qcommon import _money_cents, _t, multiset_equal, local_rows_df
+from product_analytics_spark.qcommon import (
+    _money_cents,
+    _t,
+    combine_single_rows,
+    local_rows_df,
+    multiset_equal,
+    multiset_mismatch_flag,
+)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -112,18 +119,6 @@ def q434_cdf_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the returned per-(version,type) rollup. O(changes)-sized,
     # released by cache.clear_all (round-12, guide §5).
     feed = cache.persist(dl.table_changes(spark, tdir, 0, latest))
-    # One fused probe action instead of two count() passes
-    # (round-12, guide §1.2).
-    probe = feed.agg(
-        F.sum(
-            F.when(F.col("_commit_version") > 3, 1).otherwise(0)
-        ).alias("post_optimize"),
-        F.sum(
-            F.when(F.col("seg").isNull(), 1).otherwise(0)
-        ).alias("seg_nulls"),
-    ).collect()[0]
-    optimize_invisible = int(probe["post_optimize"] or 0) == 0
-    seg_nulls = int(probe["seg_nulls"] or 0)
 
     # replay: last non-preimage change per key, drop deletes == final
     from pyspark.sql import Window
@@ -137,7 +132,23 @@ def q434_cdf_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("k", "seg", "cents")
     )
     final = store.read("acct").select("k", "seg", "cents")
-    replay_matches = multiset_equal(replayed, final)
+    # ONE fused probe action (round-12 batch 8, guide §1.2): the feed
+    # aggregate and the replay-vs-final multiset check fold into a
+    # single combined action instead of two separate collects.
+    pr = combine_single_rows(
+        feed.agg(
+            F.sum(
+                F.when(F.col("_commit_version") > 3, 1).otherwise(0)
+            ).alias("post_optimize"),
+            F.sum(
+                F.when(F.col("seg").isNull(), 1).otherwise(0)
+            ).alias("seg_nulls"),
+        ),
+        multiset_mismatch_flag(replayed, final, "__replay_bad"),
+    ).collect()[0]
+    optimize_invisible = int(pr["post_optimize"] or 0) == 0
+    seg_nulls = int(pr["seg_nulls"] or 0)
+    replay_matches = pr["__replay_bad"] is None
 
     return (
         feed.groupBy(
@@ -276,23 +287,33 @@ def q435_restore_lifecycle(spark: SparkSession, sf_dir: str) -> DataFrame:
     target = store.current_version("acct")
     target_df = store.read("acct", target).select("k", "seg", "cents")
     store.delete_where("acct", "k % 9 = 0")                   # v2
-    pre_restore_rows = store.read("acct").count()
+    # Lazy plan pinned to v2's (immutable, retained) files; counted
+    # inside the fused probe below instead of an eager count here.
+    pre_restore_df = store.read("acct")
 
     r = store.restore("acct", target)                         # v3
 
     # Persist: final feeds both equality probes and the returned
-    # rollup (round-12, guide §5); each probe is one fused job via
-    # multiset_equal instead of 2-3 exceptAll/count actions.
+    # rollup (round-12, guide §5). ONE fused probe action (round-12
+    # batch 8, guide §1.2) replaces two multiset_equal collects and
+    # two counts: the signed-union mismatch flags and the two count
+    # aggregates fold via combine_single_rows.
     final = cache.persist(store.read("acct").select("k", "seg", "cents"))
-    restore_equals_target = multiset_equal(final, target_df)
-    history_preserved = (
-        store.read("acct", -2).count() == pre_restore_rows
-    )
     tdir = store.path("acct")
     log_latest = dl.DeltaLog(tdir).latest_version()
-    log_consistent = multiset_equal(
-        dl.read_delta(spark, tdir).select("k", "seg", "cents"), final
-    )
+    pr = combine_single_rows(
+        multiset_mismatch_flag(final, target_df, "__restore_bad"),
+        multiset_mismatch_flag(
+            dl.read_delta(spark, tdir).select("k", "seg", "cents"),
+            final,
+            "__log_bad",
+        ),
+        pre_restore_df.agg(F.count(F.lit(1)).alias("__pre_n")),
+        store.read("acct", -2).agg(F.count(F.lit(1)).alias("__hist_n")),
+    ).collect()[0]
+    restore_equals_target = pr["__restore_bad"] is None
+    history_preserved = int(pr["__hist_n"]) == int(pr["__pre_n"])
+    log_consistent = pr["__log_bad"] is None
 
     return (
         final.groupBy("seg")
@@ -398,7 +419,9 @@ def q436_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     clone_df = dl.read_delta(spark, Q436_CLONE).select(
         "k", "nation", "cents"
     )
-    clone_matches_source = multiset_equal(clone_df, src_df)
+    # clone_df's plan is pinned to the clone-time file list, so the
+    # clone-time equality claim survives deferred execution; evaluated
+    # in the fused probe below (round-12 batch 8, guide §1.2).
 
     # diverge: append "shadow suppliers" to the CLONE's own directory
     extras = base.where("k % 10 = 0").select(
@@ -418,11 +441,19 @@ def q436_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k", "nation", "cents"
     )
     src_after = dl.read_delta(spark, src_dir).select("k", "nation", "cents")
-    src_unchanged = multiset_equal(src_after, src_df)
+    # ONE fused probe action (round-12 batch 8, guide §1.2 — was two
+    # multiset_equal collects plus a min() collect).
+    pr = combine_single_rows(
+        multiset_mismatch_flag(clone_df, src_df, "__clone_bad"),
+        multiset_mismatch_flag(src_after, src_df, "__src_bad"),
+        base.agg(F.min("k").alias("__lo_k")),
+    ).collect()[0]
+    clone_matches_source = pr["__clone_bad"] is None
+    src_unchanged = pr["__src_bad"] is None
 
     # data-skipping on the clone, from its OWN log, zero footer opens
     snap = clone_log.snapshot()
-    lo_k = base.agg(F.min("k")).collect()[0][0]
+    lo_k = pr["__lo_k"]
     kept = snap.plan_files([("k", "<=", int(lo_k))])
     stats_survive = 0 < len(kept) < n_cloned
     src_meta_id = dl.DeltaLog(src_dir).snapshot().metadata["id"]
@@ -577,23 +608,30 @@ def q437_delta_tail_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
 
     streamed = spark.table("q437_sink")
-    # one fused scan of customer for all three feed-leg counts
-    # (round-12, guide §1.2 — was three count() actions)
-    legs = cust.agg(
-        F.count(F.lit(1)).alias("n_base"),
-        F.sum(
-            F.when(F.col("c_custkey") % 13 == 0, 1).otherwise(0)
-        ).alias("n_app1"),
-        F.sum(
-            F.when(F.col("c_custkey") % 17 == 0, 1).otherwise(0)
-        ).alias("n_app2"),
+    # ONE fused probe action for the feed-leg counts AND the two sink
+    # counts (round-12 batch 8, guide §1.2 — was a fused legs collect
+    # plus two separate count() actions).
+    pr = combine_single_rows(
+        cust.agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.sum(
+                F.when(F.col("c_custkey") % 13 == 0, 1).otherwise(0)
+            ).alias("n_app1"),
+            F.sum(
+                F.when(F.col("c_custkey") % 17 == 0, 1).otherwise(0)
+            ).alias("n_app2"),
+        ),
+        streamed.agg(F.count(F.lit(1)).alias("__streamed_n")),
+        spark.table("q437_tail_sink").agg(
+            F.count(F.lit(1)).alias("__tail_n")
+        ),
     ).collect()[0]
-    n_app2 = int(legs["n_app2"] or 0)
+    n_app2 = int(pr["n_app2"] or 0)
     change_commit_skipped = (
-        streamed.count()
-        == int(legs["n_base"]) + int(legs["n_app1"] or 0) + n_app2
+        int(pr["__streamed_n"])
+        == int(pr["n_base"]) + int(pr["n_app1"] or 0) + n_app2
     )
-    tail_rows = spark.table("q437_tail_sink").count()  # app2 only
+    tail_rows = int(pr["__tail_n"])  # app2 only
 
     return (
         streamed.groupBy("seg")
@@ -963,12 +1001,24 @@ def q440_history_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     ts_monotonic = all(
         h["inCommitTimestamp"] == h["version"] * 1000 for h in hist
     )
-    n_base = base.count()
-    n_extra = extra.count()
+    # ONE fused probe action (round-12 batch 8, guide §1.2 — was four
+    # separate counts of the two feed legs and the two travel reads).
     v_t1 = log.version_at_timestamp(1000)
-    rows_at_t1 = dl.read_delta(spark, tdir, version=v_t1).count()
     v_now = log.version_at_timestamp(999_999)
-    rows_now = dl.read_delta(spark, tdir, version=v_now).count()
+    pr = combine_single_rows(
+        base.agg(F.count(F.lit(1)).alias("__n_base")),
+        extra.agg(F.count(F.lit(1)).alias("__n_extra")),
+        dl.read_delta(spark, tdir, version=v_t1).agg(
+            F.count(F.lit(1)).alias("__rows_at_t1")
+        ),
+        dl.read_delta(spark, tdir, version=v_now).agg(
+            F.count(F.lit(1)).alias("__rows_now")
+        ),
+    ).collect()[0]
+    n_base = int(pr["__n_base"])
+    n_extra = int(pr["__n_extra"])
+    rows_at_t1 = int(pr["__rows_at_t1"])
+    rows_now = int(pr["__rows_now"])
 
     rows = [
         (
@@ -1364,7 +1414,12 @@ def q443_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
         _money_cents("c_acctbal").alias("cents"),
     )
     store.overwrite("dim", base)
-    sk0 = {r["nk"]: r["sk"] for r in store.read("dim").collect()}
+    # Lazy plan pinned to v0's (immutable, retained) files — consumed
+    # by the fused probe after the merges instead of an eager collect
+    # here (round-12 batch 8, guide §1.2: was two full-table collects
+    # compared in Python; one combined aggregate action answers all
+    # three invariants distributively).
+    v0_sk = store.read("dim").select("nk", F.col("sk").alias("sk0"))
     hwm0 = store.identity_columns("dim")["sk"]["high_water_mark"]
 
     b1 = base.where("nk % 5 = 0").withColumn(
@@ -1382,14 +1437,25 @@ def q443_identity_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     store.merge_mor("dim", b2, "nk")
 
-    rows = store.read("dim").collect()
-    sk_now = {r["nk"]: r["sk"] for r in rows}
-    keys_stable = all(
-        sk_now[nk] == sk for nk, sk in sk0.items() if nk in sk_now
+    head = store.read("dim").select("nk", "sk")
+    pr = combine_single_rows(
+        head.agg(
+            F.count(F.lit(1)).alias("__n_rows"),
+            F.countDistinct("sk").alias("__nd_sk"),
+        ),
+        head.join(v0_sk, "nk").agg(
+            F.count_if(F.col("sk") != F.col("sk0")).alias("__sk_changed")
+        ),
+        head.join(v0_sk, "nk", "left_anti").agg(
+            F.count(F.lit(1)).alias("__n_fresh"),
+            F.count_if(F.col("sk") <= hwm0).alias("__fresh_low"),
+        ),
+    ).collect()[0]
+    keys_stable = int(pr["__sk_changed"]) == 0
+    fresh_above_hwm = (
+        int(pr["__fresh_low"]) == 0 and int(pr["__n_fresh"]) > 0
     )
-    fresh = [sk for nk, sk in sk_now.items() if nk not in sk0]
-    fresh_above_hwm = all(sk > hwm0 for sk in fresh) and bool(fresh)
-    all_unique = len(set(sk_now.values())) == len(sk_now)
+    all_unique = int(pr["__nd_sk"]) == int(pr["__n_rows"])
 
     supplied_refused = False
     try:
@@ -1537,7 +1603,11 @@ def q444_writer_features_composed(
     )
     store.overwrite("dim", base, partition_by=("grp",))        # v0
     store.add_constraint("dim", "cents_floor", "cents >= -100000000")
-    sk0 = {r["nk"]: r["sk"] for r in store.read("dim").select("nk", "sk").collect()}
+    # Lazy plan pinned to v0's (immutable, retained) files — consumed
+    # by the fused probe after the merges instead of an eager collect
+    # here (round-12 batch 8, guide §1.2: the cert ran 2 collects + 3
+    # counts; one combined aggregate action answers all of them).
+    v0_sk = store.read("dim").select("nk", F.col("sk").alias("sk0"))
 
     b1 = base.where("nk % 5 = 0").withColumn(
         "cents", (F.col("cents") + 101).cast("long")
@@ -1568,20 +1638,6 @@ def q444_writer_features_composed(
     )
     store.merge("dim", b2, "nk", partition_by=("grp",))        # merge 2
 
-    rows = store.read("dim").select("nk", "sk", "grp").collect()
-    sk_now = {r["nk"]: r["sk"] for r in rows}
-    grp_ok = all(r["grp"] == f"g{r['nk'] % 4}" for r in rows)
-    stable = all(
-        sk_now[nk] == sk for nk, sk in sk0.items() if nk in sk_now
-    )
-    unique = len(set(sk_now.values())) == len(sk_now)
-    sk_stable_and_unique = stable and unique and grp_ok
-    violation_burns_ids_not_rows = (
-        rejected
-        and version_unchanged
-        and store.read("dim").where("cents = -200000000").count() == 0
-    )
-
     tdir = store.path("dim")
     # Persist: the feed (union over every version's change files)
     # feeds the pre/post join AND the insert-null probe — one
@@ -1595,15 +1651,55 @@ def q444_writer_features_composed(
     pre = feed.where("_change_type = 'update_preimage'").select(
         "nk", F.col("sk").alias("pre_sk")
     )
-    mismatch = (
+    # ONE fused probe action (round-12 batch 8, guide §1.2) replacing
+    # 2 collects + 3 counts: per-relation single-row aggregates folded
+    # via combine_single_rows (union + max — no join nodes). The
+    # predicates are the exact ones the collect-loop checks applied:
+    # nk >= 0 everywhere, so Python's f"g{nk % 4}" == SQL's
+    # concat('g', nk % 4), and nk (the merge key) is unique, so
+    # len(set(sk)) == len(dict) is countDistinct(sk) == count(*).
+    head = store.read("dim")
+    p_head = head.agg(
+        F.count(F.lit(1)).alias("__n_rows"),
+        F.countDistinct("sk").alias("__nd_sk"),
+        F.count_if(
+            F.col("grp")
+            != F.concat(F.lit("g"), (F.col("nk") % 4).cast("string"))
+        ).alias("__grp_bad"),
+        F.count_if(F.col("cents") == -200_000_000).alias("__cents_bad"),
+    )
+    p_stable = (
+        head.select("nk", "sk")
+        .join(v0_sk, "nk")
+        .agg(F.count_if(F.col("sk") != F.col("sk0")).alias("__sk_changed"))
+    )
+    p_mismatch = (
         post.join(pre, "nk")
-        .where("post_sk IS NULL OR pre_sk IS NULL OR post_sk != pre_sk")
-        .count()
+        .agg(
+            F.count_if(
+                F.col("post_sk").isNull()
+                | F.col("pre_sk").isNull()
+                | (F.col("post_sk") != F.col("pre_sk"))
+            ).alias("__feed_mismatch")
+        )
     )
-    ins_sk_nulls = (
-        feed.where("_change_type = 'insert' AND sk IS NULL").count()
+    p_nulls = feed.agg(
+        F.count_if(
+            (F.col("_change_type") == "insert") & F.col("sk").isNull()
+        ).alias("__ins_sk_nulls")
     )
-    feed_sk_consistent = mismatch == 0 and ins_sk_nulls == 0
+    pr = combine_single_rows(p_head, p_stable, p_mismatch, p_nulls).collect()[0]
+    sk_stable_and_unique = (
+        int(pr["__sk_changed"]) == 0
+        and int(pr["__nd_sk"]) == int(pr["__n_rows"])
+        and int(pr["__grp_bad"]) == 0
+    )
+    violation_burns_ids_not_rows = (
+        rejected and version_unchanged and int(pr["__cents_bad"]) == 0
+    )
+    feed_sk_consistent = (
+        int(pr["__feed_mismatch"]) == 0 and int(pr["__ins_sk_nulls"]) == 0
+    )
 
     snap = dl.DeltaLog(tdir).snapshot()
     import json as _json

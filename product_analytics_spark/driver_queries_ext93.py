@@ -39,7 +39,12 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _money_cents, _t, local_rows_df
+from product_analytics_spark.qcommon import (
+    _money_cents,
+    _t,
+    combine_single_rows,
+    local_rows_df,
+)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _FIX = os.path.join(_REPO, ".fixtures")
@@ -310,20 +315,39 @@ def q447_row_tracking(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     post = dl.read_row_ids(spark, tdir)
 
-    joined = post.join(pre, "k", "inner")
-    stable_ok = (
-        joined.where(F.col("_row_id") != F.col("rid_pre")).count() == 0
+    # ONE fused probe action (round-12 batch 8, guide §1.2) replacing
+    # six separate counts, each of which re-scanned the DV-anti-join
+    # read lineage: three single-row aggregates (head stats, stability
+    # join, update join) folded via combine_single_rows — 5 scans in
+    # one job instead of 9 scans across 6 jobs.
+    p_head = post.agg(
+        F.count(F.lit(1)).alias("__n_post"),
+        F.countDistinct("_row_id").alias("__nd_rid"),
+        F.count_if(F.col("k") % 10 == 3).alias("__deleted_alive"),
     )
-    n_post = post.count()
-    unique_ok = post.select("_row_id").distinct().count() == n_post
-    deleted_gone = post.where("k % 10 = 3").count() == 0
-    upd = post.where("k % 7 = 1 AND k < 10000000").join(
-        base.select("k", F.col("cents").alias("cents0")), "k"
+    p_stable = (
+        post.join(pre, "k", "inner")
+        .agg(
+            F.count_if(F.col("_row_id") != F.col("rid_pre")).alias(
+                "__rid_changed"
+            )
+        )
     )
-    update_applied = (
-        upd.where(F.col("cents") != F.col("cents0") + 5).count() == 0
-        and upd.count() > 0
+    p_upd = (
+        post.where("k % 7 = 1 AND k < 10000000")
+        .join(base.select("k", F.col("cents").alias("cents0")), "k")
+        .agg(
+            F.count(F.lit(1)).alias("__n_upd"),
+            F.count_if(F.col("cents") != F.col("cents0") + 5).alias(
+                "__upd_bad"
+            ),
+        )
     )
+    pr = combine_single_rows(p_head, p_stable, p_upd).collect()[0]
+    stable_ok = int(pr["__rid_changed"]) == 0
+    unique_ok = int(pr["__nd_rid"]) == int(pr["__n_post"])
+    deleted_gone = int(pr["__deleted_alive"]) == 0
+    update_applied = int(pr["__upd_bad"]) == 0 and int(pr["__n_upd"]) > 0
     head_snap = dl.DeltaLog(tdir).snapshot()
     hwm_head = head_snap.row_id_high_water_mark()
     spans = sorted(

@@ -43,7 +43,14 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _money_cents, _t, multiset_equal, local_rows_df
+from product_analytics_spark.qcommon import (
+    _money_cents,
+    _t,
+    combine_single_rows,
+    local_rows_df,
+    multiset_equal,
+    multiset_mismatch_flag,
+)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _FIX = os.path.join(_REPO, ".fixtures")
@@ -128,15 +135,22 @@ def q454_shallow_clone_dv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dl.DeltaLog(Q454_CLONE).vacuum()
     src_after = dl.read_delta(spark, src_dir).select(*cols)
+    # ONE fused post-vacuum probe action (round-12 batch 8, guide
+    # §1.2 — was a multiset_equal collect plus a count; the pre-vacuum
+    # clone-equality probe above stays separate because its claim is
+    # about clone time).
+    pr = combine_single_rows(
+        multiset_mismatch_flag(src_after, src_df, "__src_bad"),
+        dl.read_delta(spark, Q454_CLONE)
+        .where("k % 7 = 3")
+        .agg(F.count(F.lit(1)).alias("__deleted_alive")),
+    ).collect()[0]
     clone_vacuum_spares_source = (
         bool(src_sidecars)
         and all(os.path.isfile(p) for p in src_sidecars)
-        and multiset_equal(src_after, src_df)
+        and pr["__src_bad"] is None
     )
-
-    deleted_stay_hidden = (
-        dl.read_delta(spark, Q454_CLONE).where("k % 7 = 3").count() == 0
-    )
+    deleted_stay_hidden = int(pr["__deleted_alive"]) == 0
 
     return (
         clone_df.groupBy((F.col("nation") % 5).alias("bucket"))
@@ -293,9 +307,15 @@ def q455_protocol_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
     collected_between = not os.path.isfile(
         os.path.join(ldir, f"{boundary:020d}.json")
     )
-    time_travel_v0 = (
-        dl.read_delta(spark, tdir, version=0).count() == base.count()
-    )
+    # ONE fused probe action (round-12 batch 8, guide §1.2 — was two
+    # separate counts of the v0 travel read and the base).
+    pr = combine_single_rows(
+        dl.read_delta(spark, tdir, version=0).agg(
+            F.count(F.lit(1)).alias("__v0_n")
+        ),
+        base.agg(F.count(F.lit(1)).alias("__base_n")),
+    ).collect()[0]
+    time_travel_v0 = int(pr["__v0_n"]) == int(pr["__base_n"])
     protection_keeps_history = (
         protected_commits_survive
         and protected_cp_survives

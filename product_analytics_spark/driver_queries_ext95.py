@@ -35,7 +35,14 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _money_cents, _t, multiset_equal, local_rows_df
+from product_analytics_spark.qcommon import (
+    _money_cents,
+    _t,
+    combine_single_rows,
+    local_rows_df,
+    multiset_equal,
+    multiset_mismatch_flag,
+)
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _FIX = os.path.join(_REPO, ".fixtures")
@@ -359,10 +366,17 @@ def q460_time_based_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         glob.glob(os.path.join(Q460_TABLE, "bucket-*.parquet"))
     )
 
-    n_v2 = base.where(F.col("k") % 5 != 1).count()
-    travel_inside_window = (
-        dl.read_delta(spark, Q460_TABLE, version=2).count() == n_v2
-    )
+    # ONE fused probe action (round-12 batch 8, guide §1.2 — was two
+    # separate counts of the expected set and the travel read).
+    pr = combine_single_rows(
+        base.where(F.col("k") % 5 != 1).agg(
+            F.count(F.lit(1)).alias("__n_v2")
+        ),
+        dl.read_delta(spark, Q460_TABLE, version=2).agg(
+            F.count(F.lit(1)).alias("__v2_read_n")
+        ),
+    ).collect()[0]
+    travel_inside_window = int(pr["__v2_read_n"]) == int(pr["__n_v2"])
 
     cur = dl.read_delta(spark, Q460_TABLE).select("k", "nation", "cents")
     # freeze NOW — the upcoming lapse-vacuum deletes the spared file
@@ -812,13 +826,26 @@ def q462_column_mapping_id_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = dl.read_delta(spark, Q462_TABLE)
     widen_under_id = dict(df.dtypes).get("balance_cents") == "bigint"
+    # ONE fused probe action (round-12 batch 8, guide §1.2 — was a
+    # 1-row collect, a count and a min() collect, three actions).
+    pr = combine_single_rows(
+        df.where("k = -1").agg(
+            F.count(F.lit(1)).alias("__neg1_n"),
+            F.count_if(
+                (F.col("nation") == 77)
+                & (F.col("balance_cents") == 4_000_000_001)
+            ).alias("__neg1_ok"),
+        ),
+        df.where("k = -2").agg(F.count(F.lit(1)).alias("__neg2_n")),
+        base.agg(F.min("cents").alias("__lo")),
+    ).collect()[0]
     id_resolution = (
-        df.where("k = -1").select("nation", "balance_cents").collect()
-        == [(77, 4_000_000_001)]
-        and df.where("k = -2").count() == 1
+        int(pr["__neg1_n"]) == 1
+        and int(pr["__neg1_ok"]) == 1
+        and int(pr["__neg2_n"]) == 1
     )
     snap = dl.DeltaLog(Q462_TABLE).snapshot()
-    lo = base.agg(F.min("cents")).collect()[0][0]
+    lo = pr["__lo"]
     kept = snap.plan_files([("balance_cents", "<=", int(lo))])
     skipping_survives = 0 < len(kept) < len(snap.files)
 
@@ -964,9 +991,16 @@ def q463_staged_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
         dl._COMMIT_RE.match(f) for f in os.listdir(ldir)
     )
     df_before = dl.read_delta(spark, Q463_TABLE)
-    n_expected = base.count()
+    # ONE fused probe action (round-12 batch 8, guide §1.2 — was two
+    # separate counts; the post-backfill count below must stay its own
+    # action, ordered after the backfill it observes).
+    pr = combine_single_rows(
+        base.agg(F.count(F.lit(1)).alias("__n_expected")),
+        df_before.agg(F.count(F.lit(1)).alias("__before_n")),
+    ).collect()[0]
+    n_expected = int(pr["__n_expected"])
     read_before_backfill = (
-        no_canonical_yet and df_before.count() == n_expected
+        no_canonical_yet and int(pr["__before_n"]) == n_expected
     )
     n_adds = len(dl.DeltaLog(Q463_TABLE).snapshot().files)
 
@@ -1157,7 +1191,13 @@ def q464_generated_partition_pruning(
     full = store.read("sales").where(
         (F.col("odate") >= F.lit(lo)) & (F.col("odate") <= F.lit(hi))
     )
-    pruned_cnt, full_cnt = pruned.count(), full.count()
+    # ONE fused probe action (round-12 batch 8, guide §1.2 — was two
+    # separate counts of the pruned and full reads).
+    pr464 = combine_single_rows(
+        pruned.agg(F.count(F.lit(1)).alias("__pruned_cnt")),
+        full.agg(F.count(F.lit(1)).alias("__full_cnt")),
+    ).collect()[0]
+    pruned_cnt, full_cnt = int(pr464["__pruned_cnt"]), int(pr464["__full_cnt"])
     pruned_read_correct = pruned_cnt == full_cnt and full_cnt > 0
 
     # strict > with a mid-year literal must keep that year's
@@ -1316,13 +1356,21 @@ def q476_round12_capstone(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     coord_store.append("fact", base.where(F.col("k") % 4 == 3),
                        partition_by=("oyear",))
-    n_expected = base.where(
-        (F.col("k") % 2 == 0) | (F.col("k") % 4 == 1)
-        | (F.col("k") % 4 == 3)
-    ).count()
-    readable_before_backfill = (
-        dl.read_delta(spark, tdir).count() == n_expected
-    )
+    # ONE fused probe action for expected-set and pre-backfill counts
+    # (round-12 batch 8, guide §1.2 — was two separate counts; the
+    # post-backfill count below must stay its own action, ordered
+    # after the backfill it observes).
+    pr = combine_single_rows(
+        base.where(
+            (F.col("k") % 2 == 0) | (F.col("k") % 4 == 1)
+            | (F.col("k") % 4 == 3)
+        ).agg(F.count(F.lit(1)).alias("__n_expected")),
+        dl.read_delta(spark, tdir).agg(
+            F.count(F.lit(1)).alias("__pre_backfill_n")
+        ),
+    ).collect()[0]
+    n_expected = int(pr["__n_expected"])
+    readable_before_backfill = int(pr["__pre_backfill_n"]) == n_expected
     append_only_enforced = delete_refused
     coordinator_enforced = fs_refused and readable_before_backfill
 
@@ -1961,9 +2009,18 @@ def q473_checkpoint_policy(spark: SparkSession, sf_dir: str) -> DataFrame:
         now_ms=int(_time.time() * 1000) + 10_000 * 86_400_000
     )
     dl.clear_snapshot_cache()
-    full = _t(spark, sf_dir, "supplier").count()
+    # ONE fused probe action (round-12 batch 8, guide §1.2 — was two
+    # separate counts of the base table and the truncated-log read).
+    pr = combine_single_rows(
+        _t(spark, sf_dir, "supplier").agg(
+            F.count(F.lit(1)).alias("__full_n")
+        ),
+        dl.read_delta(spark, t_v2).agg(
+            F.count(F.lit(1)).alias("__trunc_read_n")
+        ),
+    ).collect()[0]
     reconstructs_after_truncation = (
-        dl.read_delta(spark, t_v2).count() == full
+        int(pr["__trunc_read_n"]) == int(pr["__full_n"])
     )
 
     out = (
@@ -2503,11 +2560,19 @@ def q469_vacuum_lite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     removed = dl.DeltaLog(tdir).vacuum_lite(
         retention_ms=0, now_ms=now)
+    # ONE fused probe action (round-12 batch 8, guide §1.2 — was two
+    # separate counts of the post-vacuum read and the base).
+    pr469 = combine_single_rows(
+        dl.read_delta(spark, tdir).agg(
+            F.count(F.lit(1)).alias("__read_n")
+        ),
+        base.agg(F.count(F.lit(1)).alias("__base_n")),
+    ).collect()[0]
     read_ok = (
         set(removed) == lite_dry
         and os.path.exists(
             os.path.join(tdir, "orphan-crashed-writer.parquet"))
-        and dl.read_delta(spark, tdir).count() == base.count()
+        and int(pr469["__read_n"]) == int(pr469["__base_n"])
     )
 
     # ---- arm 2: handcrafted log, deterministic retention horizon
@@ -2695,10 +2760,19 @@ def q468_drop_feature(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a reader supporting everything EXCEPT deletionVectors applies
     # the universal unknown-reader-feature rule — and passes
     legacy_set = dl.ENGINE_READER_FEATURES - {"deletionVectors"}
-    n_expected = base.where("k % 10 != 3").count()
+    # ONE fused probe action (round-12 batch 8, guide §1.2 — was two
+    # separate counts of the expected set and the post-drop read).
+    pr468 = combine_single_rows(
+        base.where("k % 10 != 3").agg(
+            F.count(F.lit(1)).alias("__n_expected")
+        ),
+        dl.read_delta(spark, tdir).agg(
+            F.count(F.lit(1)).alias("__read_n")
+        ),
+    ).collect()[0]
     legacy_reader_whole = (
         not (set(rf) - legacy_set)
-        and dl.read_delta(spark, tdir).count() == n_expected
+        and int(pr468["__read_n"]) == int(pr468["__n_expected"])
     )
 
     ldir = os.path.join(tdir, dl.LOG_DIR)
@@ -2834,7 +2908,10 @@ def q467_nested_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
                         "addr.zip >= 0 AND addr.zip < 25")
     good = base.withColumn("k", F.col("k") + 9_000_000)
     store.append("t", good)
-    n_after_good = store.read("t").count()
+    # Refused appends commit nothing, so this relation and the
+    # post-refusal read below see the same version; both counts fold
+    # into one fused probe action (round-12 batch 8, guide §1.2).
+    after_good_df = store.read("t")
 
     def _refused(df) -> bool:
         try:
@@ -2854,10 +2931,16 @@ def q467_nested_invariants(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.struct(F.col("c_mktsegment").alias("city")).alias("addr"),
         F.lit(0).cast("long").alias("cents"),
     )
+    refused_all = (
+        _refused(bad_val) and _refused(bad_null) and _refused(bad_missing)
+    )
+    pr467 = combine_single_rows(
+        after_good_df.agg(F.count(F.lit(1)).alias("__n_good")),
+        store.read("t").agg(F.count(F.lit(1)).alias("__n_now")),
+    ).collect()[0]
+    n_after_good = int(pr467["__n_good"])
     violations_refused = (
-        _refused(bad_val) and _refused(bad_null)
-        and _refused(bad_missing)
-        and store.read("t").count() == n_after_good
+        refused_all and int(pr467["__n_now"]) == n_after_good
     )
 
     snap = store.delta_snapshot("t")
@@ -3323,10 +3406,16 @@ def q465_coordinator_declaration(
         and not os.path.isfile(os.path.join(ldir, f"{v_b:020d}.json"))
         and v_b in dl._staged_ratified(ldir)
     )
-    n_expected = base.count()
-    coordinator_routes = (
-        dl.read_delta(spark, Q465_TABLE).count() == n_expected
-    )
+    # ONE fused probe action (round-12 batch 8, guide §1.2 — was two
+    # separate counts of the base and the coordinator-routed read).
+    pr465 = combine_single_rows(
+        base.agg(F.count(F.lit(1)).alias("__n_expected")),
+        dl.read_delta(spark, Q465_TABLE).agg(
+            F.count(F.lit(1)).alias("__read_n")
+        ),
+    ).collect()[0]
+    n_expected = int(pr465["__n_expected"])
+    coordinator_routes = int(pr465["__read_n"]) == n_expected
 
     v_off = dl.disable_coordinated_commits(
         Q465_TABLE, dl.StagedCommitOwner(coordinator_name=COORD)

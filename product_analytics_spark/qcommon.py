@@ -116,6 +116,26 @@ def combine_single_rows(*dfs: DataFrame) -> DataFrame:
     return base.groupBy().agg(*[F.max(c).alias(c) for c in base.columns])
 
 
+def multiset_mismatch_flag(
+    a: DataFrame, b: DataFrame, name: str = "__multiset_bad"
+) -> DataFrame:
+    """SINGLE-ROW aggregate frame that is NULL iff ``a`` and ``b`` are
+    multiset-equal (else 1): the signed-union probe behind
+    ``multiset_equal``, exposed as a frame so certs can fold it into
+    one combined action with their other single-row probes via
+    ``combine_single_rows`` (round-12 batch 8, guide §1.2)."""
+    cols = a.columns
+    return (
+        a.select(*cols)
+        .withColumn("__side", F.lit(1))
+        .unionByName(b.select(*cols).withColumn("__side", F.lit(-1)))
+        .groupBy(*cols)
+        .agg(F.sum("__side").alias("__d"))
+        .where(F.col("__d") != 0)
+        .agg(F.first(F.lit(1)).alias(name))
+    )
+
+
 def multiset_equal(a: DataFrame, b: DataFrame) -> bool:
     """One-job multiset (bag) equality for two same-schema frames.
 
@@ -129,18 +149,7 @@ def multiset_equal(a: DataFrame, b: DataFrame) -> bool:
     NULLs and NaNs group as equal, duplicate multiplicities must
     match exactly.
     """
-    cols = a.columns
-    bad = (
-        a.select(*cols)
-        .withColumn("__side", F.lit(1))
-        .unionByName(b.select(*cols).withColumn("__side", F.lit(-1)))
-        .groupBy(*cols)
-        .agg(F.sum("__side").alias("__d"))
-        .where(F.col("__d") != 0)
-        .agg(F.first(F.lit(1)))
-        .collect()[0][0]
-    )
-    return bad is None
+    return multiset_mismatch_flag(a, b).collect()[0][0] is None
 
 
 def multiset_diff_counts(a: DataFrame, b: DataFrame) -> tuple[int, int]:

@@ -76,6 +76,34 @@ def test_multiset_diff_counts_matches_exceptall(spark):
         assert multiset_diff_counts(a, b) == _ref_diff(a, b), label
 
 
+def test_multiset_mismatch_flag_matches_exceptall(spark):
+    """The single-row flag frame (round-12 batch 8: folded into
+    combined probe actions) must be NULL exactly when the exceptAll
+    reference says the bags are equal, and survive the
+    combine_single_rows union+max fold unchanged."""
+    from pyspark.sql import functions as F
+
+    from product_analytics_spark.qcommon import (
+        combine_single_rows,
+        multiset_mismatch_flag,
+    )
+
+    for a_rows, b_rows, label in CASES:
+        a, b = _df(spark, a_rows), _df(spark, b_rows)
+        only_a, only_b = _ref_diff(a, b)
+        expected_equal = only_a == 0 and only_b == 0
+        flag = multiset_mismatch_flag(a, b, "__bad").collect()[0]["__bad"]
+        assert (flag is None) is expected_equal, label
+        # folded alongside another single-row aggregate (the certs'
+        # combined-probe shape) the flag must come through unchanged
+        row = combine_single_rows(
+            multiset_mismatch_flag(a, b, "__bad"),
+            a.agg(F.count(F.lit(1)).alias("__n_a")),
+        ).collect()[0]
+        assert (row["__bad"] is None) is expected_equal, label
+        assert row["__n_a"] == len(a_rows), label
+
+
 def test_local_rows_df_matches_classic_path(spark):
     """local_rows_df (Arrow) must be value-identical to the classic
     createDataFrame(list, schema) path across the type matrix the
