@@ -15,7 +15,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from product_analytics_spark.qcommon import _money_cents, _t
+from product_analytics_spark.qcommon import _money_cents, _t, widen_if_narrow
 
 _REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
@@ -261,13 +261,20 @@ def q130_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     1-row result unfolds to the long form with stack() — no
     re-aggregation per column. At 100 TB the exact distinct counts
     swap to approx_count_distinct (X21's documented trade)."""
-    o = _t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        "o_orderstatus",
-        "o_orderpriority",
-        _money_cents("o_totalprice").alias("o_totalprice_cents"),
-        F.col("o_orderdate").cast("date").alias("o_orderdate_day"),
+    # The 21-agg multi-distinct pass Expands every row 6x; over a
+    # single-row-group local file the whole thing ran as ONE task
+    # (round-12 measured: 1.75 s single-threaded on 32 cores) —
+    # widen the scan first (guide §2.5; no-op on real multi-file
+    # tables at scale).
+    o = widen_if_narrow(
+        _t(spark, sf_dir, "orders").select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_orderpriority",
+            _money_cents("o_totalprice").alias("o_totalprice_cents"),
+            F.col("o_orderdate").cast("date").alias("o_orderdate_day"),
+        )
     )
     cols = [
         "o_custkey",

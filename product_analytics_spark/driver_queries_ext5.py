@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import os
 import shutil
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
@@ -263,22 +264,35 @@ def q140_bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     for t in ("q140_orders_bkt", "q140_lineitem_bkt"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
         shutil.rmtree(os.path.join(wh, t), ignore_errors=True)
-    (
-        _t(spark, sf_dir, "orders")
-        .select("o_orderkey", "o_orderstatus")
-        .write.bucketBy(Q140_BUCKETS, "o_orderkey")
-        .sortBy("o_orderkey")
-        .mode("overwrite")
-        .saveAsTable("q140_orders_bkt")
-    )
-    (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_orderkey", _money_cents("l_extendedprice").alias("price_c"))
-        .write.bucketBy(Q140_BUCKETS, "l_orderkey")
-        .sortBy("l_orderkey")
-        .mode("overwrite")
-        .saveAsTable("q140_lineitem_bkt")
-    )
+
+    # The two bucketed writes are independent (separate tables); run
+    # them as overlapping Spark jobs so the smaller orders write
+    # back-fills executors idled by the lineitem write's task tail
+    # (guide §2.6 — same discipline as compact/optimize maintenance).
+    def _write_orders() -> None:
+        (
+            _t(spark, sf_dir, "orders")
+            .select("o_orderkey", "o_orderstatus")
+            .write.bucketBy(Q140_BUCKETS, "o_orderkey")
+            .sortBy("o_orderkey")
+            .mode("overwrite")
+            .saveAsTable("q140_orders_bkt")
+        )
+
+    def _write_lineitem() -> None:
+        (
+            _t(spark, sf_dir, "lineitem")
+            .select("l_orderkey", _money_cents("l_extendedprice").alias("price_c"))
+            .write.bucketBy(Q140_BUCKETS, "l_orderkey")
+            .sortBy("l_orderkey")
+            .mode("overwrite")
+            .saveAsTable("q140_lineitem_bkt")
+        )
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [pool.submit(_write_orders), pool.submit(_write_lineitem)]
+        for f in futs:
+            f.result()
     j = spark.table("q140_orders_bkt").join(
         spark.table("q140_lineitem_bkt"),
         F.col("o_orderkey") == F.col("l_orderkey"),

@@ -103,6 +103,27 @@ def local_rows_df(spark: SparkSession, rows, schema) -> DataFrame:
         return spark.createDataFrame(data, schema)
 
 
+def widen_if_narrow(df: DataFrame, factor: int = 2) -> DataFrame:
+    """Round-robin repartition a relation whose PHYSICAL parallelism
+    is far below the cluster's — guide §2.5's "repartition immediately
+    after the read" fix for effectively-unsplittable inputs (a local
+    single-row-group parquet file scans as ONE task no matter how the
+    byte range is split; gzip at scale is the classic case). Apply it
+    ONLY in front of expensive per-row work (wide multi-distinct
+    Expand, per-row hashing): the shuffle it inserts costs more than
+    it saves for cheap partial aggregates.
+
+    Scale-adaptive by construction: when the scan already yields at
+    least cores/factor partitions — any real multi-file table — the
+    relation is returned UNCHANGED (no Exchange in the plan). The
+    partition probe is plan-only (no job)."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * factor <= target:
+        return df.repartition(target)
+    return df
+
+
 def combine_single_rows(*dfs: DataFrame) -> DataFrame:
     """Fold K SINGLE-ROW aggregate frames into one row WITHOUT a join:
     1-row cross joins compile to BroadcastNestedLoopJoin, which the

@@ -1190,6 +1190,12 @@ class SnapshotStore:
                         merged_dv = new_pos.distinct()
                     if post_scan is not None:
                         post_scan()
+                    # Stage SYNCHRONOUSLY (measured round-12: the
+                    # async overlap is a loss here — this cdc job is
+                    # the first consumer of the persisted `matched`,
+                    # so overlapping it with the DV write made both
+                    # jobs compute the scan before the cache filled;
+                    # sequential = cdc populates, DV write reuses).
                     if self.cdf:
                         self._stage_cdc(
                             name,
@@ -1218,12 +1224,12 @@ class SnapshotStore:
                         matched.unpersist(False)
             except ConcurrentWriteError as exc:
                 last_err = exc
-                shutil.rmtree(vdir, ignore_errors=True)
                 self._discard_cdc(name)
+                shutil.rmtree(vdir, ignore_errors=True)
                 continue
             except Exception:
-                shutil.rmtree(vdir, ignore_errors=True)
                 self._discard_cdc(name)
+                shutil.rmtree(vdir, ignore_errors=True)
                 if self.current_version(name) == expected:
                     raise
                 last_err = ConcurrentWriteError(
@@ -1386,6 +1392,10 @@ class SnapshotStore:
                     )
                     if post_scan is not None:
                         post_scan()
+                    # Stage SYNCHRONOUSLY (measured round-12: async
+                    # overlap loses here — the cdc job is the first
+                    # consumer of the persisted `matched`; sequential
+                    # staging fills the cache the rewrite reuses).
                     if self.cdf:
                         self._stage_cdc(
                             name,
@@ -1434,12 +1444,12 @@ class SnapshotStore:
                     matched.unpersist(False)
             except ConcurrentWriteError as exc:
                 last_err = exc
-                shutil.rmtree(vdir, ignore_errors=True)
                 self._discard_cdc(name)
+                shutil.rmtree(vdir, ignore_errors=True)
                 continue
             except Exception:
-                shutil.rmtree(vdir, ignore_errors=True)
                 self._discard_cdc(name)
+                shutil.rmtree(vdir, ignore_errors=True)
                 if self.current_version(name) == expected:
                     raise
                 last_err = ConcurrentWriteError(
@@ -1592,6 +1602,10 @@ class SnapshotStore:
                     mkeys = matched.select(*keys).distinct()
                     if self.cdf:
                         ct = "_change_type"
+                        # Stage SYNCHRONOUSLY (measured round-12:
+                        # async overlap loses here — the cdc job is
+                        # the first consumer of the persisted
+                        # `matched`/`aligned` caches).
                         self._stage_cdc(
                             name,
                             matched.select(*logical_cols)
@@ -1702,12 +1716,12 @@ class SnapshotStore:
                     aligned.unpersist(False)
             except ConcurrentWriteError as exc:
                 last_err = exc
-                shutil.rmtree(vdir, ignore_errors=True)
                 self._discard_cdc(name)
+                shutil.rmtree(vdir, ignore_errors=True)
                 continue
             except Exception:
-                shutil.rmtree(vdir, ignore_errors=True)
                 self._discard_cdc(name)
+                shutil.rmtree(vdir, ignore_errors=True)
                 if self.current_version(name) == expected:
                     raise
                 last_err = ConcurrentWriteError(
@@ -2114,6 +2128,69 @@ class SnapshotStore:
         no commit references, which ``DeltaLog.vacuum`` collects."""
         if not self.cdf:
             return
+        self._cdc_pending(name).extend(self._stage_cdc_files(name, cdc_df))
+
+    def _stage_cdc_async(self, name: str, cdc_df: DataFrame):
+        """Run the change-file write as an OVERLAPPED Spark job
+        (guide §2.6 — the cdc write and the DML's version write are
+        independent consumers of the same pinned inputs, so their
+        jobs back-fill each other's task tails instead of running
+        back to back). Returns a Future of the staged rel paths, or
+        None when CDF is off. The caller MUST settle the future
+        before its commit: ``_adopt_cdc`` on the success path (the
+        commit adopts the files), ``_abort_cdc`` in every failure
+        handler (waits, then unlinks). Pending-list bookkeeping stays
+        in the CALLER's thread — ``_cdc_pending`` is thread-local."""
+        if not self.cdf:
+            return None
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=1)
+        try:
+            return ex.submit(self._stage_cdc_files, name, cdc_df)
+        finally:
+            ex.shutdown(wait=False)
+
+    def _adopt_cdc(self, name: str, fut) -> None:
+        """Settle an async cdc stage into THIS thread's pending list
+        (call before the commit that references the files)."""
+        if fut is not None:
+            self._cdc_pending(name).extend(fut.result())
+
+    def _abort_cdc(self, name: str, fut) -> None:
+        """Failure-path settle: wait for an in-flight cdc stage (never
+        leave its write racing the caller's cleanup), adopt whatever
+        it staged, then discard it all."""
+        if fut is not None:
+            try:
+                self._adopt_cdc(name, fut)
+            except Exception:  # noqa: BLE001 — the stage itself failed
+                pass
+        self._discard_cdc(name)
+
+    def _validate_async(self, name: str, df: DataFrame):
+        """Run the fused CHECK/invariant probe as an OVERLAPPED job
+        (guide §2.6): the probe and the version write scan the same
+        pinned input, so running them back to back serialized two
+        full-parallel jobs. Returns a Future (or None when the table
+        declares no rules); the caller MUST join it before its commit
+        — a violation then still refuses the write before anything
+        becomes visible, with the just-written uncommitted version
+        dir dropped like a lost commit."""
+        if not (self.constraints(name) or self.invariants(name)):
+            return None
+        from concurrent.futures import ThreadPoolExecutor
+
+        ex = ThreadPoolExecutor(max_workers=1)
+        try:
+            return ex.submit(self._validate_constraints, name, df)
+        finally:
+            ex.shutdown(wait=False)
+
+    def _stage_cdc_files(self, name: str, cdc_df: DataFrame) -> list[str]:
+        """Write ``cdc_df`` under ``_change_data/`` and return the
+        staged rel paths — no pending bookkeeping (thread-safe body
+        shared by ``_stage_cdc`` and ``_stage_cdc_async``)."""
         import pyarrow.parquet as pq
 
         from product_analytics_spark.sources import delta_log as dl
@@ -2131,19 +2208,31 @@ class SnapshotStore:
         dest = os.path.join(table, dl.CDC_DIR)
         os.makedirs(dest, exist_ok=True)
         tag = uuid.uuid4().hex[:12]
-        pending = self._cdc_pending(name)
-        i = 0
-        for f in sorted(os.listdir(tmp)):
-            if not f.endswith(".parquet") or f.startswith((".", "_")):
-                continue
-            src = os.path.join(tmp, f)
-            if pq.ParquetFile(src).metadata.num_rows == 0:
-                continue
-            rel = f"{dl.CDC_DIR}/cdc-{tag}-{i:05d}.parquet"
-            os.rename(src, os.path.join(table, rel))
-            pending.append(rel)
-            i += 1
+        staged: list[str] = []
+        try:
+            i = 0
+            for f in sorted(os.listdir(tmp)):
+                if not f.endswith(".parquet") or f.startswith((".", "_")):
+                    continue
+                src = os.path.join(tmp, f)
+                if pq.ParquetFile(src).metadata.num_rows == 0:
+                    continue
+                rel = f"{dl.CDC_DIR}/cdc-{tag}-{i:05d}.parquet"
+                os.rename(src, os.path.join(table, rel))
+                staged.append(rel)
+                i += 1
+        except Exception:
+            # Mid-loop failure: unlink what was already renamed in so
+            # nothing orphan-able outlives the raise.
+            for rel in staged:
+                try:
+                    os.unlink(os.path.join(table, rel))
+                except OSError:
+                    pass
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise
         shutil.rmtree(tmp, ignore_errors=True)
+        return staged
 
     def _discard_cdc(self, name: str) -> None:
         """Drop this thread's staged change files (the DML attempt
@@ -2695,6 +2784,7 @@ class SnapshotStore:
         expected_version=UNCHECKED,
         operation: str = "WRITE",
         _validate: bool = True,
+        _pre_commit=None,
     ) -> None:
         """Atomic full replace: write a version dir, commit the pointer.
 
@@ -2729,8 +2819,10 @@ class SnapshotStore:
             # enforce GENERATED ALWAYS refusal.
             df = self._apply_identity(name, df)
         df = self._apply_generated(name, df)
-        if _validate:
-            self._validate_constraints(name, df)
+        # Validation rides ALONGSIDE the version write (guide §2.6 —
+        # _validate_async); joined in the pre-commit window below, so
+        # a violating write still commits nothing and leaves nothing.
+        val_fut = self._validate_async(name, df) if _validate else None
         if zorder_by and zorder_depth == "auto":
             from product_analytics_spark.functions.zorder import (
                 choose_equal_depth,
@@ -2746,6 +2838,22 @@ class SnapshotStore:
             n_files=n_files,
             zorder_depth=zorder_depth,
         )
+        if val_fut is not None or _pre_commit is not None:
+            # Join the overlapped validation probe and (merge seam)
+            # the overlapped cdc stage so the commit below adopts
+            # only validated, fully-staged state; on failure drop the
+            # just-written uncommitted version dir like a lost commit.
+            try:
+                if val_fut is not None:
+                    val_fut.result()
+                if _pre_commit is not None:
+                    _pre_commit()
+            except Exception:
+                shutil.rmtree(
+                    os.path.join(self.path(name), version),
+                    ignore_errors=True,
+                )
+                raise
         try:
             self._commit(
                 name, version,
@@ -2921,6 +3029,7 @@ class SnapshotStore:
         keys_l = [key] if isinstance(key, str) else list(key)
         for _ in range(attempts):
             snapshot_version = self.current_version(name) if isolated else UNCHECKED
+            cdc_fut = None
             prev = self.read(name)
             batch_eff = (
                 self._identity_merge_batch(name, prev, batch, keys_l)
@@ -2937,6 +3046,7 @@ class SnapshotStore:
             # aligned to the merged schema first (batch rows acquire
             # typed NULLs for prev-only columns in the union, and an
             # invariant on such a column must still see them).
+            val_fut = None
             if prev is not None and (
                 self.constraints(name) or self.invariants(name)
             ):
@@ -2948,7 +3058,10 @@ class SnapshotStore:
                             fld.name,
                             F.lit(None).cast(fld.dataType),
                         )
-                self._validate_constraints(name, val_df)
+                # Overlapped with the cdc stage + version write below
+                # (guide §2.6); joined in overwrite's pre-commit
+                # window, so a violating batch still commits nothing.
+                val_fut = self._validate_async(name, val_df)
             if post_scan is not None:
                 post_scan()
             if self.cdf and prev is not None:
@@ -2959,7 +3072,13 @@ class SnapshotStore:
                 bkeys = batch_eff.select(*keys_l).distinct()
                 pkeys = prev.select(*keys_l).distinct()
                 ct = "_change_type"
-                self._stage_cdc(
+                # Overlapped cdc write (guide §2.6): runs while
+                # overwrite() below writes the merged version —
+                # independent consumers of the same immutable prev
+                # files + pinned batch (identity ids localCheckpoint'd
+                # in _identity_merge_batch). The commit adopts the
+                # staged files via the _pre_commit join below.
+                cdc_fut = self._stage_cdc_async(
                     name,
                     prev.join(bkeys, keys_l, "left_semi")
                     .withColumn(ct, F.lit("update_preimage"))
@@ -2976,6 +3095,11 @@ class SnapshotStore:
                         allowMissingColumns=True,
                     ),
                 )
+            def _join_pre_commit(vf=None, cf=None):
+                if vf is not None:
+                    vf.result()
+                self._adopt_cdc(name, cf)
+
             try:
                 self.overwrite(
                     name,
@@ -2984,10 +3108,19 @@ class SnapshotStore:
                     cluster_by=cluster_by,
                     expected_version=snapshot_version,
                     _validate=prev is None,
+                    _pre_commit=(
+                        (
+                            lambda vf=val_fut, cf=cdc_fut: _join_pre_commit(
+                                vf, cf
+                            )
+                        )
+                        if (cdc_fut is not None or val_fut is not None)
+                        else None
+                    ),
                 )
             except ConcurrentWriteError as exc:
                 last_err = exc
-                self._discard_cdc(name)
+                self._abort_cdc(name, cdc_fut)
                 continue
             except Exception:
                 # A concurrent commit may have GC'd the snapshot this
@@ -2995,7 +3128,7 @@ class SnapshotStore:
                 # isolation on, that is the same conflict surfaced
                 # during the write instead of at the pointer compare.
                 # Version unmoved ⇒ genuine failure: re-raise.
-                self._discard_cdc(name)
+                self._abort_cdc(name, cdc_fut)
                 if (
                     not isolated
                     or self.current_version(name) == snapshot_version
@@ -3487,6 +3620,8 @@ class SnapshotStore:
             version = f"v_{uuid.uuid4().hex[:12]}"
             vdir = os.path.join(self.path(name), version)
             n_link = n_rewrite = 0
+            cdc_fut = None
+            val_fut = None
             # Scan phase inside the try (ADVICE r8): the full.count()
             # and input_file_name() collect read a snapshot a concurrent
             # commit can GC mid-scan under a small retention window —
@@ -3554,7 +3689,12 @@ class SnapshotStore:
                     # (``full`` carries the hive partition columns via
                     # basePath), so the staged change files pair with
                     # this attempt's commit; a lost race discards them.
-                    self._stage_cdc(name, cdc_build(full, F.expr(predicate)))
+                    # Overlapped with the hardlink pass + rewrite write
+                    # below (guide §2.6) — both read the same immutable
+                    # snapshot files; joined before the commit.
+                    cdc_fut = self._stage_cdc_async(
+                        name, cdc_build(full, F.expr(predicate))
+                    )
                 touched_by_rel: list[tuple[str, list[str]]] = []
                 for rel, files in parts:
                     out_dir = vdir if rel == "." else os.path.join(vdir, rel)
@@ -3588,8 +3728,10 @@ class SnapshotStore:
                     replaced = transform(df, F.expr(predicate))
                     # COW UPDATE can mint violating rows — gate the
                     # rewritten rows (DELETE only removes, but the
-                    # check is one fused predicate either way)
-                    self._validate_constraints(name, replaced)
+                    # check is one fused predicate either way).
+                    # Overlapped with the rewrite write (guide §2.6);
+                    # joined before the commit below.
+                    val_fut = self._validate_async(name, replaced)
                     replaced.write.mode("append").parquet(vdir)
                 elif touched_by_rel:
                     part_cols = [
@@ -3615,7 +3757,9 @@ class SnapshotStore:
                     finally:
                         self.spark.conf.set(inf_key, prev_inf)
                     replaced = transform(df, F.expr(predicate))
-                    self._validate_constraints(name, replaced)
+                    # Overlapped validation (guide §2.6), joined
+                    # before the commit below.
+                    val_fut = self._validate_async(name, replaced)
                     (
                         replaced.repartition(
                             max(len(touched_by_rel), 1), *part_cols
@@ -3624,19 +3768,22 @@ class SnapshotStore:
                         .partitionBy(*part_cols)
                         .parquet(vdir)
                     )
+                if val_fut is not None:
+                    val_fut.result()
+                self._adopt_cdc(name, cdc_fut)
                 self._commit(name, version, expected_version=expected, operation="DML")
             except ConcurrentWriteError as exc:
                 last_err = exc
+                self._abort_cdc(name, cdc_fut)
                 shutil.rmtree(vdir, ignore_errors=True)
-                self._discard_cdc(name)
                 continue
             except Exception:
                 # A concurrent commit may have GC'd this attempt's
                 # snapshot mid-rewrite (hardlink source vanished) —
                 # same conflict, surfaced earlier. Version unmoved ⇒
                 # genuine failure: re-raise.
+                self._abort_cdc(name, cdc_fut)
                 shutil.rmtree(vdir, ignore_errors=True)
-                self._discard_cdc(name)
                 if self.current_version(name) == expected:
                     raise
                 last_err = ConcurrentWriteError(

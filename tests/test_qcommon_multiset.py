@@ -174,3 +174,32 @@ def test_nan_groups_equal(spark):
     assert math.isnan(a.collect()[0]["v"])
     assert multiset_equal(a, b)
     assert multiset_diff_counts(a, b) == (0, 0)
+
+
+def test_widen_if_narrow_value_identity_and_noop(spark, tmp_path):
+    """widen_if_narrow must (a) preserve rows exactly, (b) widen a
+    narrow scan to defaultParallelism, and (c) return the SAME plan
+    (no Exchange) when the input is already wide enough."""
+    from pyspark.sql import functions as F
+
+    from product_analytics_spark.qcommon import widen_if_narrow
+
+    p = str(tmp_path / "one_file")
+    spark.range(0, 10_000).select(
+        F.col("id").alias("k"), (F.col("id") % 5).alias("v")
+    ).coalesce(1).write.parquet(p)
+    narrow = spark.read.parquet(p)
+    assert narrow.rdd.getNumPartitions() == 1
+    wide = widen_if_narrow(narrow)
+    assert (
+        wide.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    assert sorted(r["k"] for r in wide.collect()) == list(range(10_000))
+
+    already = narrow.repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    # wide-enough input: returned UNCHANGED (same object, no second
+    # Exchange stacked on top)
+    assert widen_if_narrow(already) is already
