@@ -74,6 +74,36 @@ UNCHECKED = object()
 _VERSION_DIR_SCHEMAS: dict[tuple[str, bool], object] = {}
 
 
+def _submit_inheritable(fn, *args):
+    """Run ``fn(*args)`` on a ``pyspark.InheritableThread``, returning a
+    Future. Replaces the throwaway one-thread ThreadPoolExecutor the
+    overlapped cdc/validation jobs used (ADVICE r12): under py4j
+    pinned-thread mode (PySpark's default) a plain Python thread running
+    Spark actions leaves its paired JVM thread behind on exit and does
+    NOT inherit the submitter's JVM-thread locals, so overlapped jobs
+    lost their job group / scheduler pool / description and a
+    long-running driver accumulated JVM threads across DMLs.
+    InheritableThread copies the locals in and deterministically
+    releases the pinned connection when the thread finishes."""
+    from concurrent.futures import Future
+
+    from pyspark import InheritableThread
+    from pyspark.sql import SparkSession
+
+    fut: Future = Future()
+
+    def _run() -> None:
+        try:
+            fut.set_result(fn(*args))
+        except BaseException as exc:  # noqa: BLE001 — settled into the Future
+            fut.set_exception(exc)
+
+    InheritableThread(
+        target=_run, daemon=True, session=SparkSession.getActiveSession()
+    ).start()
+    return fut
+
+
 class ConcurrentWriteError(RuntimeError):
     """Optimistic-concurrency conflict: the table's committed version
     moved between a transaction's snapshot read and its commit. The
@@ -2143,13 +2173,7 @@ class SnapshotStore:
         in the CALLER's thread — ``_cdc_pending`` is thread-local."""
         if not self.cdf:
             return None
-        from concurrent.futures import ThreadPoolExecutor
-
-        ex = ThreadPoolExecutor(max_workers=1)
-        try:
-            return ex.submit(self._stage_cdc_files, name, cdc_df)
-        finally:
-            ex.shutdown(wait=False)
+        return _submit_inheritable(self._stage_cdc_files, name, cdc_df)
 
     def _adopt_cdc(self, name: str, fut) -> None:
         """Settle an async cdc stage into THIS thread's pending list
@@ -2168,6 +2192,19 @@ class SnapshotStore:
                 pass
         self._discard_cdc(name)
 
+    @staticmethod
+    def _abort_validation(fut) -> None:
+        """Failure-path settle for an overlapped validation probe
+        (ADVICE r12 — the _abort_cdc analog): wait for the in-flight
+        job and swallow its outcome, so it never runs concurrently
+        with the caller's cleanup/retry and its own exception never
+        shadows the failure being handled."""
+        if fut is not None:
+            try:
+                fut.result()
+            except Exception:  # noqa: BLE001 — the primary error wins
+                pass
+
     def _validate_async(self, name: str, df: DataFrame):
         """Run the fused CHECK/invariant probe as an OVERLAPPED job
         (guide §2.6): the probe and the version write scan the same
@@ -2179,13 +2216,7 @@ class SnapshotStore:
         dir dropped like a lost commit."""
         if not (self.constraints(name) or self.invariants(name)):
             return None
-        from concurrent.futures import ThreadPoolExecutor
-
-        ex = ThreadPoolExecutor(max_workers=1)
-        try:
-            return ex.submit(self._validate_constraints, name, df)
-        finally:
-            ex.shutdown(wait=False)
+        return _submit_inheritable(self._validate_constraints, name, df)
 
     def _stage_cdc_files(self, name: str, cdc_df: DataFrame) -> list[str]:
         """Write ``cdc_df`` under ``_change_data/`` and return the
@@ -3121,7 +3152,17 @@ class SnapshotStore:
             except ConcurrentWriteError as exc:
                 last_err = exc
                 self._abort_cdc(name, cdc_fut)
+                self._abort_validation(val_fut)
                 continue
+            except ConstraintViolationError:
+                # A violating batch must surface as such (ADVICE r12):
+                # since the validation probe joined inside overwrite's
+                # try, the generic handler below would reclassify the
+                # violation as a concurrency conflict whenever another
+                # writer committed during the attempt — masking the
+                # real error and paying a full version write per retry.
+                self._abort_cdc(name, cdc_fut)
+                raise
             except Exception:
                 # A concurrent commit may have GC'd the snapshot this
                 # merge's plan lazily reads (retention window) — with
@@ -3129,6 +3170,7 @@ class SnapshotStore:
                 # during the write instead of at the pointer compare.
                 # Version unmoved ⇒ genuine failure: re-raise.
                 self._abort_cdc(name, cdc_fut)
+                self._abort_validation(val_fut)
                 if (
                     not isolated
                     or self.current_version(name) == snapshot_version
@@ -3213,10 +3255,17 @@ class SnapshotStore:
             return
         from concurrent.futures import ThreadPoolExecutor
 
+        from pyspark.util import inheritable_thread_target
+
+        # inheritable_thread_target (ADVICE r12, same fix as the async
+        # cdc/validation threads): pool threads running Spark actions
+        # must inherit the submitter's JVM-thread locals (job group /
+        # scheduler pool) and release their pinned py4j connection per
+        # task instead of parking a JVM thread until pool GC.
         with ThreadPoolExecutor(
             max_workers=min(max_workers, len(thunks))
         ) as tp:
-            futs = [tp.submit(t) for t in thunks]
+            futs = [tp.submit(inheritable_thread_target(t)) for t in thunks]
             for f in futs:
                 f.result()
 
@@ -3743,19 +3792,33 @@ class SnapshotStore:
                     all_touched = sorted(
                         f for _rel, fs in touched_by_rel for f in fs
                     )
-                    inf_key = (
-                        "spark.sql.sources."
-                        "partitionColumnTypeInference.enabled"
+                    # Partition values must arrive as the same STRINGS
+                    # the literal injection produced ("03" stays "03",
+                    # never int 3). The old form toggled the session
+                    # conf partitionColumnTypeInference.enabled, a
+                    # cross-thread mutation of shared SQLConf while
+                    # the overlapped cdc job may still run (ADVICE
+                    # r12). An explicit read schema with STRING
+                    # partition columns is the per-reader equivalent:
+                    # user-specified partition types take the raw
+                    # unescaped directory value (verified identical
+                    # rows + schema to the conf-off read).
+                    from pyspark.sql import types as T
+
+                    part_set = set(part_cols)
+                    rd_schema = T.StructType(
+                        [
+                            T.StructField(f.name, T.StringType(), True)
+                            if f.name in part_set
+                            else f
+                            for f in full.schema.fields
+                        ]
                     )
-                    prev_inf = self.spark.conf.get(inf_key)
-                    self.spark.conf.set(inf_key, "false")
-                    try:
-                        df = (
-                            self.spark.read.option("basePath", data)
-                            .parquet(*all_touched)
-                        )
-                    finally:
-                        self.spark.conf.set(inf_key, prev_inf)
+                    df = (
+                        self.spark.read.schema(rd_schema)
+                        .option("basePath", data)
+                        .parquet(*all_touched)
+                    )
                     replaced = transform(df, F.expr(predicate))
                     # Overlapped validation (guide §2.6), joined
                     # before the commit below.
@@ -3775,14 +3838,24 @@ class SnapshotStore:
             except ConcurrentWriteError as exc:
                 last_err = exc
                 self._abort_cdc(name, cdc_fut)
+                self._abort_validation(val_fut)
                 shutil.rmtree(vdir, ignore_errors=True)
                 continue
+            except ConstraintViolationError:
+                # Same as merge (ADVICE r12): a COW UPDATE that mints
+                # violating rows must raise the violation, not be
+                # retried as a concurrency conflict when another
+                # writer happened to commit during the attempt.
+                self._abort_cdc(name, cdc_fut)
+                shutil.rmtree(vdir, ignore_errors=True)
+                raise
             except Exception:
                 # A concurrent commit may have GC'd this attempt's
                 # snapshot mid-rewrite (hardlink source vanished) —
                 # same conflict, surfaced earlier. Version unmoved ⇒
                 # genuine failure: re-raise.
                 self._abort_cdc(name, cdc_fut)
+                self._abort_validation(val_fut)
                 shutil.rmtree(vdir, ignore_errors=True)
                 if self.current_version(name) == expected:
                     raise

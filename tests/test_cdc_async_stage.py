@@ -175,6 +175,43 @@ def test_violating_overwrite_leaves_no_version_residue(spark, store):
     assert after == before
 
 
+def test_merge_violation_not_masked_by_concurrent_commit(spark, store):
+    """ADVICE r12: a violating isolated merge must raise
+    ConstraintViolationError on the FIRST attempt even when another
+    writer commits during the attempt — the generic version-moved
+    handler must not reclassify the violation as a concurrency
+    conflict and burn retries (each one a full version write)."""
+    from product_analytics_spark.sources.sinks import (
+        ConstraintViolationError,
+    )
+
+    st = store
+    st.overwrite("t", _base(spark))
+    st.add_constraint("t", "v_nonneg", "v >= 0")
+    attempts = []
+
+    def land_concurrent_commit():
+        attempts.append(1)
+        # Another writer appends between this attempt's snapshot read
+        # and its commit — exactly the window that moves the version.
+        st.append(
+            "t",
+            spark.createDataFrame(
+                [(1000 + len(attempts), "z", 1)],
+                "k long, p string, v long",
+            ),
+        )
+
+    bad = spark.createDataFrame(
+        [(1, "x", -5)], "k long, p string, v long"
+    )
+    with pytest.raises(ConstraintViolationError):
+        st.merge("t", bad, "k", isolated=True, post_scan=land_concurrent_commit)
+    assert len(attempts) == 1  # no masked retry
+    # nothing from the merge committed: no cdc residue pending
+    assert st._cdc_pending("t") == []
+
+
 def test_pre_commit_failure_drops_uncommitted_version(spark, store):
     """overwrite(_pre_commit=...) failure must remove the version dir
     it just wrote (a lost commit leaves no residue)."""
