@@ -73,6 +73,42 @@ UNCHECKED = object()
 #: metadata-only memo — (abs dir, mergeSchema flag) -> StructType.
 _VERSION_DIR_SCHEMAS: dict[tuple[str, bool], object] = {}
 
+#: Resolved-DataFrame memo per store directory (see _read_version_dir,
+#: round-13): (applicationId, abs dir, mergeSchema, content signature)
+#: -> DataFrame. Holds the LAZY resolved plan only — every action
+#: still scans the parquet files; NOT result caching. The signature
+#: (relpath, size, mtime_ns per data file) guards the two mutable-dir
+#: cases (append writes into the live data dir; MoR DMLs add _dv
+#: files): any file change produces a new key and the stale plan is
+#: evicted. ~15 ms of py4j reader resolution per call removed (q428
+#: paid it 66×).
+_VERSION_DIR_PLANS: dict[tuple, DataFrame] = {}
+_VERSION_DIR_PLANS_LOCK = __import__("threading").Lock()
+
+
+def _dir_signature(d: str) -> tuple:
+    """Content signature of a store directory's data files: sorted
+    (relative path, size, mtime_ns) per parquet file, skipping
+    hidden/metadata entries — cheap driver metadata (~1 ms for
+    cert-sized dirs), no Spark involvement."""
+    sig = []
+    for root, dirs, files in os.walk(d):
+        dirs[:] = sorted(
+            x for x in dirs if not x.startswith((".", "_"))
+        )
+        for f in sorted(files):
+            if not f.endswith(".parquet") or f.startswith((".", "_")):
+                continue
+            p = os.path.join(root, f)
+            try:
+                st = os.stat(p)
+            except OSError:
+                continue
+            sig.append(
+                (os.path.relpath(p, d), st.st_size, st.st_mtime_ns)
+            )
+    return tuple(sig)
+
 
 def _submit_inheritable(fn, *args):
     """Run ``fn(*args)`` on a ``pyspark.InheritableThread``, returning a
@@ -710,8 +746,13 @@ class SnapshotStore:
             # Pin the nondeterministic ids ONCE: after this, the HWM
             # job below and the downstream write read the SAME
             # materialized values. Cost: one pass over only the new
-            # rows (O(batch), never O(table)).
-            df = df.localCheckpoint(eager=True)
+            # rows (O(batch), never O(table)). Round-13 (guide §1.2):
+            # the checkpoint is LAZY and the HWM aggregate right below
+            # is its materializing action — the full-relation agg
+            # computes (and thereby caches) every checkpoint
+            # partition, so pin + HWM cost ONE job instead of the old
+            # eager-checkpoint-then-agg two.
+            df = df.localCheckpoint(eager=False)
             # the high-water mark is the furthest value IN THE STEP
             # DIRECTION (negative increments descend, like SQL
             # sequences and Delta's) — one combined agg job for all
@@ -920,6 +961,24 @@ class SnapshotStore:
         data = self.current_data_dir(name)
         return data is not None and os.path.isdir(self._dv_dir(data))
 
+    @classmethod
+    def _dv_file_rows(cls, data_dir: str) -> int:
+        """Row count of a version's deletion vector from its parquet
+        FOOTERS (round-13, guide §1.2): the MoR DMLs wrote the _dv
+        relation themselves moments earlier, so reporting its size
+        back ran a full Spark count JOB per DML for a number the
+        footers already hold — O(|files|) driver metadata reads."""
+        import pyarrow.parquet as pq
+
+        dv_dir = cls._dv_dir(data_dir)
+        n = 0
+        for f in sorted(os.listdir(dv_dir)):
+            if f.endswith(".parquet") and not f.startswith((".", "_")):
+                n += pq.ParquetFile(
+                    os.path.join(dv_dir, f)
+                ).metadata.num_rows
+        return n
+
     @staticmethod
     def _rel_path_col(data_dir: str):
         """``_metadata.file_path`` relative to the version dir — the
@@ -1113,14 +1172,41 @@ class SnapshotStore:
         uuid naming means a rebuilt table can never collide with a
         stale entry."""
         key = (os.path.abspath(data_dir), bool(merge_schema))
+        # Resolved-plan memo (round-13, guide §1.2): even with the
+        # schema memoized, every call paid ~15 ms of py4j reader
+        # resolution (file listing + relation construction). The
+        # RESOLVED DataFrame is immutable and reusable; the content
+        # signature in the key catches in-place mutation (append into
+        # the live dir, a new _dv file) and evicts the stale plan.
+        app_id = self.spark.sparkContext.applicationId
+        pkey = (app_id, *key, _dir_signature(data_dir))
+        cached = _VERSION_DIR_PLANS.get(pkey)
+        if cached is not None:
+            return cached
         sch = _VERSION_DIR_SCHEMAS.get(key)
         if sch is not None:
-            return self.spark.read.schema(sch).parquet(data_dir)
-        reader = self.spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        base = reader.parquet(data_dir)
-        _VERSION_DIR_SCHEMAS[key] = base.schema
+            base = self.spark.read.schema(sch).parquet(data_dir)
+        else:
+            reader = self.spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            base = reader.parquet(data_dir)
+            _VERSION_DIR_SCHEMAS[key] = base.schema
+        with _VERSION_DIR_PLANS_LOCK:
+            # evict superseded signatures of this dir and entries from
+            # stopped sessions so the memo stays bounded
+            for k in [
+                k
+                for k in _VERSION_DIR_PLANS
+                if k[:3] == pkey[:3] or k[0] != app_id
+            ]:
+                _VERSION_DIR_PLANS.pop(k, None)
+            # hard cap (FIFO): a long sweep touches thousands of
+            # version dirs and each entry pins a JVM plan — the memo
+            # only needs to span one operator's handful of re-reads.
+            while len(_VERSION_DIR_PLANS) >= 256:
+                _VERSION_DIR_PLANS.pop(next(iter(_VERSION_DIR_PLANS)))
+            _VERSION_DIR_PLANS[pkey] = base
         return base
 
     def _apply_dv(
@@ -1183,6 +1269,7 @@ class SnapshotStore:
             expected = self.current_version(name)
             version = f"v_{uuid.uuid4().hex[:12]}"
             vdir = os.path.join(self.path(name), version)
+            cdc_fut = None
             try:
                 data = self.current_data_dir(name)
                 if data is None:
@@ -1220,14 +1307,17 @@ class SnapshotStore:
                         merged_dv = new_pos.distinct()
                     if post_scan is not None:
                         post_scan()
-                    # Stage SYNCHRONOUSLY (measured round-12: the
-                    # async overlap is a loss here — this cdc job is
-                    # the first consumer of the persisted `matched`,
-                    # so overlapping it with the DV write made both
-                    # jobs compute the scan before the cache filled;
-                    # sequential = cdc populates, DV write reuses).
+                    # Materialize-then-fork (round-13, VERDICT r12
+                    # item 2, guide §2.6): the round-12 async attempt
+                    # lost because the cdc and DV jobs raced to fill
+                    # the `matched` cache. Materializing the persisted
+                    # intermediate FIRST (one cheap count — the scan
+                    # that one consumer was paying anyway) lets the
+                    # cdc stage overlap the hardlink pass and the DV
+                    # write, both now pure cache readers.
                     if self.cdf:
-                        self._stage_cdc(
+                        matched.count()
+                        cdc_fut = self._stage_cdc_async(
                             name,
                             matched.drop("__pos_f", "__pos_ri").withColumn(
                                 "_change_type", F.lit("delete")
@@ -1245,6 +1335,7 @@ class SnapshotStore:
                             )
                             n_link += 1
                     merged_dv.coalesce(1).write.parquet(self._dv_dir(vdir))
+                    self._adopt_cdc(name, cdc_fut)
                     self._commit(
                         name, version, expected_version=expected,
                         operation="DELETE",
@@ -1254,11 +1345,11 @@ class SnapshotStore:
                         matched.unpersist(False)
             except ConcurrentWriteError as exc:
                 last_err = exc
-                self._discard_cdc(name)
+                self._abort_cdc(name, cdc_fut)
                 shutil.rmtree(vdir, ignore_errors=True)
                 continue
             except Exception:
-                self._discard_cdc(name)
+                self._abort_cdc(name, cdc_fut)
                 shutil.rmtree(vdir, ignore_errors=True)
                 if self.current_version(name) == expected:
                     raise
@@ -1266,13 +1357,12 @@ class SnapshotStore:
                     f"table {name!r}: snapshot GC'd under MoR delete"
                 )
                 continue
-            dv_rows = self._read_version_dir(
-                self._dv_dir(os.path.join(self.path(name), version))
-            ).count()
             return {
                 "files_linked": n_link,
                 "files_rewritten": 0,
-                "dv_rows": dv_rows,
+                "dv_rows": self._dv_file_rows(
+                    os.path.join(self.path(name), version)
+                ),
             }
         assert last_err is not None
         raise last_err
@@ -1315,6 +1405,9 @@ class SnapshotStore:
             expected = self.current_version(name)
             version = f"v_{uuid.uuid4().hex[:12]}"
             vdir = os.path.join(self.path(name), version)
+            cdc_fut = None
+            val_fut = None
+            dv_fut = None
             try:
                 data = self.current_data_dir(name)
                 if data is None:
@@ -1417,17 +1510,24 @@ class SnapshotStore:
                             F.expr(expr_sql).cast(live.schema[col].dataType),
                         )
                     updated = updated.select(*logical_cols, *rt_cols)
-                    self._validate_constraints(
+                    # Materialize-then-fork (round-13, VERDICT r12
+                    # item 2, guide §2.6): fill the shared `matched`
+                    # cache with ONE count — the scan its first
+                    # consumer was paying anyway — then run the
+                    # validation probe, the cdc stage and the DV write
+                    # as overlapped cache readers alongside the
+                    # hardlink pass and the rewrite write. The
+                    # round-12 fork-without-materialize attempt lost
+                    # exactly because the forks raced to fill this
+                    # cache.
+                    matched.count()
+                    val_fut = self._validate_async(
                         name, updated.select(*logical_cols)
                     )
                     if post_scan is not None:
                         post_scan()
-                    # Stage SYNCHRONOUSLY (measured round-12: async
-                    # overlap loses here — the cdc job is the first
-                    # consumer of the persisted `matched`; sequential
-                    # staging fills the cache the rewrite reuses).
                     if self.cdf:
-                        self._stage_cdc(
+                        cdc_fut = self._stage_cdc_async(
                             name,
                             matched.select(*logical_cols)
                             .withColumn(
@@ -1451,6 +1551,10 @@ class SnapshotStore:
                                 f, os.path.join(out_dir, os.path.basename(f))
                             )
                             n_link += 1
+                    dv_fut = _submit_inheritable(
+                        lambda: merged_dv.coalesce(1)
+                        .write.parquet(self._dv_dir(vdir))
+                    )
                     if part_cols_now:
                         # size-adaptive keyed repartition: keep the
                         # partitioned write parallel under AQE
@@ -1465,7 +1569,10 @@ class SnapshotStore:
                     if part_cols_now:
                         writer = writer.partitionBy(*part_cols_now)
                     writer.parquet(vdir)
-                    merged_dv.coalesce(1).write.parquet(self._dv_dir(vdir))
+                    dv_fut.result()
+                    if val_fut is not None:
+                        val_fut.result()
+                    self._adopt_cdc(name, cdc_fut)
                     self._commit(
                         name, version, expected_version=expected,
                         operation="UPDATE",
@@ -1474,11 +1581,23 @@ class SnapshotStore:
                     matched.unpersist(False)
             except ConcurrentWriteError as exc:
                 last_err = exc
-                self._discard_cdc(name)
+                self._abort_cdc(name, cdc_fut)
+                self._abort_validation(val_fut)
+                self._abort_validation(dv_fut)
                 shutil.rmtree(vdir, ignore_errors=True)
                 continue
+            except ConstraintViolationError:
+                # the violation must surface as such, never be
+                # reclassified as a concurrency conflict below
+                # (same rule as merge/_rewrite_where, ADVICE r12)
+                self._abort_cdc(name, cdc_fut)
+                self._abort_validation(dv_fut)
+                shutil.rmtree(vdir, ignore_errors=True)
+                raise
             except Exception:
-                self._discard_cdc(name)
+                self._abort_cdc(name, cdc_fut)
+                self._abort_validation(val_fut)
+                self._abort_validation(dv_fut)
                 shutil.rmtree(vdir, ignore_errors=True)
                 if self.current_version(name) == expected:
                     raise
@@ -1486,14 +1605,12 @@ class SnapshotStore:
                     f"table {name!r}: snapshot GC'd under MoR update"
                 )
                 continue
-            vdir_now = os.path.join(self.path(name), version)
-            dv_rows = self._read_version_dir(
-                self._dv_dir(vdir_now)
-            ).count()
             return {
                 "files_linked": n_link,
                 "files_rewritten": 0,
-                "dv_rows": dv_rows,
+                "dv_rows": self._dv_file_rows(
+                    os.path.join(self.path(name), version)
+                ),
             }
         assert last_err is not None
         raise last_err
@@ -1537,6 +1654,9 @@ class SnapshotStore:
             expected = self.current_version(name)
             version = f"v_{uuid.uuid4().hex[:12]}"
             vdir = os.path.join(self.path(name), version)
+            cdc_fut = None
+            val_fut = None
+            dv_fut = None
             try:
                 data = self.current_data_dir(name)
                 if data is None:
@@ -1578,9 +1698,6 @@ class SnapshotStore:
                         for c in logical_cols
                     ]
                 )
-                # CHECK constraints gate the NEW rows only — the
-                # hardlinked side was validated when it committed
-                self._validate_constraints(name, aligned)
                 part_cols_now = [
                     c
                     for rel, _fs in self._partition_dirs(data)
@@ -1623,6 +1740,17 @@ class SnapshotStore:
                         )
                     else:
                         merged_dv = new_pos.distinct()
+                    # Materialize-then-fork (round-13, VERDICT r12
+                    # item 2, guide §2.6): one count fills BOTH caches
+                    # (computing `matched` builds the broadcast over
+                    # `aligned`, so the batch cache fills as a side
+                    # effect); the validation probe, cdc stage and DV
+                    # write then overlap the hardlink pass and the
+                    # data write as pure cache readers. CHECK
+                    # constraints gate the NEW rows only — the
+                    # hardlinked side was validated when it committed.
+                    matched.count()
+                    val_fut = self._validate_async(name, aligned)
                     if post_scan is not None:
                         post_scan()
                     # batch keys that matched a live row — O(matched),
@@ -1632,11 +1760,7 @@ class SnapshotStore:
                     mkeys = matched.select(*keys).distinct()
                     if self.cdf:
                         ct = "_change_type"
-                        # Stage SYNCHRONOUSLY (measured round-12:
-                        # async overlap loses here — the cdc job is
-                        # the first consumer of the persisted
-                        # `matched`/`aligned` caches).
-                        self._stage_cdc(
+                        cdc_fut = self._stage_cdc_async(
                             name,
                             matched.select(*logical_cols)
                             .withColumn(ct, F.lit("update_preimage"))
@@ -1732,11 +1856,18 @@ class SnapshotStore:
                             self._n_write_tasks(to_write),
                             *part_cols_now,
                         )
+                    dv_fut = _submit_inheritable(
+                        lambda: merged_dv.coalesce(1)
+                        .write.parquet(self._dv_dir(vdir))
+                    )
                     writer = to_write.write.mode("append")
                     if part_cols_now:
                         writer = writer.partitionBy(*part_cols_now)
                     writer.parquet(vdir)
-                    merged_dv.coalesce(1).write.parquet(self._dv_dir(vdir))
+                    dv_fut.result()
+                    if val_fut is not None:
+                        val_fut.result()
+                    self._adopt_cdc(name, cdc_fut)
                     self._commit(
                         name, version, expected_version=expected,
                         operation="MERGE",
@@ -1746,11 +1877,22 @@ class SnapshotStore:
                     aligned.unpersist(False)
             except ConcurrentWriteError as exc:
                 last_err = exc
-                self._discard_cdc(name)
+                self._abort_cdc(name, cdc_fut)
+                self._abort_validation(val_fut)
+                self._abort_validation(dv_fut)
                 shutil.rmtree(vdir, ignore_errors=True)
                 continue
+            except ConstraintViolationError:
+                # surface the violation itself (same rule as merge/
+                # _rewrite_where, ADVICE r12)
+                self._abort_cdc(name, cdc_fut)
+                self._abort_validation(dv_fut)
+                shutil.rmtree(vdir, ignore_errors=True)
+                raise
             except Exception:
-                self._discard_cdc(name)
+                self._abort_cdc(name, cdc_fut)
+                self._abort_validation(val_fut)
+                self._abort_validation(dv_fut)
                 shutil.rmtree(vdir, ignore_errors=True)
                 if self.current_version(name) == expected:
                     raise
@@ -1758,13 +1900,12 @@ class SnapshotStore:
                     f"table {name!r}: snapshot GC'd under MoR merge"
                 )
                 continue
-            dv_rows = self._read_version_dir(
-                self._dv_dir(os.path.join(self.path(name), version))
-            ).count()
             return {
                 "files_linked": n_link,
                 "files_rewritten": 0,
-                "dv_rows": dv_rows,
+                "dv_rows": self._dv_file_rows(
+                    os.path.join(self.path(name), version)
+                ),
             }
         assert last_err is not None
         raise last_err
@@ -2592,6 +2733,13 @@ class SnapshotStore:
                 # rule too) — keep the previous logical schemaString.
                 schema_json = prev.metadata["schemaString"]
             else:
+                # NOT routed through the _read_version_dir memo
+                # (round-13, examined and left): this branch runs
+                # exactly when the files' schema may have CHANGED
+                # (fingerprint drift), and append writes into the
+                # live data dir in place — a memoized schema here
+                # could be the pre-append one. Fresh inference is the
+                # correct ~80 ms.
                 reader = self.spark.read
                 if rt_marker:
                     reader = reader.option("mergeSchema", "true")
@@ -2815,6 +2963,7 @@ class SnapshotStore:
         expected_version=UNCHECKED,
         operation: str = "WRITE",
         _validate: bool = True,
+        _generated_applied: bool = False,
         _pre_commit=None,
     ) -> None:
         """Atomic full replace: write a version dir, commit the pointer.
@@ -2849,7 +2998,14 @@ class SnapshotStore:
             # their ids; the user-facing insert paths (append/merge)
             # enforce GENERATED ALWAYS refusal.
             df = self._apply_identity(name, df)
-        df = self._apply_generated(name, df)
+        # _generated_applied (round-13, guide §1.2 — the constraint-
+        # validation induction, applied to generated columns): merge
+        # computes/validates the BATCH's generated columns up front,
+        # and the kept prev-side rows were computed-or-validated by
+        # their own commits, so re-probing the whole merged relation
+        # here was a redundant full-scan job per merge.
+        if not _generated_applied:
+            df = self._apply_generated(name, df)
         # Validation rides ALONGSIDE the version write (guide §2.6 —
         # _validate_async); joined in the pre-commit window below, so
         # a violating write still commits nothing and leaves nothing.
@@ -3139,6 +3295,21 @@ class SnapshotStore:
                     cluster_by=cluster_by,
                     expected_version=snapshot_version,
                     _validate=prev is None,
+                    # The batch's generated columns were computed/
+                    # validated at the top of this merge and the kept
+                    # prev-side rows by their own commits (round-13,
+                    # guide §1.2) — skip overwrite's full-relation
+                    # re-probe. Only safe when prev actually CARRIES
+                    # every declared column (a declare-after-data
+                    # table that was never rewritten must still fail
+                    # the probe on its NULL prev side).
+                    _generated_applied=(
+                        prev is None
+                        or all(
+                            c in prev.columns
+                            for c in self.generated_columns(name)
+                        )
+                    ),
                     _pre_commit=(
                         (
                             lambda vf=val_fut, cf=cdc_fut: _join_pre_commit(
@@ -3863,14 +4034,25 @@ class SnapshotStore:
                     f"table {name!r}: snapshot GC'd under COW rewrite"
                 )
                 continue
-            after = self.read(name)
-            assert after is not None
+            # rows_after from the committed version's parquet footers
+            # (round-13, guide §1.2): this was a full count JOB per
+            # DML (`self.read(name).count()`). The committed version
+            # is exactly ``vdir`` (hardlinks + rewritten files, no
+            # _dv — a pending deletion vector was purged before the
+            # scan), so the footers' num_rows sum IS the live row
+            # count — O(|files|) driver metadata reads, zero jobs.
+            import pyarrow.parquet as pq
+
+            rows_after = 0
+            for _rel, fs in self._partition_dirs(vdir):
+                for f in fs:
+                    rows_after += pq.ParquetFile(f).metadata.num_rows
             return {
                 "files_total": len(all_files),
                 "files_rewritten": n_rewrite,
                 "files_linked": n_link,
                 "rows_before": rows_before,
-                "rows_after": after.count(),
+                "rows_after": rows_after,
             }
         assert last_err is not None
         raise last_err

@@ -1,9 +1,9 @@
-"""Capture .explain("formatted") for driver queries into plans/r12/.
+"""Capture .explain("formatted") for driver queries into plans/r13/.
 
 Usage:
     python tools/capture_plans.py <suffix> [sf_dir] key [key ...]
 
-Writes plans/r12/<key>_<suffix>.txt for each key (suffix = "before" or
+Writes plans/r13/<key>_<suffix>.txt for each key (suffix = "before" or
 "after"). Cert queries run their full lifecycle while building the
 returned DataFrame — the captured plan is the plan of the RETURNED
 relation, which is what the bench's noop sink executes.
@@ -18,7 +18,7 @@ from contextlib import redirect_stdout
 
 sys.path.insert(0, "/root/repo")
 
-OUT = os.path.join("/root/repo", "plans", "r12")
+OUT = os.path.join("/root/repo", "plans", "r13")
 
 
 def main() -> None:

@@ -37,19 +37,26 @@ def main() -> None:
     for key in args:
         fn = QUERIES[key]
         walls = []
-        jobs0 = jobs1 = 0
+        jobs = []
         for i in range(reps):
-            j0 = len(tracker.getJobIdsForGroup() or [])
+            grp = f"tk_{key}_{i}"
+            spark.sparkContext.setJobGroup(grp, key)
             t0 = time.time()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             w = time.time() - t0
+            spark.sparkContext.setJobGroup(None, None)
             cache.clear_all()
+            cache.clear_shared()
             walls.append(round(w, 2))
-            if i == reps - 1:
-                # job ids are global; count via allJobs delta instead
-                pass
-        out[key] = {"walls": walls, "min_warm": min(walls[1:])}
-        print(key, walls, "min_warm", min(walls[1:]), flush=True)
+            # deterministic per-rep Spark job count (the noise-immune
+            # currency): async engine threads inherit the group via
+            # InheritableThread, so overlapped jobs are counted too.
+            jobs.append(len(tracker.getJobIdsForGroup(grp) or []))
+        out[key] = {
+            "walls": walls, "min_warm": min(walls[1:]), "jobs": jobs,
+        }
+        print(key, walls, "min_warm", min(walls[1:]), "jobs", jobs,
+              flush=True)
     print("JSON:" + json.dumps(out))
 
 
