@@ -65,6 +65,12 @@ def connected_components(
         # covers all vertices). Saves a full join+agg+checkpoint round;
         # star/clique clusters (the overwhelming near-dup shape) are
         # already converged after it.
+        # Round-13 (guide §1.2): the per-round checkpoint is LAZY and
+        # the convergence probe right after is its materializing
+        # action — the full-relation aggregate computes (and caches)
+        # every checkpoint partition, so pin + probe cost ONE job per
+        # round instead of the old eager-checkpoint-then-agg two; the
+        # next round's join reads the same materialized labels.
         labels = (
             e.groupBy("src")
             .agg(F.min("dst").alias("_mdst"))
@@ -72,7 +78,7 @@ def connected_components(
                 F.col("src").alias("id"),
                 F.least(F.col("src"), F.col("_mdst")).alias("component"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
 
         def label_sum(df: DataFrame) -> int:
@@ -94,7 +100,7 @@ def connected_components(
                 .groupBy("id")
                 .agg(F.min("component").alias("component"))
             )
-            labels = prop.localCheckpoint(eager=True)
+            labels = prop.localCheckpoint(eager=False)
             cur = label_sum(labels)
             if cur == prev:
                 return labels

@@ -3495,6 +3495,204 @@ def _load_with_partitions(
     return out
 
 
+#: characters that never percent-encode in a file: URI — the fused CDF
+#: reader's file_path -> version map relies on exact string equality
+#: with Spark's `_metadata.file_path`, so any path outside this set
+#: falls back to the per-version reader.
+#: last ineligibility reason recorded by _table_changes_fused (debug aid)
+_FUSED_LAST_BAIL: str | None = None
+
+_URI_SAFE = frozenset(
+    "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789"
+    "/._-="
+)
+
+
+def _table_changes_fused(spark, table_dir: str, specs):
+    """Cross-version CDF frame fusion (round-13, VERDICT r12 item 5,
+    guide §1.2): group change files ACROSS versions by (change kind,
+    footer schema, partition values) and read each group ONCE,
+    attaching ``_commit_version`` from a literal file-path -> version
+    map over ``_metadata.file_path`` — a feed over N versions builds
+    O(distinct groups) scan branches instead of
+    O(N x kinds x partitions), which also shrinks every downstream
+    action's plan.
+
+    Returns the fused DataFrame, or ``None`` (reason recorded in
+    ``_FUSED_LAST_BAIL``) when the feed is not provably equivalent
+    under fusion — different partition columns/types across versions,
+    mixed footer schemas within one version's (kind, partition)
+    group (the legacy reader forces the first file's footer there),
+    nanosecond timestamps (the pyarrow conversion declines), a
+    missing partition literal for a column the files don't carry, a
+    rel path repeated across versions within a kind (the version map
+    would collide), or non-URI-safe path characters (the map keys on
+    exact ``_metadata.file_path`` equality) — in which case the
+    caller runs the exact per-version loop, so output values, column
+    order and error behavior stay hash-identical by construction.
+    """
+    from pyspark.sql import functions as F
+
+    global _FUSED_LAST_BAIL
+    _FUSED_LAST_BAIL = None
+
+    def _bail(reason):
+        global _FUSED_LAST_BAIL
+        _FUSED_LAST_BAIL = reason
+        return None
+
+    if not specs:
+        return _bail("no specs")
+    if not set(os.path.abspath(table_dir)) <= _URI_SAFE:
+        return _bail("unsafe table dir")
+    part_cols = specs[0][3]
+    part_types = specs[0][4]
+    pt_repr = {c: str(t) for c, t in part_types.items()}
+    for _v, _k, _fpv, pcs, pts in specs:
+        if list(pcs) != list(part_cols):
+            return _bail("part_cols differ")
+        if {c: str(t) for c, t in pts.items()} != pt_repr:
+            return _bail("part_types differ")
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    fp_schema: dict[tuple, object] = {}  # (kind, fp) -> Spark schema
+    seen_rels: dict[str, set] = {}
+    groups: dict[tuple, list[tuple[str, int]]] = {}
+    order: list[tuple] = []
+    expected: list[str] = []  # legacy output column order, simulated
+
+    def _extend(target, cols):
+        for c in cols:
+            if c not in target:
+                target.append(c)
+
+    for v, kind, files_pv, _pcs, _pts in specs:
+        per_pv: dict[tuple, list[tuple[str, str]]] = {}
+        pv_order: list[tuple] = []
+        for rel, pv in files_pv:
+            if not set(rel) <= _URI_SAFE:
+                return _bail(f"unsafe path {rel!r}")
+            if rel in seen_rels.setdefault(kind, set()):
+                return _bail(f"duplicate rel {rel!r}")
+            seen_rels[kind].add(rel)
+            p = resolve_path(table_dir, rel)
+            if not os.path.isfile(p):
+                raise DeltaProtocolError(
+                    f"change-feed data file(s) no longer on disk "
+                    f"(GC'd/VACUUMed below the retention window): "
+                    f"[{rel!r}]"
+                )
+            try:
+                # nullable-normalized fingerprint: REQUIRED vs
+                # OPTIONAL varies with the writing plan (a range()
+                # write emits not-null, a createDataFrame write
+                # nullable) while the data layout is identical; the
+                # forced read schema is the nullable form, which
+                # reads both correctly.
+                sch_obj = pa.schema(
+                    [
+                        fld.with_nullable(True)
+                        for fld in pq.read_schema(p).remove_metadata()
+                    ]
+                )
+                fp = str(sch_obj)
+            except Exception:  # noqa: BLE001 — unreadable: legacy path
+                return _bail(f"footer unreadable {rel!r}")
+            if (kind, fp) not in fp_schema:
+                if any(
+                    "timestamp[ns" in str(fld.type) for fld in sch_obj
+                ):
+                    return _bail("ns timestamps")
+                try:
+                    fp_schema[(kind, fp)] = from_arrow_schema(
+                        sch_obj, prefer_timestamp_ntz=True
+                    )
+                except Exception:  # noqa: BLE001 — legacy infers
+                    return _bail("arrow->spark conversion failed")
+            pv_key = tuple((pv or {}).get(c) for c in part_cols)
+            if pv_key not in per_pv:
+                pv_order.append(pv_key)
+            per_pv.setdefault(pv_key, []).append((rel, fp))
+        # walk this version's groups in the legacy reader's order and
+        # accumulate its frame's column order
+        frame_cols: list[str] = []
+        for pv_key in sorted(
+            per_pv, key=lambda k: tuple(str(x) for x in k)
+        ):
+            entries = per_pv[pv_key]
+            fps = {f for _r, f in entries}
+            if len(fps) > 1:
+                # the legacy reader forces the FIRST file's footer on
+                # every file of this group — fusing per-fp would read
+                # the others differently; not provably equivalent
+                return _bail(
+                    f"mixed schemas within one version group "
+                    f"(v{v}, {kind})"
+                )
+            fp = fps.pop()
+            names = list(fp_schema[(kind, fp)].names)
+            for c, vv in zip(part_cols, pv_key):
+                if vv is None and c not in names:
+                    return _bail(f"missing partition literal {c!r}")
+            _extend(
+                frame_cols,
+                names + [c for c in part_cols if c not in names],
+            )
+            gkey = (kind, fp, pv_key)
+            if gkey not in groups:
+                groups[gkey] = []
+                order.append(gkey)
+            groups[gkey].extend((rel, v) for rel, _f in entries)
+        if kind != "cdc" and CDC_TYPE_COL not in frame_cols:
+            frame_cols.append(CDC_TYPE_COL)
+        frame_cols.append(CDC_VERSION_COL)
+        _extend(expected, frame_cols)
+
+    # one SQL map literal per kind (file path -> commit version);
+    # paths are unique within a kind (guarded above)
+    kind_map_sql: dict[str, str] = {}
+    for kind in seen_rels:
+        entries = []
+        for gkey in order:
+            if gkey[0] != kind:
+                continue
+            for rel, v in groups[gkey]:
+                uri = "file:" + os.path.abspath(
+                    resolve_path(table_dir, rel)
+                )
+                entries.append(f"'{uri}', {int(v)}L")
+        kind_map_sql[kind] = (
+            "CAST(map(" + ", ".join(entries)
+            + ")[_metadata.file_path] AS BIGINT)"
+        )
+    out = None
+    for gkey in order:
+        kind, fp, pv_key = gkey
+        resolved = [
+            resolve_path(table_dir, rel) for rel, _v in groups[gkey]
+        ]
+        df = spark.read.schema(fp_schema[(kind, fp)]).parquet(*resolved)
+        ver_col = F.expr(kind_map_sql[kind])
+        for c, vv in zip(part_cols, pv_key):
+            if vv is not None and c not in df.columns:
+                df = df.withColumn(
+                    c, F.lit(vv).cast(part_types.get(c, "string"))
+                )
+        if kind != "cdc":
+            df = df.withColumn(CDC_TYPE_COL, F.lit(kind))
+        df = df.withColumn(CDC_VERSION_COL, ver_col)
+        out = df if out is None else out.unionByName(
+            df, allowMissingColumns=True
+        )
+    if out is not None and out.columns != expected:
+        out = out.select(*expected)
+    return out
+
+
 def table_changes(
     spark,
     table_dir: str,
@@ -3539,7 +3737,11 @@ def table_changes(
             f"end_version {end} beyond latest commit {latest}"
         )
     commits = dict(log._commits())
-    out = None
+    # Gather per-version change specs first: (version, kind,
+    # [(rel path, partitionValues)], part_cols, part_types) with kind
+    # in {"cdc", "insert", "delete"} — the fused reader groups them
+    # across versions; the legacy loop below consumes the same specs.
+    specs = []
     for v in range(int(start_version), end + 1):
         if v not in commits:
             raise DeltaProtocolError(
@@ -3552,17 +3754,12 @@ def table_changes(
         snap = log.snapshot(v)
         part_cols = (snap.metadata or {}).get("partitionColumns") or []
         part_types = _part_types_of(snap)
-        frames = []
         if cdc:
-            df = _load_with_partitions(
-                spark,
-                table_dir,
+            specs.append((
+                v, "cdc",
                 [(c["path"], c.get("partitionValues")) for c in cdc],
-                part_cols,
-                part_types,
-            )
-            if df is not None:
-                frames.append(df)  # cdc files carry _change_type
+                part_cols, part_types,
+            ))
         else:
             adds = [
                 a["add"]
@@ -3591,34 +3788,34 @@ def table_changes(
                 if a.get("remove") and a["remove"].get("dataChange", True)
             ]
             if adds:
-                df = _load_with_partitions(
-                    spark,
-                    table_dir,
+                specs.append((
+                    v, "insert",
                     [(a["path"], a.get("partitionValues")) for a in adds],
-                    part_cols,
-                    part_types,
-                )
-                if df is not None:
-                    frames.append(
-                        df.withColumn(CDC_TYPE_COL, F.lit("insert"))
-                    )
+                    part_cols, part_types,
+                ))
             if removes:
-                df = _load_with_partitions(
-                    spark,
-                    table_dir,
+                specs.append((
+                    v, "delete",
                     [
                         (r["path"], r.get("partitionValues") or
                          _partition_values(r["path"]))
                         for r in removes
                     ],
-                    part_cols,
-                    part_types,
-                )
-                if df is not None:
-                    frames.append(
-                        df.withColumn(CDC_TYPE_COL, F.lit("delete"))
-                    )
-        for df in frames:
+                    part_cols, part_types,
+                ))
+    out = _table_changes_fused(spark, table_dir, specs)
+    if out is None:
+        # legacy per-version loop — the correctness reference the
+        # fused reader must match, and the fallback whenever the feed
+        # is not provably homogeneous
+        for v, kind, files_pv, part_cols, part_types in specs:
+            df = _load_with_partitions(
+                spark, table_dir, files_pv, part_cols, part_types
+            )
+            if df is None:
+                continue
+            if kind != "cdc":
+                df = df.withColumn(CDC_TYPE_COL, F.lit(kind))
             df = df.withColumn(
                 CDC_VERSION_COL, F.lit(v).cast("long")
             )

@@ -134,6 +134,17 @@ SF3_KEYS = [
     "q85", "q99", "q61", "q56", "q88", "q115", "q173", "q146",
 ]
 
+#: Compute-scaling arm (round-13, VERDICT r12 item 7): the sf0.1
+#: bench's heavy keys are driver/floor-bound (the 8-core full suite
+#: BEAT the 32-core one in round 12), so a distributed-plan-quality
+#: regression would be invisible there. These keys are the
+#: compute-heavy families measured ≥1.7x at 10x data in SCALE_SWEEP.md
+#: — at sf1 their 8-vs-32-core ratio is a real parallelism signal.
+SCALING_KEYS = [
+    "q20", "q26", "q88", "q130", "q183", "q243", "q56", "q118",
+    "q59", "q115", "q141", "q27", "q68", "q143", "q206",
+]
+
 
 def _bases() -> dict[str, int]:
     out = {}
@@ -275,6 +286,66 @@ def run(target: str = "sf1", shorts: list[str] | None = None) -> None:
     with open(results_path, "w", encoding="utf-8") as fh:
         json.dump(results, fh, indent=1, sort_keys=True)
     print(f"wrote {results_path}")
+
+
+def scaling(target: str = "sf1", shorts: list[str] | None = None) -> None:
+    """Compute-scaling arm (round-13, VERDICT r12 item 7): time the
+    SCALING_KEYS at ``target`` scale through the noop sink on
+    local[$SPARK_GRAFT_CPUS], min-of-2, and merge the result into
+    /root/repo/SCALING_r13.json under ``c<cpus>``. Run twice —
+    SPARK_GRAFT_CPUS=32 then =8 (sequential processes, never
+    concurrent) — and the second run records per-key c8/c32 ratios:
+    ratios ≈2-4 mean the key genuinely parallelizes and a future
+    plan-quality regression WILL show up here, unlike in the
+    floor-bound sf0.1 totals."""
+    import __spark_entry__ as entry_mod
+    from product_analytics_spark import cache
+    from product_analytics_spark.session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    _factor, dst, _ = TARGETS[target]
+    out_path = "/root/repo/SCALING_r13.json"
+    spark = get_spark("scale_scaling")
+    queries = entry_mod.queries()
+    keys = _resolve_keys(queries, shorts or SCALING_KEYS)
+    # warm: scan/shuffle/codegen, so key 1 isn't charged JVM start
+    queries[keys[0]](spark, dst).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    cache.clear_all()
+    cache.clear_shared()
+    res: dict[str, float] = {}
+    for k in keys:
+        samples = []
+        for _ in range(2):
+            t0 = time.time()
+            queries[k](spark, dst).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            samples.append(time.time() - t0)
+            cache.clear_all()
+            cache.clear_shared()
+        res[k] = round(min(samples), 2)
+        print(f"c{cpus} {k}: {res[k]}s", flush=True)
+    data: dict = {}
+    if os.path.isfile(out_path):
+        with open(out_path, encoding="utf-8") as fh:
+            data = json.load(fh)
+    per = data.setdefault("keys", {})
+    for k, s in res.items():
+        per.setdefault(k, {})[f"c{cpus}"] = s
+        c32, c8 = per[k].get("c32"), per[k].get("c8")
+        if c32 and c8:
+            per[k]["ratio_c8_over_c32"] = round(c8 / c32, 2)
+    data["sf"] = target
+    data["stat"] = "min2, noop sink"
+    data["note"] = (
+        "compute-scaling arm: per-key wall at local[32] vs local[8] "
+        "on the replicated sf1 inputs (tools/scale_sweep.py scaling)"
+    )
+    with open(out_path, "w", encoding="utf-8") as fh:
+        json.dump(data, fh, indent=1, sort_keys=True)
+    print(f"wrote {out_path}")
 
 
 def _table(results: dict, tgt: str, factor: int) -> list[str]:
@@ -422,6 +493,11 @@ if __name__ == "__main__":
         report()
     elif cmd == "generate":
         generate(sys.argv[2] if len(sys.argv) > 2 else "sf1")
+    elif cmd == "scaling":
+        scaling(
+            sys.argv[2] if len(sys.argv) > 2 else "sf1",
+            sys.argv[3:] or None,
+        )
     else:
         target = sys.argv[2] if len(sys.argv) > 2 else "sf1"
         # optional explicit key list after the target: merge the new
