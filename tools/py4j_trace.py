@@ -46,14 +46,24 @@ def main() -> None:
     def traced(self, command):
         if not enabled[0]:
             return orig(self, command)
-        frames = traceback.extract_stack(limit=40)
-        site = "<other>"
+        frames = traceback.extract_stack(limit=60)
+        site = None
         # innermost repo frame that is not this tracer
         for fr in reversed(frames):
             fn = fr.filename
             if fn.startswith(REPO) and "py4j_trace" not in fn:
                 site = f"{os.path.relpath(fn, REPO)}:{fr.lineno} {fr.name}"
                 break
+        if site is None:
+            # no engine frame: name the innermost non-py4j frame so
+            # the <other> bucket is attributable (pyspark internals,
+            # listener/callback threads)
+            site = "<other>"
+            for fr in reversed(frames):
+                fn = fr.filename
+                if "py4j" not in fn and "py4j_trace" not in fn:
+                    site = f"<lib> {os.path.basename(fn)}:{fr.lineno} {fr.name}"
+                    break
         t0 = time.perf_counter()
         try:
             return orig(self, command)
